@@ -1,0 +1,85 @@
+package graft.operators
+
+import graft.functions.{VectorFunctions => VF}
+import graft.sources.VectorStore
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** The reference's defining read path — `find_most_similar`
+  * (/root/reference/minivectordb/vector_database.py:466-536) — as one
+  * declarative Spark plan:
+  *
+  * {{{ scan → filter(compiled metadata predicate) → score(cosine) → top-k }}}
+  *
+  * The reference's two physical paths (full-index search vs throwaway
+  * subset index, vector_database.py:495-523) collapse into a single plan
+  * shape here: Catalyst scores only rows surviving the filter, and
+  * `orderBy(desc).limit(k)` plans as `TakeOrderedAndProject` — per-partition
+  * partial top-k, then a k·P-row merge on one reducer — so no global sort and
+  * no full shuffle at any scale. Exactness matches the reference:
+  * `IndexFlatIP` is brute force, so scan-and-score is the same algorithm
+  * distributed.
+  */
+object Search {
+  import FilterDsl.MetaFilter
+
+  /** Ordered-descending cosine top-k with optional metadata filtering and
+    * autocut, returning `(id, score, metadata)` — the reference's result
+    * triple (vector_database.py:526-536) as a DataFrame. Ties break on id
+    * (the reference inherits FAISS's arbitrary tie order; we pin a
+    * deterministic one for oracle parity — BASELINE.md measurement notes).
+    */
+  def findMostSimilar(
+      store: VectorStore,
+      query: Seq[Float],
+      metadataFilter: Seq[MetaFilter] = Nil,
+      excludeFilter: Seq[Map[String, MetaValue]] = Nil,
+      orFilters: Seq[MetaFilter] = Nil,
+      k: Int = 5,
+      autocut: Boolean = false): DataFrame = {
+    val pred = FilterDsl.compile(col("metadata_kv"), metadataFilter, orFilters, excludeFilter)
+    val q = typedLit(query)
+    val qNorm = math.sqrt(query.map(x => x.toDouble * x.toDouble).sum)
+    val scored = store.df
+      .filter(pred)
+      .withColumn("score", VF.dot(col("embedding"), q) / (sqrt(col("norm_sq")) * lit(qNorm)))
+      .select(col("id"), col("score"), col("metadata"))
+      .orderBy(desc("score"), asc("id"))
+      .limit(k)
+    if (autocut) Autocut(scored, col("score"), col("id")) else scored
+  }
+
+  /** Score an arbitrary DataFrame's embedding column against a query vector
+    * (no store wrapper) — building block for ad-hoc pipelines.
+    */
+  def scoreCosine(df: DataFrame, embeddingCol: Column, query: Seq[Float]): Column =
+    VF.cosine(embeddingCol, typedLit(query))
+}
+
+/** Autocut (reference `autocut_scores`, vector_database.py:443-464): over a
+  * descending score list, find the FIRST largest relative drop between
+  * consecutive scores; if it exceeds 20%, truncate from that point on.
+  *
+  * Operates on a top-k result (≤ k rows by construction), so the
+  * unpartitioned windows are bounded and NOT a scale concern — the expensive
+  * distributed work (scan/filter/top-k) has already reduced the data.
+  */
+object Autocut {
+  val Threshold = 0.2
+
+  def apply(topK: DataFrame, score: Column, tieBreak: Column): DataFrame = {
+    val w = Window.orderBy(score.desc, tieBreak.asc)
+    val all = Window.partitionBy().rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val prev = lag(score, 1).over(w)
+    topK
+      .withColumn("_rn", row_number().over(w))
+      .withColumn("_drop", (prev - score) / prev)
+      .withColumn("_maxd", max(col("_drop")).over(all))
+      .withColumn("_cut", min(when(col("_drop") === col("_maxd"), col("_rn"))).over(all))
+      // single-row inputs have no drops (reference guards len>1,
+      // vector_database.py:528): _maxd is null ⇒ when() is false ⇒ keep all
+      .filter(when(col("_maxd") > Threshold, col("_rn") < col("_cut")).otherwise(lit(true)))
+      .drop("_rn", "_drop", "_maxd", "_cut")
+  }
+}

@@ -1,0 +1,114 @@
+package graft
+
+import graft.operators._
+import graft.sources.VectorStore
+import org.apache.spark.sql.functions._
+
+/** Behavioral contracts from the reference suite
+  * (/root/reference/tests/test_vector_database.py) — top-k, k-clamping,
+  * empty results, CRUD error semantics, autocut.
+  */
+class SearchSpec extends SparkSpec {
+
+  private def store(rows: (String, Seq[Float], String)*): VectorStore = {
+    val sp = spark
+    import sp.implicits._
+    VectorStore(VectorStore.ingest(
+      rows.toSeq.toDF("id", "embedding", "metadata"),
+      col("id"), col("embedding"), col("metadata")))
+  }
+
+  private val base = store(
+    ("1", Seq(1.0f, 0.0f), """{"type":"a"}"""),
+    ("2", Seq(0.9f, 0.1f), """{"type":"a"}"""),
+    ("3", Seq(0.0f, 1.0f), """{"type":"b"}"""),
+    ("4", Seq(-1.0f, 0.0f), """{"type":"b"}"""))
+
+  test("top-k ordering: most similar first, exact cosine") {
+    val r = Search.findMostSimilar(base, Seq(1.0f, 0.0f), k = 4).collect()
+    assert(r.map(_.getString(0)).toSeq == Seq("1", "2", "3", "4"))
+    assert(math.abs(r(0).getDouble(1) - 1.0) < 1e-12)
+    assert(math.abs(r(2).getDouble(1)) < 1e-12) // orthogonal
+    assert(math.abs(r(3).getDouble(1) + 1.0) < 1e-12) // opposite
+  }
+
+  test("k-clamping: k larger than corpus returns all rows (test_vector_database.py:149-160)") {
+    assert(Search.findMostSimilar(base, Seq(1.0f, 0.0f), k = 50).count() == 4)
+  }
+
+  test("metadata AND filter restricts candidates (test_vector_database.py:34-117)") {
+    val r = Search.findMostSimilar(base, Seq(1.0f, 0.0f), k = 4,
+      metadataFilter = Seq(Map("type" -> Eq(MetaValue.MStr("b"))))).collect()
+    assert(r.map(_.getString(0)).toSeq == Seq("3", "4"))
+  }
+
+  test("filter matching nothing returns empty (vector_database.py:485-486)") {
+    val r = Search.findMostSimilar(base, Seq(1.0f, 0.0f), k = 4,
+      metadataFilter = Seq(Map("type" -> Eq(MetaValue.MStr("zzz")))))
+    assert(r.count() == 0)
+  }
+
+  test("exclude filter subtracts equality matches (test_vector_database.py:69-97)") {
+    val r = Search.findMostSimilar(base, Seq(1.0f, 0.0f), k = 4,
+      excludeFilter = Seq(Map("type" -> MetaValue.MStr("a")))).collect()
+    assert(r.map(_.getString(0)).toSeq == Seq("3", "4"))
+  }
+
+  test("autocut truncates at the largest >20% relative drop (vector_database.py:443-464)") {
+    val sp = spark
+    import sp.implicits._
+    // scores 1.0, 0.95, 0.5, 0.45 → largest rel drop at 0.95→0.5 (47%) ⇒ keep 2
+    val df = Seq(("a", 1.0), ("b", 0.95), ("c", 0.5), ("d", 0.45)).toDF("id", "score")
+    val cut = Autocut(df, col("score"), col("id")).collect()
+    assert(cut.map(_.getString(0)).toSeq == Seq("a", "b"))
+  }
+
+  test("autocut keeps everything when no drop exceeds 20%") {
+    val sp = spark
+    import sp.implicits._
+    val df = Seq(("a", 1.0), ("b", 0.95), ("c", 0.9)).toDF("id", "score")
+    assert(Autocut(df, col("score"), col("id")).count() == 3)
+  }
+
+  test("autocut on a single row keeps it (reference guards len>1)") {
+    val sp = spark
+    import sp.implicits._
+    val df = Seq(("a", 1.0)).toDF("id", "score")
+    assert(Autocut(df, col("score"), col("id")).count() == 1)
+  }
+
+  test("insert duplicate id raises 'Unique ID already exists.' (vector_database.py:59-60)") {
+    val e = intercept[IllegalArgumentException] {
+      base.insert("1", Seq(0.5f, 0.5f)).df.count()
+    }
+    assert(e.getMessage.contains("Unique ID already exists."))
+  }
+
+  test("batch insert pads missing metadata and appends (sharded_vector_database.py:260-261)") {
+    val s2 = base.insertBatch(Seq("10", "11"), Seq(Seq(0.1f, 0.2f), Seq(0.3f, 0.4f)))
+    assert(s2.count() == 6)
+    assert(s2.df.filter(col("id") === "10").select("metadata").first().getString(0) == "{}")
+  }
+
+  test("delete removes the row; deleting a missing id raises (vector_database.py:119-121)") {
+    assert(base.delete("1").count() == 3)
+    val e = intercept[NoSuchElementException] { base.delete("99") }
+    assert(e.getMessage.contains("Unique ID does not exist."))
+  }
+
+  test("getVector point lookup + missing id error (vector_database.py:49-55)") {
+    assert(base.getVector("3").toSeq == Seq(0.0f, 1.0f))
+    intercept[NoSuchElementException] { base.getVector("nope") }
+  }
+
+  test("persist/reload round-trip with shard-size files (vector_database.py:538-548)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-store").toString + "/db"
+    base.persist(dir, shardSize = 2)
+    val re = VectorStore.load(spark, dir)
+    assert(re.count() == 4)
+    assert(re.getVector("2").toSeq == Seq(0.9f, 0.1f))
+    // shard-size knob produced multiple part files (4 rows / 2 per file)
+    val parts = new java.io.File(dir).listFiles().count(_.getName.endsWith(".parquet"))
+    assert(parts >= 2)
+  }
+}
