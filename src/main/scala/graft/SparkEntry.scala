@@ -56,16 +56,68 @@ object SparkEntry {
       |  LIMIT %d
       |) ORDER BY score DESC, id ASC""".stripMargin
 
+  /** Run a compiled metadata predicate over the events-derived metadata
+    * corpus, returning matching ids in numeric order.
+    */
+  private def filterQuery(
+      andF: Seq[FilterDsl.MetaFilter] = Nil,
+      orF: Seq[FilterDsl.MetaFilter] = Nil,
+      exF: Seq[Map[String, MetaValue]] = Nil)(spark: SparkSession, dir: String): DataFrame =
+    MetadataTables.eventsMeta(spark, dir)
+      .filter(FilterDsl.compile(col("metadata_kv"), andF, orF, exF))
+      .select("id")
+      .orderBy(col("id").cast("bigint"))
+
+  private def filterOracle(where: String): String =
+    s"""SELECT CAST(event_id AS VARCHAR) AS id FROM events WHERE $where ORDER BY event_id"""
+
+  import MetaValue._
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // O13: exact cosine top-k over the full corpus
     "q_knn" -> ((s, dir) => knnQuery(s, dir, k = 10)),
     // O13 + O8: top-k under an AND metadata filter
     "q_knn_filtered" -> ((s, dir) =>
-      knnQuery(s, dir, k = 10, metadataFilter = Seq(Map("label" -> Eq(MetaValue.MLong(3)))))),
+      knnQuery(s, dir, k = 10, metadataFilter = Seq(Map("label" -> Eq(MLong(3)))))),
+    // O8 equality on a string key
+    "q_filter_eq" -> filterQuery(andF = Seq(Map("type" -> Eq(MStr("click"))))) _,
+    // O8 $gt on a double key
+    "q_filter_gt" -> filterQuery(andF = Seq(Map("value" -> Ops(Seq("$gt" -> MDouble(250.0)))))) _,
+    // O8 $lte on a double key
+    "q_filter_lte" -> filterQuery(andF = Seq(Map("value" -> Ops(Seq("$lte" -> MDouble(50.0)))))) _,
+    // O8 $ne with key-presence gating: `opt` exists only on purchase rows
+    "q_filter_ne" -> filterQuery(andF = Seq(Map("opt" -> Ops(Seq("$ne" -> MLong(2)))))) _,
+    // O8 $in: filter value ∈ metadata list
+    "q_filter_in" -> filterQuery(andF = Seq(Map("tags" -> Ops(Seq("$in" -> MStr("view")))))) _,
+    // O8 multi-operator range dict on ISO-date strings (SURVEY §2.3.4)
+    "q_filter_date_range" -> filterQuery(andF = Seq(Map("date" -> Ops(Seq(
+      "$gte" -> MStr("2024-01-10T00:00:00"), "$lt" -> MStr("2024-01-20T00:00:00")))))) _,
+    // O8+O9+O10 composition: (AND) ∩ (OR) − (EXCLUDE)
+    "q_filter_and_or_exclude" -> filterQuery(
+      andF = Seq(Map("value" -> Ops(Seq("$gt" -> MDouble(100.0))))),
+      orF = Seq(Map("type" -> Eq(MStr("click"))), Map("type" -> Eq(MStr("view")))),
+      exF = Seq(Map("k" -> MLong(7)))) _,
+    // O9 or-dict with operator values (union across keys within one dict)
+    "q_filter_or_ops" -> filterQuery(
+      orF = Seq(Map(
+        "value" -> Ops(Seq("$lt" -> MDouble(10.0))),
+        "k" -> Ops(Seq("$gte" -> MLong(95)))))) _,
   )
 
   def oracleSql: Map[String, String] = Map(
     "q_knn" -> knnOracleBase.format("", 10),
     "q_knn_filtered" -> knnOracleBase.format("WHERE e.label = 3", 10),
+    "q_filter_eq" -> filterOracle("event_type = 'click'"),
+    "q_filter_gt" -> filterOracle("value > 250.0"),
+    "q_filter_lte" -> filterOracle("value <= 50.0"),
+    "q_filter_ne" -> filterOracle(
+      "event_type = 'purchase' AND CAST(floor(value/100) AS INT) != 2"),
+    "q_filter_in" -> filterOracle("list_contains([event_type, 'tagged'], 'view')"),
+    "q_filter_date_range" -> filterOracle(
+      "strftime(ts, '%Y-%m-%dT%H:%M:%S') >= '2024-01-10T00:00:00' AND strftime(ts, '%Y-%m-%dT%H:%M:%S') < '2024-01-20T00:00:00'"),
+    "q_filter_and_or_exclude" -> filterOracle(
+      "value > 100.0 AND event_type IN ('click','view') AND NOT (CAST(json_extract(props,'$.k') AS INT) = 7)"),
+    "q_filter_or_ops" -> filterOracle(
+      "value < 10.0 OR CAST(json_extract(props,'$.k') AS INT) >= 95"),
   )
 }

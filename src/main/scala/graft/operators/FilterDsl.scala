@@ -100,7 +100,10 @@ object FilterDsl {
     */
   private def eqPred(kv: Column, key: String, v: MetaValue): Column = {
     val f = frag(kv, key)
-    if (isNumeric(v)) f.cast("double") === lit(numeric(v))
+    // try_cast: non-numeric fragments (quoted strings, bools) become null —
+    // the comparison is then null ⇒ row filtered, matching Python `==` being
+    // False across types (ANSI cast would instead throw).
+    if (isNumeric(v)) f.try_cast("double") === lit(numeric(v))
     else f === lit(v.enc)
   }
 
@@ -122,7 +125,7 @@ object FilterDsl {
         // fragments (type-strict).
         array_contains(JsonMeta.jsonArr(f), lit(v.enc))
       case "$gt" | "$gte" | "$lt" | "$lte" =>
-        if (isNumeric(v)) cmp(f.cast("double"), lit(numeric(v)))
+        if (isNumeric(v)) cmp(f.try_cast("double"), lit(numeric(v)))
         else
           // String (incl. ISO-8601 datetime) ordering on quoted fragments:
           // both sides carry the leading quote, and '"' sorts below all

@@ -1,0 +1,38 @@
+package graft.operators
+
+import graft.functions.JsonMeta
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Adapters that turn driver testdata into metadata-bearing collections for
+  * the filter language (the reference's open per-record dict, SURVEY §1.2).
+  */
+object MetadataTables {
+
+  /** events.parquet → (id, metadata, metadata_kv) with deliberately
+    * heterogeneous metadata value types:
+    *
+    *   type  STRING   — event_type
+    *   value DOUBLE   — value
+    *   k     INT      — extracted from props JSON
+    *   date  STRING   — ISO-8601 of ts (lexicographic == chronological)
+    *   opt   INT      — ONLY on purchase rows (tests key-presence gating)
+    *   tags  ARRAY    — [event_type, "tagged"] (tests `$in`)
+    *
+    * Null struct fields are dropped by to_json, so `opt` is genuinely absent
+    * (not null) on non-purchase rows — mirroring dict-key absence.
+    */
+  def eventsMeta(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = graft.sources.Testdata.events(spark, sfDir)
+    ev.select(
+      col("event_id").cast("string").as("id"),
+      to_json(struct(
+        col("event_type").as("type"),
+        col("value"),
+        get_json_object(col("props"), "$.k").cast("int").as("k"),
+        date_format(col("ts"), "yyyy-MM-dd'T'HH:mm:ss").as("date"),
+        when(col("event_type") === "purchase", floor(col("value") / 100).cast("int")).as("opt"),
+        array(col("event_type"), lit("tagged")).as("tags"))).as("metadata"))
+      .withColumn("metadata_kv", JsonMeta.jsonKv(col("metadata")))
+  }
+}
