@@ -102,6 +102,33 @@ object SparkEntry {
       orF = Seq(Map(
         "value" -> Ops(Seq("$lt" -> MDouble(10.0))),
         "k" -> Ops(Seq("$gte" -> MLong(95)))))) _,
+    // O4 batch insert: duplicate validation + metadata padding, then scan
+    "q_crud_insert_batch" -> ((s, dir) => {
+      val st = VectorStore.fromEmbeddingsTable(s, dir)
+      st.insertBatch(
+        Seq("n1", "n2", "n3"),
+        Seq(Seq(0.1f, 0.2f), Seq(0.3f, 0.4f), Seq(0.5f, 0.6f)),
+        Seq("""{"tag":"new"}""", """{"tag":"new"}""", """{"tag":"new"}"""))
+        .df.select("id", "metadata").orderBy("id")
+    }),
+    // O6 batch delete: existence validation, anti-join removal
+    "q_crud_delete_batch" -> ((s, dir) => {
+      val st = VectorStore.fromEmbeddingsTable(s, dir)
+      st.deleteBatch((0 until 10).map(_.toString))
+        .df.select("id").orderBy(col("id").cast("bigint"))
+    }),
+    // O7 point lookup by id
+    "q_crud_lookup" -> ((s, dir) =>
+      VectorStore.fromEmbeddingsTable(s, dir)
+        .df.filter(col("id") === "42").select("id", "embedding")),
+    // O1+O2: persist (shard-size-bounded parquet files) and reload
+    "q_crud_persist_roundtrip" -> ((s, dir) => {
+      val st = VectorStore.fromEmbeddingsTable(s, dir)
+      val tmp = System.getProperty("java.io.tmpdir") + "/graft_roundtrip_store"
+      st.persist(tmp, shardSize = 100)
+      VectorStore.load(s, tmp).df
+        .select("id", "metadata").orderBy(col("id").cast("bigint"))
+    }),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -119,5 +146,17 @@ object SparkEntry {
       "value > 100.0 AND event_type IN ('click','view') AND NOT (CAST(json_extract(props,'$.k') AS INT) = 7)"),
     "q_filter_or_ops" -> filterOracle(
       "value < 10.0 OR CAST(json_extract(props,'$.k') AS INT) >= 95"),
+    "q_crud_insert_batch" ->
+      """SELECT id, metadata FROM (
+        |  SELECT CAST(vec_id AS VARCHAR) AS id, '{"label":' || label || '}' AS metadata FROM embeddings
+        |  UNION ALL SELECT * FROM (VALUES ('n1','{"tag":"new"}'), ('n2','{"tag":"new"}'), ('n3','{"tag":"new"}')) v(id, metadata)
+        |) ORDER BY id""".stripMargin,
+    "q_crud_delete_batch" ->
+      "SELECT CAST(vec_id AS VARCHAR) AS id FROM embeddings WHERE vec_id >= 10 ORDER BY vec_id",
+    "q_crud_lookup" ->
+      "SELECT CAST(vec_id AS VARCHAR) AS id, embedding FROM embeddings WHERE vec_id = 42",
+    "q_crud_persist_roundtrip" ->
+      """SELECT CAST(vec_id AS VARCHAR) AS id, '{"label":' || label || '}' AS metadata
+        |FROM embeddings ORDER BY vec_id""".stripMargin,
   )
 }
