@@ -102,6 +102,26 @@ object SparkEntry {
       orF = Seq(Map(
         "value" -> Ops(Seq("$lt" -> MDouble(10.0))),
         "k" -> Ops(Seq("$gte" -> MLong(95)))))) _,
+    // O18 autocut: truncate top-k at the largest >20% relative score drop
+    "q_knn_autocut" -> ((s, dir) => {
+      val store = VectorStore.fromEmbeddingsTable(s, dir)
+      Search.findMostSimilar(store, queryVec(s, dir), k = 10, autocut = true)
+        .withColumn("score", round(col("score"), 6))
+        .select("id", "score")
+        .orderBy(desc("score"), asc("id"))
+    }),
+    // O14+O16+O17: hybrid rerank (search ⊕ ngram-hash ⊕ fuzzy) of the top-20
+    // search hits' document text. UDF scores aren't SQL-expressible → no
+    // oracle (driver rows-only check); behavior pinned by RerankSpec.
+    "q_rerank_hybrid" -> ((s, dir) => {
+      val store = VectorStore.fromEmbeddingsTable(s, dir)
+      val docs = graft.sources.Testdata.table(s, dir, "documents")
+      val hits = Search.findMostSimilar(store, queryVec(s, dir), k = 20)
+      val joined = hits.join(docs, hits("id") === docs("doc_id").cast("string"))
+      Rerank.hybridRerank(joined, col("text"), col("score"),
+          "table join query scan fast", k = 5)
+        .select(col("id"), round(col("combined_score"), 6).as("combined_score"))
+    }),
     // O4 batch insert: duplicate validation + metadata padding, then scan
     "q_crud_insert_batch" -> ((s, dir) => {
       val st = VectorStore.fromEmbeddingsTable(s, dir)
@@ -146,6 +166,22 @@ object SparkEntry {
       "value > 100.0 AND event_type IN ('click','view') AND NOT (CAST(json_extract(props,'$.k') AS INT) = 7)"),
     "q_filter_or_ops" -> filterOracle(
       "value < 10.0 OR CAST(json_extract(props,'$.k') AS INT) >= 95"),
+    "q_knn_autocut" ->
+      """WITH topk AS (
+        |  SELECT CAST(e.vec_id AS VARCHAR) AS id,
+        |         list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), CAST(q.qe AS DOUBLE[])) AS score
+        |  FROM embeddings e, (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0) q
+        |  ORDER BY score DESC, id ASC LIMIT 10
+        |), d AS (
+        |  SELECT id, score,
+        |         row_number() OVER (ORDER BY score DESC, id ASC) AS rn,
+        |         lag(score) OVER (ORDER BY score DESC, id ASC) AS prev
+        |  FROM topk
+        |), m AS (SELECT max((prev - score) / prev) AS maxd FROM d),
+        |c AS (SELECT min(rn) AS cut FROM d, m WHERE (prev - score) / prev = maxd)
+        |SELECT id, round(score, 6) AS score FROM d, m, c
+        |WHERE CASE WHEN maxd > 0.2 THEN rn < cut ELSE true END
+        |ORDER BY score DESC, id ASC""".stripMargin,
     "q_crud_insert_batch" ->
       """SELECT id, metadata FROM (
         |  SELECT CAST(vec_id AS VARCHAR) AS id, '{"label":' || label || '}' AS metadata FROM embeddings
