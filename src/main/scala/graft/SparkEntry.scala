@@ -73,6 +73,11 @@ object SparkEntry {
 
   import MetaValue._
 
+  // DuckDB list literals of the language-ID stopword profiles — single
+  // source of truth is TextAnalysis.StopwordProfiles.
+  private def profileSql(lang: String): String =
+    TextAnalysis.StopwordProfiles.toMap.apply(lang).map("'" + _ + "'").mkString("[", ",", "]")
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // O13: exact cosine top-k over the full corpus
     "q_knn" -> ((s, dir) => knnQuery(s, dir, k = 10)),
@@ -122,6 +127,37 @@ object SparkEntry {
           "table join query scan fast", k = 5)
         .select(col("id"), round(col("combined_score"), 6).as("combined_score"))
     }),
+    // Text analysis (beyond-reference, training-data pipeline ops): token
+    // counting — whitespace + BPE-ish lexer regex
+    "q_text_stats" -> ((s, dir) => {
+      val t = col("text")
+      graft.sources.Testdata.table(s, dir, "documents")
+        .select(col("doc_id"),
+          TextAnalysis.wsTokenCount(t).as("ws_tokens"),
+          TextAnalysis.reTokenCount(t).as("re_tokens"))
+        .orderBy("doc_id")
+    }),
+    // quality scoring: length/punct/stopword heuristics
+    "q_text_quality" -> ((s, dir) => {
+      val t = col("text")
+      graft.sources.Testdata.table(s, dir, "documents")
+        .select(col("doc_id"),
+          round(TextAnalysis.punctRatio(t), 6).as("punct_ratio"),
+          round(TextAnalysis.stopwordRatio(t), 6).as("stop_ratio"),
+          round(TextAnalysis.avgTokenLen(t), 6).as("avg_tok_len"),
+          round(TextAnalysis.qualityScore(t), 6).as("quality"))
+        .orderBy("doc_id")
+    }),
+    // language-ID: stopword-profile argmax heuristic
+    "q_text_langid" -> ((s, dir) =>
+      graft.sources.Testdata.table(s, dir, "documents")
+        .select(col("doc_id"), TextAnalysis.langId(col("text")).as("lang_pred"))
+        .orderBy("doc_id")),
+    // document fingerprinting: rolling polynomial hash
+    "q_text_fingerprint" -> ((s, dir) =>
+      graft.sources.Testdata.table(s, dir, "documents")
+        .select(col("doc_id"), TextAnalysis.fingerprint(col("text")).as("fingerprint"))
+        .orderBy("doc_id")),
     // O4 batch insert: duplicate validation + metadata padding, then scan
     "q_crud_insert_batch" -> ((s, dir) => {
       val st = VectorStore.fromEmbeddingsTable(s, dir)
@@ -166,6 +202,52 @@ object SparkEntry {
       "value > 100.0 AND event_type IN ('click','view') AND NOT (CAST(json_extract(props,'$.k') AS INT) = 7)"),
     "q_filter_or_ops" -> filterOracle(
       "value < 10.0 OR CAST(json_extract(props,'$.k') AS INT) >= 95"),
+    "q_text_stats" ->
+      """SELECT doc_id,
+        |  len(string_split_regex(text, '\s+')) AS ws_tokens,
+        |  len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9\s]')) AS re_tokens
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "q_text_quality" ->
+      s"""WITH t AS (
+        |  SELECT doc_id, string_split_regex(text, '\\s+') AS toks,
+        |         length(regexp_replace(text, '\\s', '', 'g')) AS nonws,
+        |         length(regexp_replace(text, '[a-z0-9\\s]', '', 'g')) AS punct
+        |  FROM documents
+        |), s AS (
+        |  SELECT doc_id,
+        |    CASE WHEN nonws > 0 THEN CAST(punct AS DOUBLE)/nonws ELSE 0.0 END AS punct_ratio,
+        |    CASE WHEN len(toks) > 0 THEN CAST(len(list_filter(toks, x -> list_contains(${profileSql("en")}, x))) AS DOUBLE)/len(toks) ELSE 0.0 END AS stop_ratio,
+        |    CASE WHEN len(toks) > 0 THEN CAST(nonws AS DOUBLE)/len(toks) ELSE 0.0 END AS avg_tok_len,
+        |    len(toks) AS n
+        |  FROM t
+        |)
+        |SELECT doc_id, round(punct_ratio,6) AS punct_ratio, round(stop_ratio,6) AS stop_ratio,
+        |  round(avg_tok_len,6) AS avg_tok_len,
+        |  round(0.4*least(n/100.0,1.0) + 0.3*(1.0-punct_ratio) + 0.3*least(stop_ratio/0.1,1.0), 6) AS quality
+        |FROM s ORDER BY doc_id""".stripMargin,
+    "q_text_langid" ->
+      s"""WITH t AS (
+        |  SELECT doc_id, string_split_regex(text, '\\s+') AS toks FROM documents
+        |), s AS (
+        |  SELECT doc_id,
+        |    len(list_filter(toks, x -> list_contains(${profileSql("en")}, x))) AS s_en,
+        |    len(list_filter(toks, x -> list_contains(${profileSql("de")}, x))) AS s_de,
+        |    len(list_filter(toks, x -> list_contains(${profileSql("es")}, x))) AS s_es,
+        |    len(list_filter(toks, x -> list_contains(${profileSql("fr")}, x))) AS s_fr
+        |  FROM t
+        |)
+        |SELECT doc_id, CASE
+        |  WHEN s_en >= s_de AND s_en >= s_es AND s_en >= s_fr AND s_en > 0 THEN 'en'
+        |  WHEN s_de >= s_es AND s_de >= s_fr AND s_de > 0 THEN 'de'
+        |  WHEN s_es >= s_fr AND s_es > 0 THEN 'es'
+        |  WHEN s_fr > 0 THEN 'fr' ELSE 'und' END AS lang_pred
+        |FROM s ORDER BY doc_id""".stripMargin,
+    "q_text_fingerprint" ->
+      """SELECT doc_id,
+        |  list_reduce(
+        |    list_prepend(CAST(0 AS BIGINT), list_transform(range(1, length(text)+1), i -> CAST(ascii(substring(text, i, 1)) AS BIGINT))),
+        |    (acc, x) -> (acc*31 + x) % 1000000007) AS fingerprint
+        |FROM documents ORDER BY doc_id""".stripMargin,
     "q_knn_autocut" ->
       """WITH topk AS (
         |  SELECT CAST(e.vec_id AS VARCHAR) AS id,

@@ -1,0 +1,125 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Corpus-scale text analysis for training-data pipelines — beyond-reference
+  * capability (the reference's only text ops are the rerank kernels,
+  * /root/reference/minivectordb/vector_database.py:388-411; these operators
+  * cover the ingest/curation side a 100 TB pipeline needs).
+  *
+  * Scale contract: every function here is pure `Column` algebra over Spark
+  * built-ins / higher-order functions — whole-stage-codegen'd, no UDFs, no
+  * shuffles. Applied to N documents the plan is a single narrow projection
+  * pass (scan → project), embarrassingly parallel across partitions, and the
+  * text column is the only wide column read (Parquet column pruning keeps
+  * untouched columns on disk).
+  */
+object TextAnalysis {
+
+  /** Whitespace tokens (Python `str.split` analog). */
+  def wsTokens(text: Column): Column = split(text, "\\s+")
+
+  /** Whitespace token count. */
+  def wsTokenCount(text: Column): Column = size(wsTokens(text))
+
+  /** BPE-ish lexer token count: runs of letters, runs of digits, or single
+    * non-alphanumeric marks — the pre-tokenization shape BPE vocabularies
+    * split on. Regex is RE2/Java-portable (also runs verbatim in the DuckDB
+    * oracle).
+    */
+  val TokenRegex = "[a-z]+|[0-9]+|[^a-z0-9\\s]"
+  def reTokenCount(text: Column): Column =
+    size(regexp_extract_all(text, lit(TokenRegex), lit(0)))
+
+  /** Per-language stopword profiles for the n-gram/stopword language-ID
+    * heuristic. Deliberately small and fixed: the classifier is
+    * `argmax_lang |tokens ∩ profile|` with ties broken in declaration order.
+    */
+  val StopwordProfiles: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "and", "of", "to", "in", "is", "it", "that", "for"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "ein", "zu", "den", "nicht", "mit"),
+    "es" -> Seq("el", "los", "y", "que", "una", "se", "con", "por", "para", "como"),
+    "fr" -> Seq("le", "les", "et", "des", "une", "est", "dans", "pour", "sur", "avec"))
+
+  /** Count of tokens belonging to a fixed word list (codegen'd HOF filter —
+    * the array literal is broadcast as part of the plan, no join needed).
+    */
+  def stopwordHits(tokens: Column, words: Seq[String]): Column =
+    size(filter(tokens, t => array_contains(typedLit(words), t)))
+
+  /** Language-ID: highest stopword-profile hit count wins; ties resolve in
+    * profile declaration order (en, de, es, fr); zero hits everywhere ⇒
+    * "und" (undetermined).
+    */
+  def langId(text: Column): Column = {
+    val toks = wsTokens(text)
+    val scores = StopwordProfiles.map { case (lang, words) => lang -> stopwordHits(toks, words) }
+    val best = scores.map(_._2).reduce((a, b) => greatest(a, b))
+    scores.foldRight(lit("und"): Column) { case ((lang, s), elseCol) =>
+      when(s === best && s > 0, lit(lang)).otherwise(elseCol)
+    }
+  }
+
+  /** Punctuation ratio: fraction of non-whitespace chars that are neither
+    * letters nor digits.
+    */
+  def punctRatio(text: Column): Column = {
+    val nonWs = length(regexp_replace(text, "\\s", ""))
+    val punct = length(regexp_replace(text, "[a-z0-9\\s]", ""))
+    when(nonWs > 0, punct.cast("double") / nonWs.cast("double")).otherwise(lit(0.0))
+  }
+
+  /** Stopword ratio over whitespace tokens (English profile). */
+  def stopwordRatio(text: Column): Column = {
+    val toks = wsTokens(text)
+    when(size(toks) > 0,
+      stopwordHits(toks, StopwordProfiles.head._2).cast("double") / size(toks).cast("double"))
+      .otherwise(lit(0.0))
+  }
+
+  /** Mean whitespace-token length in characters. */
+  def avgTokenLen(text: Column): Column = {
+    val toks = wsTokens(text)
+    when(size(toks) > 0,
+      length(regexp_replace(text, "\\s", "")).cast("double") / size(toks).cast("double"))
+      .otherwise(lit(0.0))
+  }
+
+  /** Composite quality score in [0, 1]: rewards reasonable length (saturating
+    * at 100 tokens), low punctuation density, and natural-language stopword
+    * presence (saturating at 10%) — the standard length/punct/stopword
+    * heuristic family used for pretraining-corpus filtering.
+    */
+  def qualityScore(text: Column): Column =
+    lit(0.4) * least(wsTokenCount(text).cast("double") / lit(100.0), lit(1.0)) +
+      lit(0.3) * (lit(1.0) - punctRatio(text)) +
+      lit(0.3) * least(stopwordRatio(text) / lit(0.1), lit(1.0))
+
+  /** Rolling polynomial fingerprint of the full text:
+    * `h_i = (31·h_{i-1} + codepoint_i) mod 1e9+7`, folded left-to-right with
+    * a codegen'd `aggregate` — a content fingerprint cheap enough to compute
+    * on every document at ingest (dup-grouping joins on this 8-byte value
+    * instead of the full text).
+    */
+  val FingerprintMod = 1000000007L
+  def fingerprint(text: Column): Column =
+    aggregate(
+      // split-by-empty-pattern keeps a trailing "" (Java split limit -1);
+      // drop it so the fold sees exactly one element per character
+      filter(split(text, ""), ch => ch =!= ""),
+      lit(0L),
+      (acc, ch) => (acc * lit(31L) + ascii(ch)) % lit(FingerprintMod))
+
+  /** The full per-document profile in one projection pass. */
+  def profile(docs: DataFrame, text: Column): DataFrame =
+    docs
+      .withColumn("ws_tokens", wsTokenCount(text))
+      .withColumn("re_tokens", reTokenCount(text))
+      .withColumn("punct_ratio", punctRatio(text))
+      .withColumn("stop_ratio", stopwordRatio(text))
+      .withColumn("avg_tok_len", avgTokenLen(text))
+      .withColumn("quality", qualityScore(text))
+      .withColumn("lang_pred", langId(text))
+      .withColumn("fingerprint", fingerprint(text))
+}
