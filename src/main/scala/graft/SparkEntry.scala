@@ -71,6 +71,28 @@ object SparkEntry {
   private def filterOracle(where: String): String =
     s"""SELECT CAST(event_id AS VARCHAR) AS id FROM events WHERE $where ORDER BY event_id"""
 
+  /** Ground-truth near-dup pairs: exact pairwise bigram-shingle Jaccard.
+    * Shared by the exact (q_dedup_jaccard) and LSH (q_dedup_minhash)
+    * queries — the LSH path must reproduce the exact answer because its
+    * candidates are verified with true Jaccard and its banding recall covers
+    * every pair at tau=0.5 on this corpus.
+    */
+  private val dedupJaccardOracle =
+    """WITH t AS (
+      |  SELECT doc_id, list_distinct(list_transform(
+      |    range(1, len(string_split_regex(text, '\s+'))),
+      |    i -> string_split_regex(text, '\s+')[i] || ' ' || string_split_regex(text, '\s+')[i+1])) AS sh
+      |  FROM documents
+      |)
+      |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+      |  round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+      |        (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))), 6) AS jaccard
+      |FROM t a, t b
+      |WHERE a.doc_id < b.doc_id
+      |  AND CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+      |      (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.5
+      |ORDER BY id_a, id_b""".stripMargin
+
   import MetaValue._
 
   // DuckDB list literals of the language-ID stopword profiles — single
@@ -158,6 +180,39 @@ object SparkEntry {
       graft.sources.Testdata.table(s, dir, "documents")
         .select(col("doc_id"), TextAnalysis.fingerprint(col("text")).as("fingerprint"))
         .orderBy("doc_id")),
+    // Dedup family (beyond-reference): exact content dedup via hash-groupBy
+    "q_dedup_exact" -> ((s, dir) =>
+      Dedup.exactDedup(graft.sources.Testdata.table(s, dir, "documents"),
+          col("doc_id"), col("text"))
+        .filter(col("keep"))
+        .select(col("id"), col("content_key"), col("group_size"))
+        .orderBy("id")),
+    // exact n-gram Jaccard near-dup via shingle equi-join (no cross product)
+    "q_dedup_jaccard" -> ((s, dir) =>
+      Dedup.jaccardPairs(graft.sources.Testdata.table(s, dir, "documents"),
+          col("doc_id"), col("text"), n = 2, tau = 0.5)
+        .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
+        .orderBy("id_a", "id_b")),
+    // MinHash+LSH banded near-dup with exact-Jaccard verification: same
+    // oracle as q_dedup_jaccard — the LSH only bounds which pairs are
+    // verified, and at this tau its recall is exhaustive on the corpus
+    "q_dedup_minhash" -> ((s, dir) =>
+      Dedup.minhashLshPairs(graft.sources.Testdata.table(s, dir, "documents"),
+          col("doc_id"), col("text"), n = 2, tau = 0.5)
+        .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
+        .orderBy("id_a", "id_b")),
+    // SimHash near-dup by Hamming ≤ 3 (murmur-free integer simhash; not
+    // SQL-expressible compactly → rows-only check; pinned by DedupSpec)
+    "q_dedup_simhash" -> ((s, dir) =>
+      Dedup.simhashPairs(graft.sources.Testdata.table(s, dir, "documents"),
+          col("doc_id"), col("text"), maxHamming = 3)
+        .orderBy("id_a", "id_b")),
+    // embedding-cosine near-dup pairs over the embeddings table
+    "q_dedup_embedding" -> ((s, dir) =>
+      Dedup.cosinePairs(s.read.parquet(s"$dir/embeddings.parquet"),
+          col("vec_id"), col("embedding"), tau = 0.4)
+        .select(col("id_a"), col("id_b"), round(col("cosine"), 6).as("cosine"))
+        .orderBy("id_a", "id_b")),
     // O4 batch insert: duplicate validation + metadata padding, then scan
     "q_crud_insert_batch" -> ((s, dir) => {
       val st = VectorStore.fromEmbeddingsTable(s, dir)
@@ -248,6 +303,21 @@ object SparkEntry {
         |    list_prepend(CAST(0 AS BIGINT), list_transform(range(1, length(text)+1), i -> CAST(ascii(substring(text, i, 1)) AS BIGINT))),
         |    (acc, x) -> (acc*31 + x) % 1000000007) AS fingerprint
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "q_dedup_exact" ->
+      """SELECT doc_id AS id, md5(text) AS content_key,
+        |       count(*) OVER (PARTITION BY md5(text)) AS group_size
+        |FROM documents
+        |QUALIFY row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) = 1
+        |ORDER BY id""".stripMargin,
+    "q_dedup_jaccard" -> dedupJaccardOracle,
+    "q_dedup_minhash" -> dedupJaccardOracle,
+    "q_dedup_embedding" ->
+      """SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        |  round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])), 6) AS cosine
+        |FROM embeddings a, embeddings b
+        |WHERE a.vec_id < b.vec_id
+        |  AND list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) >= 0.4
+        |ORDER BY id_a, id_b""".stripMargin,
     "q_knn_autocut" ->
       """WITH topk AS (
         |  SELECT CAST(e.vec_id AS VARCHAR) AS id,

@@ -1,0 +1,108 @@
+package graft
+
+import graft.operators.Dedup
+import org.apache.spark.sql.functions._
+
+/** Behavioral contracts of the dedup family (beyond-reference training-data
+  * pipeline capabilities).
+  */
+class DedupSpec extends SparkSpec {
+
+  private def docs(rows: (Long, String)*) = {
+    import testImplicits._
+    rows.toDF("id", "text")
+  }
+
+  test("shingles: word bigrams, distinct, short-doc guard") {
+    import testImplicits._
+    val out = Seq("a b c d", "a b a b", "solo", "").toDF("text")
+      .select(Dedup.shingles(col("text"), 2).as("sh")).collect().map(_.getSeq[String](0))
+    assert(out(0) == Seq("a b", "b c", "c d"))
+    assert(out(1).sorted == Seq("a b", "b a"))
+    assert(out(2) == Seq.empty)
+    assert(out(3) == Seq.empty)
+  }
+
+  test("exactDedup: keeps lowest id per identical content, counts groups") {
+    val d = docs(1L -> "same text", 2L -> "same text", 3L -> "other", 4L -> "same text")
+    val byId = Dedup.exactDedup(d, col("id"), col("text")).collect()
+      .map(x => x.getAs[Long]("id") -> ((x.getAs[Long]("group_size"), x.getAs[Boolean]("keep")))).toMap
+    assert(byId(1L) == ((3L, true)))
+    assert(byId(2L) == ((3L, false)))
+    assert(byId(3L) == ((1L, true)))
+    assert(byId(4L) == ((3L, false)))
+  }
+
+  test("jaccardPairs: exact bigram Jaccard via shingle equi-join") {
+    // {ab,bc,cd} vs {ab,bc,ce}: inter 2, union 4 → 0.5
+    val d = docs(1L -> "a b c d", 2L -> "a b c e", 3L -> "x y z w")
+    val r = Dedup.jaccardPairs(d, col("id"), col("text"), n = 2, tau = 0.4).collect()
+    assert(r.length == 1)
+    assert(r(0).getAs[Long]("id_a") == 1L && r(0).getAs[Long]("id_b") == 2L)
+    assert(math.abs(r(0).getAs[Double]("jaccard") - 0.5) < 1e-9)
+  }
+
+  test("jaccardPairs: maxDf cap drops hot shingles (approximation knob)") {
+    val d = docs(1L -> "hot hot x", 2L -> "hot hot y", 3L -> "hot hot z")
+    // 'hot hot' appears in all 3 docs; cap df<=2 removes it → no pair survives
+    val capped = Dedup.jaccardPairs(d, col("id"), col("text"), n = 2, tau = 0.1, maxDf = Some(2))
+    assert(capped.isEmpty)
+    val exact = Dedup.jaccardPairs(d, col("id"), col("text"), n = 2, tau = 0.1)
+    assert(exact.count() == 3)
+  }
+
+  test("minhashLshPairs: finds planted near-dups and verifies with exact jaccard") {
+    val base = "the quick brown fox jumps over the lazy dog again and again today"
+    val d = docs(
+      1L -> base,
+      2L -> base.replace("today", "tonight"), // near-dup of 1
+      3L -> "completely different words in this one nothing shared at all here")
+    val r = Dedup.minhashLshPairs(d, col("id"), col("text"), n = 2, tau = 0.5).collect()
+    assert(r.length == 1)
+    assert((r(0).getAs[Long]("id_a"), r(0).getAs[Long]("id_b")) == ((1L, 2L)))
+    // jaccard is the TRUE jaccard (verified), not an estimate: 11/13
+    assert(math.abs(r(0).getAs[Double]("jaccard") - 11.0 / 13.0) < 1e-9)
+  }
+
+  test("minhash signature is deterministic across invocations") {
+    val d = docs(1L -> "a b c d e f g")
+    def sig() = d.select(Dedup.minhashSig(Dedup.shingleFps(Dedup.shingles(col("text"), 2))).as("s"))
+      .collect()(0).getSeq[Long](0)
+    assert(sig() == sig())
+    assert(sig().length == 32)
+  }
+
+  test("simhash: identical text → hamming 0; near text → small; disjoint → large") {
+    val d = docs(
+      1L -> "alpha beta gamma delta epsilon zeta eta theta",
+      2L -> "alpha beta gamma delta epsilon zeta eta iota",
+      3L -> "alpha beta gamma delta epsilon zeta eta theta",
+      4L -> "xx yy zz ww vv uu tt ss")
+    val sims = d.select(col("id"), Dedup.simhash(col("text")).as("s")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(sims(1L) == sims(3L))
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(ham(sims(1L), sims(2L)) < ham(sims(1L), sims(4L)))
+    assert(sims.values.forall(s => s >= 0 && s < (1L << 60)))
+  }
+
+  test("simhashPairs: banded blocking finds identical and near pairs") {
+    val d = docs(
+      1L -> "alpha beta gamma delta epsilon zeta eta theta",
+      2L -> "alpha beta gamma delta epsilon zeta eta theta",
+      3L -> "qq rr ss tt uu vv ww xx")
+    val r = Dedup.simhashPairs(d, col("id"), col("text"), maxHamming = 3).collect()
+    assert(r.map(x => (x.getAs[Long]("id_a"), x.getAs[Long]("id_b"))).toSet == Set((1L, 2L)))
+    assert(r(0).getAs[Int]("hamming") == 0)
+  }
+
+  test("cosinePairs: threshold self-join on small vectors") {
+    import testImplicits._
+    val d = Seq(
+      (1L, Seq(1.0f, 0.0f)),
+      (2L, Seq(0.9f, 0.1f)),
+      (3L, Seq(0.0f, 1.0f))).toDF("id", "v")
+    val r = Dedup.cosinePairs(d, col("id"), col("v"), tau = 0.9).collect()
+    assert(r.map(x => (x.getAs[Long]("id_a"), x.getAs[Long]("id_b"))).toSet == Set((1L, 2L)))
+  }
+}
