@@ -71,6 +71,31 @@ object SparkEntry {
   private def filterOracle(where: String): String =
     s"""SELECT CAST(event_id AS VARCHAR) AS id FROM events WHERE $where ORDER BY event_id"""
 
+  /** The ANN oracle replicates the sign-LSH bucket math in SQL — plane
+    * literals and probe masks are generated from the same Scala constants
+    * the Spark plan uses, so the check is exact regardless of LSH recall.
+    */
+  private val annOracle: String = {
+    val planes = AnnSearch.hyperplanes(dim = 64)
+    def bucketExpr(vecSql: String): String =
+      planes.zipWithIndex.map { case (p, i) =>
+        val lst = p.mkString("[", ",", "]")
+        s"(CASE WHEN list_dot_product($vecSql, $lst) >= 0 THEN ${1 << i} ELSE 0 END)"
+      }.mkString("(", " + ", ")")
+    val masks = AnnSearch.xorMasks(planes.length, 2).mkString("[", ",", "]")
+    s"""WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qe FROM embeddings WHERE vec_id = 0),
+       |qb AS (SELECT ${bucketExpr("qe")} AS b FROM q),
+       |probes AS (SELECT xor(qb.b, m) AS pb FROM qb, unnest($masks) AS t(m)),
+       |e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb,
+       |             ${bucketExpr("CAST(embedding AS DOUBLE[])")} AS bucket
+       |      FROM embeddings)
+       |SELECT id, round(score, 6) AS score FROM (
+       |  SELECT CAST(e.vec_id AS VARCHAR) AS id, list_cosine_similarity(e.emb, q.qe) AS score
+       |  FROM e, q WHERE e.bucket IN (SELECT pb FROM probes)
+       |  ORDER BY score DESC, id ASC LIMIT 10
+       |) ORDER BY score DESC, id ASC""".stripMargin
+  }
+
   /** Ground-truth near-dup pairs: exact pairwise bigram-shingle Jaccard.
     * Shared by the exact (q_dedup_jaccard) and LSH (q_dedup_minhash)
     * queries — the LSH path must reproduce the exact answer because its
@@ -213,6 +238,35 @@ object SparkEntry {
           col("vec_id"), col("embedding"), tau = 0.4)
         .select(col("id_a"), col("id_b"), round(col("cosine"), 6).as("cosine"))
         .orderBy("id_a", "id_b")),
+    // ANN: sign-LSH bucketed top-k (multiprobe radius 2) — the 100 TB scale
+    // path where the bucket becomes a partition key and probing = pruning
+    "q_ann_topk" -> ((s, dir) => {
+      val planes = AnnSearch.hyperplanes(dim = 64)
+      val indexed = AnnSearch.index(s.read.parquet(s"$dir/embeddings.parquet"),
+        col("embedding"), planes)
+      AnnSearch.search(indexed, col("vec_id").cast("string"), col("embedding"),
+          queryVec(s, dir), planes, k = 10, probeRadius = 2)
+        .withColumn("score", round(col("score"), 6))
+        .orderBy(desc("score"), asc("id"))
+    }),
+    // Multimodal: typed-metadata projection over opaque binary payloads
+    "q_media_meta" -> ((s, dir) =>
+      Multimodal.metaFeatures(
+          Multimodal.mediaTable(graft.sources.Testdata.table(s, dir, "documents")))
+        .orderBy("doc_id")),
+    // Multimodal: frame sampling = fixed-size binary slices, content-hashed
+    "q_media_frames" -> ((s, dir) =>
+      Multimodal.sampleFrames(
+          Multimodal.mediaTable(graft.sources.Testdata.table(s, dir, "documents")),
+          frameBytes = 100, maxFrames = 4)
+        .orderBy("doc_id", "frame_idx")),
+    // Multimodal: stubbed batch decode via mapPartitions (rows-only check;
+    // byte-level feature math pinned by MultimodalSpec)
+    "q_media_decode" -> ((s, dir) =>
+      Multimodal.decodeFeatures(
+          Multimodal.mediaTable(graft.sources.Testdata.table(s, dir, "documents")))
+        .withColumn("brightness", round(col("brightness"), 6))
+        .orderBy("doc_id")),
     // O4 batch insert: duplicate validation + metadata padding, then scan
     "q_crud_insert_batch" -> ((s, dir) => {
       val st = VectorStore.fromEmbeddingsTable(s, dir)
@@ -303,6 +357,23 @@ object SparkEntry {
         |    list_prepend(CAST(0 AS BIGINT), list_transform(range(1, length(text)+1), i -> CAST(ascii(substring(text, i, 1)) AS BIGINT))),
         |    (acc, x) -> (acc*31 + x) % 1000000007) AS fingerprint
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "q_ann_topk" -> annOracle,
+    "q_media_meta" ->
+      """SELECT doc_id,
+        |  CASE WHEN doc_id % 3 = 0 THEN 'image/x-fake' WHEN doc_id % 3 = 1 THEN 'audio/x-fake' ELSE 'video/x-fake' END AS mime,
+        |  CASE WHEN doc_id % 3 = 0 THEN 'image' WHEN doc_id % 3 = 1 THEN 'audio' ELSE 'video' END AS kind,
+        |  octet_length(encode(text)) AS n_bytes,
+        |  64 + octet_length(encode(text)) % 576 AS width,
+        |  64 + (octet_length(encode(text)) * 31) % 312 AS height
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "q_media_frames" ->
+      """SELECT doc_id, frame_idx,
+        |  length(substring(text, CAST(frame_idx * 100 + 1 AS INT), 100)) AS frame_len,
+        |  md5(substring(text, CAST(frame_idx * 100 + 1 AS INT), 100)) AS frame_md5
+        |FROM documents,
+        |     unnest(range(least(CAST(ceil(length(text) / 100.0) AS BIGINT), 4))) AS t(frame_idx)
+        |WHERE length(text) > 0
+        |ORDER BY doc_id, frame_idx""".stripMargin,
     "q_dedup_exact" ->
       """SELECT doc_id AS id, md5(text) AS content_key,
         |       count(*) OVER (PARTITION BY md5(text)) AS group_size

@@ -1,0 +1,74 @@
+package graft
+
+import graft.operators.AnnSearch
+import graft.sources.VectorStore
+import org.apache.spark.sql.functions._
+
+/** Sign-LSH ANN behavioral contracts + recall measurement against the exact
+  * brute-force ranking on the driver testdata.
+  */
+class AnnSearchSpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  test("bucketCol (distributed) agrees with bucketOf (driver) on real vectors") {
+    val planes = AnnSearch.hyperplanes(dim = 64)
+    val df = spark.read.parquet(s"$dir/embeddings.parquet").limit(20)
+    val rows = AnnSearch.index(df, col("embedding"), planes)
+      .select(col("vec_id"), col("bucket"), col("embedding")).collect()
+    rows.foreach { r =>
+      val v = r.getSeq[Float](2)
+      assert(r.getAs[Int]("bucket") == AnnSearch.bucketOf(v, planes))
+    }
+  }
+
+  test("hyperplanes are deterministic and in [-1,1)") {
+    val a = AnnSearch.hyperplanes(8, 4)
+    val b = AnnSearch.hyperplanes(8, 4)
+    assert(a == b)
+    assert(a.flatten.forall(x => x >= -1.0 && x < 1.0))
+  }
+
+  test("probeBuckets: self plus Hamming-1 neighbors") {
+    assert(AnnSearch.probeBuckets(0, 3).toSet == Set(0, 1, 2, 4))
+    assert(AnnSearch.probeBuckets(5, 3).toSet == Set(5, 4, 7, 1))
+    assert(AnnSearch.probeBuckets(0, 3, radius = 2).toSet == Set(0, 1, 2, 4, 3, 5, 6))
+  }
+
+  test("ANN search: recall@10 grows with probe radius; scores stay exact") {
+    val store = VectorStore.fromEmbeddingsTable(spark, dir)
+    val q = store.getVector("0").toSeq
+    val planes = AnnSearch.hyperplanes(dim = 64)
+    val indexed = AnnSearch.index(
+      spark.read.parquet(s"$dir/embeddings.parquet"), col("embedding"), planes)
+    val exact = graft.operators.Search.findMostSimilar(store, q, k = 10)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    def recallAt(radius: Int): Double = {
+      val ann = AnnSearch.search(indexed, col("vec_id").cast("string"), col("embedding"),
+        q, planes, k = 10, probeRadius = radius).collect()
+      // returned scores must equal the exact cosine (ANN prunes, never rescores)
+      ann.foreach(r => exact.get(r.getString(0)).foreach(s => assert(math.abs(s - r.getDouble(1)) < 1e-12)))
+      ann.map(_.getString(0)).count(exact.contains).toDouble / exact.size
+    }
+    val r1 = recallAt(1); val r2 = recallAt(2); val r6 = recallAt(6)
+    info(s"recall@10: radius1=$r1 radius2=$r2 radius6(full scan)=$r6")
+    // this corpus is near-orthogonal random noise — the weakest case for
+    // sign-LSH — so only monotonicity and the exhaustive limit are stable
+    assert(r1 <= r2 + 1e-9 && r2 <= r6 + 1e-9)
+    assert(r6 == 1.0, "radius = numPlanes probes every bucket ⇒ exact")
+    assert(r2 >= 0.2)
+  }
+
+  test("bucket pruning actually reduces the scanned fraction") {
+    val planes = AnnSearch.hyperplanes(dim = 64)
+    val indexed = AnnSearch.index(
+      spark.read.parquet(s"$dir/embeddings.parquet"), col("embedding"), planes)
+    val store = VectorStore.fromEmbeddingsTable(spark, dir)
+    val q = store.getVector("0").toSeq
+    val probes = AnnSearch.probeBuckets(AnnSearch.bucketOf(q, planes), planes.length)
+    val scanned = indexed.filter(col("bucket").isin(probes: _*)).count()
+    val total = indexed.count()
+    info(s"scanned $scanned of $total")
+    assert(scanned < total)
+  }
+}

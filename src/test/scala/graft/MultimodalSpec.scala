@@ -1,0 +1,64 @@
+package graft
+
+import graft.operators.Multimodal
+import org.apache.spark.sql.functions._
+
+/** Multimodal plumbing contracts: schema, batch shape, frame slicing.
+  * The decode step is a documented deterministic stub (no codecs in this
+  * environment); everything around it is real and pinned here.
+  */
+class MultimodalSpec extends SparkSpec {
+
+  private def docs(rows: (Long, String)*) = {
+    import testImplicits._
+    rows.toDF("doc_id", "text")
+  }
+
+  test("mediaTable: binary payload + typed metadata struct, kind by id mod 3") {
+    val m = Multimodal.mediaTable(docs(0L -> "abc", 1L -> "defg", 2L -> "hi")).collect()
+    val byId = m.map(r => r.getAs[Long]("doc_id") ->
+      ((r.getAs[Array[Byte]]("content"), r.getStruct(2)))).toMap
+    assert(new String(byId(0L)._1, "UTF-8") == "abc")
+    assert(byId(0L)._2.getAs[String]("kind") == "image")
+    assert(byId(1L)._2.getAs[String]("kind") == "audio")
+    assert(byId(2L)._2.getAs[String]("kind") == "video")
+    assert(byId(1L)._2.getAs[Int]("n_bytes") == 4)
+  }
+
+  test("decodeStub: deterministic, brightness from real bytes") {
+    val (w, h, c, b) = Multimodal.decodeStub("hello".getBytes("UTF-8"))
+    assert((w, h, c) == ((64 + 5, 64 + (5 * 31) % 312, 3)))
+    val expectedB = "hello".getBytes("UTF-8").map(_ & 0xff).sum.toDouble / 5 / 255.0
+    assert(math.abs(b - expectedB) < 1e-12)
+    assert(Multimodal.decodeStub(Array.empty[Byte]) == ((64, 64, 3, 0.0)))
+  }
+
+  test("decodeFeatures: mapPartitions output independent of batch size") {
+    val m = Multimodal.mediaTable(docs((0L to 9L).map(i => i -> s"payload number $i with ${"x" * i.toInt}"): _*))
+    def run(bs: Int) = Multimodal.decodeFeatures(m, batchSize = bs)
+      .orderBy("doc_id").collect().map(_.toSeq).toSeq
+    assert(run(1) == run(64))
+    val r = run(4)
+    assert(r.size == 10)
+    // schema: doc_id, kind, n_bytes, width, height, channels, brightness
+    assert(r.head.size == 7)
+  }
+
+  test("sampleFrames: frame count, tail frame length, content md5 stability") {
+    val m = Multimodal.mediaTable(docs(1L -> ("a" * 25), 2L -> "bb"))
+    val f = Multimodal.sampleFrames(m, frameBytes = 10, maxFrames = 5)
+      .orderBy("doc_id", "frame_idx").collect()
+    val one = f.filter(_.getAs[Long]("doc_id") == 1L)
+    assert(one.map(_.getAs[Int]("frame_idx")).toSeq == Seq(0, 1, 2))
+    assert(one.map(_.getAs[Int]("frame_len")).toSeq == Seq(10, 10, 5))
+    val two = f.filter(_.getAs[Long]("doc_id") == 2L)
+    assert(two.length == 1 && two(0).getAs[Int]("frame_len") == 2)
+    // identical content slices hash identically
+    assert(one(0).getAs[String]("frame_md5") == one(1).getAs[String]("frame_md5"))
+  }
+
+  test("sampleFrames: maxFrames caps long payloads") {
+    val m = Multimodal.mediaTable(docs(1L -> ("z" * 1000)))
+    assert(Multimodal.sampleFrames(m, frameBytes = 10, maxFrames = 7).count() == 7)
+  }
+}
