@@ -267,6 +267,31 @@ object SparkEntry {
           Multimodal.mediaTable(graft.sources.Testdata.table(s, dir, "documents")))
         .withColumn("brightness", round(col("brightness"), 6))
         .orderBy("doc_id")),
+    // Relational scale patterns (beyond-reference): TPC-H Q1-shaped
+    // filtered partial aggregation with exact decimal sums
+    "q_rel_pricing" -> ((s, dir) =>
+      Relational.pricingSummary(graft.sources.Testdata.lineitem(s, dir), "1998-09-01")
+        .orderBy("l_returnflag", "l_linestatus")),
+    // broadcast-dimension join + per-group window top-n (no global sort)
+    "q_rel_top_customers" -> ((s, dir) =>
+      Relational.topCustomersPerNation(
+          graft.sources.Testdata.orders(s, dir),
+          graft.sources.Testdata.table(s, dir, "customer"),
+          graft.sources.Testdata.table(s, dir, "nation"), topN = 3)
+        .orderBy("n_name", "rank")),
+    // star join: fact-fact equi-join + broadcast dims + tiny-key agg
+    "q_rel_region_revenue" -> ((s, dir) =>
+      Relational.regionRevenueByYear(
+          graft.sources.Testdata.lineitem(s, dir),
+          graft.sources.Testdata.orders(s, dir),
+          graft.sources.Testdata.table(s, dir, "customer"),
+          graft.sources.Testdata.table(s, dir, "nation"),
+          graft.sources.Testdata.table(s, dir, "region"))
+        .orderBy("r_name", "ship_year")),
+    // sessionization: lag + running-sum windows, one shuffle on user_id
+    "q_rel_sessions" -> ((s, dir) =>
+      Relational.sessionize(graft.sources.Testdata.events(s, dir), gapMinutes = 30)
+        .orderBy("user_id", "session_idx")),
     // O4 batch insert: duplicate validation + metadata padding, then scan
     "q_crud_insert_batch" -> ((s, dir) => {
       val st = VectorStore.fromEmbeddingsTable(s, dir)
@@ -357,6 +382,54 @@ object SparkEntry {
         |    list_prepend(CAST(0 AS BIGINT), list_transform(range(1, length(text)+1), i -> CAST(ascii(substring(text, i, 1)) AS BIGINT))),
         |    (acc, x) -> (acc*31 + x) % 1000000007) AS fingerprint
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "q_rel_pricing" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  round(CAST(sum(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE), 6) AS sum_qty,
+        |  round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE), 6) AS sum_base_price,
+        |  round(CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE), 6) AS sum_disc_price,
+        |  round(CAST(sum(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) / count(*), 6) AS avg_qty,
+        |  round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) / count(*), 6) AS avg_price,
+        |  count(*) AS count_order
+        |FROM lineitem
+        |WHERE l_shipdate <= TIMESTAMP '1998-09-01'
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q_rel_top_customers" ->
+      """WITH spend AS (
+        |  SELECT o_custkey, sum(CAST(o_totalprice AS DECIMAL(18,6))) AS spend_d
+        |  FROM orders GROUP BY 1
+        |), ranked AS (
+        |  SELECT n_name, c_name, spend_d,
+        |         row_number() OVER (PARTITION BY n_name ORDER BY spend_d DESC, o_custkey ASC) AS rank
+        |  FROM spend JOIN customer ON o_custkey = c_custkey
+        |             JOIN nation ON c_nationkey = n_nationkey
+        |)
+        |SELECT n_name, CAST(rank AS INT) AS rank, c_name, round(CAST(spend_d AS DOUBLE), 6) AS spend
+        |FROM ranked WHERE rank <= 3 ORDER BY n_name, rank""".stripMargin,
+    "q_rel_region_revenue" ->
+      """SELECT r_name, CAST(year(l_shipdate) AS INT) AS ship_year,
+        |  round(CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE), 6) AS revenue
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q_rel_sessions" ->
+      """WITH t AS (
+        |  SELECT user_id, event_id, epoch_us(CAST(ts AS TIMESTAMP)) AS us,
+        |         lag(epoch_us(CAST(ts AS TIMESTAMP))) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+        |  FROM events
+        |), s AS (
+        |  SELECT user_id, event_id, us,
+        |         CASE WHEN prev IS NULL OR us - prev > 1800000000 THEN 1 ELSE 0 END AS ns
+        |  FROM t
+        |), x AS (
+        |  SELECT user_id, us,
+        |         CAST(sum(ns) OVER (PARTITION BY user_id ORDER BY us, event_id ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_idx
+        |  FROM s
+        |)
+        |SELECT user_id, session_idx, count(*) AS n_events, max(us) - min(us) AS duration_us
+        |FROM x GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "q_ann_topk" -> annOracle,
     "q_media_meta" ->
       """SELECT doc_id,

@@ -1,0 +1,121 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Relational analytics over the warehouse tables — the scale-pattern
+  * showcase (beyond-reference: the reference has no joins, aggregations, or
+  * windows at all, SURVEY §2.2). Each operator is written for the plan shape
+  * that survives 100 TB:
+  *
+  *  - fact-table filters go FIRST so Parquet gets them as pushed predicates
+  *    (and at real scale, partition pruning on the date column);
+  *  - aggregations run as partial (map-side) + final — free with groupBy
+  *    since all aggs here are sum/count shapes;
+  *  - dimension joins broadcast explicitly (`broadcast()`), keeping the fact
+  *    table shuffle-free on the join; the only unavoidable shuffles are the
+  *    final groupBy exchanges on small post-aggregation keys;
+  *  - monetary sums are computed in DECIMAL (exact, order-independent) so
+  *    results are reproducible across engines and partitionings — a double
+  *    sum would drift with partition count at 100 TB;
+  *  - top-n per group uses row_number over a partitioned window (no global
+  *    sort), and sessionization uses lag + running sum — both shuffle once
+  *    on the partition key.
+  */
+object Relational {
+
+  private val money = DecimalType(18, 6)
+
+  /** TPC-H Q1-shaped pricing summary: filtered scan → partial agg → final
+    * agg on a 2-value grouping key. Averages are derived as exact-decimal
+    * sum ÷ count in double at the end (deterministic under any partitioning).
+    */
+  def pricingSummary(lineitem: DataFrame, cutoff: String): DataFrame =
+    lineitem
+      .filter(col("l_shipdate") <= lit(cutoff))
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(
+        sum(col("l_quantity").cast(money)).as("sq"),
+        sum(col("l_extendedprice").cast(money)).as("sp"),
+        sum((col("l_extendedprice") * (lit(1.0) - col("l_discount"))).cast(money)).as("sdp"),
+        count(lit(1)).as("count_order"))
+      .select(
+        col("l_returnflag"), col("l_linestatus"),
+        round(col("sq").cast("double"), 6).as("sum_qty"),
+        round(col("sp").cast("double"), 6).as("sum_base_price"),
+        round(col("sdp").cast("double"), 6).as("sum_disc_price"),
+        round(col("sq").cast("double") / col("count_order"), 6).as("avg_qty"),
+        round(col("sp").cast("double") / col("count_order"), 6).as("avg_price"),
+        col("count_order"))
+
+  /** Top-n customers by total order spend within each nation: shuffle the
+    * fact table once (groupBy custkey), broadcast both dimensions, then a
+    * per-nation window — no global sort anywhere.
+    */
+  def topCustomersPerNation(
+      orders: DataFrame,
+      customer: DataFrame,
+      nation: DataFrame,
+      topN: Int = 3): DataFrame = {
+    val spend = orders.groupBy("o_custkey")
+      .agg(sum(col("o_totalprice").cast(money)).as("spend_d"))
+    val dims = customer.join(broadcast(nation), col("c_nationkey") === col("n_nationkey"))
+    val w = Window.partitionBy("n_name").orderBy(desc("spend_d"), asc("o_custkey"))
+    spend
+      .join(broadcast(dims), col("o_custkey") === col("c_custkey"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= topN)
+      .select(col("n_name"), col("rank"), col("c_name"),
+        round(col("spend_d").cast("double"), 6).as("spend"))
+  }
+
+  /** Revenue by region and ship-year: the star-join shape — one fact-fact
+    * equi-join (lineitem ⋈ orders on orderkey), all dimensions broadcast,
+    * aggregation partial-then-final on a tiny (region, year) key.
+    */
+  def regionRevenueByYear(
+      lineitem: DataFrame,
+      orders: DataFrame,
+      customer: DataFrame,
+      nation: DataFrame,
+      region: DataFrame): DataFrame = {
+    val dims = customer
+      .join(broadcast(nation), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(region), col("n_regionkey") === col("r_regionkey"))
+      .select(col("c_custkey"), col("r_name"))
+    lineitem
+      .select(col("l_orderkey"),
+        (col("l_extendedprice") * (lit(1.0) - col("l_discount"))).cast(money).as("rev"),
+        year(col("l_shipdate")).as("ship_year"))
+      .join(orders.select("o_orderkey", "o_custkey"),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(dims), col("o_custkey") === col("c_custkey"))
+      .groupBy("r_name", "ship_year")
+      .agg(sum(col("rev")).as("rev_d"))
+      .select(col("r_name"), col("ship_year"),
+        round(col("rev_d").cast("double"), 6).as("revenue"))
+  }
+
+  /** Sessionization: split each user's event stream at inactivity gaps >
+    * `gapMinutes`, emit per-session stats. One shuffle on user_id; lag +
+    * running-sum windows inside each partition. (The batch twin of the
+    * Structured Streaming session-window operator.)
+    */
+  def sessionize(events: DataFrame, gapMinutes: Int = 30): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    val gapUs = gapMinutes.toLong * 60 * 1000000
+    events
+      .withColumn("us", unix_micros(col("ts")))
+      .withColumn("prev_us", lag(col("us"), 1).over(w))
+      .withColumn("new_session",
+        when(col("prev_us").isNull || col("us") - col("prev_us") > gapUs, 1).otherwise(0))
+      .withColumn("session_idx",
+        sum(col("new_session")).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy("user_id", "session_idx")
+      .agg(
+        count(lit(1)).as("n_events"),
+        (max(col("us")) - min(col("us"))).as("duration_us"))
+  }
+}
