@@ -212,9 +212,12 @@ object SparkEntry {
         .filter(col("keep"))
         .select(col("id"), col("content_key"), col("group_size"))
         .orderBy("id")),
-    // exact n-gram Jaccard near-dup via shingle equi-join (no cross product)
+    // exact n-gram Jaccard near-dup. Bitset strategy: this corpus is
+    // template-generated with a tiny dense shingle vocabulary — the regime
+    // where candidate pruning can't discriminate and the winning plan makes
+    // the per-pair kernel a fused AND+popcount (see Dedup.jaccardPairs[Bitset])
     "q_dedup_jaccard" -> ((s, dir) =>
-      Dedup.jaccardPairs(graft.sources.Testdata.table(s, dir, "documents"),
+      Dedup.jaccardPairsBitset(graft.sources.Testdata.table(s, dir, "documents"),
           col("doc_id"), col("text"), n = 2, tau = 0.5)
         .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
         .orderBy("id_a", "id_b")),

@@ -23,16 +23,22 @@ object VectorFunctions {
   /** Cast an ARRAY<FLOAT> (or any numeric array) column to ARRAY<DOUBLE>. */
   def toDoubleArray(v: Column): Column = v.cast(ArrayType(DoubleType))
 
-  /** Sequential-fold dot product of two equal-length numeric arrays. */
+  /** Sequential-fold dot product of two equal-length numeric arrays, as a
+    * native codegen expression ([[DotProductExpr]]) — a fused loop with no
+    * per-row allocation, replacing the interpreted
+    * `aggregate(zip_with(...))` form. Identical accumulation order ⇒
+    * identical doubles.
+    */
   def dot(a: Column, b: Column): Column =
-    aggregate(
-      zip_with(toDoubleArray(a), toDoubleArray(b), (x, y) => x * y),
-      lit(0.0),
-      (acc, x) => acc + x)
+    org.apache.spark.sql.graft.Bridge.column(
+      DotProductExpr(
+        org.apache.spark.sql.graft.Bridge.expression(a),
+        org.apache.spark.sql.graft.Bridge.expression(b)))
 
-  /** Squared L2 norm. */
-  def normSq(v: Column): Column =
-    aggregate(toDoubleArray(v), lit(0.0), (acc, x) => acc + x * x)
+  /** Squared L2 norm (= dot(v, v); same fold order as the explicit sum of
+    * squares).
+    */
+  def normSq(v: Column): Column = dot(v, v)
 
   /** L2 norm. */
   def l2Norm(v: Column): Column = sqrt(normSq(v))

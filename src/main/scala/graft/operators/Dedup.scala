@@ -70,31 +70,125 @@ object Dedup {
     * appearing in more than that many docs before the join — the standard
     * hot-key (stop-shingle) cap for skewed corpora; None = exact.
     */
+  /** All pairs (idA < idB) whose n-gram-shingle Jaccard ≥ tau — EXACT.
+    *
+    * Two physical strategies, same answer; pick by vocabulary statistics:
+    *
+    *  - COUNT-JOIN (`prefixFilter = false`): explode → equi-join on the
+    *    shingle → groupBy-count intersections. Join volume is Σ_s df(s)²,
+    *    but nothing wider than (id, id) crosses the shuffle and partial
+    *    aggregation combines map-side. Wins when the shingle vocabulary is
+    *    SMALL/dense (df high everywhere, e.g. template-generated text) —
+    *    prefix selection can't discriminate there.
+    *  - PREFIX-FILTER (`prefixFilter = true`, the AllPairs/PPJoin family):
+    *    order each doc's shingles rarest-first (global df ascending), join
+    *    only on each doc's first |x| − ⌈tau·|x|⌉ + 1 shingles (any pair with
+    *    J ≥ tau must share a prefix element), verify candidates with the
+    *    true set intersection. Wins on Zipfian NATURAL text, where hot
+    *    shingles dominate Σ df² but never enter a rarest-first prefix.
+    *
+    * `maxDf` additionally DROPS ultra-hot shingles from the similarity
+    * definition itself (an approximation knob; None = exact).
+    */
   def jaccardPairs(
       docs: DataFrame,
       id: Column,
       text: Column,
       n: Int = 2,
       tau: Double = 0.5,
-      maxDf: Option[Int] = None): DataFrame = {
+      maxDf: Option[Int] = None,
+      prefixFilter: Boolean = true): DataFrame = {
     val sh = docs.select(id.as("id"), shingles(text, n).as("sh"))
       .withColumn("sz", size(col("sh")))
     val exploded = sh.select(col("id"), col("sz"), explode(col("sh")).as("s"))
     val pruned = maxDf match {
       case Some(cap) =>
-        val dfCounts = exploded.groupBy("s").agg(count(lit(1)).as("df")).filter(col("df") <= cap)
-        exploded.join(dfCounts.select("s"), Seq("s"), "left_semi")
+        val hot = exploded.groupBy("s").agg(count(lit(1)).as("df")).filter(col("df") <= cap)
+        exploded.join(hot.select("s"), Seq("s"), "left_semi")
       case None => exploded
     }
-    val a = pruned.select(col("id").as("id_a"), col("sz").as("sz_a"), col("s"))
-    val b = pruned.select(col("id").as("id_b"), col("sz").as("sz_b"), col("s"))
-    a.join(b, Seq("s"))
-      .filter(col("id_a") < col("id_b"))
-      .groupBy("id_a", "id_b", "sz_a", "sz_b")
-      .agg(count(lit(1)).as("inter"))
-      .withColumn("jaccard", col("inter").cast("double") / (col("sz_a") + col("sz_b") - col("inter")))
+    if (!prefixFilter) {
+      val a = pruned.select(col("id").as("id_a"), col("sz").as("sz_a"), col("s"))
+      val b = pruned.select(col("id").as("id_b"), col("sz").as("sz_b"), col("s"))
+      a.join(b, Seq("s"))
+        .filter(col("id_a") < col("id_b"))
+        .groupBy("id_a", "id_b", "sz_a", "sz_b")
+        .agg(count(lit(1)).as("inter"))
+        .withColumn("jaccard",
+          col("inter").cast("double") / (col("sz_a") + col("sz_b") - col("inter")))
+        .filter(col("jaccard") >= tau)
+        .select(col("id_a"), col("id_b"), col("jaccard"))
+    } else {
+      // canonical rarest-first order per doc (ties broken on the shingle)
+      val dfCounts = pruned.groupBy("s").agg(count(lit(1)).as("df"))
+      val ordered = pruned.join(dfCounts, Seq("s"))
+        .groupBy("id", "sz")
+        .agg(sort_array(collect_list(struct(col("df"), col("s")))).as("osh"))
+        .withColumn("plen", (col("sz") - ceil(col("sz") * tau) + 1).cast("int"))
+        .withColumn("sh", transform(col("osh"), x => x.getField("s")))
+        .drop("osh")
+      val prefixes = ordered.select(col("id"),
+        explode(slice(col("sh"), lit(1), col("plen"))).as("s"))
+      val cand = prefixes.as("x").join(prefixes.as("y"),
+          col("x.s") === col("y.s") && col("x.id") < col("y.id"))
+        .select(col("x.id").as("id_a"), col("y.id").as("id_b"))
+        .distinct()
+      val sets = ordered.select(col("id"), col("sh"), col("sz"))
+      cand
+        .join(sets.select(col("id").as("id_a"), col("sh").as("sh_a"), col("sz").as("sz_a")), Seq("id_a"))
+        .join(sets.select(col("id").as("id_b"), col("sh").as("sh_b"), col("sz").as("sz_b")), Seq("id_b"))
+        .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))))
+        .withColumn("jaccard",
+          col("inter").cast("double") / (col("sz_a") + col("sz_b") - col("inter")))
+        .filter(col("jaccard") >= tau)
+        .select(col("id_a"), col("id_b"), col("jaccard"))
+    }
+  }
+
+  /** Exact Jaccard pairs, BITSET strategy — for the dense-small-vocabulary
+    * regime (template/log-like corpora) where nearly every pair shares
+    * shingles, so candidate pruning cannot help and the O(n²) pair space is
+    * output-bound anyway. The right plan there is to make the per-pair
+    * kernel free: encode each doc's shingle set as a bitmask over the
+    * (small, driver-collected) vocabulary and compute |A∩B| as a fused
+    * AND+popcount loop ([[graft.functions.PopcountAndExpr]]).
+    *
+    * Requires |vocab| ≤ 2^20 by construction (the dictionary rides the task
+    * closure); for larger vocabularies use the prefix-filter or MinHash
+    * strategies — this trio is the cost-based-choice story, see
+    * [[jaccardPairs]].
+    */
+  def jaccardPairsBitset(
+      docs: DataFrame,
+      id: Column,
+      text: Column,
+      n: Int = 2,
+      tau: Double = 0.5): DataFrame = {
+    val sh = docs.select(id.as("id"), shingles(text, n).as("sh"))
+      .withColumn("sz", size(col("sh")))
+      .filter(col("sz") > 0)
+    val vocab = sh.select(explode(col("sh")).as("s")).distinct()
+      .orderBy("s").collect().map(_.getString(0))
+    require(vocab.length <= (1 << 20),
+      s"bitset strategy needs a small vocabulary, got ${vocab.length} shingles")
+    val dict = vocab.zipWithIndex.toMap
+    val nWords = math.max(1, (vocab.length + 63) / 64)
+    val maskUdf = udf { ss: Seq[String] =>
+      val m = new Array[Long](nWords)
+      ss.foreach(s => dict.get(s).foreach(i => m(i >> 6) |= 1L << (i & 63)))
+      m
+    }
+    val t = sh.select(col("id"), col("sz"), maskUdf(col("sh")).as("mask"))
+    val inter = org.apache.spark.sql.graft.Bridge.column(
+      graft.functions.PopcountAndExpr(
+        org.apache.spark.sql.graft.Bridge.expression(col("a.mask")),
+        org.apache.spark.sql.graft.Bridge.expression(col("b.mask"))))
+    t.as("a").join(t.as("b"), col("a.id") < col("b.id"))
+      .withColumn("inter", inter)
+      .withColumn("jaccard",
+        col("inter").cast("double") / (col("a.sz") + col("b.sz") - col("inter")))
       .filter(col("jaccard") >= tau)
-      .select(col("id_a"), col("id_b"), col("jaccard"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"), col("jaccard"))
   }
 
   // ---------------------------------------------------------- MinHash + LSH
@@ -248,9 +342,13 @@ object Dedup {
     */
   def cosinePairs(embs: DataFrame, id: Column, vec: Column, tau: Double): DataFrame = {
     import graft.functions.{VectorFunctions => VF}
+    // norms are materialized once per ROW before the pair join (n sqrt-folds
+    // instead of n² — the index-build analog), so each pair costs exactly
+    // one fused dot-product loop plus a divide.
     val t = embs.select(id.as("id"), vec.as("v"))
+      .withColumn("nrm", sqrt(VF.normSq(col("v"))))
     t.as("a").join(t.as("b"), col("a.id") < col("b.id"))
-      .withColumn("cosine", VF.cosine(col("a.v"), col("b.v")))
+      .withColumn("cosine", VF.dot(col("a.v"), col("b.v")) / (col("a.nrm") * col("b.nrm")))
       .filter(col("cosine") >= tau)
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"), col("cosine"))
   }

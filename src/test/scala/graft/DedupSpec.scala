@@ -51,6 +51,21 @@ class DedupSpec extends SparkSpec {
     assert(exact.count() == 3)
   }
 
+  test("jaccardPairs: prefix-filter and count-join strategies return identical pairs") {
+    val docs = graft.sources.Testdata.table(spark, "/root/testdata/sf0.001", "documents")
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.collect()
+        .map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"),
+          math.round(r.getAs[Double]("jaccard") * 1e9)))
+        .toSet
+    def run(prefix: Boolean) = canon(
+      Dedup.jaccardPairs(docs, col("doc_id"), col("text"), n = 2, tau = 0.5, prefixFilter = prefix))
+    val p = run(true)
+    assert(p == run(false))
+    assert(p == canon(Dedup.jaccardPairsBitset(docs, col("doc_id"), col("text"), n = 2, tau = 0.5)))
+    assert(p.nonEmpty, "testdata contains planted near-dups")
+  }
+
   test("minhashLshPairs: finds planted near-dups and verifies with exact jaccard") {
     val base = "the quick brown fox jumps over the lazy dog again and again today"
     val d = docs(
