@@ -34,18 +34,17 @@ object Dedup {
 
   // ---------------------------------------------------------------- shingles
 
-  /** Distinct word n-gram shingles of a text column (n ≥ 1). */
+  /** Distinct word n-gram shingles of a text column (n ≥ 1); n-gram
+    * construction is a native single-pass kernel
+    * ([[graft.functions.WordNgramsExpr]]).
+    */
   def shingles(text: Column, n: Int): Column = {
     val toks = split(text, "\\s+")
     if (n == 1) array_distinct(toks)
     else
-      // guard: sequence(0, negative) would generate a DESCENDING range
-      when(size(toks) >= n,
-        array_distinct(
-          transform(
-            sequence(lit(0), size(toks) - n),
-            i => concat_ws(" ", slice(toks, i + 1, lit(n))))))
-        .otherwise(typedLit(Seq.empty[String]))
+      array_distinct(org.apache.spark.sql.graft.Bridge.column(
+        graft.functions.WordNgramsExpr(
+          org.apache.spark.sql.graft.Bridge.expression(toks), n)))
   }
 
   // ------------------------------------------------------------- exact dedup
@@ -183,7 +182,12 @@ object Dedup {
       graft.functions.PopcountAndExpr(
         org.apache.spark.sql.graft.Bridge.expression(col("a.mask")),
         org.apache.spark.sql.graft.Bridge.expression(col("b.mask"))))
-    t.as("a").join(t.as("b"), col("a.id") < col("b.id"))
+    // length filter (J ≥ τ ⇒ τ·|B| ≤ |A| and τ·|A| ≤ |B|) inside the join
+    // condition prunes size-incompatible pairs before any row is emitted
+    t.as("a").join(t.as("b"),
+        col("a.id") < col("b.id") &&
+          col("a.sz") >= lit(tau) * col("b.sz") &&
+          col("b.sz") >= lit(tau) * col("a.sz"))
       .withColumn("inter", inter)
       .withColumn("jaccard",
         col("inter").cast("double") / (col("a.sz") + col("b.sz") - col("inter")))
@@ -216,14 +220,16 @@ object Dedup {
   def shingleFps(shinglesCol: Column): Column = transform(shinglesCol, s => fingerprint(s))
 
   /** MinHash signature (array of `num` minima) over a PRE-FINGERPRINTED
-    * shingle array column (see [[shingleFps]] — materialize it first so the
-    * per-hash expressions reference the computed attribute, not `num`
-    * copies of the string-fold).
+    * shingle array column: all `num` minima in one native pass
+    * ([[graft.functions.MinHashSigExpr]]).
     */
-  def minhashSig(fpsCol: Column, num: Int = 32): Column =
-    array(hashCoeffs(num).map { case (a, b) =>
-      array_min(transform(fpsCol, x => (lit(a) * x + lit(b)) % lit(HashP)))
-    }: _*)
+  def minhashSig(fpsCol: Column, num: Int = 32): Column = {
+    val coeffs = hashCoeffs(num)
+    org.apache.spark.sql.graft.Bridge.column(
+      graft.functions.MinHashSigExpr(
+        org.apache.spark.sql.graft.Bridge.expression(fpsCol),
+        coeffs.map(_._1).toArray, coeffs.map(_._2).toArray, HashP))
+  }
 
   /** Approximate near-dup pairs via banded MinHash-LSH with exact-Jaccard
     * verification: candidates are pairs agreeing on at least one band of
@@ -269,44 +275,17 @@ object Dedup {
 
   // ---------------------------------------------------------------- SimHash
 
-  val SimHashBits = 60
-  private val SecondaryMod = 998244353L // second 30-bit polynomial modulus
-  private val secondaryBase = 37L
+  val SimHashBits: Int = graft.functions.SimHash60Expr.Bits
 
-  /** 60-bit token hash: two independent 30-bit polynomial fingerprints
-    * packed as hi·2^30 + lo — integer Column algebra, oracle-reproducible.
+  /** SimHash of a text column: per token a 60-bit packed pair of polynomial
+    * hashes, ±1 projection per bit summed with term-frequency weight, sign
+    * collapse — all in one native codegen pass
+    * ([[graft.functions.SimHash60Expr]]); empty tokens are skipped.
     */
-  def tokenHash60(tok: Column): Column = {
-    val lo = fingerprint(tok)
-    val hi = aggregate(
-      filter(split(tok, ""), ch => ch =!= ""),
-      lit(0L),
-      (acc, ch) => (acc * lit(secondaryBase) + ascii(ch)) % lit(SecondaryMod))
-    hi * lit(1L << 30) + lo
-  }
-
-  /** SimHash of a text column: sum the ±1 projection of every token's hash
-    * bits, take signs. Tokens carry term-frequency weight (multiplicity).
-    *
-    * Shape: tokens → hash60 per token (one string fold each) → per-token
-    * ±1 bit array (60 constant shifts of the already-computed hash value) →
-    * element-wise counter sum → sign/power collapse. Every intermediate is
-    * referenced exactly once, so nothing re-folds.
-    */
-  def simhash(text: Column): Column = {
-    val toks = filter(split(text, "\\s+"), t => t =!= "")
-    val tokHashes = transform(toks, t => tokenHash60(t))
-    val tokBits = transform(tokHashes, h =>
-      array((0 until SimHashBits).map(j =>
-        shiftright(h, j).bitwiseAND(lit(1L)) * 2 - 1): _*))
-    val counters = aggregate(
-      tokBits,
-      array_repeat(lit(0L), SimHashBits),
-      (acc, bits) => zip_with(acc, bits, (c, b) => c + b))
-    val powers = typedLit((0 until SimHashBits).map(1L << _))
-    aggregate(zip_with(counters, powers, (c, p) => when(c > 0, p).otherwise(lit(0L))), lit(0L),
-      (acc, x) => acc + x)
-  }
+  def simhash(text: Column): Column =
+    org.apache.spark.sql.graft.Bridge.column(
+      graft.functions.SimHash60Expr(
+        org.apache.spark.sql.graft.Bridge.expression(split(text, "\\s+"))))
 
   /** Hamming distance between two simhash columns. */
   def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))

@@ -97,19 +97,16 @@ object TextAnalysis {
       lit(0.3) * least(stopwordRatio(text) / lit(0.1), lit(1.0))
 
   /** Rolling polynomial fingerprint of the full text:
-    * `h_i = (31·h_{i-1} + codepoint_i) mod 1e9+7`, folded left-to-right with
-    * a codegen'd `aggregate` — a content fingerprint cheap enough to compute
-    * on every document at ingest (dup-grouping joins on this 8-byte value
-    * instead of the full text).
+    * `h_i = (31·h_{i-1} + char_i) mod 1e9+7` as a native codegen loop
+    * ([[graft.functions.PolyHashExpr]]) — a content fingerprint cheap enough
+    * to compute on every document at ingest (dup-grouping joins on this
+    * 8-byte value instead of the full text).
     */
   val FingerprintMod = 1000000007L
   def fingerprint(text: Column): Column =
-    aggregate(
-      // split-by-empty-pattern keeps a trailing "" (Java split limit -1);
-      // drop it so the fold sees exactly one element per character
-      filter(split(text, ""), ch => ch =!= ""),
-      lit(0L),
-      (acc, ch) => (acc * lit(31L) + ascii(ch)) % lit(FingerprintMod))
+    org.apache.spark.sql.graft.Bridge.column(
+      graft.functions.PolyHashExpr(
+        org.apache.spark.sql.graft.Bridge.expression(text), 31L, FingerprintMod))
 
   /** The full per-document profile in one projection pass. */
   def profile(docs: DataFrame, text: Column): DataFrame =
