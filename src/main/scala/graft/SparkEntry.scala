@@ -295,6 +295,13 @@ object SparkEntry {
     "q_rel_sessions" -> ((s, dir) =>
       Relational.sessionize(graft.sources.Testdata.events(s, dir), gapMinutes = 30)
         .orderBy("user_id", "session_idx")),
+    // Streaming batch-twin: the exact windowed-aggregation definition the
+    // streaming path runs (graft.streaming.Streaming.windowedEventStats),
+    // executed as a batch plan over the same events table
+    "q_stream_window_stats" -> ((s, dir) =>
+      graft.streaming.Streaming.windowedEventStats(
+          graft.sources.Testdata.events(s, dir), "5 minutes")
+        .orderBy("win_start", "event_type")),
     // O4 batch insert: duplicate validation + metadata padding, then scan
     "q_crud_insert_batch" -> ((s, dir) => {
       val st = VectorStore.fromEmbeddingsTable(s, dir)
@@ -433,6 +440,11 @@ object SparkEntry {
         |)
         |SELECT user_id, session_idx, count(*) AS n_events, max(us) - min(us) AS duration_us
         |FROM x GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q_stream_window_stats" ->
+      """SELECT time_bucket(INTERVAL '5 minutes', CAST(ts AS TIMESTAMP)) AS win_start,
+        |  event_type, count(*) AS n_events,
+        |  round(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE), 6) AS sum_value
+        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "q_ann_topk" -> annOracle,
     "q_media_meta" ->
       """SELECT doc_id,

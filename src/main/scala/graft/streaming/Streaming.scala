@@ -1,0 +1,81 @@
+package graft.streaming
+
+import graft.sources.VectorStore
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.StreamingQuery
+
+/** Structured Streaming surface — beyond-reference capability (the reference
+  * has no streaming at all: every ingest is a synchronous method call under
+  * one lock, SURVEY §1.1/§2.2; at pipeline scale ingestion is a stream).
+  *
+  * Design rule: every transformation here is a plain `DataFrame =>
+  * DataFrame` usable under BOTH `spark.read` and `spark.readStream` —
+  * Spark's unified-plan property. The batch twin of each streaming operator
+  * is wired as an oracled correctness query; the streaming behavior
+  * (watermarks, incremental state, exactly-once file commits) is pinned by
+  * StreamingSpec over MemoryStream sources.
+  */
+object Streaming {
+
+  /** Canonicalize a raw (id, embedding, metadata) stream into the store
+    * schema, dropping in-stream duplicate ids (the streaming analog of the
+    * reference's duplicate-id rejection, vector_database.py:59-60 — late
+    * duplicates beyond the watermark are a storage-level concern).
+    */
+  def canonicalIngest(src: DataFrame, id: Column, embedding: Column, metadataJson: Column): DataFrame =
+    VectorStore.ingest(src, id, embedding, metadataJson).dropDuplicates("id")
+
+  /** Start continuous parquet append of a canonicalized embedding stream —
+    * exactly-once via the checkpointed file-sink commit log; shard sizing
+    * mirrors the batch persist path (maxRecordsPerFile ≙ shard_size).
+    */
+  def startIngest(
+      canonical: DataFrame,
+      path: String,
+      checkpoint: String,
+      shardSize: Int = 5000): StreamingQuery =
+    canonical.writeStream
+      .format("parquet")
+      .option("path", path)
+      .option("checkpointLocation", checkpoint)
+      .option("maxRecordsPerFile", shardSize.toLong)
+      .outputMode("append")
+      .start()
+
+  /** Tumbling-window event statistics: count and exact-decimal value sum per
+    * (window, event_type). Batch and streaming share this definition; under
+    * `readStream` add [[withEventWatermark]] first so state is bounded and
+    * late data beyond the horizon is dropped.
+    */
+  def windowedEventStats(events: DataFrame, windowLength: String = "5 minutes"): DataFrame =
+    events
+      .groupBy(window(col("ts"), windowLength), col("event_type"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        sum(col("value").cast(org.apache.spark.sql.types.DataTypes.createDecimalType(18, 6)))
+          .as("sv"))
+      .select(
+        col("window.start").as("win_start"),
+        col("event_type"),
+        col("n_events"),
+        round(col("sv").cast("double"), 6).as("sum_value"))
+
+  /** Event-time watermark (streaming only — a no-op under batch plans). */
+  def withEventWatermark(events: DataFrame, delay: String = "10 minutes"): DataFrame =
+    events.withWatermark("ts", delay)
+
+  /** Session-window stats per user (native session_window operator): the
+    * streaming twin of [[graft.operators.Relational.sessionize]] — state is
+    * per-user session windows, closed and emitted once the watermark passes
+    * the gap.
+    */
+  def sessionStats(events: DataFrame, gap: String = "30 minutes"): DataFrame =
+    events
+      .groupBy(session_window(col("ts"), gap), col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(
+        col("session_window.start").as("sess_start"),
+        col("user_id"),
+        col("n_events"))
+}

@@ -1,0 +1,108 @@
+package graft
+
+import graft.streaming.Streaming
+import graft.sources.VectorStore
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+import java.nio.file.Files
+import java.sql.Timestamp
+
+/** Structured Streaming contracts: incremental ingest into the store,
+  * watermarked windowed aggregation, session windows — each driven through
+  * MemoryStream with explicit micro-batch control.
+  */
+class StreamingSpec extends SparkSpec {
+
+  private def tmpDir(prefix: String): String =
+    Files.createTempDirectory(prefix).toString
+
+  test("streaming ingest: append micro-batches into a queryable VectorStore") {
+    val sp = spark
+    import sp.implicits._
+    implicit val sqlCtx = sp.sqlContext
+    val in = MemoryStream[(String, Seq[Float], String)]
+    val canonical = Streaming.canonicalIngest(
+      in.toDF().toDF("id", "embedding", "metadata"),
+      col("id"), col("embedding"), col("metadata"))
+    val out = tmpDir("graft_stream_store")
+    val q = Streaming.startIngest(canonical, s"$out/data", s"$out/ckpt", shardSize = 2)
+    try {
+      in.addData(("a", Seq(1.0f, 0.0f), """{"k":1}"""), ("b", Seq(0.0f, 1.0f), "{}"))
+      q.processAllAvailable()
+      in.addData(("c", Seq(0.5f, 0.5f), "{}"))
+      q.processAllAvailable()
+      val store = VectorStore.load(sp, s"$out/data")
+      assert(store.count() == 3)
+      // streamed rows carry the full canonical schema incl. norm_sq / kv map
+      assert(store.df.columns.toSet ==
+        Set("id", "embedding", "metadata", "norm_sq", "metadata_kv"))
+      // and the store is immediately searchable
+      val top = graft.operators.Search.findMostSimilar(store, Seq(1.0f, 0.0f), k = 1).collect()
+      assert(top.head.getString(0) == "a")
+    } finally q.stop()
+  }
+
+  test("streaming ingest: in-batch duplicate ids are dropped") {
+    val sp = spark
+    import sp.implicits._
+    implicit val sqlCtx = sp.sqlContext
+    val in = MemoryStream[(String, Seq[Float], String)]
+    val canonical = Streaming.canonicalIngest(
+      in.toDF().toDF("id", "embedding", "metadata"),
+      col("id"), col("embedding"), col("metadata"))
+    val out = tmpDir("graft_stream_dup")
+    val q = Streaming.startIngest(canonical, s"$out/data", s"$out/ckpt")
+    try {
+      in.addData(("x", Seq(1.0f), "{}"), ("x", Seq(2.0f), "{}"), ("y", Seq(3.0f), "{}"))
+      q.processAllAvailable()
+      assert(VectorStore.load(sp, s"$out/data").count() == 2)
+    } finally q.stop()
+  }
+
+  test("windowed stats: streaming watermarked aggregation matches the batch twin") {
+    val sp = spark
+    import sp.implicits._
+    implicit val sqlCtx = sp.sqlContext
+    def ts(m: Int, s: Int = 0) = Timestamp.valueOf(f"2024-01-01 10:$m%02d:$s%02d")
+    val rows = Seq(
+      (ts(0), "click", 1.0), (ts(2), "click", 2.0), (ts(3), "view", 3.0),
+      (ts(6), "click", 4.0), (ts(11), "view", 5.0))
+
+    // batch twin
+    val batch = Streaming.windowedEventStats(rows.toDF("ts", "event_type", "value"))
+      .orderBy("win_start", "event_type").collect()
+      .map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+
+    // streaming, two micro-batches, complete mode over memory sink
+    val in = MemoryStream[(Timestamp, String, Double)]
+    val agg = Streaming.windowedEventStats(
+      Streaming.withEventWatermark(in.toDF().toDF("ts", "event_type", "value")))
+    val q = agg.writeStream.format("memory").queryName("win_stats").outputMode("complete").start()
+    try {
+      in.addData(rows.take(3))
+      q.processAllAvailable()
+      in.addData(rows.drop(3))
+      q.processAllAvailable()
+      val streamed = sp.table("win_stats").orderBy("win_start", "event_type").collect()
+        .map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+      assert(streamed.toSeq == batch.toSeq)
+      // window shape: 5-minute tumbling
+      assert(batch.map(_._1).distinct.length == 3)
+    } finally q.stop()
+  }
+
+  test("session windows: per-user sessions close on the gap") {
+    val sp = spark
+    import sp.implicits._
+    def ts(h: Int, m: Int) = Timestamp.valueOf(f"2024-01-01 $h%02d:$m%02d:00")
+    // user 1: two bursts 40min apart → 2 sessions; user 2: one burst
+    val rows = Seq(
+      (ts(10, 0), 1L), (ts(10, 5), 1L), (ts(10, 45), 1L),
+      (ts(11, 0), 2L), (ts(11, 10), 2L))
+    val out = Streaming.sessionStats(rows.toDF("ts", "user_id"), gap = "30 minutes")
+      .orderBy("user_id", "sess_start").collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("n_events")))
+    assert(out.toSeq == Seq((1L, 2L), (1L, 1L), (2L, 2L)))
+  }
+}
