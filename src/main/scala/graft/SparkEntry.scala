@@ -302,6 +302,25 @@ object SparkEntry {
       graft.streaming.Streaming.windowedEventStats(
           graft.sources.Testdata.events(s, dir), "5 minutes")
         .orderBy("win_start", "event_type")),
+    // usearch-variant parity: int8 quantized cosine top-k (scale-invariant
+    // codes, 4x narrower storage; floor(+0.5) quantization mirrored in SQL)
+    "q_knn_quantized" -> ((s, dir) => {
+      val qz = Quantized.quantize(s.read.parquet(s"$dir/embeddings.parquet"), col("embedding"))
+      Quantized.search(qz, col("vec_id").cast("string"), queryVec(s, dir), k = 10)
+        .withColumn("score", round(col("score"), 6))
+        .orderBy(desc("score"), asc("id"))
+    }),
+    // O22 embedding extraction + search: text → hashing embedder → store →
+    // cosine top-k, all in-cluster (murmur-based features aren't
+    // SQL-expressible → rows-only; pinned end-to-end by QuantizedSpec)
+    "q_text_search" -> ((s, dir) => {
+      val docs = graft.sources.Testdata.table(s, dir, "documents")
+      val embedder = graft.functions.HashingEmbedder()
+      val store = VectorStore(graft.functions.Embedder.embedDocuments(
+        embedder, docs, col("doc_id"), col("text")))
+      Search.findMostSimilar(store, embedder.embed("table join query scan fast").toSeq, k = 10)
+        .select(col("id"), round(col("score"), 6).as("score"))
+    }),
     // O4 batch insert: duplicate validation + metadata padding, then scan
     "q_crud_insert_batch" -> ((s, dir) => {
       val st = VectorStore.fromEmbeddingsTable(s, dir)
@@ -440,6 +459,24 @@ object SparkEntry {
         |)
         |SELECT user_id, session_idx, count(*) AS n_events, max(us) - min(us) AS duration_us
         |FROM x GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q_knn_quantized" ->
+      """WITH e AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS d FROM embeddings
+        |), sc AS (
+        |  SELECT vec_id, d, list_max(list_transform(d, x -> abs(x))) AS s FROM e
+        |), qz AS (
+        |  SELECT vec_id,
+        |    CASE WHEN s > 0 THEN list_transform(d, x -> floor(x * 127.0 / s + 0.5))
+        |         ELSE list_transform(d, x -> 0.0) END AS q
+        |  FROM sc
+        |), qv AS (SELECT q AS qq FROM qz WHERE vec_id = 0)
+        |SELECT id, round(score, 6) AS score FROM (
+        |  SELECT CAST(z.vec_id AS VARCHAR) AS id,
+        |    list_dot_product(z.q, qv.qq) /
+        |      (sqrt(list_dot_product(z.q, z.q)) * sqrt(list_dot_product(qv.qq, qv.qq))) AS score
+        |  FROM qz z, qv
+        |  ORDER BY score DESC, id ASC LIMIT 10
+        |) ORDER BY score DESC, id ASC""".stripMargin,
     "q_stream_window_stats" ->
       """SELECT time_bucket(INTERVAL '5 minutes', CAST(ts AS TIMESTAMP)) AS win_start,
         |  event_type, count(*) AS n_events,

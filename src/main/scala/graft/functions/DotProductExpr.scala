@@ -30,38 +30,57 @@ case class DotProductExpr(left: Expression, right: Expression) extends BinaryExp
 
   override def dataType: DataType = DoubleType
 
+  private val supported: Set[DataType] =
+    Set(FloatType, DoubleType, ByteType, ShortType, IntegerType, LongType)
+
   override def checkInputDataTypes(): TypeCheckResult = (left.dataType, right.dataType) match {
-    case (ArrayType(a, _), ArrayType(b, _))
-        if Seq(a, b).forall(t => t == FloatType || t == DoubleType) =>
+    case (ArrayType(a, _), ArrayType(b, _)) if supported(a) && supported(b) =>
       TypeCheckResult.TypeCheckSuccess
     case other =>
       TypeCheckResult.TypeCheckFailure(
-        s"dot_product requires two ARRAY<FLOAT|DOUBLE> arguments, got $other")
+        s"dot_product requires two numeric array arguments, got $other")
   }
 
   private def elemType(e: Expression): DataType =
     e.dataType.asInstanceOf[ArrayType].elementType
 
+  private def getterName(t: DataType): String = t match {
+    case FloatType => "getFloat"
+    case DoubleType => "getDouble"
+    case ByteType => "getByte"
+    case ShortType => "getShort"
+    case IntegerType => "getInt"
+    case LongType => "getLong"
+    case other => throw new IllegalStateException(s"unsupported element type $other")
+  }
+
+  private def read(arr: ArrayData, i: Int, t: DataType): Double = t match {
+    case FloatType => arr.getFloat(i).toDouble
+    case DoubleType => arr.getDouble(i)
+    case ByteType => arr.getByte(i).toDouble
+    case ShortType => arr.getShort(i).toDouble
+    case IntegerType => arr.getInt(i).toDouble
+    case LongType => arr.getLong(i).toDouble
+    case other => throw new IllegalStateException(s"unsupported element type $other")
+  }
+
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
     val n = math.min(x.numElements(), y.numElements())
-    val xf = elemType(left) == FloatType
-    val yf = elemType(right) == FloatType
+    val (tx, ty) = (elemType(left), elemType(right))
     var s = 0.0
     var i = 0
     while (i < n) {
-      val xv = if (xf) x.getFloat(i).toDouble else x.getDouble(i)
-      val yv = if (yf) y.getFloat(i).toDouble else y.getDouble(i)
-      s += xv * yv
+      s += read(x, i, tx) * read(y, i, ty)
       i += 1
     }
     s
   }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
-    val getX = if (elemType(left) == FloatType) "getFloat" else "getDouble"
-    val getY = if (elemType(right) == FloatType) "getFloat" else "getDouble"
+    val getX = getterName(elemType(left))
+    val getY = getterName(elemType(right))
     nullSafeCodeGen(ctx, ev, (a, b) => {
       val i = ctx.freshName("i")
       val n = ctx.freshName("n")

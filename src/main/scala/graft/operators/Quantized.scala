@@ -1,0 +1,65 @@
+package graft.operators
+
+import graft.functions.{VectorFunctions => VF}
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.ByteType
+
+/** Int8-quantized vector search — parity with the reference's usearch
+  * variant (`metric='cos', dtype='int8'`,
+  * /root/reference/minivectordb/sharded_vector_database_usearch.py:621-627),
+  * re-expressed storage-first: embeddings are quantized ONCE at ingest to a
+  * symmetric per-vector int8 code (4× smaller on disk and over the wire —
+  * at 100 TB the scan is the query, so byte width is throughput), and
+  * cosine over the codes is scale-invariant, so ranking needs no
+  * dequantization at all.
+  *
+  * Quantization: `q_i = floor(127·x_i / max|x| + 0.5)` ∈ [−127, 127] —
+  * spelled with floor(±0.5) rather than a round() builtin so the identical
+  * arithmetic runs in the DuckDB oracle. Cosine of the dequantized vectors
+  * equals cosine of the raw codes (the per-vector scale cancels), computed
+  * with the same fused dot kernel as the exact path (int8 arrays read
+  * directly, no widening copy).
+  *
+  * Unlike the reference's usearch variant (returns cosine DISTANCE
+  * ascending), scores keep the engine-wide similarity-descending convention
+  * (SURVEY §1.2 decision).
+  */
+object Quantized {
+
+  /** Attach `qemb` (ARRAY<TINYINT>) and its precomputed squared norm to a
+    * vector table — the quantized index-build step.
+    */
+  def quantize(df: DataFrame, vec: Column): DataFrame =
+    df
+      .withColumn("_d", VF.toDoubleArray(vec))
+      .withColumn("_s", array_max(transform(col("_d"), x => abs(x))))
+      .withColumn("qemb",
+        when(col("_s") > 0,
+          transform(col("_d"), x => floor(x * lit(127.0) / col("_s") + lit(0.5)).cast(ByteType)))
+          .otherwise(transform(col("_d"), _ => lit(0).cast(ByteType))))
+      .withColumn("qnorm_sq", VF.dot(col("qemb"), col("qemb")))
+      .drop("_d", "_s")
+
+  /** Driver-side quantization of the query vector (same formula). */
+  def quantizeVec(v: Seq[Float]): Array[Int] = {
+    val d = v.map(_.toDouble).toArray
+    val s = d.map(math.abs).foldLeft(0.0)(math.max)
+    if (s <= 0) new Array[Int](d.length)
+    else d.map(x => math.floor(x * 127.0 / s + 0.5).toInt)
+  }
+
+  /** Top-k by cosine over the int8 codes (scale-invariant ⇒ equals cosine
+    * of the dequantized vectors).
+    */
+  def search(quantized: DataFrame, id: Column, query: Seq[Float], k: Int = 5): DataFrame = {
+    val q = quantizeVec(query)
+    val qNorm = math.sqrt(q.map(x => x.toDouble * x.toDouble).sum)
+    quantized
+      .withColumn("score",
+        VF.dot(col("qemb"), typedLit(q.toSeq)) / (sqrt(col("qnorm_sq")) * lit(qNorm)))
+      .select(id.as("id"), col("score"))
+      .orderBy(desc("score"), asc("id"))
+      .limit(k)
+  }
+}

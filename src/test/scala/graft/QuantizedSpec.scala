@@ -1,0 +1,69 @@
+package graft
+
+import graft.functions.{Embedder, HashingEmbedder}
+import graft.operators.{Quantized, Search}
+import graft.sources.VectorStore
+import org.apache.spark.sql.functions._
+
+/** Int8 quantized search (usearch-variant parity) and the pluggable
+  * embedder interface (O22).
+  */
+class QuantizedSpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  test("quantizeVec: symmetric int8 code, floor(+0.5) rounding, zero-safe") {
+    val q = Quantized.quantizeVec(Seq(1.0f, -0.5f, 0.25f))
+    assert(q.toSeq == Seq(127, -63, 32)) // -63.5+0.5 → floor(-63)= -63; 31.75+0.5 → 32
+    assert(Quantized.quantizeVec(Seq(0.0f, 0.0f)).toSeq == Seq(0, 0))
+    assert(Quantized.quantizeVec(Seq(-2.0f)).toSeq == Seq(-127))
+  }
+
+  test("quantized store: codes within [-127,127], stored as bytes, 4x narrower") {
+    val df = Quantized.quantize(spark.read.parquet(s"$dir/embeddings.parquet"), col("embedding"))
+    assert(df.schema("qemb").dataType.simpleString == "array<tinyint>")
+    val bad = df.select(explode(col("qemb")).as("q")).filter(abs(col("q")) > 127).count()
+    assert(bad == 0)
+  }
+
+  test("quantized top-k closely tracks the exact ranking (recall@10 ≥ 0.8)") {
+    val store = VectorStore.fromEmbeddingsTable(spark, dir)
+    val q = store.getVector("0").toSeq
+    val exact = Search.findMostSimilar(store, q, k = 10).collect().map(_.getString(0)).toSet
+    val quant = Quantized.search(
+      Quantized.quantize(spark.read.parquet(s"$dir/embeddings.parquet"), col("embedding")),
+      col("vec_id").cast("string"), q, k = 10).collect().map(_.getString(0)).toSet
+    val recall = (exact & quant).size.toDouble / exact.size
+    info(s"int8 recall@10 = $recall")
+    assert(recall >= 0.8)
+    // the query vector itself must rank first in both
+    assert(quant.contains("0") && exact.contains("0"))
+  }
+
+  test("embedder: deterministic, normalized, near-dup texts land near in cosine") {
+    val e = HashingEmbedder()
+    val a = e.embed("the quick brown fox jumps")
+    assert(a.length == e.dim)
+    assert(a.toSeq == e.embed("the quick brown fox jumps").toSeq)
+    def cos(x: Array[Float], y: Array[Float]) =
+      x.zip(y).map { case (p, q) => p.toDouble * q.toDouble }.sum
+    val near = cos(a, e.embed("the quick brown fox jumped"))
+    val far = cos(a, e.embed("zzz 123 qqq 777 unrelated"))
+    assert(near > far)
+    // non-native dim folds and stays L2-normalized
+    val b = HashingEmbedder(dim = 32).embed("hello world")
+    assert(b.length == 32)
+    assert(math.abs(math.sqrt(b.map(x => x.toDouble * x.toDouble).sum) - 1.0) < 1e-5)
+  }
+
+  test("text → vector → search end to end on documents") {
+    val docs = graft.sources.Testdata.table(spark, dir, "documents").limit(200)
+    val embedder = HashingEmbedder()
+    val store = VectorStore(Embedder.embedDocuments(embedder, docs, col("doc_id"), col("text")))
+    // query with the exact text of doc 7: it must be its own nearest neighbor
+    val target = docs.filter(col("doc_id") === 7).select("text").collect()(0).getString(0)
+    val top = Search.findMostSimilar(store, embedder.embed(target).toSeq, k = 3).collect()
+    assert(top.head.getString(0) == "7")
+    assert(math.abs(top.head.getDouble(1) - 1.0) < 1e-6)
+  }
+}
