@@ -321,6 +321,16 @@ object SparkEntry {
       Search.findMostSimilar(store, embedder.embed("table join query scan fast").toSeq, k = 10)
         .select(col("id"), round(col("score"), 6).as("score"))
     }),
+    // batch k-NN: top-5 per query for 3 query vectors in one corpus scan
+    "q_knn_batch" -> ((s, dir) => {
+      val store = VectorStore.fromEmbeddingsTable(s, dir)
+      val qs = s.read.parquet(s"$dir/embeddings.parquet")
+        .filter(col("vec_id") < 3)
+        .select(col("vec_id").as("query_id"), col("embedding").as("query_vec"))
+      Search.findMostSimilarBatch(store, qs, k = 5)
+        .select(col("query_id"), col("rank"), col("id"), round(col("score"), 6).as("score"))
+        .orderBy("query_id", "rank")
+    }),
     // O4 batch insert: duplicate validation + metadata padding, then scan
     "q_crud_insert_batch" -> ((s, dir) => {
       val st = VectorStore.fromEmbeddingsTable(s, dir)
@@ -459,6 +469,16 @@ object SparkEntry {
         |)
         |SELECT user_id, session_idx, count(*) AS n_events, max(us) - min(us) AS duration_us
         |FROM x GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q_knn_batch" ->
+      """SELECT query_id, CAST(rank AS INT) AS rank, id, round(score, 6) AS score FROM (
+        |  SELECT q.vec_id AS query_id, CAST(e.vec_id AS VARCHAR) AS id,
+        |    list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), CAST(q.embedding AS DOUBLE[])) AS score,
+        |    row_number() OVER (
+        |      PARTITION BY q.vec_id
+        |      ORDER BY list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), CAST(q.embedding AS DOUBLE[])) DESC,
+        |               CAST(e.vec_id AS VARCHAR) ASC) AS rank
+        |  FROM embeddings e, (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 3) q
+        |) WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
     "q_knn_quantized" ->
       """WITH e AS (
         |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS d FROM embeddings

@@ -55,6 +55,36 @@ object Search {
     */
   def scoreCosine(df: DataFrame, embeddingCol: Column, query: Seq[Float]): Column =
     VF.cosine(embeddingCol, typedLit(query))
+
+  /** Batch k-NN: top-k per query for a whole SET of query vectors in ONE
+    * corpus scan — the throughput shape the reference cannot express (its
+    * `find_most_similar` is one query per call under a global lock).
+    *
+    * Plan: broadcast the (small) query table against the corpus — the big
+    * side never shuffles for the join — score every (row, query) pair with
+    * the fused dot kernel, then rank within each query id. The final window
+    * shuffles only on `query_id` AFTER per-pair scoring, moving n·Q scored
+    * (id, score) pairs, not embeddings. For huge corpora the refinement is
+    * per-partition top-k before the exchange; at Q queries per scan the
+    * dominant cost — reading the corpus — is already amortized Q-fold.
+    */
+  def findMostSimilarBatch(
+      store: VectorStore,
+      queries: DataFrame, // (query_id, query_vec ARRAY<FLOAT>)
+      k: Int = 5): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val q = broadcast(queries
+      .select(col("query_id"), col("query_vec"),
+        sqrt(VF.normSq(col("query_vec"))).as("qnrm")))
+    val w = Window.partitionBy("query_id").orderBy(desc("score"), asc("id"))
+    store.df
+      .join(q) // broadcast nested-loop: every row scored against every query
+      .withColumn("score",
+        VF.dot(col("embedding"), col("query_vec")) / (sqrt(col("norm_sq")) * col("qnrm")))
+      .select(col("query_id"), col("id"), col("score"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+  }
 }
 
 /** Autocut (reference `autocut_scores`, vector_database.py:443-464): over a

