@@ -50,6 +50,25 @@ class PlanSpec extends SparkSpec {
       s"expected bucket IN pushed to parquet, got:\n$plan")
   }
 
+  test("ANN bucket as a PARTITION key: probes become partition pruning") {
+    val planes = AnnSearch.hyperplanes(dim = 64)
+    val tmp = java.nio.file.Files.createTempDirectory("graft_ann_part").toString
+    AnnSearch.index(spark.read.parquet(s"$dir/embeddings.parquet"), col("embedding"), planes)
+      .write.mode("overwrite").partitionBy("bucket").parquet(tmp)
+    val indexed = spark.read.parquet(tmp)
+    val store = VectorStore.fromEmbeddingsTable(spark, dir)
+    val q = store.getVector("0").toSeq
+    val df = AnnSearch.search(indexed, col("vec_id").cast("string"), col("embedding"), q, planes, k = 5)
+    val scan = df.queryExecution.executedPlan.toString
+    // the probe must appear as PartitionFilters (directories skipped
+    // entirely), not a row-level filter — the 100 TB read-path guarantee
+    assert(scan.contains("PartitionFilters") && scan.contains("bucket"),
+      s"expected bucket partition pruning, got:\n$scan")
+    val probes = AnnSearch.probeBuckets(AnnSearch.bucketOf(q, planes), planes.length)
+    assert(df.count() == 5)
+    info(s"scan prunes to ${probes.length} of ${1 << planes.length} bucket directories")
+  }
+
   test("whole-stage codegen covers the scoring projection") {
     val store = VectorStore.fromEmbeddingsTable(spark, dir)
     val q = store.getVector("0").toSeq
