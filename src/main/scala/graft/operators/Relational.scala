@@ -98,6 +98,24 @@ object Relational {
         round(col("rev_d").cast("double"), 6).as("revenue"))
   }
 
+  /** Two-phase (salted) aggregation for skewed keys: pre-aggregate on
+    * (key, spark_partition_id) — each task combines its own rows for a hot
+    * key before anything shuffles — then final-aggregate on the key alone.
+    * Identical result to a direct groupBy for any distributive aggregate;
+    * the final stage receives at most P rows per key (P = upstream
+    * partitions) no matter how skewed the data. This is the manual salting
+    * pattern for when AQE's skew handling can't apply (e.g. a first-shuffle
+    * aggregation); Spark's partial aggregation usually covers this, but
+    * hash-aggregate fallback under high-cardinality + skew does not.
+    */
+  def skewAwareAgg(df: DataFrame, key: Column, valueCol: Column): DataFrame =
+    df
+      .select(key.as("k"), valueCol.as("v"))
+      .groupBy(col("k"), spark_partition_id().as("_salt"))
+      .agg(sum(col("v")).as("partial_sum"), count(lit(1)).as("partial_cnt"))
+      .groupBy(col("k"))
+      .agg(sum(col("partial_sum")).as("sum_v"), sum(col("partial_cnt")).as("cnt"))
+
   /** Sessionization: split each user's event stream at inactivity gaps >
     * `gapMinutes`, emit per-session stats. One shuffle on user_id; lag +
     * running-sum windows inside each partition. (The batch twin of the

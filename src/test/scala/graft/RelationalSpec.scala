@@ -58,6 +58,19 @@ class RelationalSpec extends SparkSpec {
     assert(rows.forall(_.getAs[Double]("revenue") > 0))
   }
 
+  test("skewAwareAgg: salted two-phase equals direct aggregation") {
+    import org.apache.spark.sql.functions._
+    val ev = Testdata.events(spark, dir)
+    val salted = Relational.skewAwareAgg(ev, col("event_type"), col("value").cast("decimal(18,6)"))
+      .orderBy("k").collect()
+      .map(r => (r.getString(0), r.getDecimal(1).doubleValue(), r.getLong(2)))
+    val direct = ev.groupBy(col("event_type"))
+      .agg(sum(col("value").cast("decimal(18,6)")).as("s"), count(lit(1)).as("c"))
+      .orderBy("event_type").collect()
+      .map(r => (r.getString(0), r.getDecimal(1).doubleValue(), r.getLong(2)))
+    assert(salted.toSeq == direct.toSeq)
+  }
+
   test("sessionize: every event lands in exactly one session; gaps split") {
     val ev = Testdata.events(spark, dir)
     val sessions = Relational.sessionize(ev, gapMinutes = 30).collect()

@@ -54,6 +54,44 @@ class SearchSpec extends SparkSpec {
     assert(r.map(_.getString(0)).toSeq == Seq("3", "4"))
   }
 
+  test("empty store returns an empty result (vector_database.py:470-471)") {
+    val empty = store()
+    assert(Search.findMostSimilar(empty, Seq(1.0f, 0.0f), k = 5).count() == 0)
+  }
+
+  test("iterative exclude pagination walks the corpus without overlap (test_vector_database.py:69-97)") {
+    // the reference idiom: repeatedly search, excluding pages already seen
+    var seen = Seq.empty[Map[String, MetaValue]]
+    var ids = Set.empty[String]
+    (1 to 2).foreach { _ =>
+      val page = Search.findMostSimilar(base, Seq(1.0f, 0.0f), k = 2,
+        excludeFilter = seen).collect()
+      val pageIds = page.map(_.getString(0)).toSet
+      assert((ids & pageIds).isEmpty, "pages must not overlap")
+      ids ++= pageIds
+      seen ++= page.map(r => Map[String, MetaValue](
+        "type" -> MetaValue.MStr(
+          com.fasterxml.jackson.databind.json.JsonMapper.builder().build()
+            .readTree(r.getString(2)).get("type").asText())))
+    }
+    // two pages of k=2 with type-level exclusion cover both type groups
+    assert(ids == Set("1", "2", "3", "4"))
+  }
+
+  test("batch k-NN: per-query ranks equal single-query results") {
+    val sp = spark
+    import sp.implicits._
+    val qs = Seq((0L, Seq(1.0f, 0.0f)), (1L, Seq(0.0f, 1.0f)))
+      .toDF("query_id", "query_vec")
+    val batch = Search.findMostSimilarBatch(base, qs, k = 2).collect()
+      .groupBy(_.getAs[Long]("query_id"))
+      .view.mapValues(_.sortBy(_.getAs[Int]("rank")).map(_.getAs[String]("id")).toSeq).toMap
+    val single0 = Search.findMostSimilar(base, Seq(1.0f, 0.0f), k = 2).collect().map(_.getString(0)).toSeq
+    val single1 = Search.findMostSimilar(base, Seq(0.0f, 1.0f), k = 2).collect().map(_.getString(0)).toSeq
+    assert(batch(0L) == single0)
+    assert(batch(1L) == single1)
+  }
+
   test("autocut truncates at the largest >20% relative drop (vector_database.py:443-464)") {
     val sp = spark
     import sp.implicits._
