@@ -1,0 +1,156 @@
+package graft
+
+import graft.operators._
+import graft.sources.VectorStore
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+
+/** Property-based contracts the reference's example-based suite lacks
+  * (SURVEY §5 strategy): the filter compiler agrees with a brute-force
+  * row-level evaluator on arbitrary filter/corpus combinations; top-k is a
+  * sort prefix; autocut output is a ranking prefix; insert∘delete is
+  * identity. Deterministically sampled (fixed seed) from ScalaCheck
+  * generators — no scalatestplus bridge needed.
+  */
+class PropertySpec extends SparkSpec {
+
+  import MetaValue._
+
+  /** Deterministic generator sampling. */
+  private def samples[A](gen: Gen[A], n: Int): Seq[A] = {
+    var seed = Seed(42L)
+    (1 to n).map { _ =>
+      val v = gen.pureApply(Gen.Parameters.default, seed)
+      seed = seed.next
+      v
+    }
+  }
+
+  private val keys = Seq("a", "b", "c")
+  private case class Rec(id: Int, meta: Map[String, Long])
+
+  private val recGen: Gen[List[Rec]] = for {
+    n <- Gen.choose(4, 16)
+    recs <- Gen.listOfN(n, for {
+      present <- Gen.someOf(keys)
+      vals <- Gen.listOfN(present.size, Gen.choose(0L, 5L))
+    } yield present.zip(vals).toMap)
+  } yield recs.zipWithIndex.map { case (m, i) => Rec(i, m) }
+
+  private val predGen: Gen[(String, FilterValue)] = for {
+    k <- Gen.oneOf(keys)
+    op <- Gen.oneOf("eq", "$gt", "$gte", "$lt", "$lte", "$ne")
+    v <- Gen.choose(0L, 5L)
+  } yield (k, if (op == "eq") Eq(MLong(v)) else Ops(Seq(op -> MLong(v))))
+
+  /** Reference semantics, directly from SURVEY §2.3: key-presence gating on
+    * every operator including $ne.
+    */
+  private def evalPred(m: Map[String, Long], k: String, fv: FilterValue): Boolean =
+    m.get(k) match {
+      case None => false
+      case Some(x) => fv match {
+        case Eq(MLong(v)) => x == v
+        case Ops(Seq(("$gt", MLong(v)))) => x > v
+        case Ops(Seq(("$gte", MLong(v)))) => x >= v
+        case Ops(Seq(("$lt", MLong(v)))) => x < v
+        case Ops(Seq(("$lte", MLong(v)))) => x <= v
+        case Ops(Seq(("$ne", MLong(v)))) => x != v
+        case other => sys.error(s"unexpected $other")
+      }
+    }
+
+  private def toDf(recs: List[Rec]) = {
+    val sp = spark
+    import sp.implicits._
+    recs.map { r =>
+      val json = r.meta.map { case (k, v) => s""""$k":$v""" }.mkString("{", ",", "}")
+      (r.id.toString, json)
+    }.toDF("id", "metadata")
+      .withColumn("metadata_kv", graft.functions.JsonMeta.jsonKv(col("metadata")))
+  }
+
+  test("property: compiled AND/OR/EXCLUDE filter == brute-force evaluator (15 cases)") {
+    val caseGen = for {
+      recs <- recGen
+      andPreds <- Gen.listOfN(2, predGen)
+      orPreds <- Gen.listOfN(2, predGen)
+      exPred <- predGen
+    } yield (recs, andPreds, orPreds, exPred)
+    samples(caseGen, 15).foreach { case (recs, andPreds, orPreds, exPred) =>
+      val andF = andPreds.map { case (k, fv) => Map(k -> fv) }
+      val orF = Seq(orPreds.toMap)
+      val exF: Seq[Map[String, MetaValue]] = exPred match {
+        case (k, Eq(v)) => Seq(Map(k -> v))
+        case _ => Nil
+      }
+      val got = toDf(recs)
+        .filter(FilterDsl.compile(col("metadata_kv"), andF, orF, exF))
+        .select("id").collect().map(_.getString(0)).toSet
+      val orEff = orPreds.toMap.toSeq // or-dict: last binding per key wins, as in compile
+      val expected = recs.filter { r =>
+        val andOk = andPreds.forall { case (k, fv) => evalPred(r.meta, k, fv) }
+        val orOk = orEff.isEmpty || orEff.exists { case (k, fv) => evalPred(r.meta, k, fv) }
+        val exHit = exF.exists(_.forall { case (k, v) => evalPred(r.meta, k, Eq(v)) })
+        andOk && orOk && !exHit
+      }.map(_.id.toString).toSet
+      assert(got == expected,
+        s"filter mismatch: and=$andPreds or=$orPreds ex=$exF corpus=$recs")
+    }
+  }
+
+  test("property: top-k is exactly the k-prefix of the full descending sort (10 cases)") {
+    val caseGen = for {
+      vecs <- Gen.listOfN(8, Gen.listOfN(4, Gen.choose(-5, 5).map(_.toFloat / 5)))
+        .suchThat(_.forall(v => v.exists(_ != 0.0f)))
+      k <- Gen.choose(1, 10)
+    } yield (vecs, k)
+    samples(caseGen, 10).foreach { case (vecs, k) =>
+      val sp = spark
+      import sp.implicits._
+      val st = VectorStore(VectorStore.ingest(
+        vecs.zipWithIndex.map { case (v, i) => (i.toString, v, "{}") }
+          .toDF("id", "embedding", "metadata"),
+        col("id"), col("embedding"), col("metadata")))
+      val q = Seq(1.0f, 0.0f, 0.0f, 0.0f)
+      val topK = Search.findMostSimilar(st, q, k = k).collect()
+        .map(r => (r.getString(0), r.getDouble(1))).toSeq
+      val full = Search.findMostSimilar(st, q, k = vecs.length).collect()
+        .map(r => (r.getString(0), r.getDouble(1))).toSeq
+      assert(topK == full.take(k))
+    }
+  }
+
+  test("property: autocut output is a non-empty ranking prefix (15 cases)") {
+    val scoresGen = Gen.listOfN(6, Gen.choose(1, 100))
+      .map(_.map(_ / 100.0).distinct.sorted.reverse).suchThat(_.nonEmpty)
+    samples(scoresGen, 15).foreach { scores =>
+      val sp = spark
+      import sp.implicits._
+      val df = scores.zipWithIndex.map { case (s, i) => (f"$i%03d", s) }.toDF("id", "score")
+      val cutRows = Autocut(df, col("score"), col("id"))
+        .orderBy(desc("score"), asc("id")).collect().map(_.getString(0)).toSeq
+      val input = df.orderBy(desc("score"), asc("id")).collect().map(_.getString(0)).toSeq
+      assert(input.startsWith(cutRows), s"not a prefix: $cutRows of $input")
+      assert(cutRows.nonEmpty && cutRows.head == input.head,
+        "autocut never removes the top result and never returns empty")
+    }
+  }
+
+  test("property: insertBatch then deleteBatch of the same ids is identity (8 cases)") {
+    val batchGen = Gen.choose(1, 5).flatMap(n =>
+      Gen.listOfN(n, Gen.listOfN(2, Gen.choose(-10, 10).map(_.toFloat))))
+    samples(batchGen, 8).foreach { embs =>
+      val sp = spark
+      import sp.implicits._
+      val base = VectorStore(VectorStore.ingest(
+        Seq(("k1", Seq(1.0f, 0.0f), "{}"), ("k2", Seq(0.0f, 1.0f), "{}"))
+          .toDF("id", "embedding", "metadata"),
+        col("id"), col("embedding"), col("metadata")))
+      val ids = embs.indices.map(i => s"new$i")
+      val after = base.insertBatch(ids, embs).deleteBatch(ids)
+      assert(after.df.select("id").collect().map(_.getString(0)).toSet == Set("k1", "k2"))
+    }
+  }
+}
