@@ -25,9 +25,13 @@ object SparkEntry {
 
   /** The corpus vector used as a deterministic query point: both engines
     * read it from the same parquet, so no float literals cross the boundary.
+    * Memoized per (session, dir, id) — six queries share it, one lookup job.
     */
+  private val qvCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String, String), Seq[Float]]
   private def queryVec(spark: SparkSession, dir: String, vecId: String = "0"): Seq[Float] =
-    VectorStore.fromEmbeddingsTable(spark, dir).getVector(vecId).toSeq
+    qvCache.getOrElseUpdate((spark, dir, vecId),
+      VectorStore.fromEmbeddingsTable(spark, dir).getVector(vecId).toSeq)
 
   private def knnQuery(
       spark: SparkSession,
@@ -291,6 +295,15 @@ object SparkEntry {
           graft.sources.Testdata.table(s, dir, "nation"),
           graft.sources.Testdata.table(s, dir, "region"))
         .orderBy("r_name", "ship_year")),
+    // rollup: region/year revenue with subtotals and grand total, one pass
+    "q_rel_rollup" -> ((s, dir) =>
+      Relational.regionRevenueRollup(
+          graft.sources.Testdata.lineitem(s, dir),
+          graft.sources.Testdata.orders(s, dir),
+          graft.sources.Testdata.table(s, dir, "customer"),
+          graft.sources.Testdata.table(s, dir, "nation"),
+          graft.sources.Testdata.table(s, dir, "region"))
+        .orderBy(asc_nulls_first("r_name"), asc_nulls_first("ship_year"))),
     // sessionization: lag + running-sum windows, one shuffle on user_id
     "q_rel_sessions" -> ((s, dir) =>
       Relational.sessionize(graft.sources.Testdata.events(s, dir), gapMinutes = 30)
@@ -453,6 +466,17 @@ object SparkEntry {
         |JOIN nation ON c_nationkey = n_nationkey
         |JOIN region ON n_regionkey = r_regionkey
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q_rel_rollup" ->
+      """SELECT r_name, CAST(year(l_shipdate) AS INT) AS ship_year,
+        |  round(CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE), 6) AS revenue,
+        |  count(*) AS n_items
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY ROLLUP (r_name, ship_year)
+        |ORDER BY r_name NULLS FIRST, ship_year NULLS FIRST""".stripMargin,
     "q_rel_sessions" ->
       """WITH t AS (
         |  SELECT user_id, event_id, epoch_us(CAST(ts AS TIMESTAMP)) AS us,

@@ -98,6 +98,40 @@ object Relational {
         round(col("rev_d").cast("double"), 6).as("revenue"))
   }
 
+  /** Region/year revenue with ROLLUP subtotals: per (region, year), per
+    * region, and grand total in one pass — Spark plans a single aggregation
+    * over the expanded grouping sets, so the fact table is read once.
+    *
+    * Expressed through the SQL surface: the Column-API `rollup` over a
+    * multi-join lineage trips Spark's ambiguous-self-join detector (the
+    * Expand duplicates join-tagged grouping attributes); the SQL path
+    * resolves by name and also exercises `spark.sql` + broadcast hints.
+    */
+  def regionRevenueRollup(
+      lineitem: DataFrame,
+      orders: DataFrame,
+      customer: DataFrame,
+      nation: DataFrame,
+      region: DataFrame): DataFrame = {
+    lineitem.createOrReplaceTempView("graft_rollup_li")
+    orders.createOrReplaceTempView("graft_rollup_ord")
+    customer.createOrReplaceTempView("graft_rollup_cust")
+    nation.createOrReplaceTempView("graft_rollup_nat")
+    region.createOrReplaceTempView("graft_rollup_reg")
+    lineitem.sparkSession.sql(
+      """SELECT /*+ BROADCAST(c), BROADCAST(n), BROADCAST(r) */
+        |  r_name, CAST(year(l_shipdate) AS INT) AS ship_year,
+        |  round(CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,6))) AS DOUBLE), 6) AS revenue,
+        |  count(*) AS n_items
+        |FROM graft_rollup_li l
+        |JOIN graft_rollup_ord o ON l.l_orderkey = o.o_orderkey
+        |JOIN graft_rollup_cust c ON o.o_custkey = c.c_custkey
+        |JOIN graft_rollup_nat n ON c.c_nationkey = n.n_nationkey
+        |JOIN graft_rollup_reg r ON n.n_regionkey = r.r_regionkey
+        |GROUP BY ROLLUP (r_name, CAST(year(l_shipdate) AS INT))
+        |""".stripMargin)
+  }
+
   /** Two-phase (salted) aggregation for skewed keys: pre-aggregate on
     * (key, spark_partition_id) — each task combines its own rows for a hot
     * key before anything shuffles — then final-aggregate on the key alone.
