@@ -1,0 +1,32 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Dumps the formatted physical plans of the flagship queries to stdout
+  * (captured into PLANS.md) — the audit trail that the plan shapes scale:
+  * pushed filters, broadcast joins, TakeOrderedAndProject, codegen spans.
+  */
+object Plans {
+  def main(args: Array[String]): Unit = {
+    val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.001"
+    val spark = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val show = Seq(
+      "q_knn", "q_knn_filtered", "q_ann_topk", "q_filter_and_or_exclude",
+      "q_dedup_minhash", "q_dedup_embedding", "q_rel_pricing",
+      "q_rel_top_customers", "q_rel_region_revenue", "q_stream_window_stats")
+    show.foreach { name =>
+      println(s"\n## $name\n")
+      println("```")
+      try println(SparkEntry.queries(name)(spark, sfDir).queryExecution.explainString(
+        org.apache.spark.sql.execution.FormattedMode))
+      catch { case e: Throwable => println(s"(failed: ${e.getMessage})") }
+      println("```")
+    }
+    spark.stop()
+  }
+}
