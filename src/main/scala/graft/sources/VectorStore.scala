@@ -123,6 +123,38 @@ object VectorStore {
   def load(spark: SparkSession, path: String): VectorStore =
     VectorStore(spark.read.parquet(path))
 
+  /** Ingest from JSON-lines records `{"id": …, "embedding": [...], "metadata": {...}}`
+    * — the interchange format a reference user would export to. The open
+    * metadata object is re-serialized to the canonical JSON column.
+    */
+  def fromJsonLines(spark: SparkSession, path: String): VectorStore = {
+    // reading the object-valued metadata field as STRING captures its raw
+    // JSON text — exactly the canonical form the store wants
+    val raw = spark.read
+      .schema("id STRING, embedding ARRAY<FLOAT>, metadata STRING")
+      .json(path)
+    VectorStore(ingest(raw, col("id"), col("embedding"),
+      coalesce(col("metadata"), lit("{}"))))
+  }
+
+  /** Ingest from CSV with a delimited embedding column
+    * (`id,emb0;emb1;…,metadataJson`) — the lowest-common-denominator feed.
+    */
+  def fromCsv(
+      spark: SparkSession,
+      path: String,
+      embeddingSep: String = ";"): VectorStore = {
+    val raw = spark.read
+      .option("header", "true")
+      .schema("id STRING, embedding STRING, metadata STRING")
+      .csv(path)
+    VectorStore(ingest(
+      raw.withColumn("embedding",
+        split(col("embedding"), java.util.regex.Pattern.quote(embeddingSep))
+          .cast(ArrayType(FloatType))),
+      col("id"), col("embedding"), coalesce(col("metadata"), lit("{}"))))
+  }
+
   /** Adapt the driver testdata `embeddings.parquet`
     * (vec_id BIGINT, embedding ARRAY<FLOAT>, label INT — FIXTURES.md §2) into
     * a store; `label` becomes the one metadata key. The kv map is built with

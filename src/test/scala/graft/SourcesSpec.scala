@@ -1,0 +1,58 @@
+package graft
+
+import graft.operators.{Eq, MetaValue, Search}
+import graft.sources.VectorStore
+import java.nio.file.{Files, Paths}
+
+/** Source-format adapters: JSON-lines and CSV ingest produce the same
+  * canonical store schema and are immediately searchable/filterable.
+  */
+class SourcesSpec extends SparkSpec {
+
+  test("fromJsonLines: object metadata, canonical schema, searchable") {
+    val dir = Files.createTempDirectory("graft_jsonl")
+    Files.writeString(Paths.get(dir.toString, "a.jsonl"),
+      """{"id": "a", "embedding": [1.0, 0.0], "metadata": {"label": 1}}
+        |{"id": "b", "embedding": [0.0, 1.0], "metadata": {"label": 2}}
+        |{"id": "c", "embedding": [0.7, 0.7]}
+        |""".stripMargin)
+    val st = VectorStore.fromJsonLines(spark, dir.toString)
+    assert(st.count() == 3)
+    assert(st.df.columns.toSet == Set("id", "embedding", "metadata", "norm_sq", "metadata_kv"))
+    // missing metadata coalesces to {}
+    assert(st.df.filter(org.apache.spark.sql.functions.col("id") === "c")
+      .select("metadata").first().getString(0) == "{}")
+    // searchable with a metadata filter on the ingested kv map
+    val r = Search.findMostSimilar(st, Seq(1.0f, 0.0f), k = 3,
+      metadataFilter = Seq(Map("label" -> Eq(MetaValue.MLong(2))))).collect()
+    assert(r.map(_.getString(0)).toSeq == Seq("b"))
+  }
+
+  test("fromCsv: delimited embeddings parse to float arrays, searchable") {
+    val dir = Files.createTempDirectory("graft_csv")
+    Files.writeString(Paths.get(dir.toString, "a.csv"),
+      """id,embedding,metadata
+        |x,1.0;0.0,"{""t"":""p""}"
+        |y,0.0;1.0,
+        |""".stripMargin)
+    val st = VectorStore.fromCsv(spark, dir.toString)
+    assert(st.count() == 2)
+    assert(st.getVector("x").toSeq == Seq(1.0f, 0.0f))
+    assert(st.df.filter(org.apache.spark.sql.functions.col("id") === "y")
+      .select("metadata").first().getString(0) == "{}")
+    val top = Search.findMostSimilar(st, Seq(0.0f, 1.0f), k = 1).collect()
+    assert(top.head.getString(0) == "y")
+  }
+
+  test("format round-trip: jsonl → store → parquet → load equals origin") {
+    val dir = Files.createTempDirectory("graft_rt")
+    Files.writeString(Paths.get(dir.toString, "in.jsonl"),
+      """{"id": "r1", "embedding": [0.5, 0.5], "metadata": {"k": "v"}}
+        |""".stripMargin)
+    val st = VectorStore.fromJsonLines(spark, dir.toString)
+    st.persist(s"$dir/out")
+    val re = VectorStore.load(spark, s"$dir/out")
+    assert(re.getVector("r1").toSeq == Seq(0.5f, 0.5f))
+    assert(re.df.select("metadata_kv").first().getMap[String, String](0).get("k").contains("\"v\""))
+  }
+}
