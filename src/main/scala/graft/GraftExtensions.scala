@@ -22,10 +22,14 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
   *  - runtime: `GraftExtensions.register(spark)` on an existing session.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     GraftExtensions.definitions.foreach { case (name, info, builder) =>
       ext.injectFunction((FunctionIdentifier(name), info, builder))
     }
+    // analyzer phase: must see the full ingest lineage BEFORE column
+    // pruning erases the materialized norm (see ReuseMaterializedNorm docs)
+    ext.injectPostHocResolutionRule(_ => graft.plans.ReuseMaterializedNorm)
+  }
 }
 
 object GraftExtensions {
@@ -68,7 +72,11 @@ object GraftExtensions {
           coeffs.map(_._1).toArray, coeffs.map(_._2).toArray, graft.operators.Dedup.HashP)
       }))
 
-  /** Mount the functions on an already-running session (idempotent). */
+  /** Mount the SQL functions on an already-running session (idempotent).
+    * The ReuseMaterializedNorm rule needs the analyzer hook and therefore
+    * config-time mounting (`spark.sql.extensions` / `withExtensions`) — a
+    * live session exposes no analyzer injection point.
+    */
   def register(spark: SparkSession): Unit =
     definitions.foreach { case (name, _, builder) =>
       spark.sessionState.functionRegistry.createOrReplaceTempFunction(name, builder, "built-in")
