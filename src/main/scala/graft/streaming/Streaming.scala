@@ -1,9 +1,9 @@
 package graft.streaming
 
 import graft.sources.VectorStore
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, Dataset}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.StreamingQuery
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StreamingQuery}
 
 /** Structured Streaming surface — beyond-reference capability (the reference
   * has no streaming at all: every ingest is a synchronous method call under
@@ -64,6 +64,44 @@ object Streaming {
   /** Event-time watermark (streaming only — a no-op under batch plans). */
   def withEventWatermark(events: DataFrame, delay: String = "10 minutes"): DataFrame =
     events.withWatermark("ts", delay)
+
+  /** Running per-user totals as a custom-state operator
+    * (`mapGroupsWithState`): each micro-batch updates an explicit
+    * per-user (events, value-sum) state and emits the new totals — the
+    * shape for stateful logic the built-in aggregates can't express
+    * (counters with custom merge/expiry/emission rules). State lives in the
+    * checkpointed state store, partitioned by user — the distributed analog
+    * of the reference's in-memory per-id maps (vector_database.py:14-16).
+    */
+  final case class UserTotals(user_id: Long, n_events: Long, sum_value: Double)
+
+  def runningUserTotals(events: DataFrame): Dataset[UserTotals] = {
+    val sp = events.sparkSession
+    import sp.implicits._
+    events
+      .select(col("user_id").cast("long"), col("value").cast("double"))
+      .as[(Long, Double)]
+      .groupByKey(_._1)
+      .mapGroupsWithState[(Long, Double), UserTotals](GroupStateTimeout.NoTimeout) {
+        case (user, rows, state: GroupState[(Long, Double)]) =>
+          val (n0, s0) = state.getOption.getOrElse((0L, 0.0))
+          var n = n0
+          var s = s0
+          rows.foreach { case (_, v) => n += 1; s += v }
+          state.update((n, s))
+          UserTotals(user, n, s)
+      }
+  }
+
+  /** Start the running-totals stream into a named memory sink (update
+    * mode — one refreshed row per user per batch).
+    */
+  def startRunningTotals(totals: Dataset[UserTotals], queryName: String): StreamingQuery =
+    totals.writeStream
+      .format("memory")
+      .queryName(queryName)
+      .outputMode(OutputMode.Update())
+      .start()
 
   /** Session-window stats per user (native session_window operator): the
     * streaming twin of [[graft.operators.Relational.sessionize]] — state is

@@ -92,6 +92,33 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("mapGroupsWithState: per-user totals accumulate across micro-batches") {
+    val sp = spark
+    import sp.implicits._
+    implicit val sqlCtx = sp.sqlContext
+    val in = MemoryStream[(Long, Double)]
+    val totals = Streaming.runningUserTotals(in.toDF().toDF("user_id", "value"))
+    val q = Streaming.startRunningTotals(totals, "user_totals")
+    try {
+      in.addData((1L, 10.0), (1L, 5.0), (2L, 1.0))
+      q.processAllAvailable()
+      in.addData((1L, 2.0), (3L, 7.0))
+      q.processAllAvailable()
+      // update-mode memory sink appends one row per user per batch; totals
+      // are monotone, so the max-count row per user is the final state
+      val last = sp.table("user_totals").collect()
+        .map(r => (r.getLong(0), (r.getLong(1), r.getDouble(2))))
+        .groupBy(_._1).view.mapValues(_.map(_._2).maxBy(_._1)).toMap
+      assert(last(1L) == ((3L, 17.0))) // state carried over batch boundary
+      assert(last(2L) == ((1L, 1.0)))
+      assert(last(3L) == ((1L, 7.0)))
+      // equals the batch twin over the union of all inputs
+      val batch = Seq((1L, 10.0), (1L, 5.0), (2L, 1.0), (1L, 2.0), (3L, 7.0))
+        .groupBy(_._1).view.mapValues(v => (v.size.toLong, v.map(_._2).sum)).toMap
+      assert(last == batch)
+    } finally q.stop()
+  }
+
   test("session windows: per-user sessions close on the gap") {
     val sp = spark
     import sp.implicits._
