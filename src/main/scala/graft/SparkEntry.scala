@@ -304,6 +304,19 @@ object SparkEntry {
           graft.sources.Testdata.table(s, dir, "nation"),
           graft.sources.Testdata.table(s, dir, "region"))
         .orderBy(asc_nulls_first("r_name"), asc_nulls_first("ship_year"))),
+    // distinct + percentile aggregates per market segment (count-distinct
+    // expands to a two-phase agg; median is the exact interpolated one)
+    "q_rel_segment_stats" -> ((s, dir) => {
+      val cust = graft.sources.Testdata.table(s, dir, "customer")
+      val ord = graft.sources.Testdata.orders(s, dir)
+      ord.join(cust, col("o_custkey") === col("c_custkey"))
+        .groupBy("c_mktsegment")
+        .agg(
+          countDistinct(col("o_custkey")).as("n_buyers"),
+          count(lit(1)).as("n_orders"),
+          round(median(col("o_totalprice")), 6).as("median_price"))
+        .orderBy("c_mktsegment")
+    }),
     // sessionization: lag + running-sum windows, one shuffle on user_id
     "q_rel_sessions" -> ((s, dir) =>
       Relational.sessionize(graft.sources.Testdata.events(s, dir), gapMinutes = 30)
@@ -477,6 +490,13 @@ object SparkEntry {
         |JOIN region ON n_regionkey = r_regionkey
         |GROUP BY ROLLUP (r_name, ship_year)
         |ORDER BY r_name NULLS FIRST, ship_year NULLS FIRST""".stripMargin,
+    "q_rel_segment_stats" ->
+      """SELECT c_mktsegment,
+        |  count(DISTINCT o_custkey) AS n_buyers,
+        |  count(*) AS n_orders,
+        |  round(median(o_totalprice), 6) AS median_price
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_rel_sessions" ->
       """WITH t AS (
         |  SELECT user_id, event_id, epoch_us(CAST(ts AS TIMESTAMP)) AS us,
