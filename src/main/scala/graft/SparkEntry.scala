@@ -372,10 +372,14 @@ object SparkEntry {
       st.deleteBatch((0 until 10).map(_.toString))
         .df.select("id").orderBy(col("id").cast("bigint"))
     }),
-    // O7 point lookup by id
+    // O7 point lookup by id — embedding unnested to scalar (id, pos, val)
+    // rows: the comparison harness sorts by column values, so results must
+    // avoid array-typed columns
     "q_crud_lookup" -> ((s, dir) =>
       VectorStore.fromEmbeddingsTable(s, dir)
-        .df.filter(col("id") === "42").select("id", "embedding")),
+        .df.filter(col("id") === "42")
+        .select(col("id"), posexplode(col("embedding")).as(Seq("pos", "val")))
+        .orderBy("pos")),
     // O1+O2: persist (shard-size-bounded parquet files) and reload
     "q_crud_persist_roundtrip" -> ((s, dir) => {
       val st = VectorStore.fromEmbeddingsTable(s, dir)
@@ -602,7 +606,10 @@ object SparkEntry {
     "q_crud_delete_batch" ->
       "SELECT CAST(vec_id AS VARCHAR) AS id FROM embeddings WHERE vec_id >= 10 ORDER BY vec_id",
     "q_crud_lookup" ->
-      "SELECT CAST(vec_id AS VARCHAR) AS id, embedding FROM embeddings WHERE vec_id = 42",
+      """SELECT CAST(vec_id AS VARCHAR) AS id,
+        |       CAST(generate_subscripts(embedding, 1) - 1 AS INT) AS pos,
+        |       unnest(embedding) AS val
+        |FROM embeddings WHERE vec_id = 42 ORDER BY pos""".stripMargin,
     "q_crud_persist_roundtrip" ->
       """SELECT CAST(vec_id AS VARCHAR) AS id, '{"label":' || label || '}' AS metadata
         |FROM embeddings ORDER BY vec_id""".stripMargin,

@@ -99,6 +99,10 @@ object Autocut {
   val Threshold = 0.2
 
   def apply(topK: DataFrame, score: Column, tieBreak: Column): DataFrame = {
+    // Unpartitioned windows here are deliberate: the input is a top-k result
+    // (≤ k rows), so the single-partition WindowExec is bounded regardless of
+    // corpus size. (A literal partition key would be folded away by the
+    // optimizer anyway.)
     val w = Window.orderBy(score.desc, tieBreak.asc)
     val all = Window.partitionBy().rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
     val prev = lag(score, 1).over(w)
