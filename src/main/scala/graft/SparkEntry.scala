@@ -233,8 +233,9 @@ object SparkEntry {
           col("doc_id"), col("text"), n = 2, tau = 0.5)
         .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
         .orderBy("id_a", "id_b")),
-    // SimHash near-dup by Hamming ≤ 3 (murmur-free integer simhash; not
-    // SQL-expressible compactly → rows-only check; pinned by DedupSpec)
+    // SimHash near-dup by Hamming ≤ 3. The banding is pigeonhole-complete at
+    // this radius, so the oracle is the direct all-pairs Hamming predicate
+    // over an exact SQL replica of the 60-bit simhash kernel
     "q_dedup_simhash" -> ((s, dir) =>
       Dedup.simhashPairs(graft.sources.Testdata.table(s, dir, "documents"),
           col("doc_id"), col("text"), maxHamming = 3)
@@ -267,8 +268,8 @@ object SparkEntry {
           Multimodal.mediaTable(graft.sources.Testdata.table(s, dir, "documents")),
           frameBytes = 100, maxFrames = 4)
         .orderBy("doc_id", "frame_idx")),
-    // Multimodal: stubbed batch decode via mapPartitions (rows-only check;
-    // byte-level feature math pinned by MultimodalSpec)
+    // Multimodal: stubbed batch decode via mapPartitions; the stub's byte
+    // math is deterministic, so the oracle replicates it over hex(payload)
     "q_media_decode" -> ((s, dir) =>
       Multimodal.decodeFeatures(
           Multimodal.mediaTable(graft.sources.Testdata.table(s, dir, "documents")))
@@ -573,6 +574,59 @@ object SparkEntry {
         |FROM documents
         |QUALIFY row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) = 1
         |ORDER BY id""".stripMargin,
+    // Exact SQL replica of SimHash60Expr (functions/HashExprs.scala): per
+    // token two polynomial hashes (base 37 mod 998244353, base 31 mod
+    // 1000000007) packed into 60 bits, ±1 per-bit counters, sign collapse.
+    // Banding at Hamming ≤ 3 is pigeonhole-complete → direct all-pairs check.
+    "q_dedup_simhash" ->
+      """WITH t AS (
+        |  SELECT doc_id, list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS toks
+        |  FROM documents
+        |), h AS (
+        |  SELECT doc_id, list_transform(toks, tok ->
+        |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |        list_transform(range(1, length(tok)+1), i -> CAST(unicode(substring(tok,i,1)) AS BIGINT))),
+        |      (acc,x) -> (acc*37 + x) % 998244353) * 1073741824
+        |    + list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |        list_transform(range(1, length(tok)+1), i -> CAST(unicode(substring(tok,i,1)) AS BIGINT))),
+        |      (acc,x) -> (acc*31 + x) % 1000000007)
+        |  ) AS hs
+        |  FROM t
+        |), s AS (
+        |  SELECT doc_id,
+        |    list_sum(list_transform(range(0, 60), j ->
+        |      CASE WHEN list_sum(list_transform(hs, hv -> 2*((hv >> CAST(j AS BIGINT)) & 1) - 1)) > 0
+        |           THEN (CAST(1 AS BIGINT) << CAST(j AS BIGINT)) ELSE CAST(0 AS BIGINT) END
+        |    )) AS sim
+        |  FROM h
+        |)
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |       CAST(bit_count(xor(a.sim, b.sim)) AS INT) AS hamming
+        |FROM s a, s b
+        |WHERE a.doc_id < b.doc_id AND bit_count(xor(a.sim, b.sim)) <= 3
+        |ORDER BY id_a, id_b""".stripMargin,
+    // Exact SQL replica of Multimodal.decodeStub byte math; the payload byte
+    // sum is recovered by parsing hex(utf8 bytes) two nibbles at a time
+    // (strpos over a '0'-less alphabet maps '0'→0 … 'F'→15).
+    "q_media_decode" ->
+      """WITH t AS (
+        |  SELECT doc_id, hex(encode(text)) AS hx, octet_length(encode(text)) AS n
+        |  FROM documents
+        |), s AS (
+        |  SELECT doc_id, n,
+        |    CASE WHEN n = 0 THEN 0 ELSE list_sum(list_transform(range(0, n), i ->
+        |      (strpos('123456789ABCDEF', substring(hx, CAST(2*i+1 AS INT), 1)))*16
+        |      + strpos('123456789ABCDEF', substring(hx, CAST(2*i+2 AS INT), 1)))) END AS bsum
+        |  FROM t
+        |)
+        |SELECT doc_id,
+        |  CASE WHEN doc_id % 3 = 0 THEN 'image' WHEN doc_id % 3 = 1 THEN 'audio' ELSE 'video' END AS kind,
+        |  CAST(n AS INT) AS n_bytes,
+        |  CAST(64 + n % 576 AS INT) AS width,
+        |  CAST(64 + (n * 31) % 312 AS INT) AS height,
+        |  3 AS channels,
+        |  round(CASE WHEN n = 0 THEN 0.0 ELSE CAST(bsum AS DOUBLE) / n / 255.0 END, 6) AS brightness
+        |FROM s ORDER BY doc_id""".stripMargin,
     "q_dedup_jaccard" -> dedupJaccardOracle,
     "q_dedup_minhash" -> dedupJaccardOracle,
     "q_dedup_embedding" ->
