@@ -318,6 +318,20 @@ object SparkEntry {
           round(median(col("o_totalprice")), 6).as("median_price"))
         .orderBy("c_mktsegment")
     }),
+    // as-of join (beyond-reference time-series op): for each purchase, the
+    // latest click by the same user at or before it — single-shuffle
+    // union-window merge, checked against DuckDB's native ASOF JOIN
+    "q_asof_click_purchase" -> ((s, dir) => {
+      val ev = graft.sources.Testdata.events(s, dir)
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select("event_id", "user_id", "ts")
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("event_id").as("click_id"), col("user_id"), col("ts"))
+      AsofJoin.backward(purchases, clicks, "user_id", "ts", "ts", "click_id")
+        .select(col("event_id"), col("user_id"), col("r_click_id").as("click_id"),
+          (unix_micros(col("ts")) - unix_micros(col("r_ts"))).as("gap_us"))
+        .orderBy("event_id")
+    }),
     // sessionization: lag + running-sum windows, one shuffle on user_id
     "q_rel_sessions" -> ((s, dir) =>
       Relational.sessionize(graft.sources.Testdata.events(s, dir), gapMinutes = 30)
@@ -502,6 +516,13 @@ object SparkEntry {
         |  round(median(o_totalprice), 6) AS median_price
         |FROM orders JOIN customer ON o_custkey = c_custkey
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_asof_click_purchase" ->
+      """SELECT p.event_id, p.user_id, c.event_id AS click_id,
+        |       epoch_us(CAST(p.ts AS TIMESTAMP)) - epoch_us(CAST(c.ts AS TIMESTAMP)) AS gap_us
+        |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+        |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+        |  ON p.user_id = c.user_id AND p.ts >= c.ts
+        |ORDER BY p.event_id""".stripMargin,
     "q_rel_sessions" ->
       """WITH t AS (
         |  SELECT user_id, event_id, epoch_us(CAST(ts AS TIMESTAMP)) AS us,
