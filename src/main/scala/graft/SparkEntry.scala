@@ -257,6 +257,19 @@ object SparkEntry {
         .withColumn("score", round(col("score"), 6))
         .orderBy(desc("score"), asc("id"))
     }),
+    // ANN, IVF variant: centroid-partitioned inverted lists (deterministic
+    // centroids = lowest-id corpus vectors so the oracle can replicate the
+    // assignment; production swaps in IvfSearch.train k-means — identical
+    // machinery). nprobe/C is the recall dial; scoring stays exact cosine.
+    "q_ann_ivf" -> ((s, dir) => {
+      val embs = s.read.parquet(s"$dir/embeddings.parquet")
+      val cents = IvfSearch.centroidsFromIds(embs, col("vec_id"), col("embedding"), c = 16)
+      val indexed = IvfSearch.index(embs, col("embedding"), cents)
+      IvfSearch.search(indexed, col("vec_id").cast("string"), col("embedding"),
+          queryVec(s, dir), cents, k = 10, nprobe = 4)
+        .withColumn("score", round(col("score"), 6))
+        .orderBy(desc("score"), asc("id"))
+    }),
     // Multimodal: typed-metadata projection over opaque binary payloads
     "q_media_meta" -> ((s, dir) =>
       Multimodal.metaFeatures(
@@ -573,6 +586,36 @@ object SparkEntry {
         |  round(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE), 6) AS sum_value
         |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "q_ann_topk" -> annOracle,
+    // IVF oracle: replicate nearest-centroid assignment (argmin |c|²−2·v·c,
+    // ties to smaller cid — |v|² is row-constant so this is argmin L2²),
+    // probe the 4 nearest lists, exact cosine inside.
+    "q_ann_ivf" ->
+      """WITH c AS (SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS cv
+        |           FROM embeddings WHERE vec_id < 16),
+        |e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ev FROM embeddings),
+        |asg AS (
+        |  SELECT vec_id, cid FROM (
+        |    SELECT e.vec_id, c.cid,
+        |      row_number() OVER (PARTITION BY e.vec_id ORDER BY
+        |        list_dot_product(c.cv, c.cv) - 2*list_dot_product(e.ev, c.cv) ASC,
+        |        c.cid ASC) AS rn
+        |    FROM e, c) WHERE rn = 1
+        |),
+        |q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0),
+        |qp AS (
+        |  SELECT cid FROM (
+        |    SELECT c.cid, row_number() OVER (ORDER BY
+        |      list_dot_product(c.cv, c.cv) - 2*list_dot_product(q.qv, c.cv) ASC,
+        |      c.cid ASC) AS rn
+        |    FROM c, q) WHERE rn <= 4
+        |)
+        |SELECT id, round(score, 6) AS score FROM (
+        |  SELECT CAST(e.vec_id AS VARCHAR) AS id,
+        |         list_cosine_similarity(e.ev, q.qv) AS score
+        |  FROM e JOIN asg ON e.vec_id = asg.vec_id, q
+        |  WHERE asg.cid IN (SELECT cid FROM qp)
+        |  ORDER BY score DESC, id ASC LIMIT 10
+        |) ORDER BY score DESC, id ASC""".stripMargin,
     "q_media_meta" ->
       """SELECT doc_id,
         |  CASE WHEN doc_id % 3 = 0 THEN 'image/x-fake' WHEN doc_id % 3 = 1 THEN 'audio/x-fake' ELSE 'video/x-fake' END AS mime,

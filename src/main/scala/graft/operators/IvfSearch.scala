@@ -1,0 +1,123 @@
+package graft.operators
+
+import graft.functions.{VectorFunctions => VF}
+import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** IVF (inverted-file) approximate nearest-neighbor search — the
+  * centroid-partitioned scale path complementing sign-LSH ([[AnnSearch]]).
+  * The reference engine is exact-only (FAISS `IndexFlatIP`,
+  * /root/reference/minivectordb/vector_database.py:42-47); IVF is what its
+  * FAISS dependency would use at scale (`IndexIVFFlat`), re-expressed as
+  * Spark columns:
+  *
+  *  - '''index''': every vector is assigned to its nearest centroid
+  *    (`list_id` column). Persisted partitioned/bucketed by `list_id`, the
+  *    assignment turns probe filters into partition pruning — a query
+  *    touches `nprobe/C` of the data.
+  *  - '''search''': rank centroids by distance to the query on the driver
+  *    (centroids are tiny), prune to the `nprobe` nearest lists via a
+  *    pushed-down `IN` filter, then EXACT cosine top-k inside — like LSH,
+  *    IVF only prunes; it never changes the scoring math.
+  *
+  * Centroid choice is pluggable: [[centroidsFromIds]] picks corpus vectors
+  * by id — deterministic and reproducible, which the correctness oracle
+  * requires — while [[train]] runs Lloyd iterations (k-means) for real
+  * clustering quality; both feed the same index/search machinery.
+  *
+  * Distance math: argmin over centroids of `|c|² − 2·v·c` (equals argmin
+  * squared L2 since `|v|²` is constant per row), accumulated in Double in
+  * the same sequential order as the DuckDB oracle, ties to the smaller
+  * centroid id.
+  */
+object IvfSearch {
+
+  /** A centroid: (list id, vector as exact doubles). */
+  final case class Centroid(cid: Long, vec: Seq[Double]) {
+    /** |c|² with the same left-to-right fold the scoring uses. */
+    lazy val normSq: Double = {
+      var acc = 0.0; var i = 0
+      while (i < vec.length) { acc += vec(i) * vec(i); i += 1 }
+      acc
+    }
+  }
+
+  /** Deterministic "training": the corpus vectors with the `c` smallest ids
+    * become centroids. Production would swap in [[train]]; every downstream
+    * step is identical.
+    */
+  def centroidsFromIds(embs: DataFrame, id: Column, vec: Column, c: Int): Seq[Centroid] =
+    embs.select(id.cast("long").as("cid"), VF.toDoubleArray(vec).as("v"))
+      .orderBy("cid").limit(c).collect().toSeq
+      .map(r => Centroid(r.getLong(0), r.getSeq[Double](1)))
+
+  /** Lloyd / k-means refinement of [[centroidsFromIds]]: assign, recompute
+    * means element-wise, repeat. Exact element-wise mean via posexplode +
+    * groupBy(list, pos) — two narrow shuffles per iteration, no collect of
+    * the corpus.
+    */
+  def train(embs: DataFrame, id: Column, vec: Column, c: Int, iters: Int = 5): Seq[Centroid] = {
+    var cents = centroidsFromIds(embs, id, vec, c)
+    val base = embs.select(VF.toDoubleArray(vec).as("v"))
+    for (_ <- 0 until iters) {
+      val assigned = base.withColumn("list_id", assignCol(col("v"), cents))
+      val means = assigned
+        .select(col("list_id"), posexplode(col("v")).as(Seq("pos", "x")))
+        .groupBy("list_id", "pos").agg(avg("x").as("m"))
+        .groupBy("list_id").agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("pm"))
+        .select(col("list_id"), col("pm.m").as("mean"))
+        .collect()
+      val updated = means.map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+      cents = cents.map(ct => Centroid(ct.cid, updated.getOrElse(ct.cid, ct.vec)))
+    }
+    cents
+  }
+
+  /** Nearest-centroid assignment column: lexicographic min over
+    * `(distance, cid)` structs — codegen'd column algebra, no UDF.
+    */
+  def assignCol(vec: Column, centroids: Seq[Centroid]): Column = {
+    val candidates = centroids.map { ct =>
+      struct(
+        (lit(ct.normSq) - lit(2.0) * VF.dot(vec, typedLit(ct.vec))).as("dist"),
+        lit(ct.cid).as("cid"))
+    }
+    array_min(array(candidates: _*)).getField("cid")
+  }
+
+  /** Ingest-time step: attach `list_id`. Persist partitioned by `list_id`
+    * (or bucketed on it) so probe filters prune at the file/partition level.
+    */
+  def index(embs: DataFrame, vec: Column, centroids: Seq[Centroid]): DataFrame =
+    embs.withColumn("list_id", assignCol(vec, centroids))
+
+  /** The `nprobe` centroid ids nearest to the query (driver-side — the
+    * centroid table is tiny by construction).
+    */
+  def probeLists(query: Seq[Float], centroids: Seq[Centroid], nprobe: Int): Seq[Long] =
+    centroids.map { ct =>
+      var acc = 0.0; var i = 0
+      while (i < ct.vec.length) { acc += query(i).toDouble * ct.vec(i); i += 1 }
+      (ct.normSq - 2.0 * acc, ct.cid)
+    }.sorted.take(nprobe).map(_._2)
+
+  /** Approximate top-k: prune to the probed inverted lists, exact cosine
+    * ranking inside them (TakeOrderedAndProject — no global sort).
+    */
+  def search(
+      indexed: DataFrame,
+      id: Column,
+      vec: Column,
+      query: Seq[Float],
+      centroids: Seq[Centroid],
+      k: Int = 5,
+      nprobe: Int = 4): DataFrame = {
+    val probes = probeLists(query, centroids, nprobe)
+    indexed
+      .filter(col("list_id").isin(probes: _*))
+      .withColumn("score", VF.cosine(vec, typedLit(query)))
+      .select(id.as("id"), col("score"))
+      .orderBy(desc("score"), asc("id"))
+      .limit(k)
+  }
+}

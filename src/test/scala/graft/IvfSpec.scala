@@ -1,0 +1,66 @@
+package graft
+
+import graft.operators.{IvfSearch, Search}
+import graft.sources.VectorStore
+import org.apache.spark.sql.functions._
+
+/** IVF ANN behavioral pins: assignment totality, full-probe exactness,
+  * k-means training plumbing, and partition pruning of the probe filter once
+  * the index is persisted by list.
+  */
+class IvfSpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+  private lazy val embs = spark.read.parquet(s"$dir/embeddings.parquet")
+  private lazy val cents =
+    IvfSearch.centroidsFromIds(embs, col("vec_id"), col("embedding"), c = 16)
+  private lazy val query: Seq[Float] =
+    VectorStore.fromEmbeddingsTable(spark, dir).getVector("0").toSeq
+
+  test("every vector lands in exactly one known inverted list") {
+    val indexed = IvfSearch.index(embs, col("embedding"), cents)
+    val lists = indexed.groupBy("list_id").count().collect()
+    assert(lists.map(_.getLong(1)).sum == embs.count())
+    val known = cents.map(_.cid).toSet
+    assert(lists.map(_.getLong(0)).forall(known.contains))
+  }
+
+  test("a centroid's own vector is assigned to its list") {
+    val indexed = IvfSearch.index(embs, col("embedding"), cents)
+    val own = indexed.filter(col("vec_id") === 5L).select("list_id").head().getLong(0)
+    assert(own == 5L)
+  }
+
+  test("probing every list reproduces the exact top-k") {
+    val indexed = IvfSearch.index(embs, col("embedding"), cents)
+    val approx = IvfSearch.search(indexed, col("vec_id").cast("string"),
+        col("embedding"), query, cents, k = 10, nprobe = cents.size)
+      .select("id").collect().map(_.getString(0)).toSeq
+    val exact = Search.findMostSimilar(
+        VectorStore.fromEmbeddingsTable(spark, dir), query, k = 10)
+      .select("id").collect().map(_.getString(0)).toSeq
+    assert(approx == exact)
+  }
+
+  test("k-means training keeps list count and search still returns k") {
+    val trained = IvfSearch.train(embs, col("vec_id"), col("embedding"), c = 8, iters = 2)
+    assert(trained.size == 8)
+    assert(trained.map(_.vec.length).distinct == Seq(64))
+    val indexed = IvfSearch.index(embs, col("embedding"), trained)
+    val hits = IvfSearch.search(indexed, col("vec_id").cast("string"),
+      col("embedding"), query, trained, k = 5, nprobe = 3).collect()
+    assert(hits.length == 5)
+  }
+
+  test("persisted by list_id, the probe filter prunes partitions") {
+    val tmp = System.getProperty("java.io.tmpdir") + "/graft_ivf_part"
+    IvfSearch.index(embs, col("embedding"), cents)
+      .write.mode("overwrite").partitionBy("list_id").parquet(tmp)
+    val reread = spark.read.parquet(tmp)
+    val probed = IvfSearch.search(reread, col("vec_id").cast("string"),
+      col("embedding"), query, cents, k = 5, nprobe = 2)
+    val scan = probed.queryExecution.executedPlan.toString
+    assert(scan.contains("PartitionFilters") && scan.contains("list_id"),
+      s"expected list_id partition pruning in:\n$scan")
+  }
+}
