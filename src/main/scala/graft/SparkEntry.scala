@@ -240,6 +240,16 @@ object SparkEntry {
       Dedup.simhashPairs(graft.sources.Testdata.table(s, dir, "documents"),
           col("doc_id"), col("text"), maxHamming = 3)
         .orderBy("id_a", "id_b")),
+    // duplicate clustering: connected components over the near-dup pairs —
+    // min-label propagation (one join + one groupBy per round, lineage cut
+    // by localCheckpoint), canonical representative = min id per component
+    "q_dedup_clusters" -> ((s, dir) => {
+      val docs = graft.sources.Testdata.table(s, dir, "documents")
+      val pairs = Dedup.jaccardPairsBitset(docs, col("doc_id"), col("text"), n = 2, tau = 0.5)
+        .select("id_a", "id_b")
+      Dedup.connectedComponents(docs.select(col("doc_id").as("id")), pairs)
+        .orderBy("id")
+    }),
     // embedding-cosine near-dup pairs over the embeddings table
     "q_dedup_embedding" -> ((s, dir) =>
       Dedup.cosinePairs(s.read.parquet(s"$dir/embeddings.parquet"),
@@ -693,6 +703,29 @@ object SparkEntry {
         |FROM s ORDER BY doc_id""".stripMargin,
     "q_dedup_jaccard" -> dedupJaccardOracle,
     "q_dedup_minhash" -> dedupJaccardOracle,
+    // Same pair predicate as dedupJaccardOracle, then transitive closure via
+    // a recursive CTE; cluster label = min reachable id.
+    "q_dedup_clusters" ->
+      """WITH RECURSIVE t AS (
+        |  SELECT doc_id, list_distinct(list_transform(
+        |    range(1, len(string_split_regex(text, '\s+'))),
+        |    i -> string_split_regex(text, '\s+')[i] || ' ' || string_split_regex(text, '\s+')[i+1])) AS sh
+        |  FROM documents
+        |), p AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        |  FROM t a, t b
+        |  WHERE a.doc_id < b.doc_id
+        |    AND CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+        |        (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.5
+        |), e AS (
+        |  SELECT id_a AS s, id_b AS d FROM p UNION ALL SELECT id_b, id_a FROM p
+        |), r AS (
+        |  SELECT doc_id AS id, doc_id AS reach FROM documents
+        |  UNION
+        |  SELECT e.d AS id, r.reach FROM r JOIN e ON r.id = e.s
+        |)
+        |SELECT id, min(reach) AS cluster_id, (id = min(reach)) AS keep
+        |FROM r GROUP BY id ORDER BY id""".stripMargin,
     "q_dedup_embedding" ->
       """SELECT a.vec_id AS id_a, b.vec_id AS id_b,
         |  round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])), 6) AS cosine

@@ -337,4 +337,46 @@ object Dedup {
       .filter(col("cosine") >= tau)
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"), col("cosine"))
   }
+
+  // --------------------------------------------------- duplicate clustering
+
+  /** Connected components over a near-dup pair list: every id is labeled
+    * with the smallest id reachable through pairs (`cluster_id`), turning
+    * pairwise similarity into dedup GROUPS with a canonical representative
+    * (`id == cluster_id`) — the step production pipelines run between
+    * candidate pairs and the actual drop.
+    *
+    * Algorithm: iterative min-label propagation — each round every node
+    * takes the min of its own and its neighbors' labels; converges in
+    * O(graph diameter) rounds (near-dup clusters are shallow — diameter is
+    * small in practice). Each round is one equi-join + one groupBy (both
+    * shuffle on id), with `localCheckpoint` truncating the growing lineage.
+    * Convergence is detected by the strictly-decreasing label sum, so no
+    * extra change-count join is needed.
+    */
+  def connectedComponents(ids: DataFrame, pairs: DataFrame, maxIters: Int = 25): DataFrame = {
+    val edges = pairs.select(col("id_a").as("s"), col("id_b").as("d"))
+      .union(pairs.select(col("id_b").as("s"), col("id_a").as("d")))
+      .persist()
+    try {
+      var labels = ids.select(col("id"), col("id").as("comp")).localCheckpoint()
+      var prevSum = Option.empty[Long]
+      var it = 0
+      var converged = false
+      while (it < maxIters && !converged) {
+        val prop = edges.join(labels, edges("s") === labels("id"))
+          .select(edges("d").as("id"), labels("comp"))
+        labels = labels.union(prop)
+          .groupBy("id").agg(min("comp").as("comp"))
+          .localCheckpoint()
+        val sum = labels.agg(org.apache.spark.sql.functions.sum("comp")).head().getLong(0)
+        converged = prevSum.contains(sum)
+        prevSum = Some(sum)
+        it += 1
+      }
+      require(converged, s"connectedComponents did not converge in $maxIters rounds")
+      labels.select(col("id"), col("comp").as("cluster_id"),
+        (col("id") === col("comp")).as("keep"))
+    } finally edges.unpersist()
+  }
 }

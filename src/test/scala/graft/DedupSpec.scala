@@ -120,4 +120,25 @@ class DedupSpec extends SparkSpec {
     val r = Dedup.cosinePairs(d, col("id"), col("v"), tau = 0.9).collect()
     assert(r.map(x => (x.getAs[Long]("id_a"), x.getAs[Long]("id_b"))).toSet == Set((1L, 2L)))
   }
+
+  test("connectedComponents: chains merge, singletons keep their own label") {
+    import testImplicits._
+    val ids = (1L to 7L).toDF("id")
+    val pairs = Seq((1L, 2L), (2L, 3L), (5L, 6L)).toDF("id_a", "id_b")
+    val got = Dedup.connectedComponents(ids, pairs).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getBoolean(2))).toMap
+    assert(got == Map(
+      1L -> (1L, true), 2L -> (1L, false), 3L -> (1L, false),
+      4L -> (4L, true), 5L -> (5L, true), 6L -> (5L, false), 7L -> (7L, true)))
+  }
+
+  test("connectedComponents: converges on a path graph deeper than one hop") {
+    import testImplicits._
+    val n = 12L
+    val ids = (1L to n).toDF("id")
+    val pairs = (1L until n).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val got = Dedup.connectedComponents(ids, pairs).collect()
+    assert(got.forall(_.getLong(1) == 1L))
+    assert(got.count(_.getBoolean(2)) == 1)
+  }
 }
