@@ -122,6 +122,39 @@ object SparkEntry {
       |      (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.5
       |ORDER BY id_a, id_b""".stripMargin
 
+  /** BM25 oracle generated from the same term list and constants as the
+    * Spark plan (graft.operators.Bm25) — per-term expressions written in the
+    * identical arithmetic order so doubles are bit-comparable.
+    */
+  private val bm25Oracle: String = {
+    val terms = Seq("table", "join", "query", "scan", "fast")
+    val tfs = terms.indices.map(i =>
+      s"len(list_filter(toks, x -> x = '${terms(i)}')) AS tf_$i").mkString(",\n        |    ")
+    val dfs = terms.indices.map(i =>
+      s"sum(CASE WHEN tf_$i > 0 THEN 1 ELSE 0 END) AS df_$i").mkString(",\n        |    ")
+    val score = terms.indices.map(i =>
+      s"ln((n - df_$i + 0.5)/(df_$i + 0.5) + 1.0) * (tf_$i * 2.2) / (tf_$i + 1.2*(1.0 - 0.75 + 0.75*dl/avgdl))")
+      .mkString("\n        |      + ")
+    s"""WITH d AS (
+       |  SELECT doc_id, string_split_regex(text, '\\s+') AS toks FROM documents
+       |), tf AS (
+       |  SELECT doc_id, len(toks) AS dl,
+       |    $tfs
+       |  FROM d
+       |), g AS (
+       |  SELECT CAST(count(*) AS DOUBLE) AS n,
+       |    CAST(sum(dl) AS DOUBLE)/count(*) AS avgdl,
+       |    $dfs
+       |  FROM tf
+       |)
+       |SELECT id, round(score, 6) AS score FROM (
+       |  SELECT doc_id AS id,
+       |    $score AS score
+       |  FROM tf, g
+       |  ORDER BY score DESC, id ASC LIMIT 10
+       |) ORDER BY score DESC, id ASC""".stripMargin
+  }
+
   import MetaValue._
 
   // DuckDB list literals of the language-ID stopword profiles — single
@@ -385,6 +418,15 @@ object SparkEntry {
       Search.findMostSimilar(store, embedder.embed("table join query scan fast").toSeq, k = 10)
         .select(col("id"), round(col("score"), 6).as("score"))
     }),
+    // BM25 lexical top-k over documents (sparse counterpart to cosine
+    // search): integer tf/df statistics in one scan + broadcast stats row,
+    // fixed-order score arithmetic for oracle bit-parity
+    "q_text_bm25" -> ((s, dir) =>
+      Bm25.rank(graft.sources.Testdata.table(s, dir, "documents"),
+          col("doc_id"), col("text"),
+          queryTerms = Seq("table", "join", "query", "scan", "fast"), k = 10)
+        .withColumn("score", round(col("score"), 6))
+        .orderBy(desc("score"), asc("id"))),
     // batch k-NN: top-5 per query for 3 query vectors in one corpus scan
     "q_knn_batch" -> ((s, dir) => {
       val store = VectorStore.fromEmbeddingsTable(s, dir)
@@ -562,6 +604,7 @@ object SparkEntry {
         |)
         |SELECT user_id, session_idx, count(*) AS n_events, max(us) - min(us) AS duration_us
         |FROM x GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q_text_bm25" -> bm25Oracle,
     "q_knn_batch" ->
       """SELECT query_id, CAST(rank AS INT) AS rank, id, round(score, 6) AS score FROM (
         |  SELECT q.vec_id AS query_id, CAST(e.vec_id AS VARCHAR) AS id,
