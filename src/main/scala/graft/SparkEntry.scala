@@ -388,6 +388,18 @@ object SparkEntry {
           (unix_micros(col("ts")) - unix_micros(col("r_ts"))).as("gap_us"))
         .orderBy("event_id")
     }),
+    // banded range join: same-user event pairs within 5 minutes — the
+    // (key, bin) equi-join shape that replaces cartesian-filter range joins
+    "q_range_copresence" -> ((s, dir) => {
+      val ev = graft.sources.Testdata.events(s, dir)
+        .select("event_id", "user_id", "ts")
+      RangeJoin.within(ev, ev, "user_id", "ts", "ts", maxGapSec = 300)
+        .filter(col("l_ts") < col("r_ts") ||
+          (col("l_ts") === col("r_ts") && col("l_event_id") < col("r_event_id")))
+        .select(col("l_event_id").as("id_a"), col("r_event_id").as("id_b"),
+          col("l_user_id").as("user_id"), col("gap_us"))
+        .orderBy("id_a", "id_b")
+    }),
     // sessionization: lag + running-sum windows, one shuffle on user_id
     "q_rel_sessions" -> ((s, dir) =>
       Relational.sessionize(graft.sources.Testdata.events(s, dir), gapMinutes = 30)
@@ -581,6 +593,14 @@ object SparkEntry {
         |  round(median(o_totalprice), 6) AS median_price
         |FROM orders JOIN customer ON o_custkey = c_custkey
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_range_copresence" ->
+      """SELECT a.event_id AS id_a, b.event_id AS id_b, a.user_id,
+        |       epoch_us(CAST(b.ts AS TIMESTAMP)) - epoch_us(CAST(a.ts AS TIMESTAMP)) AS gap_us
+        |FROM events a JOIN events b
+        |  ON a.user_id = b.user_id
+        | AND b.ts >= a.ts AND b.ts <= a.ts + INTERVAL 300 SECONDS
+        | AND (a.ts < b.ts OR (a.ts = b.ts AND a.event_id < b.event_id))
+        |ORDER BY id_a, id_b""".stripMargin,
     "q_asof_click_purchase" ->
       """SELECT p.event_id, p.user_id, c.event_id AS click_id,
         |       epoch_us(CAST(p.ts AS TIMESTAMP)) - epoch_us(CAST(c.ts AS TIMESTAMP)) AS gap_us
