@@ -17,6 +17,9 @@ object SparkSpec {
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // keep saveAsTable output (BucketingSpec) out of the repo tree
+      .config("spark.sql.warehouse.dir",
+        System.getProperty("java.io.tmpdir") + "/graft_test_warehouse")
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
     s
