@@ -103,6 +103,47 @@ object Streaming {
       .outputMode(OutputMode.Update())
       .start()
 
+  /** Streaming dedup with BOUNDED state: duplicates arriving within the
+    * watermark horizon are dropped, and state for keys older than the
+    * horizon is evicted — the streaming twin of [[graft.operators.Dedup]]'s
+    * exact dedup, and the piece `dropDuplicates` alone gets wrong on an
+    * unbounded stream (its state grows forever).
+    */
+  def dedupWithinWatermark(
+      events: DataFrame,
+      keys: Seq[String],
+      tsCol: String = "ts",
+      delay: String = "10 minutes"): DataFrame =
+    events.withWatermark(tsCol, delay)
+      .dropDuplicatesWithinWatermark(keys.head, keys.tail: _*)
+
+  /** Stream-stream interval join: attribute each purchase to every click by
+    * the same user within `horizonMinutes` before it. Both sides carry
+    * watermarks and the join condition bounds event-time distance, so each
+    * side's buffered state is limited to the horizon — the canonical
+    * watermarked stream-stream join shape.
+    */
+  def clickAttribution(
+      clicks: DataFrame,
+      purchases: DataFrame,
+      horizonMinutes: Int = 30): DataFrame = {
+    val delay = s"$horizonMinutes minutes"
+    val c = clicks
+      .select(col("event_id").as("click_id"), col("user_id").as("c_user"),
+        col("ts").as("click_ts"))
+      .withWatermark("click_ts", delay)
+    val p = purchases
+      .select(col("event_id").as("purchase_id"), col("user_id").as("p_user"),
+        col("ts").as("purchase_ts"))
+      .withWatermark("purchase_ts", delay)
+    p.join(c,
+        col("p_user") === col("c_user") &&
+          col("click_ts") <= col("purchase_ts") &&
+          col("click_ts") >= col("purchase_ts") - expr(s"INTERVAL $horizonMinutes MINUTES"))
+      .select(col("purchase_id"), col("p_user").as("user_id"), col("click_id"),
+        (unix_micros(col("purchase_ts")) - unix_micros(col("click_ts"))).as("gap_us"))
+  }
+
   /** Session-window stats per user (native session_window operator): the
     * streaming twin of [[graft.operators.Relational.sessionize]] — state is
     * per-user session windows, closed and emitted once the watermark passes

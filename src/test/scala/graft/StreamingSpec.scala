@@ -132,4 +132,50 @@ class StreamingSpec extends SparkSpec {
       .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("n_events")))
     assert(out.toSeq == Seq((1L, 2L), (1L, 1L), (2L, 2L)))
   }
+
+  test("watermarked dedup drops cross-batch duplicates with bounded state") {
+    val sp = spark
+    import sp.implicits._
+    implicit val sqlCtx = sp.sqlContext
+    def ts(m: Int) = Timestamp.valueOf(f"2024-01-01 10:$m%02d:00")
+    val in = MemoryStream[(Long, Timestamp)]
+    val deduped = Streaming.dedupWithinWatermark(
+      in.toDF().toDF("id", "ts"), keys = Seq("id"), delay = "10 minutes")
+    val q = deduped.writeStream.format("memory").queryName("dedup_sink")
+      .outputMode("append").start()
+    try {
+      in.addData((1L, ts(0)), (2L, ts(1)), (1L, ts(2)))
+      q.processAllAvailable()
+      in.addData((1L, ts(3)), (3L, ts(4))) // 1 is a dup from the prior batch
+      q.processAllAvailable()
+      val ids = sp.table("dedup_sink").collect().map(_.getLong(0)).sorted.toSeq
+      assert(ids == Seq(1L, 2L, 3L))
+    } finally q.stop()
+  }
+
+  test("stream-stream interval join attributes purchases to recent clicks") {
+    val sp = spark
+    import sp.implicits._
+    implicit val sqlCtx = sp.sqlContext
+    def ts(m: Int) = Timestamp.valueOf(f"2024-01-01 10:$m%02d:00")
+    val clicks = MemoryStream[(Long, Long, Timestamp)]
+    val purchases = MemoryStream[(Long, Long, Timestamp)]
+    val joined = Streaming.clickAttribution(
+      clicks.toDF().toDF("event_id", "user_id", "ts"),
+      purchases.toDF().toDF("event_id", "user_id", "ts"),
+      horizonMinutes = 30)
+    val q = joined.writeStream.format("memory").queryName("attr_sink")
+      .outputMode("append").start()
+    try {
+      clicks.addData((100L, 1L, ts(0)), (101L, 2L, ts(5)), (102L, 1L, ts(50)))
+      purchases.addData((200L, 1L, ts(10)), (201L, 1L, ts(55)), (202L, 3L, ts(20)))
+      q.processAllAvailable()
+      val got = sp.table("attr_sink").collect()
+        .map(r => (r.getLong(0), r.getLong(2))).toSet
+      // purchase 200 (user 1 @10) ← click 100 (@0, within 30m)
+      // purchase 201 (user 1 @55) ← click 102 (@50) but NOT 100 (55m gap)
+      // purchase 202: user 3 never clicked
+      assert(got == Set((200L, 100L), (201L, 102L)))
+    } finally q.stop()
+  }
 }
