@@ -249,12 +249,13 @@ object SparkEntry {
         .filter(col("keep"))
         .select(col("id"), col("content_key"), col("group_size"))
         .orderBy("id")),
-    // exact n-gram Jaccard near-dup. Bitset strategy: this corpus is
-    // template-generated with a tiny dense shingle vocabulary — the regime
-    // where candidate pruning can't discriminate and the winning plan makes
-    // the per-pair kernel a fused AND+popcount (see Dedup.jaccardPairs[Bitset])
+    // exact n-gram Jaccard near-dup. Hashed-bitset strategy: dense tiny
+    // shingle vocabulary is the regime where candidate pruning can't
+    // discriminate, so the winning plan makes the per-pair kernel a fused
+    // AND+popcount over a FIXED hashed bit space (no driver vocabulary —
+    // the sound-upper-bound prefilter + exact verify keeps results exact)
     "q_dedup_jaccard" -> ((s, dir) =>
-      Dedup.jaccardPairsBitset(graft.sources.Testdata.table(s, dir, "documents"),
+      Dedup.jaccardPairsBitsetHashed(graft.sources.Testdata.table(s, dir, "documents"),
           col("doc_id"), col("text"), n = 2, tau = 0.5)
         .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
         .orderBy("id_a", "id_b")),
@@ -275,10 +276,12 @@ object SparkEntry {
         .orderBy("id_a", "id_b")),
     // duplicate clustering: connected components over the near-dup pairs —
     // min-label propagation (one join + one groupBy per round, lineage cut
-    // by localCheckpoint), canonical representative = min id per component
+    // by localCheckpoint), canonical representative = min id per component.
+    // Pairs come from the MinHash+LSH path (exact-verified, banding-complete
+    // at this tau) — the candidate generator that survives 100 TB.
     "q_dedup_clusters" -> ((s, dir) => {
       val docs = graft.sources.Testdata.table(s, dir, "documents")
-      val pairs = Dedup.jaccardPairsBitset(docs, col("doc_id"), col("text"), n = 2, tau = 0.5)
+      val pairs = Dedup.minhashLshPairs(docs, col("doc_id"), col("text"), n = 2, tau = 0.5)
         .select("id_a", "id_b")
       Dedup.connectedComponents(docs.select(col("doc_id").as("id")), pairs)
         .orderBy("id")

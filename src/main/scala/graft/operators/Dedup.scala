@@ -195,6 +195,73 @@ object Dedup {
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"), col("jaccard"))
   }
 
+  /** Vocabulary-free variant of [[jaccardPairsBitset]]: shingles hash into a
+    * fixed `bits`-wide space (fingerprint mod bits), so there is NO
+    * driver-collected dictionary — the piece of the exact-vocab strategy
+    * that cannot scale (a 100 TB corpus's shingle vocabulary neither fits in
+    * nor belongs on the driver).
+    *
+    * Soundness: for a pair (A, B) with per-doc collision losses
+    * `coll = |shingles| − popcount(mask)`, the hashed intersection obeys
+    * `|A∩B| ≤ popcount(mask_a AND mask_b) + min(coll_a, coll_b)` — losses
+    * within A∩B are bounded by losses within either superset. Filtering on
+    * the Jaccard upper bound built from that is therefore COMPLETE (no true
+    * pair is lost, at any bit width); the few surviving candidates are
+    * verified with the exact shingle intersection. Bit width only tunes how
+    * many false candidates reach the verify step.
+    */
+  def jaccardPairsBitsetHashed(
+      docs: DataFrame,
+      id: Column,
+      text: Column,
+      n: Int = 2,
+      tau: Double = 0.5,
+      bits: Int = 1024): DataFrame = {
+    require(bits % 64 == 0)
+    val nWords = bits / 64
+    val maskUdf = udf { ss: Seq[String] =>
+      val m = new Array[Long](nWords)
+      var setBits = 0
+      ss.foreach { s =>
+        val b = (graft.functions.PolyHashExpr.hash(s, 31L, FingerprintMod) % bits).toInt
+        val w = b >> 6
+        val bit = 1L << (b & 63)
+        if ((m(w) & bit) == 0L) { m(w) |= bit; setBits += 1 }
+      }
+      (m, setBits)
+    }
+    val t = docs.select(id.as("id"), shingles(text, n).as("sh"))
+      .withColumn("sz", size(col("sh")))
+      .filter(col("sz") > 0)
+      .withColumn("ms", maskUdf(col("sh")))
+      .select(col("id"), col("sh"), col("sz"),
+        col("ms._1").as("mask"), (col("sz") - col("ms._2")).as("coll"))
+    val interBits = org.apache.spark.sql.graft.Bridge.column(
+      graft.functions.PopcountAndExpr(
+        org.apache.spark.sql.graft.Bridge.expression(col("a.mask")),
+        org.apache.spark.sql.graft.Bridge.expression(col("b.mask"))))
+    val ub = interBits + least(col("a.coll"), col("b.coll"))
+    // J ≥ τ ⇔ inter ≥ τ/(1+τ)·(|A|+|B|); test the upper bound on the cheap
+    // popcount before the exact intersection ever runs
+    val candidate = ub * lit(1.0 + tau) >= lit(tau) * (col("a.sz") + col("b.sz"))
+    def exactInter = size(array_intersect(col("a.sh"), col("b.sh"))).cast("long")
+    def exactJaccard =
+      exactInter.cast("double") / (col("a.sz") + col("b.sz") - exactInter)
+    // The exact verify lives INSIDE the join condition, last: a post-join
+    // .filter would be pushed into the condition AHEAD of the prefilter by
+    // PushPredicateThroughJoin, making every pair pay the O(|sh|) intersect
+    // (measured 4× slower). And-chains short-circuit left to right, so this
+    // order guarantees the intersect only runs on prefilter survivors.
+    t.as("a").join(t.as("b"),
+        col("a.id") < col("b.id") &&
+          col("a.sz") >= lit(tau) * col("b.sz") &&
+          col("b.sz") >= lit(tau) * col("a.sz") &&
+          candidate &&
+          exactJaccard >= lit(tau))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        exactJaccard.as("jaccard"))
+  }
+
   // ---------------------------------------------------------- MinHash + LSH
 
   val HashP: Long = FingerprintMod // 1e9+7; coefficients and values < P, products fit a Long
@@ -359,7 +426,12 @@ object Dedup {
       .union(pairs.select(col("id_b").as("s"), col("id_a").as("d")))
       .persist()
     try {
-      var labels = ids.select(col("id"), col("id").as("comp")).localCheckpoint()
+      // Only nodes that appear in a pair can ever change label, so the
+      // propagation loop runs on the edge-participating vertex set alone —
+      // typically a small fraction of the corpus (dup clusters are rare) —
+      // and the full id table joins back once at the end.
+      var labels = edges.select(col("s").as("id")).distinct()
+        .select(col("id"), col("id").as("comp")).localCheckpoint()
       var prevSum = Option.empty[Long]
       var it = 0
       var converged = false
@@ -375,8 +447,10 @@ object Dedup {
         it += 1
       }
       require(converged, s"connectedComponents did not converge in $maxIters rounds")
-      labels.select(col("id"), col("comp").as("cluster_id"),
-        (col("id") === col("comp")).as("keep"))
+      ids.select(col("id"))
+        .join(labels, Seq("id"), "left")
+        .select(col("id"), coalesce(col("comp"), col("id")).as("cluster_id"))
+        .withColumn("keep", col("id") === col("cluster_id"))
     } finally edges.unpersist()
   }
 }

@@ -63,6 +63,12 @@ class DedupSpec extends SparkSpec {
     val p = run(true)
     assert(p == run(false))
     assert(p == canon(Dedup.jaccardPairsBitset(docs, col("doc_id"), col("text"), n = 2, tau = 0.5)))
+    assert(p == canon(Dedup.jaccardPairsBitsetHashed(docs, col("doc_id"), col("text"), n = 2, tau = 0.5)))
+    // the hashed prefilter is complete at ANY bit width (collision losses
+    // are bounded per pair) — 64 bits forces heavy collisions yet the
+    // exact-verify output must not change
+    assert(p == canon(Dedup.jaccardPairsBitsetHashed(docs, col("doc_id"), col("text"),
+      n = 2, tau = 0.5, bits = 64)))
     assert(p.nonEmpty, "testdata contains planted near-dups")
   }
 
