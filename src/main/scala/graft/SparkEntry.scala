@@ -442,6 +442,16 @@ object SparkEntry {
           queryTerms = Seq("table", "join", "query", "scan", "fast"), k = 10)
         .withColumn("score", round(col("score"), 6))
         .orderBy(desc("score"), asc("id"))),
+    // binary (1-bit) quantization: 64 dims in one BIGINT, XOR+popcount
+    // Hamming prefilter over all rows, exact cosine rerank of the best 50
+    "q_knn_binary" -> ((s, dir) => {
+      val b = Quantized.binarize(s.read.parquet(s"$dir/embeddings.parquet"),
+        col("embedding"), dim = 64)
+      Quantized.binarySearch(b, col("vec_id").cast("string"), col("embedding"),
+          queryVec(s, dir), k = 10, rerank = 50)
+        .withColumn("score", round(col("score"), 6))
+        .orderBy(desc("score"), asc("id"))
+    }),
     // batch k-NN: top-5 per query for 3 query vectors in one corpus scan
     "q_knn_batch" -> ((s, dir) => {
       val store = VectorStore.fromEmbeddingsTable(s, dir)
@@ -628,6 +638,30 @@ object SparkEntry {
         |SELECT user_id, session_idx, count(*) AS n_events, max(us) - min(us) AS duration_us
         |FROM x GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "q_text_bm25" -> bm25Oracle,
+    // Binary-quantized search oracle: replicate the sign packing (bit j =
+    // embedding[j] ≥ 0), Hamming-rank all rows with the string-id tiebreak
+    // the Spark plan uses, keep 50, exact cosine top-10.
+    "q_knn_binary" ->
+      """WITH b AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ev,
+        |    CAST(list_sum(list_transform(range(0, 64), j ->
+        |      CASE WHEN embedding[CAST(j+1 AS INT)] >= 0
+        |           THEN (CASE WHEN j = 63 THEN CAST(-9223372036854775807 - 1 AS BIGINT)
+        |                 ELSE (CAST(1 AS BIGINT) << CAST(j AS BIGINT)) END)
+        |           ELSE CAST(0 AS BIGINT) END)) AS BIGINT) AS bcode
+        |  FROM embeddings
+        |), q AS (SELECT ev AS qv, bcode AS qb FROM b WHERE vec_id = 0),
+        |cand AS (
+        |  SELECT b.vec_id, b.ev FROM b, q
+        |  ORDER BY bit_count(xor(b.bcode, q.qb)) ASC, CAST(b.vec_id AS VARCHAR) ASC
+        |  LIMIT 50
+        |)
+        |SELECT id, round(score, 6) AS score FROM (
+        |  SELECT CAST(c.vec_id AS VARCHAR) AS id,
+        |         list_cosine_similarity(c.ev, q.qv) AS score
+        |  FROM cand c, q
+        |  ORDER BY score DESC, id ASC LIMIT 10
+        |) ORDER BY score DESC, id ASC""".stripMargin,
     "q_knn_batch" ->
       """SELECT query_id, CAST(rank AS INT) AS rank, id, round(score, 6) AS score FROM (
         |  SELECT q.vec_id AS query_id, CAST(e.vec_id AS VARCHAR) AS id,

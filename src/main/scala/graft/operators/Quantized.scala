@@ -62,4 +62,50 @@ object Quantized {
       .orderBy(desc("score"), asc("id"))
       .limit(k)
   }
+
+  // ------------------------------------------------------- binary (1-bit)
+
+  /** Binary (sign-bit) quantization: dimension j contributes bit j, set iff
+    * `v_j ≥ 0` — 64 dims pack into ONE BIGINT (64× narrower than float32).
+    * At scan-is-the-query scale this is the cheapest possible prefilter
+    * representation: candidate ranking is a single XOR + popcount per row.
+    * Supports dim ≤ 64 (one word); wider vectors take an ARRAY<BIGINT> of
+    * words — same construction per 64-dim slice.
+    */
+  def binarize(df: DataFrame, vec: Column, dim: Int): DataFrame = {
+    require(dim >= 1 && dim <= 64, s"one-word binarization needs dim ≤ 64, got $dim")
+    val code = (0 until dim).map { j =>
+      when(element_at(vec, j + 1) >= 0, lit(1L << j)).otherwise(lit(0L))
+    }.reduce(_ + _)
+    df.withColumn("bcode", code)
+  }
+
+  /** Driver-side sign packing of the query (same bit order). */
+  def binarizeVec(v: Seq[Float]): Long =
+    v.zipWithIndex.map { case (x, j) => if (x >= 0) 1L << j else 0L }.sum
+
+  /** Two-stage binary search: rank ALL rows by Hamming distance of the
+    * 1-bit codes (ascending, id tiebreak), keep the best `rerank`
+    * candidates, then exact cosine top-k on those only. The coarse pass
+    * reads 8 bytes per row instead of the float array — the rerank budget
+    * is the recall dial.
+    */
+  def binarySearch(
+      binarized: DataFrame,
+      id: Column,
+      vec: Column,
+      query: Seq[Float],
+      k: Int = 5,
+      rerank: Int = 50): DataFrame = {
+    val qCode = binarizeVec(query)
+    binarized
+      .withColumn("hamming", bit_count(col("bcode").bitwiseXOR(lit(qCode))))
+      .withColumn("id", id)
+      .orderBy(asc("hamming"), asc("id"))
+      .limit(rerank)
+      .withColumn("score", VF.cosine(vec, typedLit(query)))
+      .select(col("id"), col("score"))
+      .orderBy(desc("score"), asc("id"))
+      .limit(k)
+  }
 }

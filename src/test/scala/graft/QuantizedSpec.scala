@@ -66,4 +66,37 @@ class QuantizedSpec extends SparkSpec {
     assert(top.head.getString(0) == "7")
     assert(math.abs(top.head.getDouble(1) - 1.0) < 1e-6)
   }
+
+  test("binarize packs sign bits little-endian; driver packing matches") {
+    import testImplicits._
+    val v = Seq(1.0f, -2.0f, 0.0f, -0.5f) // bits 0,2 set (0 counts as +)
+    val df = Seq((1L, v)).toDF("id", "emb")
+    val code = Quantized.binarize(df, col("emb"), dim = 4)
+      .select("bcode").head().getLong(0)
+    assert(code == 5L)
+    assert(Quantized.binarizeVec(v) == 5L)
+  }
+
+  test("binary search with full rerank budget equals exact search") {
+    val embs = spark.read.parquet(s"$dir/embeddings.parquet")
+    val n = embs.count().toInt
+    val query = VectorStore.fromEmbeddingsTable(spark, dir).getVector("0").toSeq
+    val b = Quantized.binarize(embs, col("embedding"), dim = 64)
+    val binary = Quantized.binarySearch(b, col("vec_id").cast("string"),
+        col("embedding"), query, k = 5, rerank = n)
+      .collect().map(_.getString(0)).toSeq
+    val exact = Search.findMostSimilar(
+        VectorStore.fromEmbeddingsTable(spark, dir), query, k = 5)
+      .collect().map(_.getString(0)).toSeq
+    assert(binary == exact)
+  }
+
+  test("binary prefilter keeps the query's own vector at hamming 0") {
+    val embs = spark.read.parquet(s"$dir/embeddings.parquet")
+    val query = VectorStore.fromEmbeddingsTable(spark, dir).getVector("0").toSeq
+    val b = Quantized.binarize(embs, col("embedding"), dim = 64)
+      .withColumn("hamming",
+        bit_count(col("bcode").bitwiseXOR(lit(Quantized.binarizeVec(query)))))
+    assert(b.filter(col("vec_id") === 0L).select("hamming").head().getInt(0) == 0)
+  }
 }
