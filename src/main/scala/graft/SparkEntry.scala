@@ -364,6 +364,37 @@ object SparkEntry {
           graft.sources.Testdata.table(s, dir, "nation"),
           graft.sources.Testdata.table(s, dir, "region"))
         .orderBy(asc_nulls_first("r_name"), asc_nulls_first("ship_year"))),
+    // cube: all four grouping combinations in one aggregation pass
+    "q_rel_cube" -> ((s, dir) =>
+      Relational.regionRevenueCube(
+          graft.sources.Testdata.lineitem(s, dir),
+          graft.sources.Testdata.orders(s, dir),
+          graft.sources.Testdata.table(s, dir, "customer"),
+          graft.sources.Testdata.table(s, dir, "nation"),
+          graft.sources.Testdata.table(s, dir, "region"))
+        .orderBy(asc_nulls_first("r_name"), asc_nulls_first("ship_year"))),
+    // pivot with an explicit value list (no discovery scan, fixed schema)
+    "q_rel_pivot" -> ((s, dir) =>
+      Relational.revenuePivotByYear(
+          graft.sources.Testdata.lineitem(s, dir),
+          graft.sources.Testdata.orders(s, dir),
+          graft.sources.Testdata.table(s, dir, "customer"),
+          graft.sources.Testdata.table(s, dir, "nation"),
+          years = 1995 to 2001)
+        .orderBy("n_name")),
+    // window-function family: row_number / ntile / percent_rank / cume_dist
+    // / lag-gap in one per-customer pass
+    "q_rel_window_ranks" -> ((s, dir) =>
+      Relational.customerOrderRanks(graft.sources.Testdata.orders(s, dir))
+        .orderBy("o_custkey", "rn")),
+    // set operations with SQL INTERSECT/EXCEPT distinct semantics
+    "q_rel_setops" -> ((s, dir) => {
+      val ord = graft.sources.Testdata.orders(s, dir)
+      def buyers(y: Int) =
+        ord.filter(year(col("o_orderdate")) === y).select(col("o_custkey"))
+      buyers(1995).intersect(buyers(1996)).except(buyers(1997))
+        .orderBy("o_custkey")
+    }),
     // distinct + percentile aggregates per market segment (count-distinct
     // expands to a two-phase agg; median is the exact interpolated one)
     "q_rel_segment_stats" -> ((s, dir) => {
@@ -599,6 +630,49 @@ object SparkEntry {
         |JOIN region ON n_regionkey = r_regionkey
         |GROUP BY ROLLUP (r_name, ship_year)
         |ORDER BY r_name NULLS FIRST, ship_year NULLS FIRST""".stripMargin,
+    "q_rel_cube" ->
+      """SELECT r_name, CAST(year(l_shipdate) AS INT) AS ship_year,
+        |  round(CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE), 6) AS revenue,
+        |  count(*) AS n_items
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY CUBE (r_name, ship_year)
+        |ORDER BY r_name NULLS FIRST, ship_year NULLS FIRST""".stripMargin,
+    "q_rel_pivot" -> {
+      val cols = (1995 to 2001).map(y =>
+        s"round(CAST(sum(CASE WHEN year(l_shipdate) = $y THEN CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6)) END) AS DOUBLE), 6) AS y$y")
+        .mkString(",\n        |  ")
+      s"""SELECT n_name,
+        |  $cols
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |GROUP BY n_name ORDER BY n_name""".stripMargin
+    },
+    "q_rel_window_ranks" ->
+      """SELECT o_orderkey, o_custkey,
+        |  CAST(row_number() OVER w AS INT) AS rn,
+        |  CAST(ntile(4) OVER w AS INT) AS nt,
+        |  round(percent_rank() OVER w, 6) AS pr,
+        |  round(cume_dist() OVER w, 6) AS cd,
+        |  CAST(date_diff('day',
+        |    CAST(lag(o_orderdate, 1) OVER w AS DATE),
+        |    CAST(o_orderdate AS DATE)) AS INT) AS gap_days
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+        |ORDER BY o_custkey, rn""".stripMargin,
+    "q_rel_setops" ->
+      """SELECT o_custkey FROM (
+        |  (SELECT o_custkey FROM orders WHERE year(CAST(o_orderdate AS TIMESTAMP)) = 1995
+        |   INTERSECT
+        |   SELECT o_custkey FROM orders WHERE year(CAST(o_orderdate AS TIMESTAMP)) = 1996)
+        |  EXCEPT
+        |  SELECT o_custkey FROM orders WHERE year(CAST(o_orderdate AS TIMESTAMP)) = 1997
+        |) ORDER BY o_custkey""".stripMargin,
     "q_rel_segment_stats" ->
       """SELECT c_mktsegment,
         |  count(DISTINCT o_custkey) AS n_buyers,

@@ -132,6 +132,83 @@ object Relational {
         |""".stripMargin)
   }
 
+  /** CUBE of region revenue: all four grouping combinations (region×year,
+    * region, year, grand total) in ONE aggregation pass — Spark expands the
+    * grouping sets map-side, so the fact table is still read and shuffled
+    * once. Same SQL surface as [[regionRevenueRollup]] (Column-API
+    * cube/rollup over a multi-join lineage trips ambiguous-self-join
+    * analysis).
+    */
+  def regionRevenueCube(
+      lineitem: DataFrame,
+      orders: DataFrame,
+      customer: DataFrame,
+      nation: DataFrame,
+      region: DataFrame): DataFrame = {
+    lineitem.createOrReplaceTempView("graft_cube_li")
+    orders.createOrReplaceTempView("graft_cube_ord")
+    customer.createOrReplaceTempView("graft_cube_cust")
+    nation.createOrReplaceTempView("graft_cube_nat")
+    region.createOrReplaceTempView("graft_cube_reg")
+    lineitem.sparkSession.sql(
+      """SELECT /*+ BROADCAST(c), BROADCAST(n), BROADCAST(r) */
+        |  r_name, CAST(year(l_shipdate) AS INT) AS ship_year,
+        |  round(CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,6))) AS DOUBLE), 6) AS revenue,
+        |  count(*) AS n_items
+        |FROM graft_cube_li l
+        |JOIN graft_cube_ord o ON l.l_orderkey = o.o_orderkey
+        |JOIN graft_cube_cust c ON o.o_custkey = c.c_custkey
+        |JOIN graft_cube_nat n ON c.c_nationkey = n.n_nationkey
+        |JOIN graft_cube_reg r ON n.n_regionkey = r.r_regionkey
+        |GROUP BY CUBE (r_name, CAST(year(l_shipdate) AS INT))
+        |""".stripMargin)
+  }
+
+  /** Pivot: nation rows × ship-year revenue columns. The pivot value list
+    * is EXPLICIT — with it Spark skips the extra values-discovery job and
+    * the output schema is deterministic (a correctness requirement here,
+    * and the scalable form: value discovery over 100 TB is a full extra
+    * scan).
+    */
+  def revenuePivotByYear(
+      lineitem: DataFrame,
+      orders: DataFrame,
+      customer: DataFrame,
+      nation: DataFrame,
+      years: Seq[Int]): DataFrame = {
+    val dec = org.apache.spark.sql.types.DataTypes.createDecimalType(18, 6)
+    val joined = lineitem
+      .join(orders, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(customer), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(nation), col("c_nationkey") === col("n_nationkey"))
+      .select(col("n_name"),
+        year(col("l_shipdate")).as("ship_year"),
+        (col("l_extendedprice") * (lit(1.0) - col("l_discount"))).cast(dec).as("rev"))
+    joined
+      .groupBy("n_name")
+      .pivot("ship_year", years.map(Integer.valueOf))
+      .agg(round(sum(col("rev")).cast("double"), 6))
+      .select(col("n_name") +: years.map(y => col(s"`$y`").as(s"y$y")): _*)
+  }
+
+  /** Ranking-function sampler: per-customer order sequence with the full
+    * rank family (row_number, ntile, percent_rank, cume_dist) plus the
+    * inter-order gap — one shuffle on the partition key, everything else
+    * is per-partition sorted evaluation.
+    */
+  def customerOrderRanks(orders: DataFrame, buckets: Int = 4): DataFrame = {
+    val w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    orders.select(
+        col("o_orderkey"), col("o_custkey"),
+        col("o_orderdate"),
+        row_number().over(w).as("rn"),
+        ntile(buckets).over(w).as("nt"),
+        round(percent_rank().over(w), 6).as("pr"),
+        round(cume_dist().over(w), 6).as("cd"),
+        datediff(col("o_orderdate"), lag(col("o_orderdate"), 1).over(w)).as("gap_days"))
+      .drop("o_orderdate")
+  }
+
   /** Two-phase (salted) aggregation for skewed keys: pre-aggregate on
     * (key, spark_partition_id) — each task combines its own rows for a hot
     * key before anything shuffles — then final-aggregate on the key alone.
