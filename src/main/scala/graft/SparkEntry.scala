@@ -364,6 +364,22 @@ object SparkEntry {
           graft.sources.Testdata.table(s, dir, "nation"),
           graft.sources.Testdata.table(s, dir, "region"))
         .orderBy(asc_nulls_first("r_name"), asc_nulls_first("ship_year"))),
+    // salted fact⋈dim join: hot join keys spread across 8 reducers via a
+    // deterministic per-row salt; result is salt-invariant (oracle = the
+    // plain join)
+    "q_rel_salted_join" -> ((s, dir) =>
+      Relational.saltedJoin(
+          graft.sources.Testdata.lineitem(s, dir),
+          graft.sources.Testdata.orders(s, dir),
+          factKey = "l_orderkey", otherKey = "o_orderkey",
+          saltBy = col("l_linenumber"), salts = 8)
+        .groupBy("o_orderpriority")
+        .agg(
+          round(sum(col("l_quantity")
+            .cast(org.apache.spark.sql.types.DataTypes.createDecimalType(18, 6)))
+            .cast("double"), 6).as("sum_qty"),
+          count(lit(1)).as("n_items"))
+        .orderBy("o_orderpriority")),
     // cube: all four grouping combinations in one aggregation pass
     "q_rel_cube" -> ((s, dir) =>
       Relational.regionRevenueCube(
@@ -630,6 +646,12 @@ object SparkEntry {
         |JOIN region ON n_regionkey = r_regionkey
         |GROUP BY ROLLUP (r_name, ship_year)
         |ORDER BY r_name NULLS FIRST, ship_year NULLS FIRST""".stripMargin,
+    "q_rel_salted_join" ->
+      """SELECT o_orderpriority,
+        |  round(CAST(sum(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE), 6) AS sum_qty,
+        |  count(*) AS n_items
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_rel_cube" ->
       """SELECT r_name, CAST(year(l_shipdate) AS INT) AS ship_year,
         |  round(CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE), 6) AS revenue,

@@ -209,6 +209,34 @@ object Relational {
       .drop("o_orderdate")
   }
 
+  /** Salted equi-join for skewed keys: the fact side gets a deterministic
+    * per-row salt in [0, salts), the other side is replicated once per salt
+    * value, and the join runs on (key, salt) — a hot key's rows land on
+    * `salts` reducers instead of one. This is the manual remedy when the
+    * skewed side cannot broadcast and AQE skew splitting doesn't reach the
+    * join (e.g. required child distributions pin the exchange). Result is
+    * identical to the plain join for any salt source; `saltBy` just needs
+    * rough uniformity within each hot key (a line number, a hash of the
+    * payload).
+    */
+  def saltedJoin(
+      fact: DataFrame,
+      other: DataFrame,
+      factKey: String,
+      otherKey: String,
+      saltBy: Column,
+      salts: Int = 8): DataFrame = {
+    require(salts >= 1)
+    val saltedFact = fact.withColumn("_salt_f", pmod(hash(saltBy), lit(salts)))
+    val expanded = other.withColumn("_salt_o",
+      explode(array((0 until salts).map(lit(_)): _*)))
+    saltedFact
+      .join(expanded,
+        saltedFact(factKey) === expanded(otherKey) &&
+          col("_salt_f") === col("_salt_o"))
+      .drop("_salt_f", "_salt_o")
+  }
+
   /** Two-phase (salted) aggregation for skewed keys: pre-aggregate on
     * (key, spark_partition_id) — each task combines its own rows for a hot
     * key before anything shuffles — then final-aggregate on the key alone.

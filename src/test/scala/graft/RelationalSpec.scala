@@ -71,6 +71,40 @@ class RelationalSpec extends SparkSpec {
     assert(salted.toSeq == direct.toSeq)
   }
 
+  test("saltedJoin: identical rows to the plain join, salt in the join keys") {
+    import org.apache.spark.sql.functions._
+    val li = Testdata.lineitem(spark, dir)
+    val ord = Testdata.orders(spark, dir)
+    val salted = Relational.saltedJoin(li, ord, "l_orderkey", "o_orderkey",
+      saltBy = col("l_linenumber"), salts = 4)
+    val plain = li.join(ord, col("l_orderkey") === col("o_orderkey"))
+    assert(salted.count() == plain.count())
+    val s = salted.groupBy("o_orderpriority").count().orderBy("o_orderpriority")
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    val p = plain.groupBy("o_orderpriority").count().orderBy("o_orderpriority")
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(s == p)
+    // the exchange hashes on (key, salt) — the skew-spreading contract
+    val plan = salted.queryExecution.executedPlan.toString
+    assert(plan.contains("_salt_f") && plan.contains("_salt_o"),
+      s"salt must be part of the join keys:\n$plan")
+  }
+
+  test("approx sketches: HLL distinct and quantile land within their bounds") {
+    import org.apache.spark.sql.functions._
+    val ord = Testdata.orders(spark, dir)
+    val exactD = ord.select(countDistinct(col("o_custkey"))).head().getLong(0)
+    val approxD = ord.select(approx_count_distinct(col("o_custkey"), rsd = 0.02))
+      .head().getLong(0)
+    assert(math.abs(approxD - exactD).toDouble / exactD < 0.06,
+      s"HLL estimate $approxD too far from exact $exactD")
+    val exactM = ord.select(median(col("o_totalprice").cast("double")))
+      .head().getDouble(0)
+    val approxM = ord.stat.approxQuantile("o_totalprice", Array(0.5), 0.01).head
+    assert(math.abs(approxM - exactM) / exactM < 0.05,
+      s"approx median $approxM too far from exact $exactM")
+  }
+
   test("sessionize: every event lands in exactly one session; gaps split") {
     val ev = Testdata.events(spark, dir)
     val sessions = Relational.sessionize(ev, gapMinutes = 30).collect()
