@@ -1,0 +1,127 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Scale smoke: replicate the sf tables N× in-memory and time the headline
+  * operators, verifying the plan shapes hold away from the tiny test SF
+  * (wall-clock should grow ~linearly for the linear-shuffle operators; the
+  * pair operators are bounded by their banding/prefilters).
+  *
+  * Replication re-keys ids as `id · N + replica` — computed columns get
+  * FRESH names and are renamed at the end, with a distinct-count assertion,
+  * because by-name resolution after a join can silently bind to the hidden
+  * original attribute (burned once in round 1).
+  *
+  * Run: `sbt "runMain graft.ScaleSmoke [mult] [sfDir]"` (defaults 20,
+  * sf0.01). Output is one `| op | rows | sec |` markdown row per operator
+  * (captured into SCALE_SMOKE.md).
+  */
+object ScaleSmoke {
+  def main(args: Array[String]): Unit = {
+    val mult = args.headOption.map(_.toInt).getOrElse(20)
+    val sfDir = if (args.length > 1) args(1) else "/root/testdata/sf0.01"
+    val cpus = math.max(4, Runtime.getRuntime.availableProcessors())
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    val reps = spark.range(mult).select(col("id").as("_rep"))
+
+    def replicate(df: DataFrame, idCols: Seq[String], tsShiftCol: Option[String]): DataFrame = {
+      val crossed = df.crossJoin(broadcast(reps))
+      val rekeyed = idCols.foldLeft(crossed) { (d, c) =>
+        d.withColumn(s"__new_$c", col(c) * mult + col("_rep"))
+      }
+      val shifted = tsShiftCol match {
+        case Some(ts) => rekeyed.withColumn(ts, col(ts) + expr("make_interval(0,0,0,0,0,0,_rep)"))
+        case None => rekeyed
+      }
+      val renamed = idCols.foldLeft(shifted) { (d, c) =>
+        d.drop(c).withColumnRenamed(s"__new_$c", c)
+      }
+      renamed.drop("_rep")
+    }
+
+    def time(name: String)(body: => Long): Unit = {
+      val t0 = System.nanoTime()
+      val rows = body
+      println(f"| $name | $rows | ${(System.nanoTime() - t0) / 1e9}%.2f |")
+    }
+
+    println(s"# Scale smoke x$mult over $sfDir (local[$cpus])\n")
+    println("| op | rows | sec |\n|---|---|---|")
+
+    // ---- events-family (linear shuffle ops) -----------------------------
+    val ev0 = graft.sources.Testdata.events(spark, sfDir)
+    val ev = replicate(ev0, Seq("event_id", "user_id"), Some("ts"))
+      .localCheckpoint()
+    val base = ev0.count()
+    require(ev.select("event_id").distinct().count() == base * mult,
+      "replication must produce unique event ids")
+
+    time("asof join (purchases<-clicks)") {
+      val p = ev.filter(col("event_type") === "purchase").select("event_id", "user_id", "ts")
+      val c = ev.filter(col("event_type") === "click")
+        .select(col("event_id").as("click_id"), col("user_id"), col("ts"))
+      graft.operators.AsofJoin.backward(p, c, "user_id", "ts", "ts", "click_id").count()
+    }
+    time("banded range join (300s)") {
+      val e = ev.select("event_id", "user_id", "ts")
+      graft.operators.RangeJoin.within(e, e, "user_id", "ts", "ts", 300).count()
+    }
+    time("sessionize") {
+      graft.operators.Relational.sessionize(ev, gapMinutes = 30).count()
+    }
+
+    // ---- documents-family (pair ops under mass duplication) -------------
+    val docs0 = graft.sources.Testdata.table(spark, sfDir, "documents")
+    val docs = replicate(docs0, Seq("doc_id"), None).localCheckpoint()
+
+    time("exact dedup") {
+      graft.operators.Dedup.exactDedup(docs, col("doc_id"), col("text"))
+        .filter(col("keep")).count()
+    }
+    time("minhash LSH pairs (on representatives)") {
+      // mass duplication collapses bands — dedup first, as documented
+      val rep = graft.operators.Dedup.exactDedup(docs, col("doc_id"), col("text"))
+        .filter(col("keep")).select(col("id").as("doc_id"))
+        .join(docs, "doc_id")
+      graft.operators.Dedup.minhashLshPairs(rep, col("doc_id"), col("text"), 2, 0.5).count()
+    }
+    time("bm25 top-10") {
+      graft.operators.Bm25.rank(docs, col("doc_id"), col("text"),
+        Seq("table", "join", "query", "scan", "fast"), k = 10).count()
+    }
+
+    // ---- embeddings-family ----------------------------------------------
+    val emb0 = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val emb = replicate(emb0, Seq("vec_id"), None).localCheckpoint()
+    val query = graft.sources.VectorStore.fromEmbeddingsTable(spark, sfDir)
+      .getVector("0").toSeq
+
+    time("exact knn (scan+score top-10)") {
+      val st = graft.sources.VectorStore(
+        graft.sources.VectorStore.ingest(emb, col("vec_id").cast("string"),
+          col("embedding"), lit("{}")))
+      graft.operators.Search.findMostSimilar(st, query, k = 10).count()
+    }
+    time("ivf search (nprobe 4/16)") {
+      val cents = graft.operators.IvfSearch.centroidsFromIds(
+        emb, col("vec_id"), col("embedding"), c = 16)
+      val idx = graft.operators.IvfSearch.index(emb, col("embedding"), cents)
+      graft.operators.IvfSearch.search(idx, col("vec_id").cast("string"),
+        col("embedding"), query, cents, k = 10, nprobe = 4).count()
+    }
+    time("binary hamming prefilter + rerank") {
+      val b = graft.operators.Quantized.binarize(emb, col("embedding"), dim = 64)
+      graft.operators.Quantized.binarySearch(b, col("vec_id").cast("string"),
+        col("embedding"), query, k = 10, rerank = 50).count()
+    }
+
+    spark.stop()
+  }
+}
