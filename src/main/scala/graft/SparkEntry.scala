@@ -242,6 +242,25 @@ object SparkEntry {
       graft.sources.Testdata.table(s, dir, "documents")
         .select(col("doc_id"), TextAnalysis.fingerprint(col("text")).as("fingerprint"))
         .orderBy("doc_id")),
+    // Curation: overlapping token-window chunking (no shuffle — stays in
+    // the scan stage)
+    "q_curate_chunks" -> ((s, dir) =>
+      Curation.chunkTokens(graft.sources.Testdata.table(s, dir, "documents"),
+          col("doc_id"), col("text"), size = 64, stride = 48)
+        .orderBy("id", "chunk_idx")),
+    // Curation: deterministic train/val/test split by id arithmetic
+    "q_curate_split" -> ((s, dir) =>
+      Curation.hashSplit(graft.sources.Testdata.table(s, dir, "documents"), col("doc_id"))
+        .groupBy("split")
+        .agg(count(lit(1)).as("n_docs"), sum(col("doc_id")).as("sum_ids"))
+        .orderBy("split")),
+    // Curation: shard-local sequence packing into ~512-token bins
+    "q_curate_pack" -> ((s, dir) => {
+      val docs = graft.sources.Testdata.table(s, dir, "documents")
+      Curation.packBins(docs, col("doc_id"),
+          TextAnalysis.wsTokenCount(col("text")), budgetTokens = 512, shardDocs = 250)
+        .orderBy("id")
+    }),
     // Dedup family (beyond-reference): exact content dedup via hash-groupBy
     "q_dedup_exact" -> ((s, dir) =>
       Dedup.exactDedup(graft.sources.Testdata.table(s, dir, "documents"),
@@ -838,6 +857,40 @@ object SparkEntry {
         |     unnest(range(least(CAST(ceil(length(text) / 100.0) AS BIGINT), 4))) AS t(frame_idx)
         |WHERE length(text) > 0
         |ORDER BY doc_id, frame_idx""".stripMargin,
+    "q_curate_chunks" ->
+      """WITH t AS (
+        |  SELECT doc_id AS id, string_split_regex(text, '\s+') AS toks FROM documents
+        |), n AS (
+        |  SELECT id, toks, len(toks) AS n FROM t WHERE len(toks) > 0
+        |)
+        |SELECT id, CAST(k AS INT) AS chunk_idx,
+        |  array_to_string(list_slice(toks, k*48 + 1, k*48 + 64), ' ') AS chunk_text,
+        |  CAST(least(64, n - k*48) AS INT) AS n_tokens
+        |FROM n, unnest(range(0,
+        |  CAST(ceil(CAST(greatest(n - 64, 0) AS DOUBLE) / 48) AS BIGINT) + 1)) AS u(k)
+        |ORDER BY id, chunk_idx""".stripMargin,
+    "q_curate_split" ->
+      """SELECT CASE WHEN ((doc_id % 1000003) * 97 + 13) % 1000 < 800 THEN 'train'
+        |            WHEN ((doc_id % 1000003) * 97 + 13) % 1000 < 900 THEN 'val'
+        |            ELSE 'test' END AS split,
+        |  count(*) AS n_docs, CAST(sum(doc_id) AS BIGINT) AS sum_ids
+        |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_curate_pack" ->
+      """WITH t AS (
+        |  SELECT doc_id AS id,
+        |    CAST(len(string_split_regex(text, '\s+')) AS BIGINT) AS n_tokens,
+        |    CAST((doc_id - doc_id % 250) / 250 AS BIGINT) AS shard
+        |  FROM documents
+        |), c AS (
+        |  SELECT id, shard, n_tokens,
+        |    sum(n_tokens) OVER (PARTITION BY shard ORDER BY id
+        |                        ROWS UNBOUNDED PRECEDING) AS cum
+        |  FROM t
+        |)
+        |SELECT id, shard,
+        |  CAST(((cum - n_tokens) - (cum - n_tokens) % 512) / 512 AS BIGINT) AS bin,
+        |  n_tokens
+        |FROM c ORDER BY id""".stripMargin,
     "q_dedup_exact" ->
       """SELECT doc_id AS id, md5(text) AS content_key,
         |       count(*) OVER (PARTITION BY md5(text)) AS group_size

@@ -1,0 +1,86 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Training-data curation operators — the chunk/split/pack stage between a
+  * cleaned corpus and an LLM training run (beyond-reference; the reference
+  * stores and searches vectors but never prepares text for training).
+  *
+  * All three are deterministic integer/string algebra — no randomness, no
+  * UDFs — so they are exactly reproducible across engines (each driver
+  * query has a DuckDB oracle) and across reruns at any parallelism.
+  */
+object Curation {
+
+  /** Overlapping token-window chunking: whitespace tokens in windows of
+    * `size`, step `stride` (stride < size ⇒ overlap). Chunk k covers tokens
+    * [k·stride, k·stride + size); the last window may be short; empty docs
+    * produce no chunks. One generate (explode) per row — no shuffle at all:
+    * chunking is embarrassingly parallel and stays inside the scan stage.
+    */
+  def chunkTokens(docs: DataFrame, id: Column, text: Column, size: Int, stride: Int): DataFrame = {
+    require(size >= 1 && stride >= 1 && stride <= size)
+    docs
+      .select(id.as("id"), split(text, "\\s+").as("toks"))
+      .withColumn("n", size_(col("toks")))
+      .filter(col("n") > 0)
+      .withColumn("chunk_idx",
+        explode(sequence(lit(0),
+          ceil((greatest(col("n") - size, lit(0))).cast("double") / stride).cast("int"))))
+      .select(col("id"), col("chunk_idx"),
+        array_join(slice(col("toks"), col("chunk_idx") * stride + 1, lit(size)), " ")
+          .as("chunk_text"),
+        least(lit(size), col("n") - col("chunk_idx") * stride).as("n_tokens"))
+  }
+  // functions.size clashes with the chunk-size param name
+  private def size_(c: Column): Column = org.apache.spark.sql.functions.size(c)
+
+  /** Deterministic train/val/test assignment by id arithmetic (the
+    * hash-split pattern: membership is a pure function of the id, so
+    * re-runs, backfills, and other engines agree). Buckets 0..999:
+    * `((id mod 1000003) · 97 + 13) mod 1000` — coefficients bounded so the
+    * product stays far from 64-bit overflow (overflow is wraparound in the
+    * JVM but a hard error in checked-arithmetic engines).
+    */
+  def hashSplit(
+      df: DataFrame,
+      id: Column,
+      trainPerMille: Int = 800,
+      valPerMille: Int = 100): DataFrame = {
+    val bucket = pmod(pmod(id.cast("long"), lit(1000003L)) * 97L + 13L, lit(1000L))
+    df.withColumn("split",
+      when(bucket < trainPerMille, "train")
+        .when(bucket < trainPerMille + valPerMille, "val")
+        .otherwise("test"))
+  }
+
+  /** Sequence packing: group consecutive docs (in id order, within a
+    * shard) into bins of ~`budgetTokens` total tokens — the batch-packing
+    * step before tokenized training shards are written. Bin id is
+    * `floor(exclusive-prefix-sum / budget)`: pure integer window algebra,
+    * deterministic, and partitioned by `shard` so the running sum never
+    * needs a global order (the 100 TB contract: packing is shard-local,
+    * shards are data-parallel).
+    */
+  def packBins(
+      docs: DataFrame,
+      id: Column,
+      tokenCount: Column,
+      budgetTokens: Long,
+      shardDocs: Long = 1000L): DataFrame = {
+    require(budgetTokens >= 1)
+    val w = Window.partitionBy("shard").orderBy("id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    docs
+      .select(id.cast("long").as("id"), tokenCount.cast("long").as("n_tokens"))
+      .withColumn("shard",
+        ((col("id") - pmod(col("id"), lit(shardDocs))) / lit(shardDocs)).cast("long"))
+      .withColumn("cum", sum(col("n_tokens")).over(w))
+      .withColumn("bin",
+        ((col("cum") - col("n_tokens")) - pmod(col("cum") - col("n_tokens"), lit(budgetTokens)))
+          / lit(budgetTokens))
+      .select(col("id"), col("shard"), col("bin").cast("long").as("bin"), col("n_tokens"))
+  }
+}

@@ -1,0 +1,66 @@
+package graft
+
+import graft.operators.Curation
+import org.apache.spark.sql.functions._
+
+/** Curation pins: chunk coverage/overlap, split determinism and
+  * proportions, packing bin arithmetic.
+  */
+class CurationSpec extends SparkSpec {
+  import testImplicits._
+
+  test("chunking covers every token, overlaps by size-stride, short tail") {
+    val docs = Seq((1L, (1 to 10).map(i => s"t$i").mkString(" ")), (2L, "a b"), (3L, ""))
+      .toDF("doc_id", "text")
+    val chunks = Curation.chunkTokens(docs, col("doc_id"), col("text"), size = 4, stride = 2)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2), r.getInt(3)))
+    val d1 = chunks.filter(_._1 == 1L).sortBy(_._2)
+    assert(d1.map(_._3).toSeq == Seq(
+      "t1 t2 t3 t4", "t3 t4 t5 t6", "t5 t6 t7 t8", "t7 t8 t9 t10"))
+    assert(d1.map(_._4).toSeq == Seq(4, 4, 4, 4))
+    // doc shorter than a window: one short chunk
+    assert(chunks.filter(_._1 == 2L).toSeq == Seq((2L, 0, "a b", 2)))
+    // empty text → split yields one empty token; "" doc still chunks to 1
+    // token of the empty string per whitespace-split semantics — accept
+    // either zero chunks or one 1-token chunk, but never a crash
+    assert(chunks.count(_._1 == 3L) <= 1)
+  }
+
+  test("hash split is deterministic, exhaustive, and ~80/10/10") {
+    val docs = spark.range(10000).select(col("id").as("doc_id"))
+    val split = Curation.hashSplit(docs, col("doc_id"))
+    val counts = split.groupBy("split").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(counts.values.sum == 10000L)
+    assert(counts("train") > 7500 && counts("train") < 8500)
+    assert(counts("val") > 700 && counts("val") < 1300)
+    assert(counts("test") > 700 && counts("test") < 1300)
+    // same ids, same assignment — split is a pure function of the id
+    val again = Curation.hashSplit(docs, col("doc_id"))
+      .groupBy("split").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(again == counts)
+  }
+
+  test("packing groups consecutive docs into budget-sized bins per shard") {
+    val docs = Seq(
+      (0L, 100), (1L, 200), (2L, 300), (3L, 250), // shard 0: cum 100,300,600,850
+      (10L, 700), (11L, 100)                      // shard 1 (shardDocs=10)
+    ).toDF("doc_id", "nt")
+    val packed = Curation.packBins(docs, col("doc_id"), col("nt"),
+        budgetTokens = 500, shardDocs = 10)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    // exclusive prefix sums: 0,100,300,600 → bins 0,0,0,1
+    assert(packed(0L) == ((0L, 0L)) && packed(1L) == ((0L, 0L)))
+    assert(packed(2L) == ((0L, 0L)) && packed(3L) == ((0L, 1L)))
+    // shard 1 restarts the running sum
+    assert(packed(10L) == ((1L, 0L)) && packed(11L) == ((1L, 1L)))
+  }
+
+  test("chunking plan has no exchange (embarrassingly parallel)") {
+    val docs = Seq((1L, "a b c d e")).toDF("doc_id", "text")
+    val plan = Curation.chunkTokens(docs, col("doc_id"), col("text"), 4, 2)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"chunking must not shuffle:\n$plan")
+  }
+}
