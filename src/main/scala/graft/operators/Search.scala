@@ -76,14 +76,19 @@ object Search {
     val q = broadcast(queries
       .select(col("query_id"), col("query_vec"),
         sqrt(VF.normSq(col("query_vec"))).as("qnrm")))
-    val w = Window.partitionBy("query_id").orderBy(desc("score"), asc("id"))
-    store.df
+    val scored = store.df
       .join(q) // broadcast nested-loop: every row scored against every query
       .withColumn("score",
         VF.dot(col("embedding"), col("query_vec")) / (sqrt(col("norm_sq")) * col("qnrm")))
       .select(col("query_id"), col("id"), col("score"))
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
+    // per-group top-k runs on the custom heap operator (GroupTopKExec):
+    // O(n log k) with no per-group sort — the n·Q scored rows never hit a
+    // WindowExec sort buffer. The rank column is derived afterwards over
+    // the ≤ k·Q survivors only.
+    val topk = org.apache.spark.sql.graft.GroupTopK.perGroup(
+      scored, Seq(col("query_id")), Seq(desc("score"), asc("id")), k)
+    val w = Window.partitionBy("query_id").orderBy(desc("score"), asc("id"))
+    topk.withColumn("rank", row_number().over(w))
   }
 }
 

@@ -1,0 +1,127 @@
+package org.apache.spark.sql.graft
+
+import scala.collection.mutable
+
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Ascending, Attribute, Expression, RowOrdering, SortOrder, UnsafeProjection}
+import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, UnaryNode}
+import org.apache.spark.sql.catalyst.plans.physical.{AllTuples, ClusteredDistribution, Distribution}
+import org.apache.spark.sql.classic.{Dataset, SparkSession => ClassicSession}
+import org.apache.spark.sql.execution.{SparkPlan, SparkStrategy, UnaryExecNode}
+
+/** Per-group top-k as a first-class operator: logical node + planner
+  * strategy + physical heap operator — the whole-operator extension tier
+  * (custom `LogicalPlan` → `Rule`-free strategy → `SparkPlan`) for a
+  * semantics Spark's built-ins only approximate.
+  *
+  * The built-in shape, `row_number().over(partitionBy(g).orderBy(o)) <= k`,
+  * SORTS every group in full (WindowExec: exchange + per-partition sort,
+  * O(n log n) and full materialization). This operator keeps a bounded heap
+  * per group — O(n log k) comparisons, O(groups·k) memory, no sort buffer —
+  * the per-group analog of `TakeOrderedAndProject`, which is the reference
+  * engine's defining plan shape (SURVEY §3.1) generalized to Q simultaneous
+  * queries.
+  */
+object GroupTopK {
+
+  /** Top `k` rows per group of `groupCols`, "top" defined by `order`
+    * (e.g. `col("score").desc`, tie-breaks included). Output rows keep the
+    * child schema; within a group they are emitted in `order`.
+    */
+  def perGroup(df: DataFrame, groupCols: Seq[Column], order: Seq[Column], k: Int): DataFrame = {
+    require(k >= 1 && groupCols.nonEmpty && order.nonEmpty)
+    val spark = df.sparkSession.asInstanceOf[ClassicSession]
+    ensureStrategy(spark)
+    // session-aware Column → Expression conversion (Bridge's lazy wrapper
+    // would leave unresolvable ColumnNode expressions in the plan)
+    val sortOrder = order.map(c => spark.expression(c) match {
+      case so: SortOrder => so
+      case e => SortOrder(e, Ascending)
+    })
+    val node = GroupTopKNode(groupCols.map(spark.expression), sortOrder, k,
+      df.queryExecution.analyzed)
+    Dataset.ofRows(spark, node)
+  }
+
+  /** Idempotently register the planner strategy on the session. */
+  def ensureStrategy(spark: ClassicSession): Unit =
+    if (!spark.experimental.extraStrategies.contains(GroupTopKStrategy))
+      spark.experimental.extraStrategies =
+        spark.experimental.extraStrategies :+ GroupTopKStrategy
+}
+
+/** Logical node — expressions resolve against the child via the standard
+  * analyzer traversal (they are constructor args of Expression type).
+  */
+case class GroupTopKNode(
+    groupExprs: Seq[Expression],
+    sortOrder: Seq[SortOrder],
+    k: Int,
+    child: LogicalPlan) extends UnaryNode {
+  override def output: Seq[Attribute] = child.output
+  override protected def withNewChildInternal(newChild: LogicalPlan): GroupTopKNode =
+    copy(child = newChild)
+}
+
+/** Planner strategy: one-to-one mapping to the physical operator. */
+object GroupTopKStrategy extends SparkStrategy {
+  override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
+    case g: GroupTopKNode =>
+      GroupTopKExec(g.groupExprs, g.sortOrder, g.k, planLater(g.child)) :: Nil
+    case _ => Nil
+  }
+}
+
+/** Physical operator: declares a clustered distribution on the group keys
+  * (the planner inserts the one hash exchange), then a single pass per
+  * partition maintains a ≤k bounded heap per group — no sort of the input,
+  * memory bounded by groups·k rows.
+  */
+case class GroupTopKExec(
+    groupExprs: Seq[Expression],
+    sortOrder: Seq[SortOrder],
+    k: Int,
+    child: SparkPlan) extends UnaryExecNode {
+
+  override def output: Seq[Attribute] = child.output
+
+  override def requiredChildDistribution: Seq[Distribution] =
+    if (groupExprs.isEmpty) AllTuples :: Nil
+    else ClusteredDistribution(groupExprs) :: Nil
+
+  override protected def doExecute(): RDD[InternalRow] = {
+    val childOutput = child.output
+    val groupProjection = groupExprs
+    val order = sortOrder
+    val limit = k
+    child.execute().mapPartitions { iter =>
+      val keyProj = UnsafeProjection.create(groupProjection, childOutput)
+      val ordering = RowOrdering.create(order, childOutput)
+      // PriorityQueue dequeues its MAXIMUM, which under a best-first
+      // ordering is the current worst row — exactly the eviction candidate.
+      val heaps = mutable.LinkedHashMap.empty[InternalRow, mutable.PriorityQueue[InternalRow]]
+      while (iter.hasNext) {
+        val row = iter.next()
+        val key = keyProj(row)
+        heaps.get(key) match {
+          case Some(heap) =>
+            if (heap.size < limit) heap.enqueue(row.copy())
+            else if (ordering.compare(row, heap.head) < 0) {
+              heap.dequeue()
+              heap.enqueue(row.copy())
+            }
+          case None =>
+            val heap = mutable.PriorityQueue.empty[InternalRow](ordering)
+            heap.enqueue(row.copy())
+            heaps.put(key.copy(), heap)
+        }
+      }
+      heaps.valuesIterator.flatMap(_.toSeq.sorted(ordering))
+    }
+  }
+
+  override protected def withNewChildInternal(newChild: SparkPlan): GroupTopKExec =
+    copy(child = newChild)
+}
