@@ -254,6 +254,14 @@ object SparkEntry {
         .groupBy("split")
         .agg(count(lit(1)).as("n_docs"), sum(col("doc_id")).as("sum_ids"))
         .orderBy("split")),
+    // Curation: normalization + pattern scrubbing (PII-redaction shape)
+    "q_curate_scrub" -> ((s, dir) =>
+      graft.sources.Testdata.table(s, dir, "documents")
+        .select(col("doc_id"),
+          md5(Curation.scrub(col("text"))).as("scrub_md5"),
+          (Curation.scrub(col("text")) =!= col("text")).as("changed"),
+          length(Curation.scrub(col("text"))).as("scrub_len"))
+        .orderBy("doc_id")),
     // Curation: shard-local sequence packing into ~512-token bins
     "q_curate_pack" -> ((s, dir) => {
       val docs = graft.sources.Testdata.table(s, dir, "documents")
@@ -875,6 +883,20 @@ object SparkEntry {
         |            ELSE 'test' END AS split,
         |  count(*) AS n_docs, CAST(sum(doc_id) AS BIGINT) AS sum_ids
         |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_curate_scrub" ->
+      """WITH s AS (
+        |  SELECT doc_id,  text,
+        |    trim(regexp_replace(
+        |      regexp_replace(
+        |        regexp_replace(lower(text), '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}', '<email>', 'g'),
+        |        '[0-9]+', '<num>', 'g'),
+        |      '\s+', ' ', 'g')) AS scrubbed
+        |  FROM documents
+        |)
+        |SELECT doc_id, md5(scrubbed) AS scrub_md5,
+        |  (scrubbed <> text) AS changed,
+        |  CAST(length(scrubbed) AS INT) AS scrub_len
+        |FROM s ORDER BY doc_id""".stripMargin,
     "q_curate_pack" ->
       """WITH t AS (
         |  SELECT doc_id AS id,

@@ -37,6 +37,22 @@ object Curation {
   // functions.size clashes with the chunk-size param name
   private def size_(c: Column): Column = org.apache.spark.sql.functions.size(c)
 
+  /** Normalization + pattern scrubbing (the PII-redaction shape): lowercase,
+    * replace email-like spans and digit runs with placeholder tokens,
+    * collapse whitespace. Patterns are RE2-compatible (no backrefs /
+    * lookaround) so the exact same regexes run in Java and the SQL oracle.
+    * Pure codegen'd string expressions — scrubbing stays in the scan stage.
+    */
+  val EmailPattern = "[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}"
+  val DigitPattern = "[0-9]+"
+
+  def scrub(text: Column): Column =
+    trim(regexp_replace(
+      regexp_replace(
+        regexp_replace(lower(text), EmailPattern, "<email>"),
+        DigitPattern, "<num>"),
+      "\\s+", " "))
+
   /** Deterministic train/val/test assignment by id arithmetic (the
     * hash-split pattern: membership is a pure function of the id, so
     * re-runs, backfills, and other engines agree). Buckets 0..999:

@@ -52,20 +52,20 @@ object IvfSearch {
       .map(r => Centroid(r.getLong(0), r.getSeq[Double](1)))
 
   /** Lloyd / k-means refinement of [[centroidsFromIds]]: assign, recompute
-    * means element-wise, repeat. Exact element-wise mean via posexplode +
-    * groupBy(list, pos) — two narrow shuffles per iteration, no collect of
-    * the corpus.
+    * means element-wise, repeat. The mean is a one-pass typed Aggregator
+    * ([[graft.functions.VectorAggs.vectorMean]]) — the shuffle carries one
+    * (sum-vector, count) buffer per list, not a posexploded row per
+    * element.
     */
   def train(embs: DataFrame, id: Column, vec: Column, c: Int, iters: Int = 5): Seq[Centroid] = {
     var cents = centroidsFromIds(embs, id, vec, c)
-    val base = embs.select(VF.toDoubleArray(vec).as("v"))
+    val base = embs.select(vec.cast(
+      org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.FloatType)).as("v"))
     for (_ <- 0 until iters) {
       val assigned = base.withColumn("list_id", assignCol(col("v"), cents))
       val means = assigned
-        .select(col("list_id"), posexplode(col("v")).as(Seq("pos", "x")))
-        .groupBy("list_id", "pos").agg(avg("x").as("m"))
-        .groupBy("list_id").agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("pm"))
-        .select(col("list_id"), col("pm.m").as("mean"))
+        .groupBy("list_id")
+        .agg(graft.functions.VectorAggs.vectorMean(col("v")).as("mean"))
         .collect()
       val updated = means.map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
       cents = cents.map(ct => Centroid(ct.cid, updated.getOrElse(ct.cid, ct.vec)))

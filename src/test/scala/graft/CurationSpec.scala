@@ -57,6 +57,17 @@ class CurationSpec extends SparkSpec {
     assert(packed(10L) == ((1L, 0L)) && packed(11L) == ((1L, 1L)))
   }
 
+  test("scrub redacts emails and digit runs, normalizes case and spaces") {
+    val docs = Seq(
+      (1L, "Contact Bob.Smith+x@example.co.uk  NOW,   ref 12345 and 7"),
+      (2L, "already clean text")
+    ).toDF("doc_id", "text")
+    val got = docs.select(col("doc_id"), Curation.scrub(col("text")).as("s"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got(1L) == "contact <email> now, ref <num> and <num>")
+    assert(got(2L) == "already clean text")
+  }
+
   test("chunking plan has no exchange (embarrassingly parallel)") {
     val docs = Seq((1L, "a b c d e")).toDF("doc_id", "text")
     val plan = Curation.chunkTokens(docs, col("doc_id"), col("text"), 4, 2)

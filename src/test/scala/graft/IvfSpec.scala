@@ -52,6 +52,22 @@ class IvfSpec extends SparkSpec {
     assert(hits.length == 5)
   }
 
+  test("vectorMean aggregator: element-wise mean with partial aggregation") {
+    import testImplicits._
+    val df = Seq((0L, Seq(1f, 2f)), (0L, Seq(3f, 4f)), (1L, Seq(10f, 20f)))
+      .toDF("g", "v").repartition(4)
+    val got = df.groupBy("g")
+      .agg(graft.functions.VectorAggs.vectorMean(col("v")).as("m"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    assert(got(0L) == Seq(2.0, 3.0))
+    assert(got(1L) == Seq(10.0, 20.0))
+    // partial (map-side) aggregation shows up as two HashAggregate phases
+    val plan = df.groupBy("g")
+      .agg(graft.functions.VectorAggs.vectorMean(col("v")).as("m"))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("partial_"), s"expected map-side partial agg:\n$plan")
+  }
+
   test("persisted by list_id, the probe filter prunes partitions") {
     val tmp = System.getProperty("java.io.tmpdir") + "/graft_ivf_part"
     IvfSearch.index(embs, col("embedding"), cents)
