@@ -361,6 +361,14 @@ object SparkEntry {
           Multimodal.mediaTable(graft.sources.Testdata.table(s, dir, "documents")))
         .withColumn("brightness", round(col("brightness"), 6))
         .orderBy("doc_id")),
+    // Multimodal near-dup: Jaccard over frame-content hashes (count-join —
+    // only payloads sharing a frame ever meet)
+    "q_media_neardup" -> ((s, dir) =>
+      Multimodal.frameNearDupPairs(
+          Multimodal.mediaTable(graft.sources.Testdata.table(s, dir, "documents")),
+          frameBytes = 100, tau = 0.2)
+        .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
+        .orderBy("id_a", "id_b")),
     // Relational scale patterns (beyond-reference): TPC-H Q1-shaped
     // filtered partial aggregation with exact decimal sums
     "q_rel_pricing" -> ((s, dir) =>
@@ -913,6 +921,20 @@ object SparkEntry {
         |  CAST(((cum - n_tokens) - (cum - n_tokens) % 512) / 512 AS BIGINT) AS bin,
         |  n_tokens
         |FROM c ORDER BY id""".stripMargin,
+    "q_media_neardup" ->
+      """WITH f AS (
+        |  SELECT doc_id, list_distinct(list_transform(
+        |    range(0, CAST(ceil(length(text)/100.0) AS BIGINT)),
+        |    i -> md5(substring(text, CAST(i*100 + 1 AS INT), 100)))) AS fh
+        |  FROM documents WHERE length(text) > 0
+        |)
+        |SELECT id_a, id_b, round(j, 6) AS jaccard FROM (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |    CAST(len(list_intersect(a.fh, b.fh)) AS DOUBLE) /
+        |    (len(a.fh) + len(b.fh) - len(list_intersect(a.fh, b.fh))) AS j
+        |  FROM f a, f b
+        |  WHERE a.doc_id < b.doc_id AND len(list_intersect(a.fh, b.fh)) > 0
+        |) WHERE j >= 0.2 ORDER BY id_a, id_b""".stripMargin,
     "q_dedup_exact" ->
       """SELECT doc_id AS id, md5(text) AS content_key,
         |       count(*) OVER (PARTITION BY md5(text)) AS group_size

@@ -118,4 +118,36 @@ object Multimodal {
         expr(s"substring(content, frame_idx * $frameBytes + 1, $frameBytes)").as("frame"))
       .select(col("doc_id"), col("frame_idx"),
         octet_length(col("frame")).as("frame_len"), md5(col("frame")).as("frame_md5"))
+
+  /** Near-duplicate media by frame-content overlap: Jaccard over the SET of
+    * per-frame content hashes — the binary-payload analog of shingle dedup
+    * (perceptually-identical segments hash equal; re-encoded/offset content
+    * would need perceptual hashes in the decode stub instead).
+    *
+    * Count-join strategy: explode distinct frame hashes, equi-join on the
+    * hash, count co-occurrences — only documents SHARING a frame ever meet,
+    * so candidate volume follows real overlap, not corpus size².
+    */
+  def frameNearDupPairs(media: DataFrame, frameBytes: Int, tau: Double): DataFrame = {
+    val frames = media
+      .select(col("doc_id"), col("content"),
+        ceil(octet_length(col("content")).cast("double") / frameBytes).cast("int").as("nf"))
+      .filter(col("nf") > 0)
+      .select(col("doc_id"), explode(sequence(lit(0), col("nf") - 1)).as("i"), col("content"))
+      .select(col("doc_id"),
+        md5(expr(s"substring(content, i * $frameBytes + 1, $frameBytes)")).as("fh"))
+      .distinct()
+    val sizes = frames.groupBy("doc_id").agg(count(lit(1)).as("sz"))
+    val co = frames.as("a").join(frames.as("b"),
+        col("a.fh") === col("b.fh") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+      .agg(count(lit(1)).as("inter"))
+    co
+      .join(sizes.select(col("doc_id").as("id_a"), col("sz").as("sz_a")), "id_a")
+      .join(sizes.select(col("doc_id").as("id_b"), col("sz").as("sz_b")), "id_b")
+      .withColumn("jaccard",
+        col("inter").cast("double") / (col("sz_a") + col("sz_b") - col("inter")))
+      .filter(col("jaccard") >= tau)
+      .select(col("id_a"), col("id_b"), col("jaccard"))
+  }
 }

@@ -61,4 +61,16 @@ class MultimodalSpec extends SparkSpec {
     val m = Multimodal.mediaTable(docs(1L -> ("z" * 1000)))
     assert(Multimodal.sampleFrames(m, frameBytes = 10, maxFrames = 7).count() == 7)
   }
+
+  test("frameNearDupPairs: shared frames pair up, disjoint payloads do not") {
+    val a = "aaaaaaaaaa" + "bbbbbbbbbb" + "cccccccccc" // 3 frames at 10 bytes
+    val b = "aaaaaaaaaa" + "bbbbbbbbbb" + "xxxxxxxxxx" // shares 2 of 3
+    val c = "zzzzzzzzzz" * 3                            // 1 distinct frame
+    val m = Multimodal.mediaTable(docs(1L -> a, 2L -> b, 3L -> c))
+    val pairs = Multimodal.frameNearDupPairs(m, frameBytes = 10, tau = 0.2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(pairs.length == 1)
+    assert(pairs.head._1 == 1L && pairs.head._2 == 2L)
+    assert(math.abs(pairs.head._3 - 0.5) < 1e-9) // |∩|=2, |∪|=4
+  }
 }
