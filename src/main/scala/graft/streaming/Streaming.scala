@@ -103,6 +103,54 @@ object Streaming {
       .outputMode(OutputMode.Update())
       .start()
 
+  /** Continuous UPSERT into a plain-parquet store ("delta-lite"
+    * merge-on-read): every micro-batch appends rows stamped with the batch
+    * sequence and an optional tombstone flag — writes stay cheap,
+    * append-only, and exactly-once under the checkpointed `foreachBatch`
+    * batchId. Readers resolve latest-wins per id ([[loadVersioned]]);
+    * [[compact]] folds the log back to one version when deltas accumulate.
+    * This is the storage-level upsert/delete the reference performs by
+    * rewriting whole pickle shards per call
+    * (sharded_vector_database.py:134-154), re-expressed append-only so no
+    * writer ever rewrites live data.
+    */
+  def startUpsert(
+      changes: DataFrame, // (id, embedding, metadata, deleted BOOLEAN)
+      path: String,
+      checkpoint: String): StreamingQuery =
+    changes.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        batch
+          .withColumn("_seq", lit(batchId))
+          .write.mode("append").parquet(path)
+      }
+      .start()
+
+  /** Latest-wins resolution of the upsert log: max `_seq` per id wins,
+    * tombstones drop the id. One shuffle on id (the same partitioning a
+    * compaction job reuses).
+    */
+  def loadVersioned(spark: org.apache.spark.sql.SparkSession, path: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("id").orderBy(col("_seq").desc)
+    spark.read.parquet(path)
+      .withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") === 1 && !col("deleted"))
+      .drop("_rn", "_seq", "deleted")
+  }
+
+  /** Fold the append-only log into a single resolved version (run when the
+    * delta count grows; readers see either the old log or the compacted
+    * one — both resolve identically).
+    */
+  def compact(spark: org.apache.spark.sql.SparkSession, path: String, outPath: String): Unit =
+    loadVersioned(spark, path)
+      .withColumn("deleted", lit(false))
+      .withColumn("_seq", lit(0L))
+      .write.mode("overwrite").parquet(outPath)
+
   /** Streaming dedup with BOUNDED state: duplicates arriving within the
     * watermark horizon are dropped, and state for keys older than the
     * horizon is evicted — the streaming twin of [[graft.operators.Dedup]]'s

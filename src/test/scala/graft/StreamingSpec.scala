@@ -133,6 +133,39 @@ class StreamingSpec extends SparkSpec {
     assert(out.toSeq == Seq((1L, 2L), (1L, 1L), (2L, 2L)))
   }
 
+  test("foreachBatch upsert: latest-wins merge-on-read, tombstones, compaction") {
+    val sp = spark
+    import sp.implicits._
+    implicit val sqlCtx = sp.sqlContext
+    val in = MemoryStream[(String, Seq[Float], String, Boolean)]
+    val out = tmpDir("graft_upsert")
+    val q = Streaming.startUpsert(
+      in.toDF().toDF("id", "embedding", "metadata", "deleted"),
+      s"$out/log", s"$out/ckpt")
+    try {
+      in.addData(
+        ("a", Seq(1.0f), """{"v":1}""", false),
+        ("b", Seq(2.0f), "{}", false))
+      q.processAllAvailable()
+      in.addData(
+        ("a", Seq(9.0f), """{"v":2}""", false), // update a
+        ("b", Seq(0.0f), "{}", true),           // delete b
+        ("c", Seq(3.0f), "{}", false))          // insert c
+      q.processAllAvailable()
+      val resolved = Streaming.loadVersioned(sp, s"$out/log")
+        .collect().map(r => r.getString(0) ->
+          (r.getSeq[Float](1).head, r.getString(2))).toMap
+      assert(resolved.keySet == Set("a", "c"))
+      assert(resolved("a") == ((9.0f, """{"v":2}"""))) // latest version won
+      assert(resolved("c") == ((3.0f, "{}")))
+      // compaction resolves to the same state
+      Streaming.compact(sp, s"$out/log", s"$out/compacted")
+      val compacted = Streaming.loadVersioned(sp, s"$out/compacted")
+        .collect().map(_.getString(0)).sorted.toSeq
+      assert(compacted == Seq("a", "c"))
+    } finally q.stop()
+  }
+
   test("watermarked dedup drops cross-batch duplicates with bounded state") {
     val sp = spark
     import sp.implicits._
