@@ -155,6 +155,18 @@ object VectorStore {
       col("id"), col("embedding"), coalesce(col("metadata"), lit("{}"))))
   }
 
+  /** Ingest from ORC (same canonical schema as the parquet form — ORC is
+    * the other columnar format Spark reads natively, with the same
+    * predicate-pushdown/column-pruning behavior at the scan).
+    */
+  def fromOrc(spark: SparkSession, path: String): VectorStore = {
+    val raw = spark.read
+      .schema("id STRING, embedding ARRAY<FLOAT>, metadata STRING")
+      .orc(path)
+    VectorStore(ingest(raw, col("id"), col("embedding"),
+      coalesce(col("metadata"), lit("{}"))))
+  }
+
   /** Adapt the driver testdata `embeddings.parquet`
     * (vec_id BIGINT, embedding ARRAY<FLOAT>, label INT — FIXTURES.md §2) into
     * a store; `label` becomes the one metadata key. The kv map is built with

@@ -192,6 +192,48 @@ object Streaming {
         (unix_micros(col("purchase_ts")) - unix_micros(col("click_ts"))).as("gap_us"))
   }
 
+  /** Closed-session emission via `flatMapGroupsWithState` with EVENT-TIME
+    * timeout: state accumulates the open session per user and emits
+    * nothing; when the watermark passes `gap` beyond the session's last
+    * event the timeout path fires and the finished session is emitted
+    * exactly once, then its state is removed. This is the flatMap shape —
+    * 0 rows on update, 1 on close — that `mapGroupsWithState` (one row per
+    * invocation, [[runningUserTotals]]) cannot express.
+    */
+  final case class ClosedSession(user_id: Long, n_events: Long, start_us: Long, end_us: Long)
+
+  def closedSessions(events: DataFrame, gapMinutes: Int = 30): Dataset[ClosedSession] = {
+    val sp = events.sparkSession
+    import sp.implicits._
+    val gapMs = gapMinutes * 60L * 1000L
+    events
+      .withWatermark("ts", s"$gapMinutes minutes")
+      // the watermarked TIMESTAMP column must survive into the stateful
+      // operator — event-time timeouts are rejected without it
+      .select(col("user_id").cast("long").as("user_id"), col("ts"))
+      .as[(Long, java.sql.Timestamp)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[(Long, Long, Long), ClosedSession](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        case (user, rows, state: GroupState[(Long, Long, Long)]) =>
+          if (state.hasTimedOut) {
+            val (n, s, e) = state.get
+            state.remove()
+            Iterator.single(ClosedSession(user, n, s, e))
+          } else {
+            var (n, s, e) = state.getOption.getOrElse((0L, Long.MaxValue, Long.MinValue))
+            rows.foreach { case (_, t) =>
+              val us = t.getTime * 1000L
+              n += 1; s = math.min(s, us); e = math.max(e, us)
+            }
+            state.update((n, s, e))
+            // close once the watermark passes gap beyond the last event
+            state.setTimeoutTimestamp(e / 1000L + gapMs)
+            Iterator.empty
+          }
+      }
+  }
+
   /** Session-window stats per user (native session_window operator): the
     * streaming twin of [[graft.operators.Relational.sessionize]] — state is
     * per-user session windows, closed and emitted once the watermark passes

@@ -44,6 +44,23 @@ class SourcesSpec extends SparkSpec {
     assert(top.head.getString(0) == "y")
   }
 
+  test("fromOrc: native columnar alternative, canonical schema, searchable") {
+    import testImplicits._
+    val dir = Files.createTempDirectory("graft_orc")
+    Seq(
+      ("o1", Seq(1.0f, 0.0f), """{"label":1}"""),
+      ("o2", Seq(0.0f, 1.0f), null.asInstanceOf[String]))
+      .toDF("id", "embedding", "metadata")
+      .write.mode("overwrite").orc(s"$dir/data")
+    val st = VectorStore.fromOrc(spark, s"$dir/data")
+    assert(st.count() == 2)
+    assert(st.df.columns.toSet == Set("id", "embedding", "metadata", "norm_sq", "metadata_kv"))
+    assert(st.df.filter(org.apache.spark.sql.functions.col("id") === "o2")
+      .select("metadata").first().getString(0) == "{}")
+    val top = Search.findMostSimilar(st, Seq(1.0f, 0.0f), k = 1).collect()
+    assert(top.head.getString(0) == "o1")
+  }
+
   test("format round-trip: jsonl → store → parquet → load equals origin") {
     val dir = Files.createTempDirectory("graft_rt")
     Files.writeString(Paths.get(dir.toString, "in.jsonl"),

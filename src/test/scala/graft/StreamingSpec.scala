@@ -133,6 +133,31 @@ class StreamingSpec extends SparkSpec {
     assert(out.toSeq == Seq((1L, 2L), (1L, 1L), (2L, 2L)))
   }
 
+  test("flatMapGroupsWithState: sessions close when the watermark passes the gap") {
+    val sp = spark
+    import sp.implicits._
+    implicit val sqlCtx = sp.sqlContext
+    def ts(h: Int, m: Int) = Timestamp.valueOf(f"2024-01-01 $h%02d:$m%02d:00")
+    val in = MemoryStream[(Long, Timestamp)]
+    val sessions = Streaming.closedSessions(
+      in.toDF().toDF("user_id", "ts"), gapMinutes = 30)
+    val q = sessions.toDF().writeStream.format("memory").queryName("closed_sessions")
+      .outputMode("append").start()
+    try {
+      in.addData((1L, ts(10, 0)), (1L, ts(10, 5)))
+      q.processAllAvailable()
+      assert(sp.table("closed_sessions").count() == 0) // session still open
+      // another user's much later event drives the watermark past the gap
+      in.addData((2L, ts(12, 0)))
+      q.processAllAvailable()
+      in.addData((2L, ts(12, 1))) // one more batch so the timeout fires
+      q.processAllAvailable()
+      val closed = sp.table("closed_sessions").collect()
+        .map(r => (r.getLong(0), r.getLong(1)))
+      assert(closed.toSeq == Seq((1L, 2L))) // user 1's 2-event session, once
+    } finally q.stop()
+  }
+
   test("foreachBatch upsert: latest-wins merge-on-read, tombstones, compaction") {
     val sp = spark
     import sp.implicits._
