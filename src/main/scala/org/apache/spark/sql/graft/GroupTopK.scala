@@ -91,11 +91,19 @@ case class GroupTopKExec(
     if (groupExprs.isEmpty) AllTuples :: Nil
     else ClusteredDistribution(groupExprs) :: Nil
 
+  override lazy val metrics = Map(
+    "numOutputRows" -> org.apache.spark.sql.execution.metric.SQLMetrics
+      .createMetric(sparkContext, "number of output rows"),
+    "numGroups" -> org.apache.spark.sql.execution.metric.SQLMetrics
+      .createMetric(sparkContext, "number of groups"))
+
   override protected def doExecute(): RDD[InternalRow] = {
     val childOutput = child.output
     val groupProjection = groupExprs
     val order = sortOrder
     val limit = k
+    val outputRows = longMetric("numOutputRows")
+    val numGroups = longMetric("numGroups")
     child.execute().mapPartitions { iter =>
       val keyProj = UnsafeProjection.create(groupProjection, childOutput)
       val ordering = RowOrdering.create(order, childOutput)
@@ -118,7 +126,11 @@ case class GroupTopKExec(
             heaps.put(key.copy(), heap)
         }
       }
-      heaps.valuesIterator.flatMap(_.toSeq.sorted(ordering))
+      numGroups += heaps.size
+      heaps.valuesIterator.flatMap { h =>
+        outputRows += h.size
+        h.toSeq.sorted(ordering)
+      }
     }
   }
 
