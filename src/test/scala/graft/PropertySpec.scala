@@ -153,4 +153,99 @@ class PropertySpec extends SparkSpec {
       assert(after.df.select("id").collect().map(_.getString(0)).toSet == Set("k1", "k2"))
     }
   }
+
+  // (key, id, t) event lists for the join-operator properties
+  private val evGen: Gen[List[(String, Long, Long)]] = for {
+    n <- Gen.choose(2, 20)
+    rows <- Gen.listOfN(n, for {
+      k <- Gen.oneOf("u", "v")
+      t <- Gen.choose(0L, 50L)
+    } yield (k, t))
+  } yield rows.zipWithIndex.map { case ((k, t), i) => (k, i.toLong, t) }
+
+  test("property: asof backward equals the brute-force latest-at-or-before") {
+    val sp = spark
+    import sp.implicits._
+    samples(Gen.zip(evGen, evGen), 6).foreach { case (ls, rs) =>
+      val left = ls.toDF("k", "id", "t")
+      val right = rs.map { case (k, i, t) => (k, i + 1000L, t) }.toDF("k", "rid", "t")
+      val got = AsofJoin.backward(left, right, "k", "t", "t", "rid")
+        .select("id", "r_rid").collect()
+        .map(r => r.getLong(0) -> (if (r.isNullAt(1)) -1L else r.getLong(1))).toMap
+      val rsShift = rs.map { case (k, i, t) => (k, i + 1000L, t) }
+      val expect = ls.map { case (k, id, t) =>
+        val cands = rsShift.filter(r => r._1 == k && r._3 <= t)
+        // ties break to the max tiebreak (the operator's documented order)
+        id -> (if (cands.isEmpty) -1L
+               else cands.maxBy(c => (c._3, c._2))._2)
+      }.toMap
+      assert(got == expect, s"left=$ls right=$rs")
+    }
+  }
+
+  test("property: banded range join equals the brute-force window predicate") {
+    val sp = spark
+    import sp.implicits._
+    val gapSec = 7L
+    samples(evGen, 6).foreach { rows =>
+      val df = rows.toDF("k", "id", "sec")
+        .select(col("k"), col("id"), timestamp_seconds(col("sec")).as("ts"))
+      val got = RangeJoin.within(df, df, "k", "ts", "ts", gapSec)
+        .select("l_id", "r_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      val expect = (for {
+        a <- rows; b <- rows
+        if a._1 == b._1 && b._3 >= a._3 && b._3 - a._3 <= gapSec
+      } yield (a._2, b._2)).toSet
+      assert(got == expect, s"rows=$rows")
+    }
+  }
+
+  test("property: GroupTopK equals the sort-and-take definition per group") {
+    val sp = spark
+    import sp.implicits._
+    val gen = for {
+      n <- Gen.choose(1, 25)
+      rows <- Gen.listOfN(n, Gen.zip(Gen.oneOf("g1", "g2", "g3"), Gen.choose(0, 9)))
+      k <- Gen.choose(1, 4)
+    } yield (rows.zipWithIndex.map { case ((g, s), i) => (g, i.toLong, s.toDouble) }, k)
+    samples(gen, 6).foreach { case (rows, k) =>
+      val df = rows.toDF("g", "id", "score")
+      val got = org.apache.spark.sql.graft.GroupTopK.perGroup(
+          df, Seq(col("g")), Seq(col("score").desc, col("id").asc), k)
+        .select("g", "id").collect().map(r => (r.getString(0), r.getLong(1))).toSet
+      val expect = rows.groupBy(_._1).toSeq.flatMap { case (_, grp) =>
+        grp.sortBy(r => (-r._3, r._2)).take(k).map(r => (r._1, r._2))
+      }.toSet
+      assert(got == expect, s"rows=$rows k=$k")
+    }
+  }
+
+  test("property: every token appears in some chunk, chunks reassemble the doc") {
+    val sp = spark
+    import sp.implicits._
+    val gen = for {
+      n <- Gen.choose(1, 40)
+      size <- Gen.choose(2, 8)
+      stride <- Gen.choose(1, size)
+    } yield ((1 to n).map(i => s"w$i").mkString(" "), size, stride)
+    samples(gen, 6).foreach { case (text, size, stride) =>
+      val chunks = Curation.chunkTokens(
+          Seq((1L, text)).toDF("doc_id", "text"), col("doc_id"), col("text"), size, stride)
+        .orderBy("chunk_idx").collect().map(_.getString(2))
+      val toks = text.split(" ")
+      val covered = chunks.flatMap(_.split(" ")).toSet
+      assert(covered == toks.toSet, s"size=$size stride=$stride")
+      // consecutive chunks overlap by exactly size-stride tokens (except the tail)
+      chunks.sliding(2).zipWithIndex.foreach { case (pair, ci) =>
+        if (pair.length == 2) {
+          val a = pair(0).split(" "); val b = pair(1).split(" ")
+          val expectedOverlap = math.max(0,
+            math.min(size - stride, toks.length - (ci + 1) * stride))
+          assert(a.takeRight(expectedOverlap).sameElements(b.take(expectedOverlap)),
+            s"size=$size stride=$stride chunk=$ci")
+        }
+      }
+    }
+  }
 }
