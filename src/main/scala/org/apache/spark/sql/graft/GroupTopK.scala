@@ -91,6 +91,12 @@ case class GroupTopKExec(
     if (groupExprs.isEmpty) AllTuples :: Nil
     else ClusteredDistribution(groupExprs) :: Nil
 
+  // rows stay in their input partition — declare it, or every downstream
+  // operator needing the same clustering re-shuffles the output
+  // (SparkPlan's default is UnknownPartitioning)
+  override def outputPartitioning: org.apache.spark.sql.catalyst.plans.physical.Partitioning =
+    child.outputPartitioning
+
   override lazy val metrics = Map(
     "numOutputRows" -> org.apache.spark.sql.execution.metric.SQLMetrics
       .createMetric(sparkContext, "number of output rows"),
