@@ -254,6 +254,19 @@ object SparkEntry {
         .groupBy("split")
         .agg(count(lit(1)).as("n_docs"), sum(col("doc_id")).as("sum_ids"))
         .orderBy("split")),
+    // Curation: percentile-threshold quality filter — corpus-level exact
+    // quantile (single-row broadcast) gates the per-doc quality score
+    "q_curate_quality_filter" -> ((s, dir) => {
+      val docs = graft.sources.Testdata.table(s, dir, "documents")
+      val scored = docs.select(col("doc_id"),
+        round(TextAnalysis.qualityScore(col("text")), 6).as("quality"))
+      val threshold = scored.agg(
+        expr("percentile(quality, 0.25)").as("q25"))
+      scored.crossJoin(broadcast(threshold))
+        .filter(col("quality") >= col("q25"))
+        .select(col("doc_id"), col("quality"), round(col("q25"), 6).as("q25"))
+        .orderBy("doc_id")
+    }),
     // Curation: normalization + pattern scrubbing (PII-redaction shape)
     "q_curate_scrub" -> ((s, dir) =>
       graft.sources.Testdata.table(s, dir, "documents")
@@ -484,6 +497,20 @@ object SparkEntry {
         .select(col("l_event_id").as("id_a"), col("r_event_id").as("id_b"),
           col("l_user_id").as("user_id"), col("gap_us"))
         .orderBy("id_a", "id_b")
+    }),
+    // forward as-of (funnel conversion): each signup joined to the user's
+    // FIRST subsequent purchase — same union-window merge, time reversed
+    "q_asof_signup_conversion" -> ((s, dir) => {
+      val ev = graft.sources.Testdata.events(s, dir)
+      val signups = ev.filter(col("event_type") === "signup")
+        .select("event_id", "user_id", "ts")
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id").as("purchase_id"), col("user_id"), col("ts"))
+      AsofJoin.forward(signups, purchases, "user_id", "ts", "ts", "purchase_id")
+        .select(col("event_id"), col("user_id"),
+          col("r_purchase_id").as("purchase_id"),
+          (unix_micros(col("r_ts")) - unix_micros(col("ts"))).as("lag_us"))
+        .orderBy("event_id")
     }),
     // sessionization: lag + running-sum windows, one shuffle on user_id
     "q_rel_sessions" -> ((s, dir) =>
@@ -752,6 +779,17 @@ object SparkEntry {
         |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
         |  ON p.user_id = c.user_id AND p.ts >= c.ts
         |ORDER BY p.event_id""".stripMargin,
+    // DuckDB ASOF is backward-only; the forward oracle is the explicit
+    // first-match window over the (bounded) candidate join
+    "q_asof_signup_conversion" ->
+      """SELECT event_id, user_id, purchase_id, lag_us FROM (
+        |  SELECT s.event_id, s.user_id, p.event_id AS purchase_id,
+        |    epoch_us(CAST(p.ts AS TIMESTAMP)) - epoch_us(CAST(s.ts AS TIMESTAMP)) AS lag_us,
+        |    row_number() OVER (PARTITION BY s.event_id ORDER BY p.ts ASC, p.event_id ASC) AS rn
+        |  FROM (SELECT * FROM events WHERE event_type = 'signup') s
+        |  LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+        |    ON s.user_id = p.user_id AND p.ts >= s.ts
+        |) WHERE rn = 1 ORDER BY event_id""".stripMargin,
     "q_rel_sessions" ->
       """WITH t AS (
         |  SELECT user_id, event_id, epoch_us(CAST(ts AS TIMESTAMP)) AS us,
@@ -891,6 +929,25 @@ object SparkEntry {
         |            ELSE 'test' END AS split,
         |  count(*) AS n_docs, CAST(sum(doc_id) AS BIGINT) AS sum_ids
         |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
+    // Same quality formula as the q_text_quality oracle, then the exact
+    // interpolated 25th percentile gates the corpus (computed over the
+    // ROUNDED scores, like the Spark plan; output q25 rounded after).
+    "q_curate_quality_filter" ->
+      s"""WITH t AS (
+        |  SELECT doc_id, string_split_regex(text, '\\s+') AS toks,
+        |         length(regexp_replace(text, '\\s', '', 'g')) AS nonws,
+        |         length(regexp_replace(text, '[a-z0-9\\s]', '', 'g')) AS punct
+        |  FROM documents
+        |), sc AS (
+        |  SELECT doc_id, round(
+        |    0.4*least(len(toks)/100.0, 1.0)
+        |    + 0.3*(1.0 - CASE WHEN nonws > 0 THEN CAST(punct AS DOUBLE)/nonws ELSE 0.0 END)
+        |    + 0.3*least((CASE WHEN len(toks) > 0 THEN CAST(len(list_filter(toks, x -> list_contains(${profileSql("en")}, x))) AS DOUBLE)/len(toks) ELSE 0.0 END)/0.1, 1.0),
+        |    6) AS quality
+        |  FROM t
+        |), th AS (SELECT quantile_cont(quality, 0.25) AS q25 FROM sc)
+        |SELECT doc_id, quality, round(q25, 6) AS q25
+        |FROM sc, th WHERE quality >= q25 ORDER BY doc_id""".stripMargin,
     "q_curate_scrub" ->
       """WITH s AS (
         |  SELECT doc_id,  text,
