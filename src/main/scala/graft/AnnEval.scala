@@ -1,0 +1,104 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** ANN recall/cost evaluation — measures every approximate-search dial
+  * against exact brute force on the same corpus: sign-LSH probe radius,
+  * IVF nprobe, binary rerank budget. Emits a markdown table (captured into
+  * ANN_EVAL.md): recall@k averaged over Q queries, plus the scanned
+  * fraction (candidate rows / corpus) the knob buys it with.
+  *
+  * This is the "measure, don't guess" artifact for the approximate paths:
+  * correctness queries pin their math (oracles replicate the bucket
+  * arithmetic), this pins their QUALITY — which depends on data geometry
+  * (near-orthogonal corpora like the synthetic testdata need wider probes
+  * than clustered real embeddings would).
+  *
+  * Run: `sbt "runMain graft.AnnEval [sfDir] [Q]"`.
+  */
+object AnnEval {
+  def main(args: Array[String]): Unit = {
+    val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.01"
+    val numQ = if (args.length > 1) args(1).toInt else 20
+    val k = 10
+    val spark = SparkSession.builder()
+      .master("local[8]")
+      .config("spark.sql.shuffle.partitions", 8)
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    val embs = spark.read.parquet(s"$sfDir/embeddings.parquet").cache()
+    val n = embs.count().toDouble
+    val queries: Seq[(Long, Seq[Float])] = embs.filter(col("vec_id") < numQ)
+      .select("vec_id", "embedding").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1))).toSeq
+
+    def exactTop(q: Seq[Float]): Set[String] =
+      operators.Search.findMostSimilar(
+          sources.VectorStore.fromEmbeddingsTable(spark, sfDir), q, k = k)
+        .select("id").collect().map(_.getString(0)).toSet
+    val truth: Map[Long, Set[String]] = queries.map { case (id, q) => id -> exactTop(q) }.toMap
+
+    def evalRow(name: String, hits: Seq[(Long, Set[String])], scanned: Double): Unit = {
+      val recall = hits.map { case (qid, got) =>
+        truth(qid).intersect(got).size.toDouble / truth(qid).size
+      }.sum / hits.size
+      println(f"| $name | $recall%.3f | ${scanned}%.3f |")
+    }
+
+    println(s"# ANN recall/cost at $sfDir (n=${n.toInt}, Q=${queries.size}, k=$k)\n")
+    println("| method | recall@10 | scanned fraction |\n|---|---|---|")
+
+    // sign-LSH multiprobe radius sweep
+    val planes = operators.AnnSearch.hyperplanes(dim = 64)
+    val indexed = operators.AnnSearch.index(embs, col("embedding"), planes).cache()
+    for (radius <- 0 to 3) {
+      val hits = queries.map { case (qid, q) =>
+        val got = operators.AnnSearch.search(indexed, col("vec_id").cast("string"),
+            col("embedding"), q, planes, k = k, probeRadius = radius)
+          .select("id").collect().map(_.getString(0)).toSet
+        qid -> got
+      }
+      val scanned = queries.map { case (_, q) =>
+        val probes = operators.AnnSearch.probeBuckets(
+          operators.AnnSearch.bucketOf(q, planes), planes.length, radius)
+        indexed.filter(col("bucket").isin(probes: _*)).count() / n
+      }.sum / queries.size
+      evalRow(s"sign-LSH radius $radius", hits, scanned)
+    }
+
+    // IVF nprobe sweep
+    val cents = operators.IvfSearch.centroidsFromIds(embs, col("vec_id"), col("embedding"), c = 16)
+    val ivf = operators.IvfSearch.index(embs, col("embedding"), cents).cache()
+    for (nprobe <- Seq(1, 2, 4, 8, 16)) {
+      val hits = queries.map { case (qid, q) =>
+        val got = operators.IvfSearch.search(ivf, col("vec_id").cast("string"),
+            col("embedding"), q, cents, k = k, nprobe = nprobe)
+          .select("id").collect().map(_.getString(0)).toSet
+        qid -> got
+      }
+      val scanned = queries.map { case (_, q) =>
+        val probes = operators.IvfSearch.probeLists(q, cents, nprobe)
+        ivf.filter(col("list_id").isin(probes: _*)).count() / n
+      }.sum / queries.size
+      evalRow(s"IVF nprobe $nprobe/16", hits, scanned)
+    }
+
+    // binary Hamming rerank-budget sweep (coarse pass reads every row but
+    // only 8 bytes of it; "scanned" here = exact-rerank fraction)
+    val bin = operators.Quantized.binarize(embs, col("embedding"), dim = 64).cache()
+    for (budget <- Seq(20, 50, 100, 200)) {
+      val hits = queries.map { case (qid, q) =>
+        val got = operators.Quantized.binarySearch(bin, col("vec_id").cast("string"),
+            col("embedding"), q, k = k, rerank = budget)
+          .select("id").collect().map(_.getString(0)).toSet
+        qid -> got
+      }
+      evalRow(s"binary rerank $budget", hits, budget / n)
+    }
+
+    spark.stop()
+  }
+}
