@@ -29,6 +29,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // analyzer phase: must see the full ingest lineage BEFORE column
     // pruning erases the materialized norm (see ReuseMaterializedNorm docs)
     ext.injectPostHocResolutionRule(_ => graft.plans.ReuseMaterializedNorm)
+    // optimizer phase: interleaves with PushDownPredicates +
+    // UnwrapCastInBinaryComparison in the fixed-point batch so metadata
+    // predicates over literal-keyed kv maps reach the Parquet scan
+    ext.injectOptimizerRule(_ => graft.plans.SimplifyLiteralMapLookup)
   }
 }
 

@@ -77,6 +77,37 @@ class RuleSpec extends SparkSpec {
       assert(r.getDouble(1) == stored(r.getLong(0).toString)))
   }
 
+  test("metadata predicate over the literal-keyed kv map reaches the Parquet scan") {
+    // flagship filtered search (q_knn_filtered shape): the label predicate
+    // must appear in PushedFilters, not as a post-scan map evaluation
+    val st = store()
+    val df = graft.operators.Search.findMostSimilar(
+      st, st.getVector("0").toSeq,
+      metadataFilter = Seq(Map("label" -> graft.operators.Eq(graft.operators.MetaValue.MLong(3)))),
+      k = 10)
+    val plan = df.queryExecution.executedPlan.toString
+    val pushed = plan.linesIterator.find(_.contains("PushedFilters")).getOrElse("")
+    assert(pushed.contains("EqualTo(label,3)"),
+      s"label predicate not pushed to the scan: $pushed\n$plan")
+  }
+
+  test("kv-map simplification preserves results (with- vs without-extension parity)") {
+    import graft.operators.{Eq, Ops, MetaValue, FilterDsl}
+    import MetaValue._
+    val filters: Seq[(String, Seq[FilterDsl.MetaFilter])] = Seq(
+      "eq"  -> Seq(Map("label" -> Eq(MLong(3)))),
+      "gt"  -> Seq(Map("label" -> Ops(Seq("$gt" -> MLong(5))))),
+      "ne"  -> Seq(Map("label" -> Ops(Seq("$ne" -> MLong(2))))),
+      "absent-key" -> Seq(Map("nope" -> Eq(MLong(1)))))
+    filters.foreach { case (name, f) =>
+      def ids(s: SparkSession): Seq[String] =
+        VectorStore.fromEmbeddingsTable(s, dir).df
+          .filter(FilterDsl.compile(col("metadata_kv"), f))
+          .select("id").collect().map(_.getString(0)).sorted.toSeq
+      assert(ids(extSession) == ids(SparkSpec.session), s"filter '$name' diverged")
+    }
+  }
+
   test("dot against a query literal is NOT rewritten; search results unchanged") {
     val q = persisted.getVector("0").toSeq
     val df = persisted.df
