@@ -100,6 +100,33 @@ object SparkEntry {
        |) ORDER BY score DESC, id ASC""".stripMargin
   }
 
+  /** LSH-blocked embedding near-dup oracle: replicates the sign-LSH bucket
+    * math in SQL from the same plane constants the Spark plan uses (the
+    * q_ann_topk pattern), then applies the EXACT blocking definition —
+    * candidate iff Hamming(bucket_a, bucket_b) ≤ radius (what the multiprobe
+    * equi-join generates) — so the check is exact whatever the LSH recall.
+    */
+  private val dedupEmbeddingLshOracle: String = {
+    val planes = AnnSearch.hyperplanes(dim = 64)
+    def bucketExpr(vecSql: String): String =
+      planes.zipWithIndex.map { case (p, i) =>
+        val lst = p.mkString("[", ",", "]")
+        s"(CASE WHEN list_dot_product($vecSql, $lst) >= 0 THEN ${1 << i} ELSE 0 END)"
+      }.mkString("(", " + ", ")")
+    s"""WITH e AS (
+       |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ev,
+       |         ${bucketExpr("CAST(embedding AS DOUBLE[])")} AS bucket
+       |  FROM embeddings
+       |)
+       |SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       |  round(list_cosine_similarity(a.ev, b.ev), 6) AS cosine
+       |FROM e a, e b
+       |WHERE a.vec_id < b.vec_id
+       |  AND bit_count(xor(CAST(a.bucket AS BIGINT), CAST(b.bucket AS BIGINT))) <= 2
+       |  AND list_cosine_similarity(a.ev, b.ev) >= 0.4
+       |ORDER BY id_a, id_b""".stripMargin
+  }
+
   /** Ground-truth near-dup pairs: exact pairwise bigram-shingle Jaccard.
     * Shared by the exact (q_dedup_jaccard) and LSH (q_dedup_minhash)
     * queries — the LSH path must reproduce the exact answer because its
@@ -326,10 +353,23 @@ object SparkEntry {
       Dedup.connectedComponents(docs.select(col("doc_id").as("id")), pairs)
         .orderBy("id")
     }),
-    // embedding-cosine near-dup pairs over the embeddings table
+    // embedding-cosine near-dup pairs over the embeddings table — EXACT,
+    // planned as the 1-Bucket-Theta grid equi-join (no BNLJ/cartesian, even
+    // reducer load, `blocks` = scale-out dial); see Dedup.cosinePairs for
+    // why LSH blocking cannot be complete at tau=0.4 on this corpus
     "q_dedup_embedding" -> ((s, dir) =>
       Dedup.cosinePairs(s.read.parquet(s"$dir/embeddings.parquet"),
           col("vec_id"), col("embedding"), tau = 0.4)
+        .select(col("id_a"), col("id_b"), round(col("cosine"), 6).as("cosine"))
+        .orderBy("id_a", "id_b")),
+    // embedding near-dup, APPROXIMATE sign-LSH-blocked variant: candidates
+    // from a multiprobe equi-join on bucket codes (Hamming ≤ 2), exact
+    // cosine verify inside. The oracle replicates the bucket math in SQL
+    // (like q_ann_topk), so the check is exact regardless of LSH recall.
+    "q_dedup_embedding_lsh" -> ((s, dir) =>
+      Dedup.cosinePairsLsh(s.read.parquet(s"$dir/embeddings.parquet"),
+          col("vec_id"), col("embedding"), tau = 0.4,
+          planes = AnnSearch.hyperplanes(dim = 64), probeRadius = 2)
         .select(col("id_a"), col("id_b"), round(col("cosine"), 6).as("cosine"))
         .orderBy("id_a", "id_b")),
     // ANN: sign-LSH bucketed top-k (multiprobe radius 2) — the 100 TB scale
@@ -1083,6 +1123,7 @@ object SparkEntry {
         |WHERE a.vec_id < b.vec_id
         |  AND list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) >= 0.4
         |ORDER BY id_a, id_b""".stripMargin,
+    "q_dedup_embedding_lsh" -> dedupEmbeddingLshOracle,
     "q_knn_autocut" ->
       """WITH topk AS (
         |  SELECT CAST(e.vec_id AS VARCHAR) AS id,

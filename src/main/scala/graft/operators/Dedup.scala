@@ -183,10 +183,10 @@ object Dedup {
         org.apache.spark.sql.graft.Bridge.expression(col("a.mask")),
         org.apache.spark.sql.graft.Bridge.expression(col("b.mask"))))
     // length filter (J ≥ τ ⇒ τ·|B| ≤ |A| and τ·|A| ≤ |B|) inside the join
-    // condition prunes size-incompatible pairs before any row is emitted
-    t.as("a").join(t.as("b"),
-        col("a.id") < col("b.id") &&
-          col("a.sz") >= lit(tau) * col("b.sz") &&
+    // condition prunes size-incompatible pairs before any row is emitted;
+    // the pair space is enumerated by the grid equi-join, not a cartesian
+    gridSelfJoin(t,
+        col("a.sz") >= lit(tau) * col("b.sz") &&
           col("b.sz") >= lit(tau) * col("a.sz"))
       .withColumn("inter", inter)
       .withColumn("jaccard",
@@ -251,10 +251,11 @@ object Dedup {
     // .filter would be pushed into the condition AHEAD of the prefilter by
     // PushPredicateThroughJoin, making every pair pay the O(|sh|) intersect
     // (measured 4× slower). And-chains short-circuit left to right, so this
-    // order guarantees the intersect only runs on prefilter survivors.
-    t.as("a").join(t.as("b"),
-        col("a.id") < col("b.id") &&
-          col("a.sz") >= lit(tau) * col("b.sz") &&
+    // order guarantees the intersect only runs on prefilter survivors. The
+    // pair space itself is enumerated by the grid equi-join (even load,
+    // no cartesian), not an unkeyed self-join.
+    gridSelfJoin(t,
+        col("a.sz") >= lit(tau) * col("b.sz") &&
           col("b.sz") >= lit(tau) * col("a.sz") &&
           candidate &&
           exactJaccard >= lit(tau))
@@ -384,25 +385,109 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("hamming"))
   }
 
+  // ------------------------------------------------ grid-blocked self-join
+
+  /** All-pairs self-join via 1-Bucket-Theta grid partitioning (Okcan &
+    * Riedewald, SIGMOD'11) — the scale-out shape for EXACT pairwise
+    * predicates with no equi key. Each row gets a block id (hash(id) mod
+    * `blocks`); the left side replicates once per block and the join runs
+    * EQUI on the right side's block, so:
+    *
+    *  - no BroadcastNestedLoopJoin / cartesian: a ShuffledHashJoin on the
+    *    block key, each reducer handling n × n/blocks candidates — even
+    *    load by construction (every left row meets every block exactly once);
+    *  - bounded per-task memory: a task builds/sorts one block (n/blocks
+    *    rows), never the whole table, and never broadcasts anything;
+    *  - total comparison count stays O(n²) — that is inherent to an exact
+    *    pairwise predicate — but it scales OUT horizontally: `blocks`
+    *    (≈ the cluster's task slots) is the parallelism dial, replication
+    *    factor = `blocks` on one side only.
+    *
+    * `cond` (refs via `col("a.…")` / `col("b.…")`) is evaluated INSIDE the
+    * join condition after the id dedup, last in the And chain, so the
+    * expensive predicate short-circuits behind the cheap ones and cannot be
+    * reordered ahead of them by PushPredicateThroughJoin (round-2 measured
+    * gotcha).
+    */
+  private[operators] def gridSelfJoin(t: DataFrame, cond: Column, blocks: Int = 32): DataFrame = {
+    require(blocks >= 1)
+    val withBlk = t.withColumn("_blk", pmod(hash(col("id")), lit(blocks)))
+    val left = withBlk
+      .withColumn("_pb", explode(array((0 until blocks).map(lit(_)): _*)))
+      .drop("_blk")
+    left.as("a").join(withBlk.as("b"),
+      col("a._pb") === col("b._blk") && col("a.id") < col("b.id") && cond)
+  }
+
   // ------------------------------------------------- embedding-cosine pairs
 
-  /** Near-dup pairs by embedding cosine ≥ tau. At this shape the plan is a
-    * broadcast nested-loop self-join (no equi key) — correct and fine for
-    * corpus sizes where one side broadcasts; the 100 TB path is to block
-    * first (sign-LSH buckets, see AnnSearch) and run this verify inside
-    * buckets only.
+  /** Near-dup pairs by embedding cosine ≥ tau — EXACT (every qualifying pair,
+    * no recall caveat), planned as a [[gridSelfJoin]] rather than the naive
+    * broadcast nested-loop self-join: no broadcast of the corpus, no BNLJ,
+    * even per-reducer load, `blocks` as the scale-out dial.
+    *
+    * Why not LSH blocking for the exact entry: completeness would require
+    * every qualifying pair to collide. Measured on this corpus (64-d
+    * near-orthogonal embeddings, tau=0.4 ⇒ pair angles up to 66°), true
+    * pairs span the FULL Hamming range of the 6-plane sign-LSH code — 3 of
+    * 920 pairs at sf0.1 disagree on all 6 planes — so no probe radius short
+    * of "everything" is complete. Exact all-pairs cosine is inherently
+    * O(n²) FLOPs; the honest scale answer is to distribute those FLOPs
+    * evenly (this plan), and to offer the approximate blocked variant
+    * ([[cosinePairsLsh]]) where recall < 1 is acceptable.
     */
-  def cosinePairs(embs: DataFrame, id: Column, vec: Column, tau: Double): DataFrame = {
+  def cosinePairs(embs: DataFrame, id: Column, vec: Column, tau: Double, blocks: Int = 32): DataFrame = {
     import graft.functions.{VectorFunctions => VF}
     // norms are materialized once per ROW before the pair join (n sqrt-folds
     // instead of n² — the index-build analog), so each pair costs exactly
     // one fused dot-product loop plus a divide.
     val t = embs.select(id.as("id"), vec.as("v"))
       .withColumn("nrm", sqrt(VF.normSq(col("v"))))
-    t.as("a").join(t.as("b"), col("a.id") < col("b.id"))
-      .withColumn("cosine", VF.dot(col("a.v"), col("b.v")) / (col("a.nrm") * col("b.nrm")))
-      .filter(col("cosine") >= tau)
-      .select(col("a.id").as("id_a"), col("b.id").as("id_b"), col("cosine"))
+    def cosine = VF.dot(col("a.v"), col("b.v")) / (col("a.nrm") * col("b.nrm"))
+    gridSelfJoin(t, cosine >= tau, blocks)
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"), cosine.as("cosine"))
+  }
+
+  /** Near-dup pairs by embedding cosine ≥ tau — APPROXIMATE, blocked on
+    * sign-LSH buckets ([[AnnSearch]] machinery): candidates are pairs whose
+    * bucket codes agree within Hamming ≤ `probeRadius`, generated by a
+    * multiprobe EQUI-join (each row emits its bucket ⊕ every mask of
+    * popcount ≤ radius; the other side joins on its own bucket), then
+    * verified with exact cosine. Candidate volume ≈ n²·probes/2^planes per
+    * the collision curve — with enough planes the equi-join touches a
+    * vanishing pair fraction, which is the 100 TB near-dup shape when the
+    * corpus actually clusters (true duplicates at cosine ≥ 0.9 disagree on
+    * ~0.14 of planes; this corpus's tau=0.4 stress case is documented in
+    * [[cosinePairs]]). Recall is the banding curve, not 1.
+    */
+  def cosinePairsLsh(
+      embs: DataFrame,
+      id: Column,
+      vec: Column,
+      tau: Double,
+      planes: Seq[Seq[Double]],
+      probeRadius: Int = 2): DataFrame = {
+    import graft.functions.{VectorFunctions => VF}
+    val t = embs.select(id.as("id"), vec.as("v"))
+      .withColumn("bucket", AnnSearch.bucketCol(col("v"), planes))
+    val masks = AnnSearch.xorMasks(planes.length, probeRadius)
+    val probed = t.select(col("id"),
+      explode(array(masks.map(m => col("bucket").bitwiseXOR(lit(m))): _*)).as("probe"))
+    // a pair at Hamming h ≤ radius collides on C(h + pad ≤ radius) probes →
+    // distinct before the (exact) verify so each pair is scored once
+    val cand = probed.as("x").join(t.select(col("id"), col("bucket")).as("y"),
+        col("x.probe") === col("y.bucket") && col("x.id") < col("y.id"))
+      .select(col("x.id").as("id_a"), col("y.id").as("id_b"))
+      .distinct()
+    // distinct column names on each verify side (shared lineage + alias is
+    // the round-2 name-resolution landmine)
+    val sides = t.withColumn("nrm", sqrt(VF.normSq(col("v"))))
+    def cosine = VF.dot(col("va"), col("vb")) / (col("nrma") * col("nrmb"))
+    cand
+      .join(sides.select(col("id").as("id_a"), col("v").as("va"), col("nrm").as("nrma")), Seq("id_a"))
+      .join(sides.select(col("id").as("id_b"), col("v").as("vb"), col("nrm").as("nrmb")), Seq("id_b"))
+      .filter(cosine >= tau)
+      .select(col("id_a"), col("id_b"), cosine.as("cosine"))
   }
 
   // --------------------------------------------------- duplicate clustering

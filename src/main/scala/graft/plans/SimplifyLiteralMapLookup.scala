@@ -67,8 +67,13 @@ object SimplifyLiteralMapLookup extends Rule[LogicalPlan] {
     }
   }
 
+  // Prune on CREATE_MAP (not EXTRACT_VALUE): ElementAt declares no
+  // nodePatterns in Spark 4.1.2, so an EXTRACT_VALUE-based condition only
+  // fired when a Cast happened to sit in the subtree. Both map-lookup
+  // rewrites require a CreateMap child, and CreateMap carries CREATE_MAP —
+  // that pattern is sound and precise; CAST stays for rewrite (2).
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transformAllExpressionsWithPruning(
-    _.containsAnyPattern(org.apache.spark.sql.catalyst.trees.TreePattern.EXTRACT_VALUE,
+    _.containsAnyPattern(org.apache.spark.sql.catalyst.trees.TreePattern.CREATE_MAP,
       org.apache.spark.sql.catalyst.trees.TreePattern.CAST)) {
     case ea @ ElementAt(m: CreateMap, key: Literal, _, _) =>
       lookup(m, key) match {

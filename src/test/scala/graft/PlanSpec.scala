@@ -69,6 +69,17 @@ class PlanSpec extends SparkSpec {
     info(s"scan prunes to ${probes.length} of ${1 << planes.length} bucket directories")
   }
 
+  test("pairwise dedup plans contain no BNLJ / cartesian (grid equi-join shape)") {
+    // q_dedup_embedding and q_dedup_jaccard were the round-3 scale-killers;
+    // both now enumerate the pair space through the 1-Bucket-Theta grid
+    // equi-join — pin that no nested-loop/cartesian operator survives
+    Seq("q_dedup_embedding", "q_dedup_embedding_lsh", "q_dedup_jaccard").foreach { q =>
+      val plan = SparkEntry.queries(q)(spark, dir).queryExecution.executedPlan.toString
+      assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+        s"$q must not plan an all-pairs nested loop, got:\n$plan")
+    }
+  }
+
   test("whole-stage codegen covers the scoring projection") {
     val store = VectorStore.fromEmbeddingsTable(spark, dir)
     val q = store.getVector("0").toSeq

@@ -108,6 +108,29 @@ class RuleSpec extends SparkSpec {
     }
   }
 
+  test("jsonKv ingest shapes ($in, string eq, string range) are extension-parity too") {
+    // The remaining FilterDsl shapes run over the events-derived metadata
+    // (string-valued kv map via jsonKv) — a regression in the rule affecting
+    // these would not be caught by the typed-label parity table above.
+    import graft.operators.{Eq, Ops, MetaValue, FilterDsl, MetadataTables}
+    import MetaValue._
+    val filters: Seq[(String, Seq[FilterDsl.MetaFilter])] = Seq(
+      "in-list" -> Seq(Map("tags" -> Ops(Seq("$in" -> MStr("view"))))),
+      "string-eq" -> Seq(Map("type" -> Eq(MStr("click")))),
+      "string-range" -> Seq(Map("date" -> Ops(Seq(
+        "$gte" -> MStr("2024-01-10T00:00:00"), "$lt" -> MStr("2024-01-20T00:00:00"))))),
+      "numeric-over-json" -> Seq(Map("value" -> Ops(Seq("$gt" -> MDouble(250.0))))))
+    filters.foreach { case (name, f) =>
+      def ids(s: SparkSession): Seq[String] =
+        MetadataTables.eventsMeta(s, dir)
+          .filter(FilterDsl.compile(col("metadata_kv"), f))
+          .select("id").collect().map(_.getString(0)).sorted.toSeq
+      val ext = ids(extSession)
+      assert(ext.nonEmpty, s"filter '$name' matched nothing — parity check is vacuous")
+      assert(ext == ids(SparkSpec.session), s"filter '$name' diverged")
+    }
+  }
+
   test("dot against a query literal is NOT rewritten; search results unchanged") {
     val q = persisted.getVector("0").toSeq
     val df = persisted.df
