@@ -1,6 +1,22 @@
 package graft
 import org.apache.spark.sql.SparkSession
+
+/** Benchmark main — per-query wall time at the given SF dir, one JSON line.
+  *
+  * Noise defense (round-3 lesson: a one-shot bench recorded a background
+  * -load spike as a fake 38 % regression): every query is timed `Reps`
+  * times and the reported number is the MEDIAN of the reps; all reps are
+  * emitted under "reps" so any run's spread is auditable after the fact.
+  * Two consecutive runs on an idle box agree within ~10 % per query.
+  */
 object Bench {
+  val Reps = 3
+
+  private def median(xs: Seq[Double]): Double = {
+    val s = xs.sorted
+    if (s.size % 2 == 1) s(s.size / 2) else (s(s.size / 2 - 1) + s(s.size / 2)) / 2.0
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
@@ -19,15 +35,25 @@ object Bench {
       .foreach(n => SparkEntry.queries.get(n).foreach { fn =>
         try { fn(spark, sfDir).count(); () } catch { case _: Throwable => () }
       })
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
-    }.toMap
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    val names = SparkEntry.queries.keys.toSeq.sorted
+    // rep loops OUTSIDE the query loop: a load spike then dents one rep of
+    // many queries (medianed away) instead of all reps of one query
+    val times = scala.collection.mutable.Map.empty[String, Vector[Double]]
+      .withDefaultValue(Vector.empty)
+    (1 to Reps).foreach { _ =>
+      names.foreach { name =>
+        val fn = SparkEntry.queries(name)
+        val t0 = System.nanoTime()
+        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+        times(name) = times(name) :+ (System.nanoTime() - t0) / 1e9
+      }
+    }
+    val med = names.map(n => n -> median(times(n))).toMap
+    val qs = names.map(n => s"\"$n\":${med(n)}").mkString("{", ",", "}")
+    val reps = names.map(n => s"\"$n\":${times(n).mkString("[", ",", "]")}")
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val total = med.values.sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","reps":$reps,"n_reps":$Reps}""")
     spark.stop()
   }
 }

@@ -601,6 +601,37 @@ object SparkEntry {
         .withColumn("score", round(col("score"), 6))
         .orderBy(desc("score"), asc("id"))
     }),
+    // usearch-mirror ascending-distance autocut: int8 cosine DISTANCE
+    // (1 − cos, the usearch return convention), smallest-first, truncated at
+    // the first >20% relative increase. The query row itself is excluded so
+    // the distance list has no ~0 leading entry (relative increases over a
+    // near-zero denominator are float-noise-sensitive on BOTH engines).
+    "q_knn_quantized_autocut" -> ((s, dir) => {
+      val corpus = s.read.parquet(s"$dir/embeddings.parquet").filter(col("vec_id") =!= 0)
+      val qz = Quantized.quantize(corpus, col("embedding"))
+      val d = Quantized.searchDistance(qz, col("vec_id").cast("string"), queryVec(s, dir), k = 10)
+      Autocut.ascending(d, col("distance"), col("id"))
+        .select(col("id"), round(col("distance"), 6).as("distance"))
+        .orderBy(asc("distance"), asc("id"))
+    }),
+    // multi-word binary quantization (the 64-dim cap lifted): a 512-d wide
+    // vector (8 threshold slices of the embedding — multi-threshold scalar
+    // quantization) packs into 8 BIGINT words; coarse rank is one fused
+    // XOR+popcount pass over 64 bytes/row, exact cosine rerank of the best
+    // 50 on the original floats
+    "q_knn_binary_wide" -> ((s, dir) => {
+      val embs = s.read.parquet(s"$dir/embeddings.parquet")
+      val ev = VF.toDoubleArray(col("embedding"))
+      def thr(sl: Int): Double = (sl - 3.5) * 0.04
+      val wide = flatten(array((0 until 8).map(sl => transform(ev, x => x - lit(thr(sl)))): _*))
+      val b = Quantized.binarizeWords(embs.withColumn("wide", wide), col("wide"), dim = 512)
+      val q = queryVec(s, dir)
+      val qWide = (0 until 8).flatMap(sl => q.map(x => x.toDouble - thr(sl)))
+      Quantized.binarySearchWords(b, col("vec_id").cast("string"), qWide,
+          rerankVec = col("embedding"), rerankQuery = q, k = 10, rerank = 50)
+        .withColumn("score", round(col("score"), 6))
+        .orderBy(desc("score"), asc("id"))
+    }),
     // batch k-NN: top-5 per query for 3 query vectors in one corpus scan
     "q_knn_batch" -> ((s, dir) => {
       val store = VectorStore.fromEmbeddingsTable(s, dir)
@@ -863,6 +894,65 @@ object SparkEntry {
         |cand AS (
         |  SELECT b.vec_id, b.ev FROM b, q
         |  ORDER BY bit_count(xor(b.bcode, q.qb)) ASC, CAST(b.vec_id AS VARCHAR) ASC
+        |  LIMIT 50
+        |)
+        |SELECT id, round(score, 6) AS score FROM (
+        |  SELECT CAST(c.vec_id AS VARCHAR) AS id,
+        |         list_cosine_similarity(c.ev, q.qv) AS score
+        |  FROM cand c, q
+        |  ORDER BY score DESC, id ASC LIMIT 10
+        |) ORDER BY score DESC, id ASC""".stripMargin,
+    // Ascending-distance autocut oracle: same int8 quantization CTEs as
+    // q_knn_quantized, distance = 1 − cosine ascending, then the increase/
+    // max/first-cut windows (mirror of the q_knn_autocut oracle, sign
+    // flipped). Query row excluded on both sides.
+    "q_knn_quantized_autocut" ->
+      """WITH e AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS d FROM embeddings
+        |), sc AS (
+        |  SELECT vec_id, d, list_max(list_transform(d, x -> abs(x))) AS s FROM e
+        |), qz AS (
+        |  SELECT vec_id,
+        |    CASE WHEN s > 0 THEN list_transform(d, x -> floor(x * 127.0 / s + 0.5))
+        |         ELSE list_transform(d, x -> 0.0) END AS q
+        |  FROM sc
+        |), qv AS (SELECT q AS qq FROM qz WHERE vec_id = 0),
+        |topk AS (
+        |  SELECT CAST(z.vec_id AS VARCHAR) AS id,
+        |    1.0 - list_dot_product(z.q, qv.qq) /
+        |      (sqrt(list_dot_product(z.q, z.q)) * sqrt(list_dot_product(qv.qq, qv.qq))) AS dist
+        |  FROM qz z, qv WHERE z.vec_id <> 0
+        |  ORDER BY dist ASC, id ASC LIMIT 10
+        |), dd AS (
+        |  SELECT id, dist,
+        |         row_number() OVER (ORDER BY dist ASC, id ASC) AS rn,
+        |         lag(dist) OVER (ORDER BY dist ASC, id ASC) AS prev
+        |  FROM topk
+        |), m AS (SELECT max((dist - prev) / prev) AS maxi FROM dd),
+        |c AS (SELECT min(rn) AS cut FROM dd, m WHERE (dist - prev) / prev = maxi)
+        |SELECT id, round(dist, 6) AS distance FROM dd, m, c
+        |WHERE CASE WHEN maxi > 0.2 THEN rn < cut ELSE true END
+        |ORDER BY distance ASC, id ASC""".stripMargin,
+    // Multi-word binary oracle: replicate the 8-threshold wide-vector sign
+    // packing ((embedding[j] − (s−3.5)·0.04) ≥ 0 ⇒ bit j of word s; bit 63
+    // via the min-long literal — DuckDB << is overflow-checked), Hamming =
+    // Σ_w bit_count(xor), keep 50 (id tiebreak), exact cosine top-10.
+    "q_knn_binary_wide" ->
+      """WITH b AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ev,
+        |    list_transform(range(0, 8), s ->
+        |      CAST(list_sum(list_transform(range(0, 64), j ->
+        |        CASE WHEN (CAST(embedding[CAST(j+1 AS INT)] AS DOUBLE) - (s - 3.5)*0.04) >= 0
+        |             THEN (CASE WHEN j = 63 THEN CAST(-9223372036854775807 - 1 AS BIGINT)
+        |                   ELSE (CAST(1 AS BIGINT) << CAST(j AS BIGINT)) END)
+        |             ELSE CAST(0 AS BIGINT) END)) AS BIGINT)) AS words
+        |  FROM embeddings
+        |), q AS (SELECT ev AS qv, words AS qw FROM b WHERE vec_id = 0),
+        |cand AS (
+        |  SELECT b.vec_id, b.ev FROM b, q
+        |  ORDER BY list_sum(list_transform(range(0, 8), w ->
+        |             bit_count(xor(b.words[CAST(w+1 AS INT)], q.qw[CAST(w+1 AS INT)])))) ASC,
+        |           CAST(b.vec_id AS VARCHAR) ASC
         |  LIMIT 50
         |)
         |SELECT id, round(score, 6) AS score FROM (

@@ -63,14 +63,32 @@ object Quantized {
       .limit(k)
   }
 
+  /** Top-k by cosine DISTANCE over the int8 codes, ascending — the usearch
+    * variant's native return convention (`metric='cos'` returns distances,
+    * /root/reference/minivectordb/sharded_vector_database_usearch.py:621-627):
+    * `distance = 1 − cosine`, smallest first, id tiebreak. Feeds
+    * [[graft.operators.Autocut.ascending]].
+    */
+  def searchDistance(quantized: DataFrame, id: Column, query: Seq[Float], k: Int = 5): DataFrame = {
+    val q = quantizeVec(query)
+    val qNorm = math.sqrt(q.map(x => x.toDouble * x.toDouble).sum)
+    quantized
+      .withColumn("distance",
+        lit(1.0) - VF.dot(col("qemb"), typedLit(q.toSeq)) / (sqrt(col("qnorm_sq")) * lit(qNorm)))
+      .select(id.as("id"), col("distance"))
+      .orderBy(asc("distance"), asc("id"))
+      .limit(k)
+  }
+
   // ------------------------------------------------------- binary (1-bit)
 
   /** Binary (sign-bit) quantization: dimension j contributes bit j, set iff
     * `v_j ≥ 0` — 64 dims pack into ONE BIGINT (64× narrower than float32).
     * At scan-is-the-query scale this is the cheapest possible prefilter
     * representation: candidate ranking is a single XOR + popcount per row.
-    * Supports dim ≤ 64 (one word); wider vectors take an ARRAY<BIGINT> of
-    * words — same construction per 64-dim slice.
+    * Supports dim ≤ 64 (one word); wider vectors — real embedding models
+    * are 384/512/1024-d (/root/reference/tests/test_embedding_model.py:13,
+    * 37,61,73) — use [[binarizeWords]].
     */
   def binarize(df: DataFrame, vec: Column, dim: Int): DataFrame = {
     require(dim >= 1 && dim <= 64, s"one-word binarization needs dim ≤ 64, got $dim")
@@ -78,6 +96,68 @@ object Quantized {
       when(element_at(vec, j + 1) >= 0, lit(1L << j)).otherwise(lit(0L))
     }.reduce(_ + _)
     df.withColumn("bcode", code)
+  }
+
+  /** Multi-word binary quantization for ANY dimension: word w packs dims
+    * [64w, 64w+63] (bit j of word w = sign of dim 64w+j) into an
+    * ARRAY<BIGINT> `bcodes` of ⌈dim/64⌉ words — a 512-d float32 vector
+    * becomes 64 bytes. Hamming over the words is one fused XOR+popcount
+    * loop ([[graft.functions.PopcountXorExpr]]).
+    */
+  def binarizeWords(df: DataFrame, vec: Column, dim: Int): DataFrame = {
+    require(dim >= 1, s"need dim ≥ 1, got $dim")
+    val nWords = (dim + 63) / 64
+    val words = (0 until nWords).map { w =>
+      (0 until math.min(64, dim - 64 * w)).map { j =>
+        when(element_at(vec, 64 * w + j + 1) >= 0, lit(1L << j)).otherwise(lit(0L))
+      }.reduce(_ + _)
+    }
+    df.withColumn("bcodes", array(words: _*))
+  }
+
+  /** Driver-side multi-word sign packing of the query (same word/bit order).
+    * Takes Doubles: the wide query is derived in Double arithmetic and must
+    * not round-trip through Float (a tiny negative difference collapsing to
+    * -0.0f would flip its sign bit versus the column-side Double test).
+    */
+  def binarizeVecWords(v: Seq[Double]): Array[Long] = {
+    val out = new Array[Long]((v.length + 63) / 64)
+    v.zipWithIndex.foreach { case (x, i) => if (x >= 0) out(i >> 6) |= 1L << (i & 63) }
+    out
+  }
+
+  /** Multi-word Hamming distance column between a packed codes column and a
+    * driver-packed query code.
+    */
+  def hammingWords(codes: Column, queryWords: Array[Long]): Column =
+    org.apache.spark.sql.graft.Bridge.column(
+      graft.functions.PopcountXorExpr(
+        org.apache.spark.sql.graft.Bridge.expression(codes),
+        org.apache.spark.sql.graft.Bridge.expression(typedLit(queryWords.toSeq))))
+
+  /** Two-stage binary search over multi-word codes — [[binarySearch]] with
+    * the 64-dim cap lifted: coarse Hamming rank over ⌈dim/64⌉ words per row
+    * (fused XOR+popcount), keep `rerank` candidates, exact cosine top-k on
+    * the `vec` column.
+    */
+  def binarySearchWords(
+      binarized: DataFrame,
+      id: Column,
+      query: Seq[Double],
+      rerankVec: Column,
+      rerankQuery: Seq[Float],
+      k: Int = 5,
+      rerank: Int = 50): DataFrame = {
+    val qWords = binarizeVecWords(query)
+    binarized
+      .withColumn("hamming", hammingWords(col("bcodes"), qWords))
+      .withColumn("id", id)
+      .orderBy(asc("hamming"), asc("id"))
+      .limit(rerank)
+      .withColumn("score", VF.cosine(rerankVec, typedLit(rerankQuery)))
+      .select(col("id"), col("score"))
+      .orderBy(desc("score"), asc("id"))
+      .limit(k)
   }
 
   /** Driver-side sign packing of the query (same bit order). */

@@ -121,4 +121,27 @@ object Autocut {
       .filter(when(col("_maxd") > Threshold, col("_rn") < col("_cut")).otherwise(lit(true)))
       .drop("_rn", "_drop", "_maxd", "_cut")
   }
+
+  /** Ascending-DISTANCE autocut — the usearch-variant mirror
+    * (`autocut_distances`, /root/reference/minivectordb/
+    * sharded_vector_database_usearch.py:573-594): over an ascending distance
+    * list, find the FIRST largest relative INCREASE between consecutive
+    * distances; if it exceeds 20%, truncate from that point on. Identical
+    * window shape to the descending form (input is a ≤ k-row top-k result),
+    * with the drop ratio sign-flipped: `(d − prev) / prev`.
+    */
+  def ascending(topK: DataFrame, distance: Column, tieBreak: Column): DataFrame = {
+    val w = Window.orderBy(distance.asc, tieBreak.asc)
+    val all = Window.partitionBy().rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val prev = lag(distance, 1).over(w)
+    topK
+      .withColumn("_rn", row_number().over(w))
+      .withColumn("_incr", (distance - prev) / prev)
+      .withColumn("_maxi", max(col("_incr")).over(all))
+      .withColumn("_cut", min(when(col("_incr") === col("_maxi"), col("_rn"))).over(all))
+      // single-row inputs have no increases: _maxi null ⇒ keep all (the
+      // reference calls max() on a non-empty increase list only)
+      .filter(when(col("_maxi") > Threshold, col("_rn") < col("_cut")).otherwise(lit(true)))
+      .drop("_rn", "_incr", "_maxi", "_cut")
+  }
 }

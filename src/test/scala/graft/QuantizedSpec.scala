@@ -99,4 +99,38 @@ class QuantizedSpec extends SparkSpec {
         bit_count(col("bcode").bitwiseXOR(lit(Quantized.binarizeVec(query)))))
     assert(b.filter(col("vec_id") === 0L).select("hamming").head().getInt(0) == 0)
   }
+
+  test("binarizeWords: word 0 of a 64-dim code equals the single-word bcode; " +
+      "multi-word packing spans word boundaries correctly") {
+    val embs = spark.read.parquet(s"$dir/embeddings.parquet")
+    val both = Quantized.binarizeWords(
+        Quantized.binarize(embs, col("embedding"), dim = 64), col("embedding"), dim = 64)
+      .select(col("bcode"), element_at(col("bcodes"), 1).as("w0"))
+    assert(both.filter(col("bcode") =!= col("w0")).count() == 0)
+    // 70-dim vector: bit 64 (dim 65) must land in word 1, bit 0
+    import testImplicits._
+    val v: Seq[Float] = Seq.fill(64)(-1.0f) ++ Seq(1.0f) ++ Seq.fill(5)(-1.0f)
+    val df = Seq((1L, v)).toDF("id", "emb")
+    val words = Quantized.binarizeWords(df, col("emb"), dim = 70)
+      .select("bcodes").head().getSeq[Long](0)
+    assert(words == Seq(0L, 1L))
+    assert(Quantized.binarizeVecWords(v.map(_.toDouble)).toSeq == Seq(0L, 1L))
+  }
+
+  test("multi-word binary search with full rerank budget equals exact search") {
+    val embs = spark.read.parquet(s"$dir/embeddings.parquet")
+    val n = embs.count().toInt
+    val query = VectorStore.fromEmbeddingsTable(spark, dir).getVector("0").toSeq
+    // hamming over the raw 64-dim sign code split into words — same
+    // candidate semantics as binarySearch, code path is the words kernel
+    val b = Quantized.binarizeWords(embs, col("embedding"), dim = 64)
+    val viaWords = Quantized.binarySearchWords(b, col("vec_id").cast("string"),
+        query.map(_.toDouble), rerankVec = col("embedding"), rerankQuery = query,
+        k = 5, rerank = n)
+      .collect().map(_.getString(0)).toSeq
+    val exact = Search.findMostSimilar(
+        VectorStore.fromEmbeddingsTable(spark, dir), query, k = 5)
+      .collect().map(_.getString(0)).toSeq
+    assert(viaWords == exact)
+  }
 }

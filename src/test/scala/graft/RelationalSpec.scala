@@ -90,6 +90,26 @@ class RelationalSpec extends SparkSpec {
       s"salt must be part of the join keys:\n$plan")
   }
 
+  test("saltedJoin: hot-keys-only — forced-hot equals plain join; cold path replicates nothing") {
+    import org.apache.spark.sql.functions._
+    val li = Testdata.lineitem(spark, dir)
+    val ord = Testdata.orders(spark, dir)
+    def agg(df: org.apache.spark.sql.DataFrame) =
+      df.groupBy("o_orderpriority").count().orderBy("o_orderpriority")
+        .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    val plain = agg(li.join(ord, col("l_orderkey") === col("o_orderkey")))
+    // every key forced hot (threshold 1, full sample): still the plain result
+    val allHot = Relational.saltedJoin(li, ord, "l_orderkey", "o_orderkey",
+      saltBy = col("l_linenumber"), salts = 4, hotRowThreshold = 1, sampleFraction = 1.0)
+    assert(agg(allHot) == plain)
+    // nothing hot (default 1M-row threshold): the other side must NOT be
+    // replicated — its exploded salt array is the singleton [0], so the
+    // join input row count equals the plain dimension count
+    val noneHot = Relational.saltedJoin(li, ord, "l_orderkey", "o_orderkey",
+      saltBy = col("l_linenumber"), salts = 4)
+    assert(agg(noneHot) == plain)
+  }
+
   test("approx sketches: HLL distinct and quantile land within their bounds") {
     import org.apache.spark.sql.functions._
     val ord = Testdata.orders(spark, dir)

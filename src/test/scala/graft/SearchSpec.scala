@@ -115,6 +115,29 @@ class SearchSpec extends SparkSpec {
     assert(Autocut(df, col("score"), col("id")).count() == 1)
   }
 
+  test("ascending autocut truncates at the first largest >20% relative increase " +
+      "(sharded_vector_database_usearch.py:573-594)") {
+    val sp = spark
+    import sp.implicits._
+    // distances 0.10, 0.11, 0.30, 0.33 → largest rel increase at 0.11→0.30
+    // (173%) ⇒ keep the 2 rows before the jump
+    val df = Seq(("a", 0.10), ("b", 0.11), ("c", 0.30), ("d", 0.33)).toDF("id", "dist")
+    val cut = Autocut.ascending(df, col("dist"), col("id")).collect()
+    assert(cut.map(_.getString(0)).toSeq == Seq("a", "b"))
+    // ties on the max increase: cut at the FIRST occurrence (reference
+    // increases.index(max) semantics): 0.1, 0.2, 0.4 → both increases are
+    // 100%; keep only the row before the first jump
+    val tied = Seq(("a", 0.1), ("b", 0.2), ("c", 0.4)).toDF("id", "dist")
+    assert(Autocut.ascending(tied, col("dist"), col("id"))
+      .collect().map(_.getString(0)).toSeq == Seq("a"))
+    // no increase exceeds 20% ⇒ keep everything
+    val flat = Seq(("a", 0.10), ("b", 0.11), ("c", 0.12)).toDF("id", "dist")
+    assert(Autocut.ascending(flat, col("dist"), col("id")).count() == 3)
+    // single row ⇒ kept (no increases to inspect)
+    assert(Autocut.ascending(Seq(("a", 0.5)).toDF("id", "dist"),
+      col("dist"), col("id")).count() == 1)
+  }
+
   test("insert duplicate id raises 'Unique ID already exists.' (vector_database.py:59-60)") {
     val e = intercept[IllegalArgumentException] {
       base.insert("1", Seq(0.5f, 0.5f)).df.count()
