@@ -127,6 +127,58 @@ object SparkEntry {
        |ORDER BY id_a, id_b""".stripMargin
   }
 
+  /** Hybrid-rerank oracle: exact SQL replica of the deterministic kernels
+    * (graft.functions.NgramPolyHashVecExpr + distinct-token Jaccard ×100).
+    * The query string rides through the SAME feature CTEs as the document
+    * rows (union'd in as a marker row), so no float literal ever crosses
+    * the engine boundary — only the query text and the integer hash
+    * constants.
+    */
+  private val rerankOracle: String = {
+    // grams/hash/bucket expressions over a lowercase string column `t` —
+    // verbatim integer arithmetic of NgramPolyHashVecExpr.features
+    val grams = "flatten(list_transform(range(1, 7), n -> " +
+      "list_transform(range(1, length(t) - n + 2), i -> substring(t, CAST(i AS INT), CAST(n AS INT)))))"
+    val polyhash = "list_reduce(list_prepend(CAST(0 AS BIGINT), " +
+      "list_transform(range(1, length(g)+1), i -> CAST(unicode(substring(g, CAST(i AS INT), 1)) AS BIGINT))), " +
+      "(acc, x) -> (acc*31 + x) % 1000000007)"
+    s"""WITH hits AS (
+       |  SELECT CAST(e.vec_id AS VARCHAR) AS id,
+       |         list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), CAST(q.qe AS DOUBLE[])) AS score
+       |  FROM embeddings e, (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0) q
+       |  ORDER BY score DESC, id ASC LIMIT 20
+       |), rows_ AS (
+       |  SELECT h.id, h.score, lower(d.text) AS t
+       |  FROM hits h JOIN documents d ON h.id = CAST(d.doc_id AS VARCHAR)
+       |  UNION ALL SELECT '__query__', 0.0, lower('table join query scan fast')
+       |), hs AS (
+       |  SELECT id, score, t,
+       |    list_transform($grams, g -> $polyhash) AS hl
+       |  FROM rows_
+       |), vv AS (
+       |  SELECT id, score, t,
+       |    list_transform(range(0, 64), b -> CAST(coalesce(list_sum(list_transform(hl, h ->
+       |      CASE WHEN h % 64 = b THEN (CASE WHEN (h // 64) % 2 = 0 THEN 1 ELSE -1 END) ELSE 0 END)), 0) AS DOUBLE)) AS v
+       |  FROM hs
+       |), vn AS (
+       |  SELECT id, score,
+       |    CASE WHEN list_dot_product(v, v) > 0
+       |         THEN list_transform(v, x -> x / sqrt(list_dot_product(v, v))) ELSE v END AS fv,
+       |    list_distinct(string_split_regex(t, '\\s+')) AS toks
+       |  FROM vv
+       |), q AS (SELECT fv AS qv, toks AS qt FROM vn WHERE id = '__query__'),
+       |scored AS (
+       |  SELECT d.id,
+       |    0.80 * d.score + 0.15 * list_dot_product(d.fv, q.qv)
+       |      + 0.05 * (100.0 * len(list_intersect(d.toks, q.qt)) /
+       |                (len(d.toks) + len(q.qt) - len(list_intersect(d.toks, q.qt)))) AS combined
+       |  FROM vn d, q WHERE d.id <> '__query__'
+       |  ORDER BY combined DESC, id ASC LIMIT 5
+       |)
+       |SELECT id, round(combined, 6) AS combined_score FROM scored
+       |ORDER BY combined_score DESC, id ASC""".stripMargin
+  }
+
   /** Ground-truth near-dup pairs: exact pairwise bigram-shingle Jaccard.
     * Shared by the exact (q_dedup_jaccard) and LSH (q_dedup_minhash)
     * queries — the LSH path must reproduce the exact answer because its
@@ -226,17 +278,20 @@ object SparkEntry {
         .select("id", "score")
         .orderBy(desc("score"), asc("id"))
     }),
-    // O14+O16+O17: hybrid rerank (search ⊕ ngram-hash ⊕ fuzzy) of the top-20
-    // search hits' document text. UDF scores aren't SQL-expressible → no
-    // oracle (driver rows-only check); behavior pinned by RerankSpec.
+    // O14+O17: hybrid rerank (search ⊕ ngram-hash ⊕ lexical, reference
+    // weights 0.80/0.15/0.05) of the top-20 search hits' document text —
+    // the DETERMINISTIC-kernel variant (polyhash features + token-overlap
+    // ×100), fully oracled; the reference's murmur+difflib kernels stay
+    // API-exposed and RerankSpec-pinned (thefuzz parity values).
     "q_rerank_hybrid" -> ((s, dir) => {
       val store = VectorStore.fromEmbeddingsTable(s, dir)
       val docs = graft.sources.Testdata.table(s, dir, "documents")
       val hits = Search.findMostSimilar(store, queryVec(s, dir), k = 20)
       val joined = hits.join(docs, hits("id") === docs("doc_id").cast("string"))
-      Rerank.hybridRerank(joined, col("text"), col("score"),
+      Rerank.hybridRerankDeterministic(joined, col("id"), col("text"), col("score"),
           "table join query scan fast", k = 5)
         .select(col("id"), round(col("combined_score"), 6).as("combined_score"))
+        .orderBy(desc("combined_score"), asc("id"))
     }),
     // Text analysis (beyond-reference, training-data pipeline ops): token
     // counting — whitespace + BPE-ish lexer regex
@@ -878,6 +933,7 @@ object SparkEntry {
         |SELECT user_id, session_idx, count(*) AS n_events, max(us) - min(us) AS duration_us
         |FROM x GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "q_text_bm25" -> bm25Oracle,
+    "q_rerank_hybrid" -> rerankOracle,
     // Binary-quantized search oracle: replicate the sign packing (bit j =
     // embedding[j] ≥ 0), Hamming-rank all rows with the string-id tiebreak
     // the Spark plan uses, keep 50, exact cosine top-10.

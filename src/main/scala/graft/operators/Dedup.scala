@@ -515,8 +515,18 @@ object Dedup {
       // propagation loop runs on the edge-participating vertex set alone —
       // typically a small fraction of the corpus (dup clusters are rare) —
       // and the full id table joins back once at the end.
-      var labels = edges.select(col("s").as("id")).distinct()
-        .select(col("id"), col("id").as("comp")).localCheckpoint()
+      //
+      // Round economics (round-4 tuning, measured at sf0.1): the first
+      // propagation is FUSED into the init (l₀ = min(v, Γ(v)) straight off
+      // the edge list — one groupBy instead of an init + a full round), and
+      // lineage is checkpointed every 4th round rather than every round (a
+      // handful of join/agg layers is cheap to recompute; an eager
+      // localCheckpoint per round was one extra job per round). Convergence
+      // still costs exactly one action per round (the strictly-decreasing
+      // label sum).
+      var labels = edges.groupBy(col("s").as("id"))
+        .agg(least(min(col("d")), col("s")).as("comp"))
+        .localCheckpoint()
       var prevSum = Option.empty[Long]
       var it = 0
       var converged = false
@@ -525,7 +535,7 @@ object Dedup {
           .select(edges("d").as("id"), labels("comp"))
         labels = labels.union(prop)
           .groupBy("id").agg(min("comp").as("comp"))
-          .localCheckpoint()
+        if ((it + 1) % 4 == 0) labels = labels.localCheckpoint()
         val sum = labels.agg(org.apache.spark.sql.functions.sum("comp")).head().getLong(0)
         converged = prevSum.contains(sum)
         prevSum = Some(sum)
@@ -537,5 +547,73 @@ object Dedup {
         .select(col("id"), coalesce(col("comp"), col("id")).as("cluster_id"))
         .withColumn("keep", col("id") === col("cluster_id"))
     } finally edges.unpersist()
+  }
+
+  /** Connected components via alternating LARGE-STAR / SMALL-STAR edge
+    * rewriting (Kiveris et al., "Connected Components in MapReduce and
+    * Beyond", SoCC'14) — O(log² n) rounds on ANY graph shape, versus
+    * O(diameter) for [[connectedComponents]]'s label propagation. Near-dup
+    * clusters are shallow in practice (diameter 2–3, where propagation's
+    * lighter rounds win — measured on this corpus), but a pathological
+    * corpus (chained near-dups: doc₁≈doc₂≈…≈docₙ) makes diameter O(n);
+    * this is the variant that survives it, so both are exposed and
+    * round-economics decides the wiring.
+    *
+    *  - large-star: every node u links its LARGER neighbors to
+    *    m(u) = min(Γ(u) ∪ u);
+    *  - small-star: every node u links its smaller-or-equal neighbors
+    *    (and itself) to m(u).
+    *
+    * Both preserve connectivity; alternation converges to per-component
+    * stars rooted at the component minimum. Convergence = stable edge
+    * checksum (sum of endpoint sums is monotone non-increasing under both
+    * operations and strictly decreases until fixpoint).
+    */
+  def connectedComponentsStars(ids: DataFrame, pairs: DataFrame, maxIters: Int = 50): DataFrame = {
+    def bothDirs(e: DataFrame): DataFrame =
+      e.select(col("s"), col("d")).union(e.select(col("d").as("s"), col("s").as("d")))
+    // star round: m = min(Γ(u) ∪ u) per node, then link the selected
+    // neighbor side (larger for large-star, ≤ for small-star) to m
+    def star(e: DataFrame, large: Boolean): DataFrame = {
+      val nbrs = bothDirs(e)
+      val m = nbrs.groupBy(col("s").as("u"))
+        .agg(least(min(col("d")), col("s")).as("m"))
+      val linked = nbrs.join(m, nbrs("s") === m("u"))
+      val sel =
+        if (large) linked.filter(col("d") > col("s"))
+          .select(col("d").as("s"), col("m").as("d"))
+        else linked.filter(col("d") <= col("s"))
+          .select(col("d").as("s"), col("m").as("d"))
+          .union(m.select(col("u").as("s"), col("m").as("d")))
+      sel.filter(col("s") =!= col("d")).distinct()
+    }
+    var edges = pairs
+      .select(least(col("id_a"), col("id_b")).as("s"),
+        greatest(col("id_a"), col("id_b")).as("d"))
+      .filter(col("s") =!= col("d")).distinct()
+      .localCheckpoint()
+    var prevSig = Option.empty[(Long, Long)]
+    var it = 0
+    var converged = false
+    while (it < maxIters && !converged) {
+      edges = star(star(edges, large = true), large = false).localCheckpoint()
+      // (count, weighted endpoint sum) — a positional checksum, not a bare
+      // endpoint sum, so distinct edge sets don't silently collide
+      val row = edges.agg(
+        org.apache.spark.sql.functions.count(lit(1)).as("n"),
+        org.apache.spark.sql.functions.sum(col("s") * lit(100003L) + col("d")).as("t")).head()
+      val sig = (row.getLong(0), if (row.isNullAt(1)) 0L else row.getLong(1))
+      converged = prevSig.contains(sig)
+      prevSig = Some(sig)
+      it += 1
+    }
+    require(converged, s"connectedComponentsStars did not converge in $maxIters rounds")
+    // at fixpoint every edge is (child, root-min): the label table directly
+    val labels = edges.select(col("s").as("id"), col("d").as("comp"))
+      .groupBy("id").agg(min("comp").as("comp"))
+    ids.select(col("id"))
+      .join(labels, Seq("id"), "left")
+      .select(col("id"), coalesce(col("comp"), col("id")).as("cluster_id"))
+      .withColumn("keep", col("id") === col("cluster_id"))
   }
 }

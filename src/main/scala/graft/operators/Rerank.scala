@@ -59,4 +59,51 @@ object Rerank {
       .orderBy(desc("combined_score"), sentence.asc)
       .limit(k)
   }
+
+  /** Deterministic-kernel hybrid rerank — same structure and weights as
+    * [[hybridRerank]] (search ⊕ char-n-gram-hash ⊕ lexical, 0.80/0.15/0.05),
+    * with every kernel ORACLE-REPLICABLE in SQL:
+    *
+    *  - hash_score: cosine of [[graft.functions.NgramPolyHashVecExpr]]
+    *    signed polyhash features (normalized ⇒ plain dot), replacing the
+    *    murmur HashingVectorizer twin;
+    *  - overlap_score: distinct-token Jaccard × 100, replacing fuzzy
+    *    partial_ratio ON ITS 0–100 SCALE — the reference's scale quirk
+    *    (vector_database.py:424: a [0,100] signal under a 0.05 weight
+    *    dominating two cosines) is deliberately preserved so the variant
+    *    ranks like the original;
+    *  - deterministic tiebreak on `id` (the murmur variant keeps the
+    *    reference's sentence tiebreak).
+    *
+    * The murmur+difflib original stays the API for reference parity
+    * (RerankSpec pins thefuzz values); this variant is the driver-oracled
+    * entry (q_rerank_hybrid).
+    */
+  def hybridRerankDeterministic(
+      results: DataFrame,
+      id: Column,
+      sentence: Column,
+      searchScore: Column,
+      query: String,
+      k: Int = 5,
+      weights: (Double, Double, Double) = DefaultWeights): DataFrame = {
+    import graft.functions.NgramPolyHashVecExpr
+    val queryVec = NgramPolyHashVecExpr.features(query).toSeq
+    val queryToks = query.toLowerCase.split("\\s+").filter(_.nonEmpty).distinct.toSeq
+    val docVec = org.apache.spark.sql.graft.Bridge.column(
+      NgramPolyHashVecExpr(org.apache.spark.sql.graft.Bridge.expression(sentence)))
+    val toks = array_distinct(split(lower(sentence), "\\s+"))
+    val inter = size(array_intersect(toks, typedLit(queryToks))).cast("double")
+    val overlap = lit(100.0) * inter /
+      (size(toks) + lit(queryToks.size.toDouble) - inter)
+    results
+      .withColumn("hash_score", graft.functions.VectorFunctions.dot(docVec, typedLit(queryVec)))
+      .withColumn("overlap_score", overlap)
+      .withColumn(
+        "combined_score",
+        lit(weights._1) * searchScore + lit(weights._2) * col("hash_score") +
+          lit(weights._3) * col("overlap_score"))
+      .orderBy(desc("combined_score"), id.asc)
+      .limit(k)
+  }
 }

@@ -147,4 +147,31 @@ class DedupSpec extends SparkSpec {
     assert(got.forall(_.getLong(1) == 1L))
     assert(got.count(_.getBoolean(2)) == 1)
   }
+
+  test("connectedComponentsStars: equals label propagation on mixed clusters") {
+    import testImplicits._
+    val ids = (1L to 9L).toDF("id")
+    val pairs = Seq((1L, 2L), (2L, 3L), (5L, 6L), (6L, 7L), (7L, 5L)).toDF("id_a", "id_b")
+    def asMap(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getBoolean(2))).toMap
+    assert(asMap(Dedup.connectedComponentsStars(ids, pairs)) ==
+      asMap(Dedup.connectedComponents(ids, pairs)))
+  }
+
+  test("connectedComponentsStars: deep path graph converges in O(log) rounds " +
+      "where bounded label propagation cannot") {
+    import testImplicits._
+    // a 64-node chain has diameter 63: min-label propagation needs ~63
+    // rounds (more than its default budget); the alternating star rewrite
+    // collapses it within its default budget
+    val n = 64L
+    val ids = (1L to n).toDF("id")
+    val pairs = (1L until n).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    intercept[IllegalArgumentException] {
+      Dedup.connectedComponents(ids, pairs, maxIters = 20).collect()
+    }
+    val got = Dedup.connectedComponentsStars(ids, pairs).collect()
+    assert(got.forall(_.getLong(1) == 1L))
+    assert(got.count(_.getBoolean(2)) == 1)
+  }
 }

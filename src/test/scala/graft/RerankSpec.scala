@@ -88,4 +88,42 @@ class RerankSpec extends SparkSpec {
     val df = (1 to 10).map(i => (s"sentence number $i", i / 10.0)).toDF("sentence", "search_score")
     assert(Rerank.hybridRerank(df, col("sentence"), col("search_score"), "sentence", k = 4).count() == 4)
   }
+
+  test("NgramPolyHashVecExpr: column kernel equals the driver kernel; normalized; empty-safe") {
+    import testImplicits._
+    import graft.functions.NgramPolyHashVecExpr
+    val texts = Seq("spark joins tables fast", "Spark Joins Tables Fast", "", "ab")
+    val df = texts.toDF("t")
+    val colVecs = df.select(org.apache.spark.sql.graft.Bridge.column(
+        NgramPolyHashVecExpr(org.apache.spark.sql.graft.Bridge.expression(col("t")))))
+      .collect().map(_.getSeq[Double](0))
+    texts.zip(colVecs).foreach { case (t, v) =>
+      assert(v == NgramPolyHashVecExpr.features(t).toSeq, s"kernel mismatch for '$t'")
+    }
+    // lowercase folding: case variants hash identically
+    assert(colVecs(0) == colVecs(1))
+    // normalized (or all-zero for empty input)
+    assert(math.abs(colVecs(0).map(x => x * x).sum - 1.0) < 1e-12)
+    assert(colVecs(2).forall(_ == 0.0))
+  }
+
+  test("hybridRerankDeterministic: fusion arithmetic, overlap 0-100 scale, id tiebreak") {
+    import testImplicits._
+    import graft.functions.NgramPolyHashVecExpr
+    val q = "alpha beta gamma"
+    val df = Seq(
+      ("1", "alpha beta gamma", 0.5),   // exact text: hash cos 1, overlap 100
+      ("2", "delta epsilon zeta", 0.9), // disjoint tokens: overlap 0
+      ("3", "alpha beta gamma", 0.5)    // tie with id 1 on every signal
+    ).toDF("id", "sentence", "search_score")
+    val got = Rerank.hybridRerankDeterministic(df, col("id"), col("sentence"),
+        col("search_score"), q, k = 3).collect()
+    // row 1: 0.80*0.5 + 0.15*1.0 + 0.05*100 = 5.55 — the 0-100 third signal
+    // dominating two cosines is the reference's preserved scale quirk
+    assert(math.abs(got.head.getAs[Double]("combined_score") - 5.55) < 1e-9)
+    assert(got.map(_.getString(0)).toSeq == Seq("1", "3", "2"))
+    // hash_score of the exact text is exactly 1 up to normalization rounding
+    val v = NgramPolyHashVecExpr.features(q)
+    assert(math.abs(v.zip(v).map { case (a, b) => a * b }.sum - 1.0) < 1e-12)
+  }
 }
