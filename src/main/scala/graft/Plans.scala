@@ -18,8 +18,10 @@ object Plans {
     spark.sparkContext.setLogLevel("ERROR")
     val show = Seq(
       "q_knn", "q_knn_filtered", "q_knn_batch", "q_ann_topk", "q_ann_ivf",
-      "q_knn_binary", "q_filter_and_or_exclude", "q_dedup_minhash",
-      "q_dedup_embedding", "q_asof_click_purchase", "q_range_copresence",
+      "q_knn_binary", "q_knn_binary_wide", "q_knn_quantized_autocut",
+      "q_filter_and_or_exclude", "q_dedup_minhash",
+      "q_dedup_embedding", "q_dedup_embedding_lsh", "q_dedup_jaccard",
+      "q_rerank_hybrid", "q_asof_click_purchase", "q_range_copresence",
       "q_text_bm25", "q_curate_chunks", "q_curate_pack",
       "q_rel_pricing", "q_rel_top_customers", "q_rel_region_revenue",
       "q_rel_salted_join", "q_rel_pivot", "q_stream_window_stats")
