@@ -134,14 +134,18 @@ object SparkEntry {
     * the engine boundary — only the query text and the integer hash
     * constants.
     */
+  // grams/hash expressions over a lowercase string column `t` — verbatim
+  // integer arithmetic of NgramPolyHashVecExpr.features, shared by the
+  // rerank and text-search oracles
+  private val gramsSql = "flatten(list_transform(range(1, 7), n -> " +
+    "list_transform(range(1, length(t) - n + 2), i -> substring(t, CAST(i AS INT), CAST(n AS INT)))))"
+  private val polyhashSql = "list_reduce(list_prepend(CAST(0 AS BIGINT), " +
+    "list_transform(range(1, length(g)+1), i -> CAST(unicode(substring(g, CAST(i AS INT), 1)) AS BIGINT))), " +
+    "(acc, x) -> (acc*31 + x) % 1000000007)"
+
   private val rerankOracle: String = {
-    // grams/hash/bucket expressions over a lowercase string column `t` —
-    // verbatim integer arithmetic of NgramPolyHashVecExpr.features
-    val grams = "flatten(list_transform(range(1, 7), n -> " +
-      "list_transform(range(1, length(t) - n + 2), i -> substring(t, CAST(i AS INT), CAST(n AS INT)))))"
-    val polyhash = "list_reduce(list_prepend(CAST(0 AS BIGINT), " +
-      "list_transform(range(1, length(g)+1), i -> CAST(unicode(substring(g, CAST(i AS INT), 1)) AS BIGINT))), " +
-      "(acc, x) -> (acc*31 + x) % 1000000007)"
+    val grams = gramsSql
+    val polyhash = polyhashSql
     s"""WITH hits AS (
        |  SELECT CAST(e.vec_id AS VARCHAR) AS id,
        |         list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), CAST(q.qe AS DOUBLE[])) AS score
@@ -177,6 +181,48 @@ object SparkEntry {
        |)
        |SELECT id, round(combined, 6) AS combined_score FROM scored
        |ORDER BY combined_score DESC, id ASC""".stripMargin
+  }
+
+  /** Text-search (O22) oracle: the full text → embed → store → cosine top-k
+    * path replicated in SQL. Embedding = the deterministic polyhash kernel
+    * (same CTEs as the rerank oracle, double precision), then the STORE's
+    * float32 dtype coercion (`VectorStore.ingest` casts to ARRAY<FLOAT>;
+    * `CAST(fv AS REAL[])` is the same IEEE round-to-nearest), then the exact
+    * search arithmetic: dot and norms accumulated in double over the float
+    * values, score = dot / (|v|·|q|) — the fold order `DotProductExpr` and
+    * DuckDB's `list_dot_product` share. The query string rides through the
+    * same feature CTEs as a marker row, so no float literal crosses the
+    * engine boundary.
+    */
+  private val textSearchOracle: String = {
+    val grams = gramsSql
+    val polyhash = polyhashSql
+    s"""WITH rows_ AS (
+       |  SELECT CAST(doc_id AS VARCHAR) AS id, lower(text) AS t FROM documents
+       |  UNION ALL SELECT '__query__', lower('table join query scan fast')
+       |), hs AS (
+       |  SELECT id, list_transform($grams, g -> $polyhash) AS hl FROM rows_
+       |), vv AS (
+       |  SELECT id, list_transform(range(0, 64), b -> CAST(coalesce(list_sum(list_transform(hl, h ->
+       |    CASE WHEN h % 64 = b THEN (CASE WHEN (h // 64) % 2 = 0 THEN 1 ELSE -1 END) ELSE 0 END)), 0) AS DOUBLE)) AS v
+       |  FROM hs
+       |), vn AS (
+       |  SELECT id, CASE WHEN list_dot_product(v, v) > 0
+       |       THEN list_transform(v, x -> x / sqrt(list_dot_product(v, v))) ELSE v END AS fv
+       |  FROM vv
+       |), fe AS (SELECT id, CAST(fv AS REAL[]) AS ef FROM vn),
+       |q AS (SELECT CAST(ef AS DOUBLE[]) AS qd,
+       |             sqrt(list_dot_product(CAST(ef AS DOUBLE[]), CAST(ef AS DOUBLE[]))) AS qn
+       |      FROM fe WHERE id = '__query__'),
+       |scored AS (
+       |  SELECT d.id,
+       |    list_dot_product(CAST(d.ef AS DOUBLE[]), q.qd) /
+       |      (sqrt(list_dot_product(CAST(d.ef AS DOUBLE[]), CAST(d.ef AS DOUBLE[]))) * q.qn) AS score
+       |  FROM fe d, q WHERE d.id <> '__query__'
+       |  ORDER BY score DESC, id ASC LIMIT 10
+       |)
+       |SELECT id, round(score, 6) AS score FROM scored
+       |ORDER BY score DESC, id ASC""".stripMargin
   }
 
   /** Ground-truth near-dup pairs: exact pairwise bigram-shingle Jaccard.
@@ -626,16 +672,24 @@ object SparkEntry {
         .withColumn("score", round(col("score"), 6))
         .orderBy(desc("score"), asc("id"))
     }),
-    // O22 embedding extraction + search: text → hashing embedder → store →
-    // cosine top-k, all in-cluster (murmur-based features aren't
-    // SQL-expressible → rows-only; pinned end-to-end by QuantizedSpec)
+    // O22 embedding extraction + search: text → embedder → store (float32
+    // coercion) → cosine top-k, all in-cluster — the DETERMINISTIC-kernel
+    // variant (codegen NgramPolyHashVecExpr column, no UDF), fully oracled;
+    // the murmur HashingEmbedder stays API-exposed and QuantizedSpec-pinned
     "q_text_search" -> ((s, dir) => {
       val docs = graft.sources.Testdata.table(s, dir, "documents")
-      val embedder = graft.functions.HashingEmbedder()
-      val store = VectorStore(graft.functions.Embedder.embedDocuments(
-        embedder, docs, col("doc_id"), col("text")))
-      Search.findMostSimilar(store, embedder.embed("table join query scan fast").toSeq, k = 10)
+      val feat = org.apache.spark.sql.graft.Bridge.column(
+        graft.functions.NgramPolyHashVecExpr(
+          org.apache.spark.sql.graft.Bridge.expression(col("text"))))
+      val store = VectorStore(VectorStore.ingest(
+        docs.select(col("doc_id").as("id"), feat.as("embedding"),
+          to_json(struct(col("text").as("text"))).as("metadata")),
+        col("id"), col("embedding"), col("metadata")))
+      val qv = graft.functions.NgramPolyHashVecExpr
+        .features("table join query scan fast").map(_.toFloat).toSeq
+      Search.findMostSimilar(store, qv, k = 10)
         .select(col("id"), round(col("score"), 6).as("score"))
+        .orderBy(desc("score"), asc("id"))
     }),
     // BM25 lexical top-k over documents (sparse counterpart to cosine
     // search): integer tf/df statistics in one scan + broadcast stats row,
@@ -934,6 +988,7 @@ object SparkEntry {
         |FROM x GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "q_text_bm25" -> bm25Oracle,
     "q_rerank_hybrid" -> rerankOracle,
+    "q_text_search" -> textSearchOracle,
     // Binary-quantized search oracle: replicate the sign packing (bit j =
     // embedding[j] ≥ 0), Hamming-rank all rows with the string-id tiebreak
     // the Spark plan uses, keep 50, exact cosine top-10.
