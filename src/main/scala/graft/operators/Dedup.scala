@@ -244,23 +244,27 @@ object Dedup {
     // J ≥ τ ⇔ inter ≥ τ/(1+τ)·(|A|+|B|); test the upper bound on the cheap
     // popcount before the exact intersection ever runs
     val candidate = ub * lit(1.0 + tau) >= lit(tau) * (col("a.sz") + col("b.sz"))
-    def exactInter = size(array_intersect(col("a.sh"), col("b.sh"))).cast("long")
-    def exactJaccard =
-      exactInter.cast("double") / (col("a.sz") + col("b.sz") - exactInter)
-    // The exact verify lives INSIDE the join condition, last: a post-join
-    // .filter would be pushed into the condition AHEAD of the prefilter by
-    // PushPredicateThroughJoin, making every pair pay the O(|sh|) intersect
-    // (measured 4× slower). And-chains short-circuit left to right, so this
-    // order guarantees the intersect only runs on prefilter survivors. The
-    // pair space itself is enumerated by the grid equi-join (even load,
-    // no cartesian), not an unkeyed self-join.
-    gridSelfJoin(t,
+    // TWO PHASES so the O(n²/blocks) grid join moves only NARROW rows
+    // (id, sz, 16-word mask, coll — ~150 B): with the exact verify inside
+    // the grid join, every replicated row hauls its full shingle array
+    // (KBs) through the exchange, and that I/O — not the popcount — is the
+    // dominant cost (measured 2.6× on this corpus). The few prefilter
+    // survivors then fetch shingle sets by id and verify exactly; the
+    // τ-filter sits in THAT join, where every row pays the intersect anyway,
+    // so PushPredicateThroughJoin reordering (round-2 gotcha) is moot.
+    val cand = gridSelfJoin(t.select("id", "sz", "mask", "coll"),
         col("a.sz") >= lit(tau) * col("b.sz") &&
           col("b.sz") >= lit(tau) * col("a.sz") &&
-          candidate &&
-          exactJaccard >= lit(tau))
-      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
-        exactJaccard.as("jaccard"))
+          candidate)
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+    def exactInter = size(array_intersect(col("sh_a"), col("sh_b"))).cast("long")
+    def exactJaccard =
+      exactInter.cast("double") / (col("sz_a") + col("sz_b") - exactInter)
+    cand
+      .join(t.select(col("id").as("id_a"), col("sh").as("sh_a"), col("sz").as("sz_a")), Seq("id_a"))
+      .join(t.select(col("id").as("id_b"), col("sh").as("sh_b"), col("sz").as("sz_b")), Seq("id_b"))
+      .filter(exactJaccard >= lit(tau))
+      .select(col("id_a"), col("id_b"), exactJaccard.as("jaccard"))
   }
 
   // ---------------------------------------------------------- MinHash + LSH
