@@ -68,6 +68,15 @@ object GraftExtensions {
     ("graft_word_ngrams",
       info("graft_word_ngrams", "graft_word_ngrams(tokens) - word bigrams of a token array"),
       args => WordNgramsExpr(one(args, "graft_word_ngrams"), 2)),
+    ("graft_popcount_xor",
+      info("graft_popcount_xor", "graft_popcount_xor(a, b) - Σ popcount(a[i] ^ b[i]) (multi-word Hamming) over bitmask arrays"),
+      args => { val (a, b) = two(args, "graft_popcount_xor"); PopcountXorExpr(a, b) }),
+    ("graft_sign_pack",
+      info("graft_sign_pack", "graft_sign_pack(v) - pack sign bits of a numeric array into BIGINT words"),
+      args => SignPackExpr(one(args, "graft_sign_pack"))),
+    ("graft_ngram_polyhash_vec",
+      info("graft_ngram_polyhash_vec", "graft_ngram_polyhash_vec(s) - 64-d signed char-n-gram polyhash feature vector"),
+      args => NgramPolyHashVecExpr(one(args, "graft_ngram_polyhash_vec"))),
     ("graft_minhash_sig",
       info("graft_minhash_sig", "graft_minhash_sig(fps) - 32-slot minhash signature of fingerprint array"),
       args => {

@@ -106,13 +106,13 @@ object Quantized {
     */
   def binarizeWords(df: DataFrame, vec: Column, dim: Int): DataFrame = {
     require(dim >= 1, s"need dim ≥ 1, got $dim")
-    val nWords = (dim + 63) / 64
-    val words = (0 until nWords).map { w =>
-      (0 until math.min(64, dim - 64 * w)).map { j =>
-        when(element_at(vec, 64 * w + j + 1) >= 0, lit(1L << j)).otherwise(lit(0L))
-      }.reduce(_ + _)
-    }
-    df.withColumn("bcodes", array(words: _*))
+    // one native node ([[graft.functions.SignPackExpr]]) instead of dim
+    // when(element_at(...)) terms: at 512-d the O(dim)-node Catalyst tree
+    // cost more to analyze/codegen per query than the scan took to run
+    df.withColumn("bcodes",
+      org.apache.spark.sql.graft.Bridge.column(
+        graft.functions.SignPackExpr(
+          org.apache.spark.sql.graft.Bridge.expression(slice(vec, 1, dim)))))
   }
 
   /** Driver-side multi-word sign packing of the query (same word/bit order).
