@@ -395,6 +395,28 @@ object SparkEntry {
         .select(col("doc_id"), col("quality"), round(col("q25"), 6).as("q25"))
         .orderBy("doc_id")
     }),
+    // Curation: Gopher-style repetition rules (duplicate word / 2-gram /
+    // 3-gram fractions + length gate) — one projection pass, native n-gram
+    // kernel, pass computed on unrounded stats
+    "q_curate_gopher" -> ((s, dir) =>
+      Curation.gopherFilter(graft.sources.Testdata.table(s, dir, "documents"),
+          col("doc_id"), col("text"))
+        .select(col("id"), col("n_words"),
+          round(col("dup_word_frac"), 6).as("dup_word_frac"),
+          round(col("dup_2gram_frac"), 6).as("dup_2gram_frac"),
+          round(col("dup_3gram_frac"), 6).as("dup_3gram_frac"),
+          col("pass"))
+        .orderBy("id")),
+    // Curation: deterministic stratified sampling — cap over-represented
+    // strata (en at 20 %, de at 50 %, es at 80 %), keep the rest whole;
+    // membership is pure id arithmetic (reproducible, scan-stage filter)
+    "q_curate_sample" -> ((s, dir) =>
+      Curation.stratifiedSample(graft.sources.Testdata.table(s, dir, "documents"),
+          col("doc_id"), col("lang"),
+          Seq("en" -> 200, "de" -> 500, "es" -> 800), defaultPerMille = 1000)
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"), sum(col("doc_id")).as("sum_ids"))
+        .orderBy("lang")),
     // Curation: normalization + pattern scrubbing (PII-redaction shape)
     "q_curate_scrub" -> ((s, dir) =>
       graft.sources.Testdata.table(s, dir, "documents")
@@ -1189,6 +1211,35 @@ object SparkEntry {
         |), th AS (SELECT quantile_cont(quality, 0.25) AS q25 FROM sc)
         |SELECT doc_id, quality, round(q25, 6) AS q25
         |FROM sc, th WHERE quality >= q25 ORDER BY doc_id""".stripMargin,
+    // Repetition stats: duplicate fraction of words / 2-grams / 3-grams,
+    // n-gram spelling identical to WordNgramsExpr (space-joined); pass is
+    // computed on the UNROUNDED fractions like the Spark plan
+    "q_curate_gopher" ->
+      """WITH t AS (
+        |  SELECT doc_id AS id, string_split_regex(text, '\s+') AS w FROM documents
+        |), g AS (
+        |  SELECT id, w,
+        |    list_transform(range(1, len(w)), i -> w[i] || ' ' || w[i+1]) AS g2,
+        |    list_transform(range(1, len(w)-1), i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]) AS g3
+        |  FROM t
+        |), s AS (
+        |  SELECT id, CAST(len(w) AS INT) AS n_words,
+        |    CASE WHEN len(w) > 0 THEN CAST(len(w) - len(list_distinct(w)) AS DOUBLE)/len(w) ELSE 0.0 END AS f1,
+        |    CASE WHEN len(g2) > 0 THEN CAST(len(g2) - len(list_distinct(g2)) AS DOUBLE)/len(g2) ELSE 0.0 END AS f2,
+        |    CASE WHEN len(g3) > 0 THEN CAST(len(g3) - len(list_distinct(g3)) AS DOUBLE)/len(g3) ELSE 0.0 END AS f3
+        |  FROM g
+        |)
+        |SELECT id, n_words,
+        |  round(f1, 6) AS dup_word_frac, round(f2, 6) AS dup_2gram_frac,
+        |  round(f3, 6) AS dup_3gram_frac,
+        |  (n_words >= 10 AND n_words <= 100000 AND f1 <= 0.6 AND f2 <= 0.45 AND f3 <= 0.35) AS pass
+        |FROM s ORDER BY id""".stripMargin,
+    "q_curate_sample" ->
+      """SELECT lang, count(*) AS n_docs, CAST(sum(doc_id) AS BIGINT) AS sum_ids
+        |FROM documents
+        |WHERE ((doc_id % 1000003) * 131 + 7) % 1000 <
+        |  CASE lang WHEN 'en' THEN 200 WHEN 'de' THEN 500 WHEN 'es' THEN 800 ELSE 1000 END
+        |GROUP BY lang ORDER BY lang""".stripMargin,
     "q_curate_scrub" ->
       """WITH s AS (
         |  SELECT doc_id,  text,

@@ -80,6 +80,78 @@ object Curation {
     * needs a global order (the 100 TB contract: packing is shard-local,
     * shards are data-parallel).
     */
+  /** Gopher-style repetition statistics (Rae et al. 2021, "Scaling Language
+    * Models: … Gopher", §A1.1 repetition rules — public paper): fraction of
+    * duplicated whitespace tokens and of duplicated word 2-/3-grams.
+    * High values mark boilerplate/template spam that length/punct heuristics
+    * miss. Pure column algebra + the native n-gram kernel
+    * ([[graft.functions.WordNgramsExpr]]) — single projection pass, no
+    * shuffle, text is the only wide column read.
+    */
+  def repetitionStats(docs: DataFrame, id: Column, text: Column): DataFrame = {
+    def ngrams(toks: Column, n: Int): Column =
+      org.apache.spark.sql.graft.Bridge.column(
+        graft.functions.WordNgramsExpr(
+          org.apache.spark.sql.graft.Bridge.expression(toks), n))
+    def dupFrac(c: Column): Column = {
+      val n = size_(c)
+      when(n > 0, (n - size_(array_distinct(c))).cast("double") / n.cast("double"))
+        .otherwise(lit(0.0))
+    }
+    val toks = TextAnalysis.wsTokens(text)
+    docs.select(
+      id.as("id"),
+      size_(toks).as("n_words"),
+      dupFrac(toks).as("dup_word_frac"),
+      dupFrac(ngrams(toks, 2)).as("dup_2gram_frac"),
+      dupFrac(ngrams(toks, 3)).as("dup_3gram_frac"))
+  }
+
+  /** Repetition-rule quality gate over [[repetitionStats]] — the Gopher
+    * rule shape (document passes iff every repetition statistic is under
+    * its cap and the length is in range), thresholds adapted to this
+    * corpus. Deterministic, so the gate is reproducible across engines
+    * and reruns.
+    */
+  def gopherFilter(
+      docs: DataFrame,
+      id: Column,
+      text: Column,
+      minWords: Int = 10,
+      maxWords: Int = 100000,
+      maxDupWordFrac: Double = 0.6,
+      maxDup2GramFrac: Double = 0.45,
+      maxDup3GramFrac: Double = 0.35): DataFrame =
+    repetitionStats(docs, id, text)
+      .withColumn("pass",
+        col("n_words") >= minWords && col("n_words") <= maxWords &&
+          col("dup_word_frac") <= maxDupWordFrac &&
+          col("dup_2gram_frac") <= maxDup2GramFrac &&
+          col("dup_3gram_frac") <= maxDup3GramFrac)
+
+  /** Deterministic stratified sampling: keep a row iff its id hash-bucket
+    * (0..999, the same checked-arithmetic-safe polynomial family as
+    * [[hashSplit]], different coefficients so split and sample membership
+    * are independent) falls under the stratum's per-mille rate — the
+    * data-balancing step of a training-data pipeline (cap over-represented
+    * languages/sources, keep rare strata whole). Membership is a pure
+    * function of (id, stratum), so re-runs, backfills, and other engines
+    * agree; the filter stays in the scan stage (no shuffle, no sort, no
+    * RNG state).
+    */
+  def stratifiedSample(
+      df: DataFrame,
+      id: Column,
+      stratum: Column,
+      ratesPerMille: Seq[(String, Int)],
+      defaultPerMille: Int = 0): DataFrame = {
+    val bucket = pmod(pmod(id.cast("long"), lit(1000003L)) * 131L + 7L, lit(1000L))
+    val rate = ratesPerMille.foldRight(lit(defaultPerMille): Column) {
+      case ((s, r), elseCol) => when(stratum === s, lit(r)).otherwise(elseCol)
+    }
+    df.filter(bucket < rate)
+  }
+
   def packBins(
       docs: DataFrame,
       id: Column,

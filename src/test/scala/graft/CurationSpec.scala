@@ -74,4 +74,44 @@ class CurationSpec extends SparkSpec {
       .queryExecution.executedPlan.toString
     assert(!plan.contains("Exchange"), s"chunking must not shuffle:\n$plan")
   }
+
+  test("repetition stats: hand-computed dup fractions; gate applies caps on raw values") {
+    val docs = Seq(
+      (1L, "a b c d e f g h i j"),             // 10 distinct words, no repetition
+      (2L, "spam spam spam spam spam spam spam spam spam spam"), // all dup
+      (3L, "x y x y x y x y x y"),             // 2 distinct words, alternating
+      (4L, "")).toDF("doc_id", "text")
+    val stats = Curation.repetitionStats(docs, col("doc_id"), col("text"))
+      .collect().map(r => r.getLong(0) ->
+        (r.getInt(1), r.getDouble(2), r.getDouble(3), r.getDouble(4))).toMap
+    assert(stats(1L) == ((10, 0.0, 0.0, 0.0)))
+    // 10 words 1 distinct → 0.9; 9 bigrams 1 distinct → 8/9; 8 trigrams 1 distinct → 7/8
+    assert(stats(2L)._2 == 0.9 && math.abs(stats(2L)._3 - 8.0 / 9) < 1e-12 &&
+      math.abs(stats(2L)._4 - 7.0 / 8) < 1e-12)
+    // alternating: 2 distinct words of 10 → 0.8; bigrams alternate "x y"/"y x"
+    // → 9 total 2 distinct → 7/9; trigrams 8 total 2 distinct → 6/8
+    assert(stats(3L)._2 == 0.8 && math.abs(stats(3L)._3 - 7.0 / 9) < 1e-12 &&
+      math.abs(stats(3L)._4 - 6.0 / 8) < 1e-12)
+    val pass = Curation.gopherFilter(docs, col("doc_id"), col("text"))
+      .collect().map(r => r.getLong(0) -> r.getBoolean(5)).toMap
+    assert(pass(1L))                           // clean doc passes
+    assert(!pass(2L) && !pass(3L))             // repetition rules fire
+    assert(!pass(4L))                          // under min length
+  }
+
+  test("stratified sample is deterministic, per-stratum rated, and a pure scan filter") {
+    val docs = spark.range(10000).select(col("id").as("doc_id"),
+      when(pmod(col("id"), lit(2)) === 0, "en").otherwise("zh").as("lang"))
+    def run() = Curation.stratifiedSample(docs, col("doc_id"), col("lang"),
+      Seq("en" -> 200), defaultPerMille = 1000)
+    val counts = run().groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(counts("zh") == 5000L)                          // default rate 1000 keeps all
+    assert(counts("en") > 800 && counts("en") < 1200)      // ~20 % of 5000
+    // pure function of (id, stratum): identical membership on rerun
+    assert(run().agg(sum("doc_id")).head().getLong(0) ==
+      run().agg(sum("doc_id")).head().getLong(0))
+    val plan = run().queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"sampling must not shuffle:\n$plan")
+  }
 }
