@@ -417,6 +417,15 @@ object SparkEntry {
         .groupBy("lang")
         .agg(count(lit(1)).as("n_docs"), sum(col("doc_id")).as("sum_ids"))
         .orderBy("lang")),
+    // Curation: train/eval decontamination — docs sharing any word 5-gram
+    // (by 64-bit fingerprint) with the eval subset (doc_id < 20) are
+    // flagged; broadcast semi-join on the 8-byte gram fingerprint
+    "q_curate_decontam" -> ((s, dir) => {
+      val docs = graft.sources.Testdata.table(s, dir, "documents")
+      Curation.decontaminate(docs, col("doc_id"), col("text"),
+          docs.filter(col("doc_id") < 20), col("text"), n = 5)
+        .orderBy("id")
+    }),
     // Curation: normalization + pattern scrubbing (PII-redaction shape)
     "q_curate_scrub" -> ((s, dir) =>
       graft.sources.Testdata.table(s, dir, "documents")
@@ -1234,6 +1243,22 @@ object SparkEntry {
         |  round(f3, 6) AS dup_3gram_frac,
         |  (n_words >= 10 AND n_words <= 100000 AND f1 <= 0.6 AND f2 <= 0.45 AND f3 <= 0.35) AS pass
         |FROM s ORDER BY id""".stripMargin,
+    // Decontamination oracle: same 5-gram construction (space-joined), same
+    // rolling-polynomial fingerprint (shared polyhash fragment), intersect
+    // against the flattened distinct eval fingerprint list
+    "q_curate_decontam" ->
+      s"""WITH tok AS (
+         |  SELECT doc_id, string_split_regex(text, '\\s+') AS w FROM documents
+         |), gr AS (
+         |  SELECT doc_id, list_distinct(list_transform(
+         |    list_transform(range(1, len(w)-3), i -> w[i]||' '||w[i+1]||' '||w[i+2]||' '||w[i+3]||' '||w[i+4]),
+         |    g -> $polyhashSql)) AS fps
+         |  FROM tok
+         |), ev AS (SELECT list_distinct(flatten(list(fps))) AS efps FROM gr WHERE doc_id < 20)
+         |SELECT gr.doc_id AS id,
+         |  CAST(len(list_intersect(gr.fps, ev.efps)) AS BIGINT) AS n_hits,
+         |  len(list_intersect(gr.fps, ev.efps)) > 0 AS contaminated
+         |FROM gr, ev ORDER BY id""".stripMargin,
     "q_curate_sample" ->
       """SELECT lang, count(*) AS n_docs, CAST(sum(doc_id) AS BIGINT) AS sum_ids
         |FROM documents

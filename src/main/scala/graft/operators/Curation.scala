@@ -129,6 +129,37 @@ object Curation {
           col("dup_2gram_frac") <= maxDup2GramFrac &&
           col("dup_3gram_frac") <= maxDup3GramFrac)
 
+  /** Train/eval decontamination: flag training documents sharing any word
+    * n-gram with an evaluation set — the published contamination rule
+    * (GPT-3 appx C / PaLM: 8–13-gram overlap marks a training doc as
+    * contaminated). Grams are compared by their 64-bit rolling-polynomial
+    * fingerprint ([[TextAnalysis.fingerprint]]), so the join key is 8 bytes
+    * rather than the gram text — at 100 TB the shuffle/broadcast width IS
+    * the cost. The eval side is distinct-fingerprinted and broadcast (eval
+    * suites are small by construction); the corpus side never shuffles more
+    * than (id, fp) pairs, and the semi-join prunes before the per-doc count.
+    */
+  def decontaminate(
+      docs: DataFrame,
+      id: Column,
+      text: Column,
+      evalDocs: DataFrame,
+      evalText: Column,
+      n: Int = 5): DataFrame = {
+    def gramFps(t: Column): Column = array_distinct(transform(
+      org.apache.spark.sql.graft.Bridge.column(
+        graft.functions.WordNgramsExpr(
+          org.apache.spark.sql.graft.Bridge.expression(TextAnalysis.wsTokens(t)), n)),
+      g => TextAnalysis.fingerprint(g)))
+    val evalGrams = evalDocs.select(explode(gramFps(evalText)).as("fp")).distinct()
+    val docGrams = docs.select(id.as("id"), explode(gramFps(text)).as("fp"))
+    val hits = docGrams.join(broadcast(evalGrams), Seq("fp"), "left_semi")
+      .groupBy("id").agg(count(lit(1)).as("n_hits"))
+    docs.select(id.as("id")).join(hits, Seq("id"), "left")
+      .select(col("id"), coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+        (coalesce(col("n_hits"), lit(0L)) > 0).as("contaminated"))
+  }
+
   /** Deterministic stratified sampling: keep a row iff its id hash-bucket
     * (0..999, the same checked-arithmetic-safe polynomial family as
     * [[hashSplit]], different coefficients so split and sample membership

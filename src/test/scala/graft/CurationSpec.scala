@@ -99,6 +99,19 @@ class CurationSpec extends SparkSpec {
     assert(!pass(4L))                          // under min length
   }
 
+  test("decontamination flags exactly the docs sharing a 5-gram with the eval set") {
+    val eval = Seq((100L, "the quick brown fox jumps over the lazy dog")).toDF("doc_id", "text")
+    val docs = Seq(
+      (1L, "a sentence with the quick brown fox jumps inside it"),
+      (2L, "completely different content nothing shared here at all"),
+      (3L, "quick brown fox jumps over or something")).toDF("doc_id", "text")
+    val res = Curation.decontaminate(docs, col("doc_id"), col("text"), eval, col("text"), n = 5)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getBoolean(2)))).toMap
+    assert(res(1L) == ((1L, true)))   // shares "the quick brown fox jumps"
+    assert(res(2L) == ((0L, false)))
+    assert(res(3L) == ((1L, true)))   // shares "quick brown fox jumps over"
+  }
+
   test("stratified sample is deterministic, per-stratum rated, and a pure scan filter") {
     val docs = spark.range(10000).select(col("id").as("doc_id"),
       when(pmod(col("id"), lit(2)) === 0, "en").otherwise("zh").as("lang"))
