@@ -360,6 +360,14 @@ object SparkEntry {
           round(TextAnalysis.qualityScore(t), 6).as("quality"))
         .orderBy("doc_id")
     }),
+    // unigram-LM quality scoring (CCNet perplexity-filter shape): avg
+    // negative log-likelihood under the corpus's own unigram distribution;
+    // per-doc sum folds the SORTED log-prob list for partition-invariance
+    "q_text_unigram_nll" -> ((s, dir) =>
+      TextAnalysis.unigramNll(graft.sources.Testdata.table(s, dir, "documents"),
+          col("doc_id"), col("text"))
+        .select(col("id"), round(col("avg_nll"), 6).as("avg_nll"), col("n_tokens"))
+        .orderBy("id")),
     // language-ID: stopword-profile argmax heuristic
     "q_text_langid" -> ((s, dir) =>
       graft.sources.Testdata.table(s, dir, "documents")
@@ -853,6 +861,23 @@ object SparkEntry {
         |  round(avg_tok_len,6) AS avg_tok_len,
         |  round(0.4*least(n/100.0,1.0) + 0.3*(1.0-punct_ratio) + 0.3*least(stop_ratio/0.1,1.0), 6) AS quality
         |FROM s ORDER BY doc_id""".stripMargin,
+    // Unigram-NLL oracle: same LM (corpus token counts), same ln(c)-ln(N)
+    // per-token term, same sorted-sequential fold for the per-doc sum
+    "q_text_unigram_nll" ->
+      """WITH tok AS (
+        |  SELECT doc_id AS id, unnest(string_split_regex(text, '\s+')) AS t FROM documents
+        |), lm AS (SELECT t, count(*) AS c FROM tok GROUP BY t),
+        |tot AS (SELECT count(*) AS n FROM tok),
+        |lp AS (
+        |  SELECT id, ln(CAST(c AS DOUBLE)) - ln(CAST(n AS DOUBLE)) AS lp
+        |  FROM tok JOIN lm USING (t), tot
+        |), ag AS (
+        |  SELECT id, list(lp ORDER BY lp) AS lps, count(*) AS n_tokens FROM lp GROUP BY id
+        |)
+        |SELECT id,
+        |  round(list_reduce(list_prepend(CAST(0.0 AS DOUBLE), lps), (a, x) -> a + x) / -n_tokens, 6) AS avg_nll,
+        |  n_tokens
+        |FROM ag ORDER BY id""".stripMargin,
     "q_text_langid" ->
       s"""WITH t AS (
         |  SELECT doc_id, string_split_regex(text, '\\s+') AS toks FROM documents

@@ -108,6 +108,36 @@ object TextAnalysis {
       graft.functions.PolyHashExpr(
         org.apache.spark.sql.graft.Bridge.expression(text), 31L, FingerprintMod))
 
+  /** CCNet-style language-model quality scoring (Wenzek et al. 2020 filter
+    * by LM perplexity — public paper), with the corpus's own unigram
+    * distribution as the LM: per-document average negative log-likelihood
+    * `−(Σ_t ln(c_t/N)) / n`, low = in-distribution text, high = rare-token
+    * noise. Plan: one explode + groupBy builds the LM (shuffle on token),
+    * one equi-join scores tokens, one groupBy aggregates per doc — all
+    * partial-aggregated, nothing collected to the driver (the total-count
+    * row broadcasts like the BM25 stats row).
+    *
+    * Determinism contract: the per-doc sum folds over the SORTED log-prob
+    * list (`aggregate(sort_array(...))`, a sequential fold), so the result
+    * is independent of partitioning and bit-identical to the oracle's
+    * `list_reduce(list(lp ORDER BY lp))` — a shuffle-order float sum would
+    * not be.
+    */
+  def unigramNll(docs: DataFrame, id: Column, text: Column): DataFrame = {
+    val toks = docs.select(id.as("id"), explode(wsTokens(text)).as("t"))
+    val lm = toks.groupBy("t").agg(count(lit(1)).as("c"))
+    val totalDf = toks.agg(count(lit(1)).as("n_total"))
+    val scored = toks.join(lm, Seq("t"))
+      .crossJoin(broadcast(totalDf))
+      .select(col("id"),
+        (log(col("c").cast("double")) - log(col("n_total").cast("double"))).as("lp"))
+    scored.groupBy("id")
+      .agg(sort_array(collect_list(col("lp"))).as("lps"), count(lit(1)).as("n_tokens"))
+      .select(col("id"),
+        (aggregate(col("lps"), lit(0.0), (a, x) => a + x) / -col("n_tokens")).as("avg_nll"),
+        col("n_tokens"))
+  }
+
   /** The full per-document profile in one projection pass. */
   def profile(docs: DataFrame, text: Column): DataFrame =
     docs

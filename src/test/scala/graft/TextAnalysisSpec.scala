@@ -8,6 +8,21 @@ import org.apache.spark.sql.functions._
   */
 class TextAnalysisSpec extends SparkSpec {
 
+  test("unigram NLL: hand-computed two-doc corpus; rare tokens score higher") {
+    import testImplicits._
+    // corpus tokens: a a b | a c  →  counts a=3, b=1, c=1, N=5
+    val docs = Seq((1L, "a a b"), (2L, "a c")).toDF("doc_id", "text")
+    val res = TextAnalysis.unigramNll(docs, col("doc_id"), col("text"))
+      .collect().map(r => r.getLong(0) -> ((r.getDouble(1), r.getLong(2)))).toMap
+    val ln = (x: Double) => math.log(x)
+    val d1 = -(ln(3.0 / 5) + ln(3.0 / 5) + ln(1.0 / 5)) / 3
+    val d2 = -(ln(3.0 / 5) + ln(1.0 / 5)) / 2
+    assert(math.abs(res(1L)._1 - d1) < 1e-12 && res(1L)._2 == 3L)
+    assert(math.abs(res(2L)._1 - d2) < 1e-12 && res(2L)._2 == 2L)
+    // doc 2 carries proportionally more rare mass → higher NLL
+    assert(res(2L)._1 > res(1L)._1)
+  }
+
   private def one(text: String) = {
     import testImplicits._
     Seq(Tuple1(text)).toDF("text")
