@@ -536,6 +536,15 @@ object SparkEntry {
         .withColumn("score", round(col("score"), 6))
         .orderBy(desc("score"), asc("id"))
     }),
+    // SemDeDup-style semantic dedup: cluster on IVF lists (deterministic
+    // centroids, oracle-replicable), flag within-cluster cosine near-dups,
+    // keep the min-id representative — pair space Σ|cluster|², equi-join
+    "q_dedup_semantic" -> ((s, dir) => {
+      val embs = s.read.parquet(s"$dir/embeddings.parquet")
+      val cents = IvfSearch.centroidsFromIds(embs, col("vec_id"), col("embedding"), c = 16)
+      Dedup.semanticDedup(embs, col("vec_id"), col("embedding"), cents, tau = 0.4)
+        .orderBy("id")
+    }),
     // Multimodal: typed-metadata projection over opaque binary payloads
     "q_media_meta" -> ((s, dir) =>
       Multimodal.metaFeatures(
@@ -1165,6 +1174,27 @@ object SparkEntry {
     // IVF oracle: replicate nearest-centroid assignment (argmin |c|²−2·v·c,
     // ties to smaller cid — |v|² is row-constant so this is argmin L2²),
     // probe the 4 nearest lists, exact cosine inside.
+    // Semantic-dedup oracle: same in-SQL centroid derivation + assignment
+    // as q_ann_ivf, then the within-cluster dominated set
+    "q_dedup_semantic" ->
+      """WITH c AS (SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS cv
+        |           FROM embeddings WHERE vec_id < 16),
+        |e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ev FROM embeddings),
+        |asg AS (
+        |  SELECT vec_id, cid FROM (
+        |    SELECT e.vec_id, c.cid,
+        |      row_number() OVER (PARTITION BY e.vec_id ORDER BY
+        |        list_dot_product(c.cv, c.cv) - 2*list_dot_product(e.ev, c.cv) ASC,
+        |        c.cid ASC) AS rn
+        |    FROM e, c) WHERE rn = 1
+        |),
+        |ae AS (SELECT asg.vec_id, asg.cid, e.ev FROM asg JOIN e USING (vec_id)),
+        |dom AS (SELECT DISTINCT b.vec_id FROM ae a JOIN ae b
+        |        ON a.cid = b.cid AND a.vec_id < b.vec_id
+        |        AND list_cosine_similarity(a.ev, b.ev) >= 0.4)
+        |SELECT ae.vec_id AS id, ae.cid AS list_id,
+        |  ae.vec_id NOT IN (SELECT vec_id FROM dom) AS keep
+        |FROM ae ORDER BY id""".stripMargin,
     "q_ann_ivf" ->
       """WITH c AS (SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS cv
         |           FROM embeddings WHERE vec_id < 16),

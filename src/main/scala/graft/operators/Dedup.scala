@@ -389,6 +389,36 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("hamming"))
   }
 
+  /** SemDeDup-style semantic deduplication (Abbas et al. 2023, public
+    * paper): cluster embeddings (k-means / IVF lists), then flag near-dups
+    * ONLY within each cluster — clustering is what makes embedding dedup
+    * tractable at corpus scale, shrinking the pair space from O(n²) to
+    * Σ|cluster|² with an equi-join on `list_id` (no grid, no BNLJ; cluster
+    * granularity is the scale dial). A row is a duplicate iff some
+    * same-cluster row with a smaller id has cosine ≥ tau with it — the
+    * deterministic keep-the-min-id representative rule (the paper keeps one
+    * point per ε-ball; min-id is the reproducible tie-break an engine
+    * needs). Recall caveat like any blocked method: cross-cluster
+    * near-dups are not compared (the paper accepts the same trade).
+    */
+  def semanticDedup(
+      embs: DataFrame,
+      id: Column,
+      vec: Column,
+      centroids: Seq[IvfSearch.Centroid],
+      tau: Double): DataFrame = {
+    import graft.functions.{VectorFunctions => VF}
+    val indexed = IvfSearch.index(embs.select(id.as("id"), vec.as("v")), col("v"), centroids)
+      .withColumn("nrm", sqrt(VF.normSq(col("v"))))
+    def cosine = VF.dot(col("a.v"), col("b.v")) / (col("a.nrm") * col("b.nrm"))
+    val dominated = indexed.as("a").join(indexed.as("b"),
+        col("a.list_id") === col("b.list_id") && col("a.id") < col("b.id") && cosine >= tau)
+      .select(col("b.id").as("id")).distinct()
+    indexed.select(col("id"), col("list_id"))
+      .join(dominated.withColumn("dom", lit(true)), Seq("id"), "left")
+      .select(col("id"), col("list_id"), not(coalesce(col("dom"), lit(false))).as("keep"))
+  }
+
   // ------------------------------------------------ grid-blocked self-join
 
   /** All-pairs self-join via 1-Bucket-Theta grid partitioning (Okcan &

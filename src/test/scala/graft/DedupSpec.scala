@@ -174,4 +174,23 @@ class DedupSpec extends SparkSpec {
     assert(got.forall(_.getLong(1) == 1L))
     assert(got.count(_.getBoolean(2)) == 1)
   }
+
+  test("semantic dedup: within-cluster near-dups flagged, min-id kept, equi-join plan") {
+    import testImplicits._
+    import graft.operators.IvfSearch
+    val embs = Seq(
+      (1L, Seq(1f, 0f)),      // centroid/cluster 1
+      (2L, Seq(0f, 1f)),      // centroid/cluster 2
+      (3L, Seq(0.999f, 0.02f)), // near-dup of 1, same cluster
+      (4L, Seq(0.6f, 0.8f)),  // cluster 2, cosine 0.8 with centroid — below tau
+      (5L, Seq(0f, 1f))       // exact dup of 2
+    ).toDF("vec_id", "embedding")
+    val cents = IvfSearch.centroidsFromIds(embs, col("vec_id"), col("embedding"), c = 2)
+    val res = Dedup.semanticDedup(embs, col("vec_id"), col("embedding"), cents, tau = 0.95)
+    val keep = res.collect().map(r => r.getLong(0) -> r.getBoolean(2)).toMap
+    assert(keep == Map(1L -> true, 2L -> true, 3L -> false, 4L -> true, 5L -> false))
+    val plan = res.queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+      s"pair generation must be the list_id equi-join:\n$plan")
+  }
 }
