@@ -96,6 +96,22 @@ object ScaleSmoke {
       graft.operators.Bm25.rank(docs, col("doc_id"), col("text"),
         Seq("table", "join", "query", "scan", "fast"), k = 10).count()
     }
+    time("gopher repetition gate") {
+      graft.operators.Curation.gopherFilter(docs, col("doc_id"), col("text"))
+        .filter(col("pass")).count()
+    }
+    time("unigram NLL scoring") {
+      graft.operators.TextAnalysis.unigramNll(docs, col("doc_id"), col("text")).count()
+    }
+    time("decontaminate (vs 20-doc eval set)") {
+      graft.operators.Curation.decontaminate(docs, col("doc_id"), col("text"),
+        docs0.filter(col("doc_id") < 20), col("text"), n = 5)
+        .filter(col("contaminated")).count()
+    }
+    time("stratified sample") {
+      graft.operators.Curation.stratifiedSample(docs, col("doc_id"), col("lang"),
+        Seq("en" -> 200, "de" -> 500, "es" -> 800), defaultPerMille = 1000).count()
+    }
 
     // ---- embeddings-family ----------------------------------------------
     val emb0 = spark.read.parquet(s"$sfDir/embeddings.parquet")
@@ -120,6 +136,19 @@ object ScaleSmoke {
       val b = graft.operators.Quantized.binarize(emb, col("embedding"), dim = 64)
       graft.operators.Quantized.binarySearch(b, col("vec_id").cast("string"),
         col("embedding"), query, k = 10, rerank = 50).count()
+    }
+    // cluster count grows with the corpus (C ∝ n keeps cluster size — and
+    // therefore Σ|c|² = n·s — LINEAR in n; fixed C would be n²/C).
+    // Centroids come from the ORIGINAL corpus: the replicated table's
+    // smallest ids are all copies of source vector 0 (re-key = id·N+rep),
+    // which would collapse every row into one cluster — centroid selection
+    // must see distinct vectors (production: train on a sample).
+    val nLists = math.max(16, (4 * mult) / 5)
+    time(s"semantic dedup ($nLists lists)") {
+      val cents = graft.operators.IvfSearch.centroidsFromIds(
+        emb0, col("vec_id"), col("embedding"), c = nLists)
+      graft.operators.Dedup.semanticDedup(emb, col("vec_id"), col("embedding"),
+        cents, tau = 0.4).filter(col("keep")).count()
     }
 
     spark.stop()

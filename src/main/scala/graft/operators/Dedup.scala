@@ -400,6 +400,12 @@ object Dedup {
     * point per ε-ball; min-id is the reproducible tie-break an engine
     * needs). Recall caveat like any blocked method: cross-cluster
     * near-dups are not compared (the paper accepts the same trade).
+    *
+    * Sizing for scale: Σ|cluster|² = n²/C at fixed C — grow the cluster
+    * COUNT with the corpus (C ∝ n, constant cluster size s) and total pair
+    * work is n·s, linear (ScaleSmoke demonstrates x20 vs x60 at constant
+    * s). Centroids must be trained on distinct vectors (a sample), never
+    * on the raw id order of a replicated/appended table.
     */
   def semanticDedup(
       embs: DataFrame,

@@ -74,16 +74,19 @@ object IvfSearch {
   }
 
   /** Nearest-centroid assignment column: lexicographic min over
-    * `(distance, cid)` structs — codegen'd column algebra, no UDF.
+    * `(distance, cid)` — ONE native codegen node
+    * ([[graft.functions.NearestCentroidExpr]]) holding the centroid matrix
+    * as a plan reference. The previous `array_min(array(C structs))`
+    * spelling left whole-stage codegen past C≈32 candidates (method-size
+    * limit → interpreted fallback, a measured 7× cliff); arithmetic is
+    * unchanged (same fold order, same tie-break).
     */
-  def assignCol(vec: Column, centroids: Seq[Centroid]): Column = {
-    val candidates = centroids.map { ct =>
-      struct(
-        (lit(ct.normSq) - lit(2.0) * VF.dot(vec, typedLit(ct.vec))).as("dist"),
-        lit(ct.cid).as("cid"))
-    }
-    array_min(array(candidates: _*)).getField("cid")
-  }
+  def assignCol(vec: Column, centroids: Seq[Centroid]): Column =
+    org.apache.spark.sql.graft.Bridge.column(
+      graft.functions.NearestCentroidExpr(
+        org.apache.spark.sql.graft.Bridge.expression(vec),
+        centroids.map(_.vec.toArray).toArray,
+        centroids.map(_.cid).toArray))
 
   /** Ingest-time step: attach `list_id`. Persist partitioned by `list_id`
     * (or bucketed on it) so probe filters prune at the file/partition level.
