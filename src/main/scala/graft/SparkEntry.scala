@@ -434,6 +434,24 @@ object SparkEntry {
           docs.filter(col("doc_id") < 20), col("text"), n = 5)
         .orderBy("id")
     }),
+    // The COMPOSED curation pipeline in ONE Catalyst plan — quality gate →
+    // scrub → exact dedup → chunk → per-doc chunk stats. The point: every
+    // stage is column algebra, so the chain fuses (gate and scrub share the
+    // scan; only dedup's window and the final agg shuffle)
+    "q_pipeline_curate" -> ((s, dir) => {
+      val docs = graft.sources.Testdata.table(s, dir, "documents")
+      val gated = Curation.gopherFilter(docs, col("doc_id"), col("text"))
+        .filter(col("pass")).select(col("id").as("doc_id"))
+        .join(docs, Seq("doc_id"))
+      val scrubbed = gated.select(col("doc_id"), Curation.scrub(col("text")).as("stext"))
+      val deduped = Dedup.exactDedup(scrubbed, col("doc_id"), col("stext"))
+        .filter(col("keep")).select(col("id").as("doc_id"))
+        .join(scrubbed, Seq("doc_id"))
+      Curation.chunkTokens(deduped, col("doc_id"), col("stext"), size = 64, stride = 48)
+        .groupBy("id")
+        .agg(count(lit(1)).as("n_chunks"), sum(col("n_tokens")).as("sum_tokens"))
+        .orderBy("id")
+    }),
     // Curation: normalization + pattern scrubbing (PII-redaction shape)
     "q_curate_scrub" -> ((s, dir) =>
       graft.sources.Testdata.table(s, dir, "documents")
@@ -1314,6 +1332,40 @@ object SparkEntry {
          |  CAST(len(list_intersect(gr.fps, ev.efps)) AS BIGINT) AS n_hits,
          |  len(list_intersect(gr.fps, ev.efps)) > 0 AS contaminated
          |FROM gr, ev ORDER BY id""".stripMargin,
+    // Pipeline oracle: the gopher-pass, scrub, md5-dedup, and chunk-count
+    // replicas composed as CTEs (same fragments as the standalone oracles)
+    "q_pipeline_curate" ->
+      """WITH t AS (
+        |  SELECT doc_id, text, string_split_regex(text, '\s+') AS w FROM documents
+        |), gg AS (
+        |  SELECT doc_id, text, len(w) AS n_words,
+        |    CASE WHEN len(w) > 0 THEN CAST(len(w) - len(list_distinct(w)) AS DOUBLE)/len(w) ELSE 0.0 END AS f1,
+        |    CASE WHEN len(w) > 1 THEN CAST(len(w)-1 - len(list_distinct(list_transform(range(1, len(w)), i -> w[i] || ' ' || w[i+1]))) AS DOUBLE)/(len(w)-1) ELSE 0.0 END AS f2,
+        |    CASE WHEN len(w) > 2 THEN CAST(len(w)-2 - len(list_distinct(list_transform(range(1, len(w)-1), i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))) AS DOUBLE)/(len(w)-2) ELSE 0.0 END AS f3
+        |  FROM t
+        |), p AS (
+        |  SELECT doc_id, text FROM gg
+        |  WHERE n_words >= 10 AND n_words <= 100000 AND f1 <= 0.6 AND f2 <= 0.45 AND f3 <= 0.35
+        |), s AS (
+        |  SELECT doc_id,
+        |    trim(regexp_replace(
+        |      regexp_replace(
+        |        regexp_replace(lower(text), '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}', '<email>', 'g'),
+        |        '[0-9]+', '<num>', 'g'),
+        |      '\s+', ' ', 'g')) AS stext
+        |  FROM p
+        |), d AS (
+        |  SELECT doc_id, stext,
+        |    row_number() OVER (PARTITION BY md5(stext) ORDER BY doc_id) AS rn
+        |  FROM s
+        |), tok AS (
+        |  SELECT doc_id AS id, len(string_split_regex(stext, '\s+')) AS n FROM d WHERE rn = 1
+        |), ch AS (
+        |  SELECT id, n, unnest(range(0, CAST(ceil(greatest(n - 64, 0) / 48.0) AS BIGINT) + 1)) AS i
+        |  FROM tok WHERE n > 0
+        |)
+        |SELECT id, count(*) AS n_chunks, CAST(sum(least(64, n - i*48)) AS BIGINT) AS sum_tokens
+        |FROM ch GROUP BY id ORDER BY id""".stripMargin,
     "q_curate_sample" ->
       """SELECT lang, count(*) AS n_docs, CAST(sum(doc_id) AS BIGINT) AS sum_ids
         |FROM documents
