@@ -99,6 +99,32 @@ object AnnEval {
       evalRow(s"binary rerank $budget", hits, budget / n)
     }
 
+    // semantic-dedup pair recall: cluster-blocked near-dup pairs vs the
+    // exact all-pairs ground truth, across cluster counts — quantifies the
+    // cross-cluster-miss trade the blocking accepts, and the compare-count
+    // fraction it buys (Σ|c|·(|c|−1)/2 over n·(n−1)/2)
+    println("\n| semantic dedup | pair recall | compare fraction |\n|---|---|---|")
+    val tau = 0.4
+    val truthPairs = operators.Dedup.cosinePairs(embs, col("vec_id"), col("embedding"), tau)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val allPairs = n * (n - 1) / 2.0
+    for (c <- Seq(4, 8, 16, 32, 64)) {
+      val cc = operators.IvfSearch.centroidsFromIds(embs, col("vec_id"), col("embedding"), c)
+      val idx = operators.IvfSearch.index(
+        embs.select(col("vec_id"), col("embedding")), col("embedding"), cc)
+      val got = idx.as("a").join(idx.as("b"),
+          col("a.list_id") === col("b.list_id") && col("a.vec_id") < col("b.vec_id") &&
+            functions.VectorFunctions.cosine(col("a.embedding"), col("b.embedding")) >= tau)
+        .select(col("a.vec_id"), col("b.vec_id")).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      val compares = idx.groupBy("list_id").count().collect()
+        .map(r => { val s = r.getLong(1).toDouble; s * (s - 1) / 2 }).sum / allPairs
+      val recall =
+        if (truthPairs.isEmpty) 1.0
+        else truthPairs.intersect(got).size.toDouble / truthPairs.size
+      println(f"| C=$c | $recall%.3f | $compares%.3f |")
+    }
+
     spark.stop()
   }
 }
