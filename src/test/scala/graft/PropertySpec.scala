@@ -248,4 +248,49 @@ class PropertySpec extends SparkSpec {
       }
     }
   }
+
+  test("SignPackExpr ≡ the when-chain sign packing it replaced, on arbitrary vectors") {
+    import testImplicits._
+    val vecGen: Gen[List[Float]] = for {
+      d <- Gen.choose(1, 130)
+      v <- Gen.listOfN(d, Gen.oneOf(
+        Gen.choose(-1.0f, 1.0f), Gen.const(0.0f), Gen.const(-0.0f)))
+    } yield v
+    samples(vecGen, 40).foreach { v =>
+      val dim = v.length
+      val df = Seq(Tuple1(v)).toDF("vec")
+      // independent reference: the driver-side packing (same word/bit order)
+      val expected = graft.operators.Quantized.binarizeVecWords(v.map(_.toDouble))
+      val got = graft.operators.Quantized.binarizeWords(df, col("vec"), dim)
+        .select("bcodes").head().getSeq[Long](0).toArray
+      assert(java.util.Arrays.equals(got, expected), s"dim=$dim v=$v")
+    }
+  }
+
+  test("NearestCentroidExpr ≡ struct-argmin assignment on arbitrary vectors and centroid counts") {
+    import testImplicits._
+    val gen: Gen[(List[List[Double]], List[Float])] = for {
+      d <- Gen.choose(2, 16)
+      c <- Gen.choose(1, 40)
+      cents <- Gen.listOfN(c, Gen.listOfN(d, Gen.choose(-1.0, 1.0)))
+      v <- Gen.listOfN(d, Gen.choose(-1.0f, 1.0f))
+    } yield (cents, v)
+    samples(gen, 30).foreach { case (cents, v) =>
+      val centroids = cents.zipWithIndex.map { case (cv, i) =>
+        IvfSearch.Centroid(i.toLong, cv)
+      }
+      val df = Seq(Tuple1(v)).toDF("vec")
+      // the struct-argmin spelling the native kernel replaced
+      val structAssign = array_min(array(centroids.map { ct =>
+        struct(
+          (lit(ct.normSq) - lit(2.0) * graft.functions.VectorFunctions
+            .dot(col("vec"), typedLit(ct.vec))).as("dist"),
+          lit(ct.cid).as("cid"))
+      }: _*)).getField("cid")
+      val expected = df.select(structAssign.as("cid")).head().getLong(0)
+      val got = df.select(IvfSearch.assignCol(col("vec"), centroids).as("cid"))
+        .head().getLong(0)
+      assert(got == expected, s"cents=${cents.size} v=$v")
+    }
+  }
 }
