@@ -225,6 +225,40 @@ object SparkEntry {
        |ORDER BY score DESC, id ASC""".stripMargin
   }
 
+  /** Incremental-dedup oracle: replicate the full signature pipeline in SQL
+    * — bigram shingles, polynomial fingerprints (shared fragment), the 32
+    * universal-hash minima with the SAME deterministic (a, b) coefficients
+    * the Spark kernel uses (integer arithmetic, products < 2^63), then the
+    * band-collision count and slot-match estimator.
+    */
+  private val dedupIncrementalOracle: String = {
+    val coeffs = Dedup.hashCoeffs(32)
+    val p = Dedup.HashP
+    val sigExprs = coeffs.map { case (a, b) =>
+      s"list_min(list_transform(fps, x -> (${a}*x + ${b}) % ${p}))"
+    }.mkString("[", ",\n        |    ", "]")
+    val bandsHit = (0 until 8).map { bnd =>
+      val lo = bnd * 4 + 1; val hi = bnd * 4 + 4
+      s"(CASE WHEN n.sig[$lo:$hi] = c.sig[$lo:$hi] THEN 1 ELSE 0 END)"
+    }.mkString("(", " + ", ")")
+    s"""WITH t AS (
+       |  SELECT doc_id, string_split_regex(text, '\\s+') AS w FROM documents
+       |), sh AS (
+       |  SELECT doc_id, list_distinct(list_transform(range(1, len(w)), i -> w[i] || ' ' || w[i+1])) AS s FROM t
+       |), fp AS (
+       |  SELECT doc_id, list_transform(s, g -> $polyhashSql) AS fps FROM sh WHERE len(s) > 0
+       |), sg AS (SELECT doc_id, $sigExprs AS sig FROM fp),
+       |pairs AS (
+       |  SELECT n.doc_id AS new_id, c.doc_id AS corpus_id,
+       |    $bandsHit AS bands_hit,
+       |    CAST(len(list_filter(range(1, 33), i -> n.sig[i] = c.sig[i])) AS DOUBLE) / 32 AS est
+       |  FROM sg n, sg c WHERE n.doc_id < 50 AND c.doc_id >= 50
+       |)
+       |SELECT new_id, corpus_id, CAST(bands_hit AS BIGINT) AS bands_hit,
+       |  round(est, 6) AS est_jaccard
+       |FROM pairs WHERE bands_hit > 0 ORDER BY new_id, corpus_id""".stripMargin
+  }
+
   /** Ground-truth near-dup pairs: exact pairwise bigram-shingle Jaccard.
     * Shared by the exact (q_dedup_jaccard) and LSH (q_dedup_minhash)
     * queries — the LSH path must reproduce the exact answer because its
@@ -484,6 +518,21 @@ object SparkEntry {
           col("doc_id"), col("text"), n = 2, tau = 0.5)
         .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
         .orderBy("id_a", "id_b")),
+    // Incremental near-dup screening: band-join the doc_id<50 batch's
+    // minhash signatures against the doc_id>=50 corpus SIGNATURE table —
+    // the persisted-index shape that dedups a new crawl without touching
+    // corpus text; output is band collisions + the slot-match estimator
+    "q_dedup_incremental" -> ((s, dir) => {
+      val docs = graft.sources.Testdata.table(s, dir, "documents")
+      val corpus = Dedup.signatureTable(docs.filter(col("doc_id") >= 50),
+        col("doc_id"), col("text"))
+      val batch = Dedup.signatureTable(docs.filter(col("doc_id") < 50),
+        col("doc_id"), col("text"))
+      Dedup.incrementalNearDups(corpus, batch)
+        .select(col("new_id"), col("corpus_id"), col("bands_hit"),
+          round(col("est_jaccard"), 6).as("est_jaccard"))
+        .orderBy("new_id", "corpus_id")
+    }),
     // MinHash+LSH banded near-dup with exact-Jaccard verification: same
     // oracle as q_dedup_jaccard — the LSH only bounds which pairs are
     // verified, and at this tau its recall is exhaustive on the corpus
@@ -1477,6 +1526,7 @@ object SparkEntry {
         |FROM s ORDER BY doc_id""".stripMargin,
     "q_dedup_jaccard" -> dedupJaccardOracle,
     "q_dedup_minhash" -> dedupJaccardOracle,
+    "q_dedup_incremental" -> dedupIncrementalOracle,
     // Same pair predicate as dedupJaccardOracle, then transitive closure via
     // a recursive CTE; cluster label = min reachable id.
     "q_dedup_clusters" ->

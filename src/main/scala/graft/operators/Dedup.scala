@@ -303,6 +303,56 @@ object Dedup {
         coeffs.map(_._1).toArray, coeffs.map(_._2).toArray, HashP))
   }
 
+  /** Persistable MinHash signature table `(id, sig ARRAY<BIGINT>)` — the
+    * ingest-time index for INCREMENTAL dedup: 8·numHashes bytes per doc
+    * regardless of text size, computed once when a document enters the
+    * corpus. Docs with no shingles (under n words) are excluded — their
+    * signature is undefined.
+    */
+  def signatureTable(
+      docs: DataFrame,
+      id: Column,
+      text: Column,
+      n: Int = 2,
+      numHashes: Int = 32): DataFrame =
+    docs.select(id.as("id"), shingles(text, n).as("sh"))
+      .filter(size(col("sh")) > 0)
+      .select(col("id"), minhashSig(shingleFps(col("sh")), numHashes).as("sig"))
+
+  /** Incremental near-dup screening: band-join a NEW batch's signatures
+    * against the EXISTING corpus signature table — the shape that dedups a
+    * fresh crawl against a 100 TB corpus without touching corpus text
+    * (the signature table IS the index; the batch side is small, so the
+    * band join broadcasts it). Returns per candidate pair the number of
+    * colliding bands and the standard MinHash estimate of Jaccard
+    * (matching-slot fraction) — integer arithmetic, exactly reproducible.
+    * Exact verification (where text is still available) is a join away;
+    * the estimator is the screening decision at index-only scale.
+    */
+  def incrementalNearDups(
+      corpusSigs: DataFrame,
+      newSigs: DataFrame,
+      numHashes: Int = 32,
+      bands: Int = 8): DataFrame = {
+    require(numHashes % bands == 0)
+    val rows = numHashes / bands
+    def banded(df: DataFrame, idOut: String): DataFrame =
+      df.select(col("id").as(idOut), col("sig"),
+          posexplode(array((0 until bands).map(b =>
+            slice(col("sig"), b * rows + 1, rows)): _*)))
+        .withColumnRenamed("pos", "band").withColumnRenamed("col", "bsig")
+    val cand = banded(newSigs, "new_id").as("x")
+      .join(banded(corpusSigs, "corpus_id").as("y"),
+        col("x.band") === col("y.band") && col("x.bsig") === col("y.bsig"))
+      .groupBy(col("x.new_id").as("new_id"), col("y.corpus_id").as("corpus_id"))
+      .agg(count(lit(1)).as("bands_hit"),
+        first(col("x.sig")).as("sig_a"), first(col("y.sig")).as("sig_b"))
+    cand.select(col("new_id"), col("corpus_id"), col("bands_hit"),
+      (aggregate(zip_with(col("sig_a"), col("sig_b"),
+          (x, y) => when(x === y, 1L).otherwise(0L)), lit(0L), (a, x) => a + x)
+        .cast("double") / numHashes).as("est_jaccard"))
+  }
+
   /** Approximate near-dup pairs via banded MinHash-LSH with exact-Jaccard
     * verification: candidates are pairs agreeing on at least one band of
     * `rows` consecutive signature slots; each candidate is then verified

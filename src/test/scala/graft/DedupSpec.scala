@@ -175,6 +175,21 @@ class DedupSpec extends SparkSpec {
     assert(got.count(_.getBoolean(2)) == 1)
   }
 
+  test("incremental screening: exact dup hits all bands with estimate 1.0; unrelated doc absent") {
+    val corpus = Dedup.signatureTable(
+      docs(10L -> "the quick brown fox jumps over the lazy dog",
+           11L -> "an entirely different document about database engines"),
+      col("id"), col("text"))
+    val batch = Dedup.signatureTable(
+      docs(1L -> "the quick brown fox jumps over the lazy dog", // dup of 10
+           2L -> "unrelated text with no shared bigrams at all"),
+      col("id"), col("text"))
+    val res = Dedup.incrementalNearDups(corpus, batch)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> ((r.getLong(2), r.getDouble(3)))).toMap
+    assert(res((1L, 10L)) == ((8L, 1.0)))   // identical text: all 8 bands, all 32 slots
+    assert(!res.keySet.exists(_._1 == 2L))  // no band collision for the unrelated doc
+  }
+
   test("semantic dedup: within-cluster near-dups flagged, min-id kept, equi-join plan") {
     import testImplicits._
     import graft.operators.IvfSearch
