@@ -603,6 +603,23 @@ object SparkEntry {
         .withColumn("score", round(col("score"), 6))
         .orderBy(desc("score"), asc("id"))
     }),
+    // The SQL surface end-to-end: flagship k-NN written as PURE SQL text
+    // through the registered native kernels (graft_dot), query vector via
+    // scalar subquery — proves a spark.sql-only user gets the same engine
+    "q_sql_knn" -> ((s, dir) => {
+      GraftExtensions.register(s)
+      s.read.parquet(s"$dir/embeddings.parquet").createOrReplaceTempView("sql_vectors")
+      s.sql(
+        """WITH scored AS (
+          |  SELECT CAST(v.vec_id AS STRING) AS id,
+          |    graft_dot(v.embedding, q.embedding) /
+          |      (sqrt(graft_dot(v.embedding, v.embedding)) * sqrt(graft_dot(q.embedding, q.embedding))) AS score
+          |  FROM sql_vectors v, (SELECT embedding FROM sql_vectors WHERE vec_id = 0) q
+          |  ORDER BY score DESC, id ASC LIMIT 10
+          |)
+          |SELECT id, round(score, 6) AS score FROM scored
+          |ORDER BY score DESC, id ASC""".stripMargin)
+    }),
     // SemDeDup-style semantic dedup: cluster on IVF lists (deterministic
     // centroids, oracle-replicable), flag within-cluster cosine near-dups,
     // keep the min-id representative — pair space Σ|cluster|², equi-join
@@ -1241,6 +1258,16 @@ object SparkEntry {
     // IVF oracle: replicate nearest-centroid assignment (argmin |c|²−2·v·c,
     // ties to smaller cid — |v|² is row-constant so this is argmin L2²),
     // probe the 4 nearest lists, exact cosine inside.
+    "q_sql_knn" ->
+      """WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0),
+        |scored AS (
+        |  SELECT CAST(e.vec_id AS VARCHAR) AS id,
+        |    list_dot_product(CAST(e.embedding AS DOUBLE[]), q.qv) /
+        |      (sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[]))) * sqrt(list_dot_product(q.qv, q.qv))) AS score
+        |  FROM embeddings e, q ORDER BY score DESC, id ASC LIMIT 10
+        |)
+        |SELECT id, round(score, 6) AS score FROM scored
+        |ORDER BY score DESC, id ASC""".stripMargin,
     // Semantic-dedup oracle: same in-SQL centroid derivation + assignment
     // as q_ann_ivf, then the within-cluster dominated set
     "q_dedup_semantic" ->

@@ -112,6 +112,28 @@ class CurationSpec extends SparkSpec {
     assert(res(3L) == ((1L, true)))   // shares "quick brown fox jumps over"
   }
 
+  test("decontamination with an empty eval set flags nothing; short docs have no grams") {
+    val docs = Seq((1L, "some ordinary document text here please"), (2L, "tiny")).toDF("doc_id", "text")
+    val emptyEval = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    val res = Curation.decontaminate(docs, col("doc_id"), col("text"), emptyEval, col("text"), n = 5)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getBoolean(2)))).toMap
+    assert(res == Map(1L -> ((0L, false)), 2L -> ((0L, false))))
+    // a doc shorter than n words yields no grams even against a matching eval set
+    val eval = Seq((9L, "tiny")).toDF("doc_id", "text")
+    val res2 = Curation.decontaminate(docs, col("doc_id"), col("text"), eval, col("text"), n = 5)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(2)).toMap
+    assert(!res2(2L))
+  }
+
+  test("stratified sample boundary rates: 0 drops the stratum, 1000 keeps it whole") {
+    val docs = spark.range(1000).select(col("id").as("doc_id"), lit("en").as("lang"))
+    val none = Curation.stratifiedSample(docs, col("doc_id"), col("lang"),
+      Seq("en" -> 0), defaultPerMille = 1000).count()
+    val all = Curation.stratifiedSample(docs, col("doc_id"), col("lang"),
+      Seq("en" -> 1000), defaultPerMille = 0).count()
+    assert(none == 0L && all == 1000L)
+  }
+
   test("stratified sample is deterministic, per-stratum rated, and a pure scan filter") {
     val docs = spark.range(10000).select(col("id").as("doc_id"),
       when(pmod(col("id"), lit(2)) === 0, "en").otherwise("zh").as("lang"))
