@@ -486,6 +486,14 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_chunks"), sum(col("n_tokens")).as("sum_tokens"))
         .orderBy("id")
     }),
+    // Curation: training-mix construction — per-source rates derived from
+    // the data (target tokens / available tokens), deterministic membership
+    "q_curate_mix" -> ((s, dir) =>
+      Curation.mixSample(graft.sources.Testdata.table(s, dir, "documents"),
+          col("doc_id"), col("source"), col("text"),
+          targets = Seq("src0" -> 2.0, "src1" -> 1.0, "src2" -> 1.0),
+          budgetTokens = 2000L)
+        .orderBy("id")),
     // Curation: normalization + pattern scrubbing (PII-redaction shape)
     "q_curate_scrub" -> ((s, dir) =>
       graft.sources.Testdata.table(s, dir, "documents")
@@ -1442,6 +1450,24 @@ object SparkEntry {
         |)
         |SELECT id, count(*) AS n_chunks, CAST(sum(least(64, n - i*48)) AS BIGINT) AS sum_tokens
         |FROM ch GROUP BY id ORDER BY id""".stripMargin,
+    // Mix oracle: same availability aggregation, same rate arithmetic
+    // (exact-decimal targets: 2/4 and 1/4 of 2000), same id-hash membership
+    "q_curate_mix" ->
+      """WITH t AS (
+        |  SELECT doc_id AS id, source AS stratum,
+        |    CAST(len(string_split_regex(text, '\s+')) AS BIGINT) AS n_tokens
+        |  FROM documents
+        |), a AS (SELECT stratum, CAST(sum(n_tokens) AS DOUBLE) AS avail FROM t GROUP BY stratum),
+        |r AS (
+        |  SELECT stratum, least(1000, CAST(floor(1000.0 *
+        |    CASE stratum WHEN 'src0' THEN 1000.0 WHEN 'src1' THEN 500.0 WHEN 'src2' THEN 500.0 ELSE 0.0 END
+        |    / avail) AS BIGINT)) AS rate_pm
+        |  FROM a
+        |)
+        |SELECT t.id, t.stratum, t.n_tokens
+        |FROM t JOIN r USING (stratum)
+        |WHERE ((t.id % 1000003) * 131 + 7) % 1000 < r.rate_pm
+        |ORDER BY t.id""".stripMargin,
     "q_curate_sample" ->
       """SELECT lang, count(*) AS n_docs, CAST(sum(doc_id) AS BIGINT) AS sum_ids
         |FROM documents

@@ -183,6 +183,39 @@ object Curation {
     df.filter(bucket < rate)
   }
 
+  /** Training-mix construction (the Pile/DoReMi shape): given per-source
+    * target WEIGHTS and a total token budget, derive each source's sampling
+    * rate FROM the data (rate = target-tokens / available-tokens, capped at
+    * keep-all) and emit the sampled mix. One aggregation computes
+    * availability, the tiny per-source rate table broadcasts back, and
+    * membership is the same deterministic id-hash as [[stratifiedSample]] —
+    * the whole mix is reproducible and re-derivable on backfills. Sources
+    * not in `targets` get rate 0 (excluded from the mix).
+    */
+  def mixSample(
+      docs: DataFrame,
+      id: Column,
+      stratum: Column,
+      text: Column,
+      targets: Seq[(String, Double)],
+      budgetTokens: Long): DataFrame = {
+    require(targets.nonEmpty && targets.forall(_._2 > 0))
+    val wsum = targets.map(_._2).sum
+    val withTok = docs.select(id.as("id"), stratum.as("stratum"),
+      TextAnalysis.wsTokenCount(text).cast("long").as("n_tokens"))
+    val totals = withTok.groupBy("stratum").agg(sum(col("n_tokens")).as("avail"))
+    val targetTokens = targets.foldRight(lit(0.0): Column) {
+      case ((s, w), elseCol) =>
+        when(col("stratum") === s, lit(w / wsum * budgetTokens)).otherwise(elseCol)
+    }
+    val rates = totals.select(col("stratum"),
+      least(lit(1000L), floor(lit(1000.0) * targetTokens / col("avail"))).as("rate_pm"))
+    val bucket = pmod(pmod(col("id").cast("long"), lit(1000003L)) * 131L + 7L, lit(1000L))
+    withTok.join(broadcast(rates), Seq("stratum"))
+      .filter(bucket < col("rate_pm"))
+      .select(col("id"), col("stratum"), col("n_tokens"))
+  }
+
   def packBins(
       docs: DataFrame,
       id: Column,

@@ -125,6 +125,27 @@ class CurationSpec extends SparkSpec {
     assert(!res2(2L))
   }
 
+  test("mix sampling: rates derive from availability, over-budget strata cap at keep-all") {
+    // src A: 10 docs x 10 tokens = 100 avail; src B: 2 docs x 10 = 20 avail
+    val docs = ((0 until 10).map(i => (i.toLong, "a", Seq.fill(10)("w").mkString(" "))) ++
+      Seq((100L, "b", Seq.fill(10)("w").mkString(" ")), (101L, "b", Seq.fill(10)("w").mkString(" "))))
+      .toDF("doc_id", "src", "text")
+    // equal weights, budget 100 => target 50 tokens each: A rate 500pm, B capped at 1000pm
+    val got = Curation.mixSample(docs, col("doc_id"), col("src"), col("text"),
+      targets = Seq("a" -> 1.0, "b" -> 1.0), budgetTokens = 100L)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(got.filter(_._2 == "b").map(_._1).sorted == Seq(100L, 101L)) // keep-all cap
+    val aIds = got.filter(_._2 == "a").map(_._1).toSet
+    val expectedA = (0 until 10).map(_.toLong)
+      .filter(i => ((i % 1000003L) * 131 + 7) % 1000 < 500).toSet
+    assert(aIds == expectedA) // exact membership from the documented hash
+    // a stratum absent from targets is excluded entirely
+    val none = Curation.mixSample(docs, col("doc_id"), col("src"), col("text"),
+      targets = Seq("b" -> 1.0), budgetTokens = 10L)
+      .filter(col("stratum") === "a").count()
+    assert(none == 0L)
+  }
+
   test("stratified sample boundary rates: 0 drops the stratum, 1000 keeps it whole") {
     val docs = spark.range(1000).select(col("id").as("doc_id"), lit("en").as("lang"))
     val none = Curation.stratifiedSample(docs, col("doc_id"), col("lang"),
