@@ -165,6 +165,47 @@ object Streaming {
     events.withWatermark(tsCol, delay)
       .dropDuplicatesWithinWatermark(keys.head, keys.tail: _*)
 
+  /** Streaming near-dup screen at ingest: per micro-batch, screen arriving
+    * documents against the PERSISTED corpus signature index
+    * ([[graft.operators.Dedup.signatureTable]]) via the batch operator
+    * ([[graft.operators.Dedup.incrementalNearDups]]) inside `foreachBatch`
+    * — the standard shape for per-batch logic that aggregates batch-locally
+    * (a blind streaming groupBy would carry unbounded state; here each
+    * batch is complete by construction and the stream itself carries NO
+    * state). The static side is the 8·numHashes-bytes-per-doc index, never
+    * corpus text. Emits one row per arriving doc, batch-stamped:
+    * `(id, n_dup_candidates, max_est_jaccard, batch_id)` — quarantine or
+    * exact verification is a downstream choice; the screen is the inline
+    * ingest decision.
+    */
+  def startNearDupScreen(
+      docs: DataFrame,          // streaming (id, text)
+      corpusSigs: DataFrame,    // static signature table (id, sig)
+      outPath: String,
+      checkpoint: String,
+      queryName: String = "near_dup_screen"): StreamingQuery = {
+    import graft.operators.Dedup
+    docs.writeStream
+      .queryName(queryName)
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val sigs = Dedup.signatureTable(batch, col("id"), col("text"))
+        val hits = Dedup.incrementalNearDups(corpusSigs, sigs)
+          .groupBy(col("new_id"))
+          .agg(count(lit(1)).as("n_dup_candidates"),
+            max(col("est_jaccard")).as("max_est_jaccard"))
+        batch.select(col("id")).distinct()
+          .join(hits, col("id") === col("new_id"), "left")
+          .select(col("id"),
+            coalesce(col("n_dup_candidates"), lit(0L)).as("n_dup_candidates"),
+            coalesce(col("max_est_jaccard"), lit(0.0)).as("max_est_jaccard"),
+            lit(batchId).as("batch_id"))
+          .write.mode("append").parquet(outPath)
+        ()
+      }
+      .start()
+  }
+
   /** Stream-stream interval join: attribute each purchase to every click by
     * the same user within `horizonMinutes` before it. Both sides carry
     * watermarks and the join condition bounds event-time distance, so each

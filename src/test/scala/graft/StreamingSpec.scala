@@ -191,6 +191,33 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming near-dup screen flags arrivals colliding with the static signature index") {
+    val sp = spark
+    import sp.implicits._
+    implicit val sqlCtx = sp.sqlContext
+    val corpus = graft.operators.Dedup.signatureTable(
+      Seq((100L, "the quick brown fox jumps over the lazy dog"),
+          (101L, "an entirely different corpus document about engines"))
+        .toDF("doc_id", "text"),
+      col("doc_id"), col("text"))
+    val in = MemoryStream[(Long, String)]
+    val out = tmpDir("graft_screen")
+    val q = Streaming.startNearDupScreen(
+      in.toDF().toDF("id", "text"), corpus, s"$out/res", s"$out/ckpt")
+    try {
+      in.addData((1L, "the quick brown fox jumps over the lazy dog"), // dup of 100
+                 (2L, "totally novel content with no shared bigrams whatsoever"))
+      q.processAllAvailable()
+      in.addData((3L, "an entirely different corpus document about engines")) // dup of 101
+      q.processAllAvailable()
+      val res = sp.read.parquet(s"$out/res").collect()
+        .map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2), r.getLong(3)))).toMap
+      assert(res(1L)._1 == 1L && res(1L)._2 == 1.0 && res(1L)._3 == 0L)
+      assert(res(2L)._1 == 0L && res(2L)._2 == 0.0)
+      assert(res(3L)._1 == 1L && res(3L)._2 == 1.0 && res(3L)._3 == 1L) // second batch
+    } finally q.stop()
+  }
+
   test("watermarked dedup drops cross-batch duplicates with bounded state") {
     val sp = spark
     import sp.implicits._
