@@ -24,7 +24,7 @@ object Plans {
       "q_rerank_hybrid", "q_asof_click_purchase", "q_range_copresence",
       "q_text_bm25", "q_text_unigram_nll", "q_curate_chunks", "q_curate_pack",
       "q_curate_gopher", "q_curate_sample", "q_curate_decontam", "q_dedup_semantic",
-      "q_dedup_incremental", "q_pipeline_curate",
+      "q_dedup_incremental", "q_pipeline_curate", "q_sql_knn", "q_curate_mix",
       "q_rel_pricing", "q_rel_top_customers", "q_rel_region_revenue",
       "q_rel_salted_join", "q_rel_pivot", "q_stream_window_stats")
     show.foreach { name =>
