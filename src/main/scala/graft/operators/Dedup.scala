@@ -144,6 +144,39 @@ object Dedup {
     }
   }
 
+  /** Exact Jaccard pairs with the physical strategy chosen FROM DATA
+    * STATISTICS — the cost-based front door over the oracle-equal trio
+    * ([[jaccardPairs]] count-join / prefix-filter, [[jaccardPairsBitsetHashed]]).
+    *
+    * Decision probe: on a bounded deterministic sample, measure shingle
+    * REUSE `1 − |distinct shingles| / |shingle occurrences|`. Dense
+    * template-like corpora (high reuse) defeat prefix selection — nearly
+    * every pair shares prefix shingles, so the AllPairs candidate set
+    * explodes and the cheap-kernel bitset grid wins (measured on this
+    * corpus: bitset 2.24 s vs prefix 13.5 s at reuse ≈ 0.9 — SCALE_SMOKE
+    * shoot-out); sparse natural-text corpora (low reuse, Zipfian df) are
+    * the prefix filter's home regime, where rarest-first prefixes prune
+    * the O(n²) pair space the grid cannot avoid. The 0.5 threshold sits
+    * between the regimes; the probe costs two bounded jobs on ≤ `probeDocs`
+    * docs (an index-build-time decision, not a per-query one).
+    */
+  def jaccardPairsAuto(
+      docs: DataFrame,
+      id: Column,
+      text: Column,
+      n: Int = 2,
+      tau: Double = 0.5,
+      probeDocs: Int = 512): DataFrame = {
+    val sh = docs.select(shingles(text, n).as("sh")).limit(probeDocs)
+      .select(explode(col("sh")).as("s"))
+    val total = sh.count()
+    val reuse =
+      if (total == 0) 0.0
+      else 1.0 - sh.distinct().count().toDouble / total
+    if (reuse > 0.5) jaccardPairsBitsetHashed(docs, id, text, n, tau)
+    else jaccardPairs(docs, id, text, n, tau, prefixFilter = true)
+  }
+
   /** Exact Jaccard pairs, BITSET strategy — for the dense-small-vocabulary
     * regime (template/log-like corpora) where nearly every pair shares
     * shingles, so candidate pruning cannot help and the O(n²) pair space is

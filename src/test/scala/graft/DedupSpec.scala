@@ -175,6 +175,27 @@ class DedupSpec extends SparkSpec {
     assert(got.count(_.getBoolean(2)) == 1)
   }
 
+  test("auto strategy routes by shingle reuse: dense corpus → bitset, unique-vocab corpus → prefix") {
+    // dense: every doc drawn from the same 4-word vocabulary (reuse ≈ 1)
+    val dense = docs(
+      1L -> "a b c d a b", 2L -> "b c d a b c", 3L -> "c d a b c d", 4L -> "a b c d a b")
+    val densePlan = Dedup.jaccardPairsAuto(dense, col("id"), col("text"))
+      .queryExecution.executedPlan.toString
+    assert(densePlan.contains("graft_popcount_and"), "dense corpus must route to the bitset strategy")
+    // sparse: every doc's words are globally unique (reuse = 0)
+    val sparse = docs(
+      1L -> "a1 a2 a3 a4", 2L -> "b1 b2 b3 b4", 3L -> "c1 c2 c3 c4")
+    val sparsePlan = Dedup.jaccardPairsAuto(sparse, col("id"), col("text"))
+      .queryExecution.executedPlan.toString
+    assert(!sparsePlan.contains("graft_popcount_and"), "sparse corpus must route to the prefix filter")
+    // routing never changes the answer: dense output equals the exact ground truth
+    val auto = Dedup.jaccardPairsAuto(dense, col("id"), col("text"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = Dedup.jaccardPairs(dense, col("id"), col("text"), prefixFilter = false)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(auto == exact)
+  }
+
   test("incremental screening: exact dup hits all bands with estimate 1.0; unrelated doc absent") {
     val corpus = Dedup.signatureTable(
       docs(10L -> "the quick brown fox jumps over the lazy dog",
