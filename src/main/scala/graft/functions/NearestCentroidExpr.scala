@@ -72,6 +72,10 @@ object NearestCentroidExpr {
 
   /** Shared kernel (interpreted eval and generated code): lexicographic
     * (distance, cid) minimum, dot accumulated left-to-right in Double.
+    * Comparison goes through `java.lang.Double.compare` so a NaN distance
+    * sorts LAST (as in the `array_min(struct)` ordering this replaced) —
+    * a bare `<`/`==` pair would let a NaN from centroid 0 poison the whole
+    * argmin (every later comparison false ⇒ first centroid always wins).
     */
   def assign(
       v: ArrayData,
@@ -94,7 +98,8 @@ object NearestCentroidExpr {
         i += 1
       }
       val d = normSqs(j) - 2.0 * acc
-      if (first || d < bestD || (d == bestD && cids(j) < bestC)) {
+      val cmp = if (first) -1 else java.lang.Double.compare(d, bestD)
+      if (cmp < 0 || (cmp == 0 && cids(j) < bestC)) {
         bestD = d; bestC = cids(j); first = false
       }
       j += 1

@@ -170,17 +170,26 @@ object Curation {
     * agree; the filter stays in the scan stage (no shuffle, no sort, no
     * RNG state).
     */
+  /** The shared sampling hash bucket (0..999): same polynomial family as
+    * [[hashSplit]]'s bucket with different coefficients, so SPLIT and
+    * SAMPLE membership are independent — and [[stratifiedSample]] and
+    * [[mixSample]] share ONE membership function (the DuckDB oracles and
+    * specs replicate these exact constants; change them only everywhere
+    * at once).
+    */
+  private def sampleBucket(id: Column): Column =
+    pmod(pmod(id.cast("long"), lit(1000003L)) * 131L + 7L, lit(1000L))
+
   def stratifiedSample(
       df: DataFrame,
       id: Column,
       stratum: Column,
       ratesPerMille: Seq[(String, Int)],
       defaultPerMille: Int = 0): DataFrame = {
-    val bucket = pmod(pmod(id.cast("long"), lit(1000003L)) * 131L + 7L, lit(1000L))
     val rate = ratesPerMille.foldRight(lit(defaultPerMille): Column) {
       case ((s, r), elseCol) => when(stratum === s, lit(r)).otherwise(elseCol)
     }
-    df.filter(bucket < rate)
+    df.filter(sampleBucket(id) < rate)
   }
 
   /** Training-mix construction (the Pile/DoReMi shape): given per-source
@@ -210,9 +219,8 @@ object Curation {
     }
     val rates = totals.select(col("stratum"),
       least(lit(1000L), floor(lit(1000.0) * targetTokens / col("avail"))).as("rate_pm"))
-    val bucket = pmod(pmod(col("id").cast("long"), lit(1000003L)) * 131L + 7L, lit(1000L))
     withTok.join(broadcast(rates), Seq("stratum"))
-      .filter(bucket < col("rate_pm"))
+      .filter(sampleBucket(col("id")) < col("rate_pm"))
       .select(col("id"), col("stratum"), col("n_tokens"))
   }
 

@@ -167,12 +167,15 @@ object Dedup {
       n: Int = 2,
       tau: Double = 0.5,
       probeDocs: Int = 512): DataFrame = {
-    val sh = docs.select(shingles(text, n).as("sh")).limit(probeDocs)
+    // deterministic sample (smallest ids — a bare limit() is scan-order-
+    // dependent and could flip the routing between runs), one aggregate job
+    val row = docs.select(id.as("id"), shingles(text, n).as("sh"))
+      .orderBy("id").limit(probeDocs)
       .select(explode(col("sh")).as("s"))
-    val total = sh.count()
-    val reuse =
-      if (total == 0) 0.0
-      else 1.0 - sh.distinct().count().toDouble / total
+      .agg(count(col("s")).as("total"), count_distinct(col("s")).as("uniq"))
+      .head()
+    val total = row.getLong(0)
+    val reuse = if (total == 0) 0.0 else 1.0 - row.getLong(1).toDouble / total
     if (reuse > 0.5) jaccardPairsBitsetHashed(docs, id, text, n, tau)
     else jaccardPairs(docs, id, text, n, tau, prefixFilter = true)
   }
@@ -374,7 +377,10 @@ object Dedup {
           posexplode(array((0 until bands).map(b =>
             slice(col("sig"), b * rows + 1, rows)): _*)))
         .withColumnRenamed("pos", "band").withColumnRenamed("col", "bsig")
-    val cand = banded(newSigs, "new_id").as("x")
+    // the batch side is small by contract — hint it so the corpus signature
+    // table never shuffles (without stats Spark could plan an SMJ that
+    // exchanges the whole exploded index, the exact cost this path avoids)
+    val cand = broadcast(banded(newSigs, "new_id").as("x"))
       .join(banded(corpusSigs, "corpus_id").as("y"),
         col("x.band") === col("y.band") && col("x.bsig") === col("y.bsig"))
       .groupBy(col("x.new_id").as("new_id"), col("y.corpus_id").as("corpus_id"))

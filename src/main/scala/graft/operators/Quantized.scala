@@ -109,10 +109,14 @@ object Quantized {
     // one native node ([[graft.functions.SignPackExpr]]) instead of dim
     // when(element_at(...)) terms: at 512-d the O(dim)-node Catalyst tree
     // cost more to analyze/codegen per query than the scan took to run
+    // minWords pins the old when-chain's fixed ceil(dim/64)-word output even
+    // for vectors shorter than dim (absent dims pack as 0 bits) — Hamming
+    // iterates the min length of the two sides, so width must not shrink
     df.withColumn("bcodes",
       org.apache.spark.sql.graft.Bridge.column(
         graft.functions.SignPackExpr(
-          org.apache.spark.sql.graft.Bridge.expression(slice(vec, 1, dim)))))
+          org.apache.spark.sql.graft.Bridge.expression(slice(vec, 1, dim)),
+          minWords = (dim + 63) / 64)))
   }
 
   /** Driver-side multi-word sign packing of the query (same word/bit order).
@@ -122,7 +126,9 @@ object Quantized {
     */
   def binarizeVecWords(v: Seq[Double]): Array[Long] = {
     val out = new Array[Long]((v.length + 63) / 64)
-    v.zipWithIndex.foreach { case (x, i) => if (x >= 0) out(i >> 6) |= 1L << (i & 63) }
+    // !(x < 0): NaN sets its bit, matching SignPackExpr and the SQL-
+    // comparison semantics of the original when(x >= 0) column form
+    v.zipWithIndex.foreach { case (x, i) => if (!(x < 0)) out(i >> 6) |= 1L << (i & 63) }
     out
   }
 

@@ -194,13 +194,19 @@ object Streaming {
           .groupBy(col("new_id"))
           .agg(count(lit(1)).as("n_dup_candidates"),
             max(col("est_jaccard")).as("max_est_jaccard"))
+        // foreachBatch is at-least-once: a retried batch must not duplicate
+        // its rows, so the write overwrites ONLY its own batch_id partition
+        // (dynamic partition overwrite) — idempotent under re-execution
         batch.select(col("id")).distinct()
           .join(hits, col("id") === col("new_id"), "left")
           .select(col("id"),
             coalesce(col("n_dup_candidates"), lit(0L)).as("n_dup_candidates"),
             coalesce(col("max_est_jaccard"), lit(0.0)).as("max_est_jaccard"),
             lit(batchId).as("batch_id"))
-          .write.mode("append").parquet(outPath)
+          .write.mode("overwrite")
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("batch_id")
+          .parquet(outPath)
         ()
       }
       .start()

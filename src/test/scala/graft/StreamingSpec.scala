@@ -210,8 +210,11 @@ class StreamingSpec extends SparkSpec {
       q.processAllAvailable()
       in.addData((3L, "an entirely different corpus document about engines")) // dup of 101
       q.processAllAvailable()
+      // batch_id comes back as a discovered partition column (integral type
+      // inferred) — read it numerically
       val res = sp.read.parquet(s"$out/res").collect()
-        .map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2), r.getLong(3)))).toMap
+        .map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2),
+          r.getAs[Number]("batch_id").longValue))).toMap
       assert(res(1L)._1 == 1L && res(1L)._2 == 1.0 && res(1L)._3 == 0L)
       assert(res(2L)._1 == 0L && res(2L)._2 == 0.0)
       assert(res(3L)._1 == 1L && res(3L)._2 == 1.0 && res(3L)._3 == 1L) // second batch
