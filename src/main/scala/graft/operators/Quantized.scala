@@ -92,10 +92,13 @@ object Quantized {
     */
   def binarize(df: DataFrame, vec: Column, dim: Int): DataFrame = {
     require(dim >= 1 && dim <= 64, s"one-word binarization needs dim ≤ 64, got $dim")
-    val code = (0 until dim).map { j =>
-      when(element_at(vec, j + 1) >= 0, lit(1L << j)).otherwise(lit(0L))
-    }.reduce(_ + _)
-    df.withColumn("bcode", code)
+    // single word of the same sign-pack kernel (one codegen node instead of
+    // a dim-term when-chain; identical bit semantics incl. NaN → bit set)
+    df.withColumn("bcode",
+      element_at(org.apache.spark.sql.graft.Bridge.column(
+        graft.functions.SignPackExpr(
+          org.apache.spark.sql.graft.Bridge.expression(slice(vec, 1, dim)),
+          minWords = 1)), 1))
   }
 
   /** Multi-word binary quantization for ANY dimension: word w packs dims
