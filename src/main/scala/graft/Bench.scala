@@ -37,15 +37,19 @@ object Bench {
       })
     val names = SparkEntry.queries.keys.toSeq.sorted
     // rep loops OUTSIDE the query loop: a load spike then dents one rep of
-    // many queries (medianed away) instead of all reps of one query
+    // many queries (medianed away) instead of all reps of one query.
+    // Rep 0 is UNTIMED: each query's first execution pays its own codegen/
+    // JIT (measured 2-3× on the heavy dedup plans), which is one-time cost,
+    // not query cost — without this, run-to-run medians disagreed up to
+    // 30 % on exactly the queries with the largest generated code.
     val times = scala.collection.mutable.Map.empty[String, Vector[Double]]
       .withDefaultValue(Vector.empty)
-    (1 to Reps).foreach { _ =>
+    (0 to Reps).foreach { rep =>
       names.foreach { name =>
         val fn = SparkEntry.queries(name)
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-        times(name) = times(name) :+ (System.nanoTime() - t0) / 1e9
+        if (rep > 0) times(name) = times(name) :+ (System.nanoTime() - t0) / 1e9
       }
     }
     val med = names.map(n => n -> median(times(n))).toMap
