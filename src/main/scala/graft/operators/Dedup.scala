@@ -662,9 +662,14 @@ object Dedup {
       while (it < maxIters && !converged) {
         val prop = edges.join(labels, edges("s") === labels("id"))
           .select(edges("d").as("id"), labels("comp"))
+        // LAZY localCheckpoint: the convergence action below materializes
+        // it, truncating lineage every round with NO extra job — an eager
+        // checkpoint ran one extra job per round, and checkpointing only
+        // every k-th round made each convergence action re-derive the
+        // un-checkpointed rounds from the last cut (duplicated joins)
         labels = labels.union(prop)
           .groupBy("id").agg(min("comp").as("comp"))
-        if ((it + 1) % 4 == 0) labels = labels.localCheckpoint()
+          .localCheckpoint(eager = false)
         val sum = labels.agg(org.apache.spark.sql.functions.sum("comp")).head().getLong(0)
         converged = prevSum.contains(sum)
         prevSum = Some(sum)
