@@ -648,11 +648,11 @@ object Dedup {
       // Round economics (round-4 tuning, measured at sf0.1): the first
       // propagation is FUSED into the init (l₀ = min(v, Γ(v)) straight off
       // the edge list — one groupBy instead of an init + a full round), and
-      // lineage is checkpointed every 4th round rather than every round (a
-      // handful of join/agg layers is cheap to recompute; an eager
-      // localCheckpoint per round was one extra job per round). Convergence
-      // still costs exactly one action per round (the strictly-decreasing
-      // label sum).
+      // each round ends in a LAZY localCheckpoint that the convergence
+      // action materializes — lineage truncates every round with no extra
+      // job and no re-derived joins (see the in-loop note). Convergence
+      // costs exactly one action per round (the strictly-decreasing label
+      // sum).
       var labels = edges.groupBy(col("s").as("id"))
         .agg(least(min(col("d")), col("s")).as("comp"))
         .localCheckpoint()
