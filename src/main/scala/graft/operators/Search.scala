@@ -62,11 +62,12 @@ object Search {
     *
     * Plan: broadcast the (small) query table against the corpus — the big
     * side never shuffles for the join — score every (row, query) pair with
-    * the fused dot kernel, then rank within each query id. The final window
-    * shuffles only on `query_id` AFTER per-pair scoring, moving n·Q scored
-    * (id, score) pairs, not embeddings. For huge corpora the refinement is
-    * per-partition top-k before the exchange; at Q queries per scan the
-    * dominant cost — reading the corpus — is already amortized Q-fold.
+    * the fused dot kernel, then rank within each query id. GroupTopK plans
+    * as partial-then-final heaps: the partial node reduces each scan
+    * partition to ≤ Q·k survivors BEFORE the exchange, so the `query_id`
+    * shuffle moves ≤ Q·k·P narrow (id, score) rows — not the n·Q scored
+    * pairs, and never embeddings. At Q queries per scan the dominant cost —
+    * reading the corpus — is amortized Q-fold.
     */
   def findMostSimilarBatch(
       store: VectorStore,

@@ -7,7 +7,7 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{Ascending, Attribute, Expression, RowOrdering, SortOrder, UnsafeProjection}
 import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, UnaryNode}
-import org.apache.spark.sql.catalyst.plans.physical.{AllTuples, ClusteredDistribution, Distribution}
+import org.apache.spark.sql.catalyst.plans.physical.{AllTuples, ClusteredDistribution, Distribution, UnspecifiedDistribution}
 import org.apache.spark.sql.classic.{Dataset, SparkSession => ClassicSession}
 import org.apache.spark.sql.execution.{SparkPlan, SparkStrategy, UnaryExecNode}
 
@@ -65,30 +65,47 @@ case class GroupTopKNode(
     copy(child = newChild)
 }
 
-/** Planner strategy: one-to-one mapping to the physical operator. */
+/** Planner strategy: partial-then-final, the `TakeOrderedAndProject`
+  * partial/final split generalized per group. The partial node runs in the
+  * input partitions (no distribution requirement) and caps each group at k
+  * rows per partition, so the exchange the final node's clustered
+  * distribution inserts carries ≤ groups·k·P rows instead of every scored
+  * row — for batch k-NN that is the difference between shuffling n·Q scored
+  * pairs and shuffling Q·k·P survivors.
+  */
 object GroupTopKStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
     case g: GroupTopKNode =>
-      GroupTopKExec(g.groupExprs, g.sortOrder, g.k, planLater(g.child)) :: Nil
+      val partial =
+        GroupTopKExec(g.groupExprs, g.sortOrder, g.k, partial = true, planLater(g.child))
+      GroupTopKExec(g.groupExprs, g.sortOrder, g.k, partial = false, partial) :: Nil
     case _ => Nil
   }
 }
 
-/** Physical operator: declares a clustered distribution on the group keys
-  * (the planner inserts the one hash exchange), then a single pass per
-  * partition maintains a ≤k bounded heap per group — no sort of the input,
-  * memory bounded by groups·k rows.
+/** Physical operator: a single pass per partition maintains a ≤k bounded
+  * heap per group — no sort of the input, memory bounded by groups·k rows.
+  * Runs in two modes: `partial = true` processes input partitions as-is
+  * (map-side reduction, emits ≤ groups·k rows per partition); the final
+  * node declares a clustered distribution on the group keys (the planner
+  * inserts the one hash exchange) and merges the partial survivors.
+  * Top-k is a semigroup — topK(A ∪ B) = topK(topK(A) ∪ topK(B)) — so the
+  * two-level heap composition is exact, not approximate.
   */
 case class GroupTopKExec(
     groupExprs: Seq[Expression],
     sortOrder: Seq[SortOrder],
     k: Int,
+    partial: Boolean,
     child: SparkPlan) extends UnaryExecNode {
 
   override def output: Seq[Attribute] = child.output
 
+  override def nodeName: String = if (partial) "GroupTopKPartial" else "GroupTopK"
+
   override def requiredChildDistribution: Seq[Distribution] =
-    if (groupExprs.isEmpty) AllTuples :: Nil
+    if (partial) UnspecifiedDistribution :: Nil
+    else if (groupExprs.isEmpty) AllTuples :: Nil
     else ClusteredDistribution(groupExprs) :: Nil
 
   // rows stay in their input partition — declare it, or every downstream

@@ -52,6 +52,55 @@ class GroupTopKSpec extends SparkSpec {
     assert(!plan.contains("Sort "), s"must not sort the input:\n$plan")
   }
 
+  // AQE wraps the plan (AdaptiveSparkPlanExec / QueryStageExec hide their
+  // subtrees from collect) — walk through both wrappers explicitly
+  private def allNodes(p: org.apache.spark.sql.execution.SparkPlan)
+      : Seq[org.apache.spark.sql.execution.SparkPlan] = p match {
+    case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+      p +: allNodes(a.executedPlan)
+    case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+      p +: allNodes(q.plan)
+    case _ => p +: p.children.flatMap(allNodes)
+  }
+
+  test("plans as partial-then-final: partial heap below the exchange") {
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+    import org.apache.spark.sql.graft.GroupTopKExec
+    val df = GroupTopK.perGroup(scores, Seq(col("grp")),
+      Seq(col("score").desc, col("id").asc), k = 2)
+    df.collect() // materialize AQE's final plan
+    val nodes = allNodes(df.queryExecution.executedPlan)
+    val modes = nodes.collect { case g: GroupTopKExec => g.partial }.sorted
+    assert(modes == Seq(false, true),
+      s"expected one partial and one final GroupTopKExec:\n${df.queryExecution.executedPlan}")
+    // the partial node must sit BELOW the shuffle the final node requires —
+    // that ordering is the whole point (map-side reduction pre-exchange)
+    val underExchange = nodes.collect { case e: ShuffleExchangeLike =>
+      allNodes(e).collect { case g: GroupTopKExec if g.partial => g }
+    }.flatten
+    assert(underExchange.nonEmpty,
+      s"partial node not below the exchange:\n${df.queryExecution.executedPlan}")
+  }
+
+  test("partial cap: exchange carries <= groups*k*P rows, final emits exact top-k") {
+    import org.apache.spark.sql.graft.GroupTopKExec
+    // many partitions so the partial cap is actually exercised
+    val wide = scores.repartition(8)
+    val df = GroupTopK.perGroup(wide, Seq(col("grp")),
+      Seq(col("score").desc, col("id").asc), k = 1)
+    val rows = df.collect()
+    assert(rows.length == 3) // one per group
+    val nodes = allNodes(df.queryExecution.executedPlan)
+    val partialOut = nodes.collect { case g: GroupTopKExec if g.partial => g }
+      .head.metrics("numOutputRows").value
+    val finalOut = nodes.collect { case g: GroupTopKExec if !g.partial => g }
+      .head.metrics("numOutputRows").value
+    // 3 groups * k=1 * 8 partitions = 24 worst case; actual input is 7 rows
+    assert(partialOut <= 3 * 1 * 8 && partialOut >= 3,
+      s"partial emitted $partialOut rows — map-side cap not applied")
+    assert(finalOut == 3, s"final emitted $finalOut rows")
+  }
+
   test("equivalence on real data: top-3 orders per customer by price") {
     val ord = graft.sources.Testdata.orders(spark, "/root/testdata/sf0.001")
     val custom = GroupTopK.perGroup(ord, Seq(col("o_custkey")),
