@@ -239,3 +239,122 @@ object SimHash60Expr {
     simhash(toks)
   }
 }
+
+/** Hashed shingle bitmask for the vocabulary-free Jaccard prefilter
+  * ([[graft.operators.Dedup.jaccardPairsBitsetHashed]]): each shingle hashes
+  * into a `bits`-wide space (poly-hash mod bits) and sets one bit. Emits
+  * `STRUCT<mask ARRAY<BIGINT>, set_bits INT>` — `set_bits` counts DISTINCT
+  * bits set, so `size(shingles) − set_bits` is the per-doc collision loss the
+  * completeness bound needs. One native pass, replacing the last Scala-UDF
+  * serialization boundary in the flagship dedup plan.
+  */
+case class HashMaskExpr(child: Expression, bits: Int) extends UnaryExpression {
+
+  require(bits % 64 == 0 && bits > 0)
+
+  override def dataType: DataType = StructType(Seq(
+    StructField("mask", ArrayType(LongType, containsNull = false), nullable = false),
+    StructField("set_bits", IntegerType, nullable = false)))
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case other =>
+      TypeCheckResult.TypeCheckFailure(s"hash_mask requires ARRAY<STRING>, got $other")
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    HashMaskExpr.mask(input.asInstanceOf[ArrayData], bits)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.HashMaskExpr.mask($c, $bits)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+
+  override def prettyName: String = "graft_hash_mask"
+}
+
+object HashMaskExpr {
+  val Base: Long = 31L
+  val Mod: Long = 1000000007L
+
+  def mask(arr: ArrayData, bits: Int): org.apache.spark.sql.catalyst.InternalRow = {
+    val nWords = bits / 64
+    val m = new Array[Long](nWords)
+    var setBits = 0
+    var i = 0
+    val n = arr.numElements()
+    while (i < n) {
+      if (!arr.isNullAt(i)) {
+        val b = (PolyHashExpr.hash(arr.getUTF8String(i).toString, Base, Mod) % bits).toInt
+        val w = b >> 6
+        val bit = 1L << (b & 63)
+        if ((m(w) & bit) == 0L) { m(w) |= bit; setBits += 1 }
+      }
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(Array[Any](
+      new org.apache.spark.sql.catalyst.util.GenericArrayData(m), setBits))
+  }
+}
+
+/** Dictionary shingle bitmask for the exact-vocabulary bitset strategy
+  * ([[graft.operators.Dedup.jaccardPairsBitset]]): each shingle looks up its
+  * position in the driver-collected vocabulary and sets that bit. The
+  * dictionary rides the expression as a broadcast-style reference object
+  * (same closure footprint as the UDF it replaces, minus the row-level
+  * serialization boundary).
+  */
+case class DictMaskExpr(child: Expression, dict: Map[String, Int], nWords: Int)
+    extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case other =>
+      TypeCheckResult.TypeCheckFailure(s"dict_mask requires ARRAY<STRING>, got $other")
+  }
+
+  // UTF8String-keyed lookup table: generated code hands us UTF8String
+  // elements, so keying by them skips a per-shingle toString
+  @transient private lazy val table: java.util.HashMap[UTF8String, Integer] = {
+    val t = new java.util.HashMap[UTF8String, Integer](dict.size * 2)
+    dict.foreach { case (s, i) => t.put(UTF8String.fromString(s), Integer.valueOf(i)) }
+    t
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    DictMaskExpr.mask(input.asInstanceOf[ArrayData], table, nWords)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val tableRef = ctx.addReferenceObj("dictMaskTable", table, "java.util.HashMap")
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.DictMaskExpr.mask($c, $tableRef, $nWords)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+
+  override def prettyName: String = "graft_dict_mask"
+}
+
+object DictMaskExpr {
+  def mask(arr: ArrayData, table: java.util.HashMap[UTF8String, Integer], nWords: Int)
+      : ArrayData = {
+    val m = new Array[Long](nWords)
+    var i = 0
+    val n = arr.numElements()
+    while (i < n) {
+      if (!arr.isNullAt(i)) {
+        val idx = table.get(arr.getUTF8String(i))
+        if (idx != null) {
+          val b = idx.intValue()
+          m(b >> 6) |= 1L << (b & 63)
+        }
+      }
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(m)
+  }
+}

@@ -208,12 +208,12 @@ object Dedup {
       s"bitset strategy needs a small vocabulary, got ${vocab.length} shingles")
     val dict = vocab.zipWithIndex.toMap
     val nWords = math.max(1, (vocab.length + 63) / 64)
-    val maskUdf = udf { ss: Seq[String] =>
-      val m = new Array[Long](nWords)
-      ss.foreach(s => dict.get(s).foreach(i => m(i >> 6) |= 1L << (i & 63)))
-      m
-    }
-    val t = sh.select(col("id"), col("sz"), maskUdf(col("sh")).as("mask"))
+    // native codegen kernel (no UDF serialization boundary); the dictionary
+    // rides the expression as a reference object, same footprint as a closure
+    val dictMask = org.apache.spark.sql.graft.Bridge.column(
+      graft.functions.DictMaskExpr(
+        org.apache.spark.sql.graft.Bridge.expression(col("sh")), dict, nWords))
+    val t = sh.select(col("id"), col("sz"), dictMask.as("mask"))
     val inter = org.apache.spark.sql.graft.Bridge.column(
       graft.functions.PopcountAndExpr(
         org.apache.spark.sql.graft.Bridge.expression(col("a.mask")),
@@ -254,24 +254,19 @@ object Dedup {
       tau: Double = 0.5,
       bits: Int = 1024): DataFrame = {
     require(bits % 64 == 0)
-    val nWords = bits / 64
-    val maskUdf = udf { ss: Seq[String] =>
-      val m = new Array[Long](nWords)
-      var setBits = 0
-      ss.foreach { s =>
-        val b = (graft.functions.PolyHashExpr.hash(s, 31L, FingerprintMod) % bits).toInt
-        val w = b >> 6
-        val bit = 1L << (b & 63)
-        if ((m(w) & bit) == 0L) { m(w) |= bit; setBits += 1 }
-      }
-      (m, setBits)
-    }
+    // native codegen kernel (HashMaskExpr): the flagship dedup plan is now
+    // UDF-free end to end — the mask packing was its last serialization
+    // boundary. Same arithmetic as the closure it replaced (poly-hash mod
+    // bits, distinct-bit count).
+    val hashMask = org.apache.spark.sql.graft.Bridge.column(
+      graft.functions.HashMaskExpr(
+        org.apache.spark.sql.graft.Bridge.expression(col("sh")), bits))
     val t = docs.select(id.as("id"), shingles(text, n).as("sh"))
       .withColumn("sz", size(col("sh")))
       .filter(col("sz") > 0)
-      .withColumn("ms", maskUdf(col("sh")))
+      .withColumn("ms", hashMask)
       .select(col("id"), col("sh"), col("sz"),
-        col("ms._1").as("mask"), (col("sz") - col("ms._2")).as("coll"))
+        col("ms.mask").as("mask"), (col("sz") - col("ms.set_bits")).as("coll"))
     val interBits = org.apache.spark.sql.graft.Bridge.column(
       graft.functions.PopcountAndExpr(
         org.apache.spark.sql.graft.Bridge.expression(col("a.mask")),

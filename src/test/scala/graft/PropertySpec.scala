@@ -293,4 +293,54 @@ class PropertySpec extends SparkSpec {
       assert(got == expected, s"cents=${cents.size} v=$v")
     }
   }
+
+  test("HashMaskExpr ≡ the UDF closure it replaced, on arbitrary shingle arrays") {
+    import testImplicits._
+    import org.apache.spark.sql.graft.Bridge
+    val gen: Gen[(List[String], Int)] = for {
+      n <- Gen.choose(0, 60)
+      ss <- Gen.listOfN(n, Gen.oneOf(
+        Gen.alphaNumStr.map(_.take(8)), Gen.const(""), Gen.const("aa bb")))
+      bits <- Gen.oneOf(64, 128, 1024)
+    } yield (ss, bits)
+    samples(gen, 25).foreach { case (ss, bits) =>
+      val df = Seq(Tuple1(ss)).toDF("sh")
+      val got = df.select(Bridge.column(
+          graft.functions.HashMaskExpr(Bridge.expression(col("sh")), bits)).as("ms"))
+        .select(col("ms.mask"), col("ms.set_bits")).head()
+      // the Scala closure the kernel replaced (identical arithmetic)
+      val m = new Array[Long](bits / 64)
+      var setBits = 0
+      ss.foreach { s =>
+        val b = (graft.functions.PolyHashExpr.hash(s, 31L, 1000000007L) % bits).toInt
+        val w = b >> 6
+        val bit = 1L << (b & 63)
+        if ((m(w) & bit) == 0L) { m(w) |= bit; setBits += 1 }
+      }
+      assert(java.util.Arrays.equals(got.getSeq[Long](0).toArray, m), s"ss=$ss bits=$bits")
+      assert(got.getInt(1) == setBits, s"ss=$ss bits=$bits")
+    }
+  }
+
+  test("DictMaskExpr ≡ the UDF closure it replaced, on arbitrary dictionaries") {
+    import testImplicits._
+    import org.apache.spark.sql.graft.Bridge
+    val gen: Gen[(List[String], List[String])] = for {
+      vocabN <- Gen.choose(1, 100)
+      vocab <- Gen.const((0 until vocabN).map(i => s"tok$i").toList)
+      n <- Gen.choose(0, 40)
+      ss <- Gen.listOfN(n, Gen.oneOf(Gen.oneOf(vocab), Gen.const("missing")))
+    } yield (vocab, ss)
+    samples(gen, 25).foreach { case (vocab, ss) =>
+      val dict = vocab.zipWithIndex.toMap
+      val nWords = math.max(1, (vocab.length + 63) / 64)
+      val df = Seq(Tuple1(ss)).toDF("sh")
+      val got = df.select(Bridge.column(
+          graft.functions.DictMaskExpr(Bridge.expression(col("sh")), dict, nWords)).as("m"))
+        .head().getSeq[Long](0).toArray
+      val expect = new Array[Long](nWords)
+      ss.foreach(s => dict.get(s).foreach(i => expect(i >> 6) |= 1L << (i & 63)))
+      assert(java.util.Arrays.equals(got, expect), s"vocab=${vocab.size} ss=$ss")
+    }
+  }
 }
