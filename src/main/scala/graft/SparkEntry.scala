@@ -350,6 +350,27 @@ object SparkEntry {
       orF = Seq(Map(
         "value" -> Ops(Seq("$lt" -> MDouble(10.0))),
         "k" -> Ops(Seq("$gte" -> MLong(95)))))) _,
+    // O8 string range over ESCAPE-BEARING values (quote / newline at the
+    // divergence point): the raw-string comparison the reference does
+    // (vector_database.py:166-173) — fragment lexicographic order would
+    // invert these (a quote encodes as `\"`, sorting as backslash 0x5C).
+    // Fixture rows are constructed because no natural corpus value carries
+    // an escape; to_json provides the canonical JSON encoding.
+    "q_filter_escaped" -> ((s, dir) => {
+      val docs = graft.sources.Testdata.table(s, dir, "documents")
+      val note = concat(lit("a"),
+        when(col("doc_id") % 3 === 0, lit("\n"))
+          .when(col("doc_id") % 3 === 1, lit("\""))
+          .otherwise(lit("Q")),
+        (col("doc_id") % 7).cast("string"))
+      docs.select(col("doc_id"), note.as("note"))
+        .withColumn("metadata", to_json(struct(col("note"))))
+        .withColumn("metadata_kv", graft.functions.JsonMeta.jsonKv(col("metadata")))
+        .filter(FilterDsl.compile(col("metadata_kv"), andFilters = Seq(Map(
+          "note" -> Ops(Seq("$gt" -> MStr("a\t"), "$lt" -> MStr("aM")))))))
+        .select(col("doc_id"), col("note"))
+        .orderBy("doc_id")
+    }),
     // O18 autocut: truncate top-k at the largest >20% relative score drop
     "q_knn_autocut" -> ((s, dir) => {
       val store = VectorStore.fromEmbeddingsTable(s, dir)
@@ -939,6 +960,18 @@ object SparkEntry {
       "value > 100.0 AND event_type IN ('click','view') AND NOT (CAST(json_extract(props,'$.k') AS INT) = 7)"),
     "q_filter_or_ops" -> filterOracle(
       "value < 10.0 OR CAST(json_extract(props,'$.k') AS INT) >= 95"),
+    // Raw-string comparison on the same constructed fixture (the oracle
+    // never JSON-encodes — it compares the raw strings directly, which IS
+    // the reference semantics the decode kernel restores)
+    "q_filter_escaped" ->
+      """SELECT doc_id, note FROM (
+        |  SELECT doc_id,
+        |    'a' || (CASE WHEN doc_id % 3 = 0 THEN chr(10)
+        |                 WHEN doc_id % 3 = 1 THEN '"'
+        |                 ELSE 'Q' END) || CAST(doc_id % 7 AS VARCHAR) AS note
+        |  FROM documents)
+        |WHERE note > 'a' || chr(9) AND note < 'aM'
+        |ORDER BY doc_id""".stripMargin,
     "q_text_stats" ->
       """SELECT doc_id,
         |  len(string_split_regex(text, '\s+')) AS ws_tokens,

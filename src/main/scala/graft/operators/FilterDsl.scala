@@ -91,6 +91,12 @@ object FilterDsl {
   /** Fragment of `key` in the kv map (null when the key is absent). */
   private def frag(kv: Column, key: String): Column = element_at(kv, key)
 
+  /** Canonical JSON string fragment → raw string (null for non-strings). */
+  private def decodeStr(f: Column): Column =
+    org.apache.spark.sql.graft.Bridge.column(
+      graft.functions.JsonStrDecodeExpr(
+        org.apache.spark.sql.graft.Bridge.expression(f)))
+
   private def present(kv: Column, key: String): Column = frag(kv, key).isNotNull
 
   /** Type-strict equality, mirroring Python `==` on heterogeneous values:
@@ -126,13 +132,22 @@ object FilterDsl {
         array_contains(JsonMeta.jsonArr(f), lit(v.enc))
       case "$gt" | "$gte" | "$lt" | "$lte" =>
         if (isNumeric(v)) cmp(f.try_cast("double"), lit(numeric(v)))
-        else
-          // String (incl. ISO-8601 datetime) ordering on quoted fragments:
-          // both sides carry the leading quote, and '"' sorts below all
-          // alphanumerics, so lexicographic fragment order == string order
-          // (documented limitation: embedded escape sequences would break
-          // this; the reference corpus has none).
-          f.startsWith("\"") && cmp(f, lit(v.enc))
+        else v match {
+          case MStr(raw) =>
+            // String (incl. ISO-8601 datetime) ordering on RAW strings, as
+            // the reference compares them (vector_database.py:166-173):
+            // the fragment decodes to its raw value first — fragment
+            // lexicographic order diverges once escape sequences appear
+            // (a quote encodes as `\"`, sorting as backslash). The decode
+            // kernel returns null for non-string fragments, which is also
+            // the type gate (null comparison ⇒ row filtered).
+            cmp(decodeStr(f), lit(raw))
+          case _ =>
+            // non-string non-numeric literal (bool/list): keep the fragment
+            // comparison — the reference would raise TypeError here, a shape
+            // its own tests never exercise
+            f.startsWith("\"") && cmp(f, lit(v.enc))
+        }
       case other =>
         throw new IllegalArgumentException(s"Invalid operator: $other")
     }

@@ -132,4 +132,36 @@ class FilterDslSpec extends SparkSpec {
       .count()
     assert(orC == 2)
   }
+
+  test("string range on escape-bearing values compares RAW strings (verdict r4 #3)") {
+    val sp = spark
+    import sp.implicits._
+    // raw order: a\n0 (0x0A) < a"0 (0x22) < aM < aQ0; fragment order would
+    // invert the first two against 'aM' (both encode a backslash 0x5C at
+    // the divergence point)
+    val rows = VectorStore.ingest(
+      Seq(
+        ("n1", Seq(0.1f, 0.2f), """{"note":"a\n0"}"""),
+        ("q1", Seq(0.1f, 0.2f), """{"note":"a\"0"}"""),
+        ("p1", Seq(0.1f, 0.2f), """{"note":"aQ0"}"""),
+        ("b1", Seq(0.1f, 0.2f), """{"note":"a\\0"}""")).toDF("id", "embedding", "metadata"),
+      col("id"), col("embedding"), col("metadata"))
+    def ids(fv: FilterValue): Set[String] =
+      rows.filter(FilterDsl.compile(col("metadata_kv"), Seq(Map("note" -> fv))))
+        .select("id").collect().map(_.getString(0)).toSet
+    // $lt 'aM': matches the newline and quote rows (raw 0x0A/0x22 < 0x4D);
+    // excludes aQ0 (0x51) and the raw-backslash row (0x5C)
+    assert(ids(Ops(Seq("$lt" -> MStr("aM")))) == Set("n1", "q1"))
+    // $gt 'a\t' (0x09): everything is above a tab
+    assert(ids(Ops(Seq("$gt" -> MStr("a\t")))) == Set("n1", "q1", "p1", "b1"))
+    // range with escape-bearing BOUNDS: between the quote (0x22) inclusive
+    // and the raw backslash (0x5C) exclusive
+    assert(ids(Ops(Seq("$gte" -> MStr("a\"0"), "$lt" -> MStr("a\\0")))) == Set("q1", "p1"))
+    // non-string fragments stay excluded by the type gate (decode → null)
+    val mixed = VectorStore.ingest(
+      Seq(("x1", Seq(0.1f, 0.2f), """{"note":7}""")).toDF("id", "embedding", "metadata"),
+      col("id"), col("embedding"), col("metadata"))
+    assert(mixed.filter(FilterDsl.compile(col("metadata_kv"),
+      Seq(Map("note" -> Ops(Seq("$gt" -> MStr(""))))))).count() == 0)
+  }
 }

@@ -322,6 +322,27 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("JsonStrDecodeExpr ∘ Jackson-encode is the identity on arbitrary strings") {
+    val gen: Gen[String] = for {
+      n <- Gen.choose(0, 30)
+      cs <- Gen.listOfN(n, Gen.oneOf(
+        Gen.alphaNumChar, Gen.oneOf('"', '\\', '/', '\n', '\r', '\t', '\b', '\f'),
+        Gen.oneOf('\u0001', '\u001f', '\u00e9', '\u4e2d', '\u2028')))
+    } yield cs.mkString
+    samples(gen, 50).foreach { raw =>
+      // encode exactly as ingest does (JsonMeta canonical = Jackson)
+      val frag = com.fasterxml.jackson.databind.node.TextNode.valueOf(raw).toString
+      val got = graft.functions.JsonStrDecodeExpr.decode(
+        org.apache.spark.unsafe.types.UTF8String.fromString(frag))
+      assert(got != null && got.toString == raw, s"raw=${raw.map(_.toInt).mkString(",")}")
+    }
+    // non-string fragments decode to null (the type gate)
+    Seq("7", "true", "null", "[\"a\"]", "{\"k\":1}", "").foreach { f =>
+      assert(graft.functions.JsonStrDecodeExpr.decode(
+        org.apache.spark.unsafe.types.UTF8String.fromString(f)) == null, s"frag=$f")
+    }
+  }
+
   test("DictMaskExpr ≡ the UDF closure it replaced, on arbitrary dictionaries") {
     import testImplicits._
     import org.apache.spark.sql.graft.Bridge
