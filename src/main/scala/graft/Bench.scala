@@ -17,7 +17,41 @@ object Bench {
     if (s.size % 2 == 1) s(s.size / 2) else (s(s.size / 2 - 1) + s(s.size / 2)) / 2.0
   }
 
+  /** Box-condition stamp (round-4 verdict #2: a 25 s vs 31 s cross-session
+    * gap on the same commit was pure environment — absolute totals are
+    * uninterpretable without the load/memory/quota they ran under).
+    */
+  private def boxConditions(): String = {
+    def readFirst(path: String): Option[String] =
+      try {
+        val src = scala.io.Source.fromFile(path)
+        try src.getLines().nextOption() finally src.close()
+      } catch { case _: Throwable => None }
+    val loadAvg = java.lang.management.ManagementFactory
+      .getOperatingSystemMXBean.getSystemLoadAverage
+    val memAvailKb = try {
+      val src = scala.io.Source.fromFile("/proc/meminfo")
+      try src.getLines().collectFirst {
+        case l if l.startsWith("MemAvailable:") => l.split("\\s+")(1).toLong
+      }.getOrElse(-1L) finally src.close()
+    } catch { case _: Throwable => -1L }
+    // cgroup v2 ("max 100000" | "200000 100000") or v1 quota/period
+    val cpuQuota = readFirst("/sys/fs/cgroup/cpu.max").map { l =>
+      val parts = l.split("\\s+")
+      if (parts(0) == "max") -1.0 else parts(0).toDouble / parts(1).toDouble
+    }.orElse {
+      for {
+        q <- readFirst("/sys/fs/cgroup/cpu/cpu.cfs_quota_us").map(_.toDouble)
+        p <- readFirst("/sys/fs/cgroup/cpu/cpu.cfs_period_us").map(_.toDouble)
+      } yield if (q < 0) -1.0 else q / p
+    }.getOrElse(-1.0)
+    val procs = Runtime.getRuntime.availableProcessors()
+    s"""{"load_avg_1m":$loadAvg,"mem_available_kb":$memAvailKb,""" +
+      s""""cpu_quota_cores":$cpuQuota,"available_processors":$procs}"""
+  }
+
   def main(args: Array[String]): Unit = {
+    val boxStart = boxConditions()
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
       math.max(4, Runtime.getRuntime.availableProcessors()).toString)
@@ -57,7 +91,9 @@ object Bench {
     val reps = names.map(n => s"\"$n\":${times(n).mkString("[", ",", "]")}")
       .mkString("{", ",", "}")
     val total = med.values.sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","reps":$reps,"n_reps":$Reps}""")
+    // box conditions at START (pre-warm-up stamp taken below at t0) and END:
+    // a mid-run load spike shows as a start/end delta
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","reps":$reps,"n_reps":$Reps,"box_start":$boxStart,"box_end":${boxConditions()}}""")
     spark.stop()
   }
 }
