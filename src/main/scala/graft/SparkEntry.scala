@@ -231,7 +231,7 @@ object SparkEntry {
     * the Spark kernel uses (integer arithmetic, products < 2^63), then the
     * band-collision count and slot-match estimator.
     */
-  private val dedupIncrementalOracle: String = {
+  private def dedupIncrementalOraclePrefix: String = {
     val coeffs = Dedup.hashCoeffs(32)
     val p = Dedup.HashP
     val sigExprs = coeffs.map { case (a, b) =>
@@ -253,11 +253,33 @@ object SparkEntry {
        |    $bandsHit AS bands_hit,
        |    CAST(len(list_filter(range(1, 33), i -> n.sig[i] = c.sig[i])) AS DOUBLE) / 32 AS est
        |  FROM sg n, sg c WHERE n.doc_id < 50 AND c.doc_id >= 50
-       |)
+       |)""".stripMargin
+  }
+
+  private val dedupIncrementalOracle: String =
+    s"""$dedupIncrementalOraclePrefix
        |SELECT new_id, corpus_id, CAST(bands_hit AS BIGINT) AS bands_hit,
        |  round(est, 6) AS est_jaccard
        |FROM pairs WHERE bands_hit > 0 ORDER BY new_id, corpus_id""".stripMargin
-  }
+
+  /** Verified-screen oracle: the incremental screen's flagged pairs joined
+    * back to the exact shingle sets (the `sh` CTE the signature pipeline
+    * already built), true Jaccard computed with the same double arithmetic
+    * as the exact-dedup oracles, filtered at tau on the VERIFIED value.
+    */
+  private val dedupIncrementalVerifiedOracle: String =
+    s"""$dedupIncrementalOraclePrefix,
+       |verified AS (
+       |  SELECT f.new_id, f.corpus_id, f.bands_hit, f.est,
+       |    CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) /
+       |      (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) AS j
+       |  FROM (SELECT * FROM pairs WHERE bands_hit > 0) f
+       |  JOIN sh a ON a.doc_id = f.new_id
+       |  JOIN sh b ON b.doc_id = f.corpus_id
+       |)
+       |SELECT new_id, corpus_id, CAST(bands_hit AS BIGINT) AS bands_hit,
+       |  round(est, 6) AS est_jaccard, round(j, 6) AS jaccard
+       |FROM verified WHERE j >= 0.5 ORDER BY new_id, corpus_id""".stripMargin
 
   /** Ground-truth near-dup pairs: exact pairwise bigram-shingle Jaccard.
     * Shared by the exact (q_dedup_jaccard) and LSH (q_dedup_minhash)
@@ -560,6 +582,26 @@ object SparkEntry {
       Dedup.incrementalNearDups(corpus, batch)
         .select(col("new_id"), col("corpus_id"), col("bands_hit"),
           round(col("est_jaccard"), 6).as("est_jaccard"))
+        .orderBy("new_id", "corpus_id")
+    }),
+    // Incremental screen + exact-verify join-back: the screen's flagged
+    // pairs fetch text (semi-join-pruned corpus scan) and verify true
+    // bigram-shingle Jaccard — estimator decides what to read, exact value
+    // decides what to keep
+    "q_dedup_incremental_verified" -> ((s, dir) => {
+      val docs = graft.sources.Testdata.table(s, dir, "documents")
+      val corpusDocs = docs.filter(col("doc_id") >= 50)
+      val batchDocs = docs.filter(col("doc_id") < 50)
+      val corpus = Dedup.signatureTable(corpusDocs, col("doc_id"), col("text"))
+      val batch = Dedup.signatureTable(batchDocs, col("doc_id"), col("text"))
+      Dedup.incrementalNearDupsVerified(
+          Dedup.incrementalNearDups(corpus, batch),
+          corpusDocs, col("doc_id"), col("text"),
+          batchDocs, col("doc_id"), col("text"),
+          n = 2, tau = 0.5)
+        .select(col("new_id"), col("corpus_id"), col("bands_hit"),
+          round(col("est_jaccard"), 6).as("est_jaccard"),
+          round(col("jaccard"), 6).as("jaccard"))
         .orderBy("new_id", "corpus_id")
     }),
     // MinHash+LSH banded near-dup with exact-Jaccard verification: same
@@ -1613,6 +1655,7 @@ object SparkEntry {
     "q_dedup_jaccard" -> dedupJaccardOracle,
     "q_dedup_minhash" -> dedupJaccardOracle,
     "q_dedup_incremental" -> dedupIncrementalOracle,
+    "q_dedup_incremental_verified" -> dedupIncrementalVerifiedOracle,
     // Same pair predicate as dedupJaccardOracle, then transitive closure via
     // a recursive CTE; cluster label = min reachable id.
     "q_dedup_clusters" ->

@@ -387,6 +387,40 @@ object Dedup {
         .cast("double") / numHashes).as("est_jaccard"))
   }
 
+  /** Exact-verify join-back for the incremental screen — the optional third
+    * phase of [[incrementalNearDups]]: fetch TEXT for flagged pairs only and
+    * verify true shingle-set Jaccard. The screen's estimator decides which
+    * corpus texts are worth reading, so at 100 TB the corpus text scan is
+    * pruned by a BROADCAST semi-join on the flagged ids (batch-bounded by
+    * contract — never more corpus ids than screen hits) and shingling runs
+    * only on the pruned rows, never the full corpus. Output keeps the screen
+    * columns and appends the verified `jaccard`; `tau` filters on the exact
+    * value, not the estimate.
+    */
+  def incrementalNearDupsVerified(
+      screened: DataFrame,
+      corpusDocs: DataFrame, corpusId: Column, corpusText: Column,
+      batchDocs: DataFrame, batchId: Column, batchText: Column,
+      n: Int = 2,
+      tau: Double = 0.5): DataFrame = {
+    val flagged = screened.select(col("corpus_id")).distinct()
+    // semi-join BEFORE the shingle projection so the per-doc shingling work
+    // is bounded by the flag count, not the corpus size
+    val corpusSh = corpusDocs.select(corpusId.as("corpus_id"), corpusText.as("txt"))
+      .join(broadcast(flagged), Seq("corpus_id"), "left_semi")
+      .select(col("corpus_id"), shingles(col("txt"), n).as("sh_b"))
+    val batchSh = batchDocs.select(batchId.as("new_id"), shingles(batchText, n).as("sh_a"))
+    screened
+      .join(broadcast(batchSh), Seq("new_id"))
+      .join(corpusSh, Seq("corpus_id"))
+      .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))))
+      .withColumn("jaccard", col("inter").cast("double") /
+        (size(col("sh_a")) + size(col("sh_b")) - col("inter")))
+      .filter(col("jaccard") >= tau)
+      .select(col("new_id"), col("corpus_id"), col("bands_hit"),
+        col("est_jaccard"), col("jaccard"))
+  }
+
   /** Approximate near-dup pairs via banded MinHash-LSH with exact-Jaccard
     * verification: candidates are pairs agreeing on at least one band of
     * `rows` consecutive signature slots; each candidate is then verified

@@ -211,6 +211,35 @@ class DedupSpec extends SparkSpec {
     assert(!res.keySet.exists(_._1 == 2L))  // no band collision for the unrelated doc
   }
 
+  test("incremental verify join-back: exact jaccard on flagged pairs only, semi-join-pruned corpus scan") {
+    val corpusDocs = docs(
+      10L -> "the quick brown fox jumps over the lazy dog",
+      11L -> "the quick brown fox jumps over the sleepy dog today", // near-dup of 1
+      12L -> "an entirely different document about database engines")
+    val batchDocs = docs(
+      1L -> "the quick brown fox jumps over the lazy dog", // dup of 10, near 11
+      2L -> "unrelated text with no shared bigrams at all")
+    val corpus = Dedup.signatureTable(corpusDocs, col("id"), col("text"))
+    val batch = Dedup.signatureTable(batchDocs, col("id"), col("text"))
+    val screened = Dedup.incrementalNearDups(corpus, batch)
+    val verified = Dedup.incrementalNearDupsVerified(screened,
+      corpusDocs, col("id"), col("text"), batchDocs, col("id"), col("text"),
+      n = 2, tau = 0.5)
+    val rows = verified.collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(4)).toMap
+    // the exact dup verifies at jaccard 1.0; verified ⊆ screened
+    assert(rows((1L, 10L)) == 1.0)
+    val screenedKeys = screened.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(rows.keySet.subsetOf(screenedKeys))
+    // exact value matches a hand-computed ground truth for the near-dup pair
+    // (if the banding surfaced it): 6 shared bigrams, |A|=8, |B|=9 → 6/11
+    rows.get((1L, 11L)).foreach(j => assert(j == 6.0 / 11.0))
+    // scale shape: the corpus-text side is pruned by a broadcast semi-join
+    // BEFORE shingling, so flagged-count bounds the text read
+    val plan = verified.queryExecution.executedPlan.toString
+    assert(plan.contains("LeftSemi"), s"expected a semi-join corpus prune:\n$plan")
+  }
+
   test("semantic dedup: within-cluster near-dups flagged, min-id kept, equi-join plan") {
     import testImplicits._
     import graft.operators.IvfSearch
