@@ -620,15 +620,16 @@ object SparkEntry {
           col("doc_id"), col("text"), maxHamming = 3)
         .orderBy("id_a", "id_b")),
     // duplicate clustering: connected components over the near-dup pairs —
-    // min-label propagation (one join + one groupBy per round, lineage cut
-    // by localCheckpoint), canonical representative = min id per component.
-    // Pairs come from the MinHash+LSH path (exact-verified, banding-complete
-    // at this tau) — the candidate generator that survives 100 TB.
+    // cost-based front door (bounded min-label propagation probe, star-
+    // rewriting escalation for pathological diameters), canonical
+    // representative = min id per component. Pairs come from the
+    // MinHash+LSH path (exact-verified, banding-complete at this tau) —
+    // the candidate generator that survives 100 TB.
     "q_dedup_clusters" -> ((s, dir) => {
       val docs = graft.sources.Testdata.table(s, dir, "documents")
       val pairs = Dedup.minhashLshPairs(docs, col("doc_id"), col("text"), n = 2, tau = 0.5)
         .select("id_a", "id_b")
-      Dedup.connectedComponents(docs.select(col("doc_id").as("id")), pairs)
+      Dedup.connectedComponentsAuto(docs.select(col("doc_id").as("id")), pairs)
         .orderBy("id")
     }),
     // embedding-cosine near-dup pairs over the embeddings table — EXACT,

@@ -712,6 +712,42 @@ object Dedup {
     } finally edges.unpersist()
   }
 
+  /** Duplicate-clustering front door: cost-based routing between min-label
+    * propagation ([[connectedComponents]]) and star rewriting
+    * ([[connectedComponentsStars]]), mirroring [[jaccardPairsAuto]]'s
+    * probe-then-route shape. The decisive statistic for CC is the graph
+    * DIAMETER — and no bounded static probe can see it (a 3-clique and a
+    * 3-chain have identical degree profiles), so the probe here is the
+    * cheap algorithm itself under a round budget: propagation costs
+    * O(diameter) light rounds and near-dup graphs are shallow in practice
+    * (diameter 2–3 on this corpus), so the common case converges inside
+    * `probeRounds` and never pays the heavier star rounds; a pathological
+    * chained corpus pays `probeRounds` cheap rounds and escalates to the
+    * O(log² n) star algorithm that survives any diameter.
+    */
+  def connectedComponentsAuto(
+      ids: DataFrame,
+      pairs: DataFrame,
+      probeRounds: Int = 8,
+      maxIters: Int = 50): DataFrame =
+    connectedComponentsAutoRouted(ids, pairs, probeRounds, maxIters)._2
+
+  /** [[connectedComponentsAuto]] with the chosen route exposed for tests
+    * ("propagation" | "stars"). The propagation result is fully materialized
+    * by its own convergence actions, so a successful probe IS the answer —
+    * nothing is recomputed on the common path.
+    */
+  def connectedComponentsAutoRouted(
+      ids: DataFrame,
+      pairs: DataFrame,
+      probeRounds: Int = 8,
+      maxIters: Int = 50): (String, DataFrame) =
+    try ("propagation", connectedComponents(ids, pairs, maxIters = probeRounds))
+    catch {
+      case e: IllegalArgumentException if e.getMessage.contains("did not converge") =>
+        ("stars", connectedComponentsStars(ids, pairs, maxIters))
+    }
+
   /** Connected components via alternating LARGE-STAR / SMALL-STAR edge
     * rewriting (Kiveris et al., "Connected Components in MapReduce and
     * Beyond", SoCC'14) — O(log² n) rounds on ANY graph shape, versus

@@ -175,6 +175,29 @@ class DedupSpec extends SparkSpec {
     assert(got.count(_.getBoolean(2)) == 1)
   }
 
+  test("CC front door: shallow graph stays on propagation, deep chain escalates to stars") {
+    import testImplicits._
+    def asMap(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getBoolean(2))).toMap
+    // shallow mixed clusters (diameter ≤ 2): the bounded propagation probe
+    // converges and IS the answer
+    val ids = (1L to 9L).toDF("id")
+    val pairs = Seq((1L, 2L), (2L, 3L), (5L, 6L), (6L, 7L), (7L, 5L)).toDF("id_a", "id_b")
+    val (routeShallow, gotShallow) = Dedup.connectedComponentsAutoRouted(ids, pairs)
+    assert(routeShallow == "propagation")
+    assert(asMap(gotShallow) == asMap(Dedup.connectedComponents(ids, pairs)))
+    // 64-node chain (diameter 63): probe budget exhausts, stars take over,
+    // answer still exact
+    val n = 64L
+    val chainIds = (1L to n).toDF("id")
+    val chain = (1L until n).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val (routeDeep, gotDeep) = Dedup.connectedComponentsAutoRouted(chainIds, chain, probeRounds = 4)
+    assert(routeDeep == "stars")
+    val deep = gotDeep.collect()
+    assert(deep.forall(_.getLong(1) == 1L))
+    assert(deep.count(_.getBoolean(2)) == 1)
+  }
+
   test("auto strategy routes by shingle reuse: dense corpus → bitset, unique-vocab corpus → prefix") {
     // dense: every doc drawn from the same 4-word vocabulary (reuse ≈ 1)
     val dense = docs(
