@@ -212,6 +212,49 @@ object Streaming {
       .start()
   }
 
+  /** Streaming ANN index maintenance: per micro-batch, stamp arriving
+    * vectors with their sign-LSH bucket ([[graft.operators.AnnSearch.index]])
+    * and append them to a bucket-partitioned parquet index — similarity
+    * search joins the incremental-ingest story (the ANN analog of the
+    * signature-table near-dup screen above). The bucket is a pure function
+    * of the vector, so maintenance is stateless per batch: no global
+    * rebuild, no index lock — arriving data lands in exactly the partitions
+    * its buckets name, and a probe's `IN` filter keeps pruning to
+    * (probes/2^planes) of ALL data ever ingested.
+    *
+    * Idempotence: foreachBatch is at-least-once, so rows are batch-stamped
+    * and the write dynamically overwrites only its own (bucket, batch_id)
+    * partitions — a retried batch replaces itself, never duplicates.
+    * `bucket` leads the partition spec so pruning stays a top-level
+    * directory skip.
+    */
+  def startAnnIndexMaintenance(
+      vectors: DataFrame,       // streaming (id, embedding)
+      planes: Seq[Seq[Double]],
+      outPath: String,
+      checkpoint: String,
+      queryName: String = "ann_index_maintenance"): StreamingQuery =
+    vectors.writeStream
+      .queryName(queryName)
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        graft.operators.AnnSearch.index(batch, col("embedding"), planes)
+          .withColumn("batch_id", lit(batchId))
+          .write.mode("overwrite")
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("bucket", "batch_id")
+          .parquet(outPath)
+        ()
+      }
+      .start()
+
+  /** Read the maintained ANN index back as a search-ready indexed table —
+    * the exact shape [[graft.operators.AnnSearch.search]] takes; the
+    * batch stamp is maintenance metadata, not index content.
+    */
+  def loadAnnIndex(spark: org.apache.spark.sql.SparkSession, path: String): DataFrame =
+    spark.read.parquet(path).drop("batch_id")
+
   /** Stream-stream interval join: attribute each purchase to every click by
     * the same user within `horizonMinutes` before it. Both sides carry
     * watermarks and the join condition bounds event-time distance, so each

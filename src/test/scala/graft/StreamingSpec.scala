@@ -221,6 +221,41 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming ANN index maintenance: buckets accumulate across batches; search equals the batch twin") {
+    val sp = spark
+    import sp.implicits._
+    implicit val sqlCtx = sp.sqlContext
+    import graft.operators.AnnSearch
+    val planes = AnnSearch.hyperplanes(dim = 4, numPlanes = 3)
+    val in = MemoryStream[(String, Seq[Float])]
+    val out = tmpDir("graft_ann_maint")
+    val q = Streaming.startAnnIndexMaintenance(
+      in.toDF().toDF("id", "embedding"), planes, s"$out/idx", s"$out/ckpt")
+    val b1 = Seq("a" -> Seq(1f, 0f, 0f, 0f), "b" -> Seq(0f, 1f, 0f, 0f))
+    // "c" is colinear with "a" (same sign pattern for ANY plane set), so a
+    // cross-batch arrival provably lands in an EXISTING bucket partition
+    val b2 = Seq("c" -> Seq(2f, 0f, 0f, 0f), "d" -> Seq(0f, 0f, 0f, 1f))
+    try {
+      in.addData(b1: _*)
+      q.processAllAvailable()
+      assert(Streaming.loadAnnIndex(sp, s"$out/idx").count() == 2)
+      in.addData(b2: _*)
+      q.processAllAvailable()
+      val idx = Streaming.loadAnnIndex(sp, s"$out/idx")
+      assert(idx.count() == 4)
+      val buckets = idx.collect().map(r => r.getString(0) -> r.getAs[Int]("bucket")).toMap
+      assert(buckets("a") == buckets("c"), "cross-batch arrival must grow its existing bucket")
+      // the maintained index answers searches exactly like an index built in
+      // one batch over the union of all arrivals
+      val qv = Seq(1f, 0f, 0f, 0f)
+      def res(df: org.apache.spark.sql.DataFrame) =
+        AnnSearch.search(df, col("id"), col("embedding"), qv, planes, k = 3)
+          .collect().map(r => (r.getString(0), r.getDouble(1))).toSeq
+      val twin = AnnSearch.index((b1 ++ b2).toDF("id", "embedding"), col("embedding"), planes)
+      assert(res(idx) == res(twin))
+    } finally q.stop()
+  }
+
   test("watermarked dedup drops cross-batch duplicates with bounded state") {
     val sp = spark
     import sp.implicits._
