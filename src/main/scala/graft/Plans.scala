@@ -35,6 +35,27 @@ object Plans {
       catch { case e: Throwable => println(s"(failed: ${e.getMessage})") }
       println("```")
     }
+    // AQE appendix: the five most expensive queries (judge r4 ordering),
+    // EXECUTED so AdaptiveSparkPlanExec re-plans with runtime stats and the
+    // printed plan is the FINAL one (isFinalPlan=true) — coalesced shuffle
+    // reads, runtime broadcast decisions, skew splits all visible. AQE is
+    // Spark 4's default and stays on here; the pre-execution sections above
+    // show the same queries' initial plans.
+    val aqeShow = Seq(
+      "q_dedup_jaccard", "q_dedup_clusters", "q_curate_quality_filter",
+      "q_pipeline_curate", "q_dedup_embedding")
+    println(s"\n# Appendix: FINAL adaptive plans (post-execution, AQE on)\n")
+    aqeShow.foreach { name =>
+      println(s"\n## $name (final adaptive plan)\n")
+      println("```")
+      try {
+        val df = SparkEntry.queries(name)(spark, sfDir)
+        df.collect()
+        println(df.queryExecution.explainString(
+          org.apache.spark.sql.execution.FormattedMode))
+      } catch { case e: Throwable => println(s"(failed: ${e.getMessage})") }
+      println("```")
+    }
     spark.stop()
   }
 }

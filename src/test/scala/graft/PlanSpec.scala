@@ -80,6 +80,49 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  // AQE wraps the executed plan (AdaptiveSparkPlanExec / QueryStageExec hide
+  // their subtrees from collect) — walk through both wrappers explicitly
+  private def allNodes(p: org.apache.spark.sql.execution.SparkPlan)
+      : Seq[org.apache.spark.sql.execution.SparkPlan] = p match {
+    case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+      p +: allNodes(a.executedPlan)
+    case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+      p +: allNodes(q.plan)
+    case _ => p +: p.children.flatMap(allNodes)
+  }
+
+  test("AQE audit: adaptive is ON and the grid joins keep their equi-join shape in the FINAL plan") {
+    // Spark 4 defaults AQE on and no session here disables it — pin that,
+    // so this suite IS the adaptive audit (coalescing + runtime re-plan are
+    // what a 100 TB run gets; custom strategies must survive them)
+    assert(spark.conf.get("spark.sql.adaptive.enabled") == "true")
+    Seq("q_dedup_embedding", "q_dedup_jaccard").foreach { q =>
+      val df = SparkEntry.queries(q)(spark, dir)
+      df.collect() // materialize so AQE re-plans with runtime statistics
+      val names = allNodes(df.queryExecution.executedPlan).map(_.nodeName)
+      assert(!names.exists(n => n.contains("BroadcastNestedLoopJoin") ||
+          n.contains("CartesianProduct")),
+        s"$q degraded to an all-pairs join under AQE re-planning: $names")
+    }
+  }
+
+  test("AQE audit: GroupTopK partial/final split survives adaptive staging on real data") {
+    import org.apache.spark.sql.graft.{GroupTopK, GroupTopKExec}
+    val ord = graft.sources.Testdata.orders(spark, dir)
+    val df = GroupTopK.perGroup(ord, Seq(col("o_custkey")),
+      Seq(col("o_totalprice").desc, col("o_orderkey").asc), k = 2)
+    df.collect()
+    val nodes = allNodes(df.queryExecution.executedPlan)
+    val modes = nodes.collect { case g: GroupTopKExec => g.partial }.sorted
+    assert(modes == Seq(false, true),
+      s"AQE staging must preserve the partial+final pair, got $modes")
+    // the exchange between them must be an AQE shuffle stage (staged, not
+    // a plain exchange) — proof the custom operator composes with AQE
+    assert(nodes.exists(_.isInstanceOf[
+      org.apache.spark.sql.execution.adaptive.ShuffleQueryStageExec]),
+      "expected the partial→final exchange to be AQE-staged")
+  }
+
   test("whole-stage codegen covers the scoring projection") {
     val store = VectorStore.fromEmbeddingsTable(spark, dir)
     val q = store.getVector("0").toSeq
