@@ -113,6 +113,54 @@ object ScaleSmoke {
         Seq("en" -> 200, "de" -> 500, "es" -> 800), defaultPerMille = 1000).count()
     }
 
+    // ---- wired dedup tier (round-4/5 operators) -------------------------
+    // disjoint-vocab replication: every replica's TOKENS get a per-replica
+    // suffix, so cross-replica Jaccard is exactly 0 — the true answer grows
+    // linearly (base pairs × mult) while the candidate PAIR SPACE still
+    // grows quadratically. That separates the engine's growth from an
+    // exploding output (plain replication measures the answer, not the
+    // operator: every copy-pair qualifies).
+    def replicateDistinctText(df: DataFrame): DataFrame =
+      df.crossJoin(broadcast(reps))
+        .withColumn("__new_doc_id", col("doc_id") * mult + col("_rep"))
+        .withColumn("text", array_join(
+          transform(split(col("text"), " "),
+            w => concat(w, lit("_"), col("_rep").cast("string"))), " "))
+        .drop("doc_id").withColumnRenamed("__new_doc_id", "doc_id")
+        .drop("_rep")
+    val docsU = replicateDistinctText(docs0).localCheckpoint()
+
+    // the production FRONT DOOR: the probe sees low shingle reuse on the
+    // disjoint-vocab corpus and routes to the prefix filter, whose candidate
+    // space is bounded by shared shingles (here: within-replica only) —
+    // THIS is the sub-quadratic path a natural 100 TB corpus takes
+    time("exact jaccard front door (auto -> prefix on sparse vocab)") {
+      graft.operators.Dedup.jaccardPairsAuto(
+        docsU, col("doc_id"), col("text"), n = 2, tau = 0.5).count()
+    }
+    // the grid-bitset strategy is Θ(n²/blocks) pair kernels BY DESIGN — it
+    // is the dense-template regime's winner (where the answer itself is
+    // near-quadratic and pruning cannot discriminate; see the shoot-out in
+    // SCALE_SMOKE.md). Timed at bounded mult to show the clean n² kernel
+    // curve; the front door never routes a sparse corpus here.
+    if (mult <= 200) time("two-phase grid-bitset jaccard (disjoint-vocab reps)") {
+      graft.operators.Dedup.jaccardPairsBitsetHashed(
+        docsU, col("doc_id"), col("text"), n = 2, tau = 0.5).count()
+    }
+    // the 100 TB ingest-screening shape: the signature index is an
+    // ingest-time artifact (pre-built, checkpointed), the timed path is one
+    // base-sized batch screened against the mult× index — this is the curve
+    // that must stay FLAT-ish for incremental ingest to work at scale
+    val corpusSigs = graft.operators.Dedup.signatureTable(
+      docsU, col("doc_id"), col("text")).localCheckpoint()
+    val batch0 = docs0.withColumn("text", array_join(
+      transform(split(col("text"), " "), w => concat(w, lit("_0"))), " "))
+    time(s"incremental screen (1x batch vs ${mult}x signature index)") {
+      val batchSigs = graft.operators.Dedup.signatureTable(
+        batch0, col("doc_id"), col("text"))
+      graft.operators.Dedup.incrementalNearDups(corpusSigs, batchSigs).count()
+    }
+
     // ---- embeddings-family ----------------------------------------------
     val emb0 = spark.read.parquet(s"$sfDir/embeddings.parquet")
     val emb = replicate(emb0, Seq("vec_id"), None).localCheckpoint()

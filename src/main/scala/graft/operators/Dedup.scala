@@ -148,17 +148,31 @@ object Dedup {
     * STATISTICS — the cost-based front door over the oracle-equal trio
     * ([[jaccardPairs]] count-join / prefix-filter, [[jaccardPairsBitsetHashed]]).
     *
-    * Decision probe: on a bounded deterministic sample, measure shingle
-    * REUSE `1 − |distinct shingles| / |shingle occurrences|`. Dense
-    * template-like corpora (high reuse) defeat prefix selection — nearly
-    * every pair shares prefix shingles, so the AllPairs candidate set
-    * explodes and the cheap-kernel bitset grid wins (measured on this
-    * corpus: bitset 2.24 s vs prefix 13.5 s at reuse ≈ 0.9 — SCALE_SMOKE
-    * shoot-out); sparse natural-text corpora (low reuse, Zipfian df) are
-    * the prefix filter's home regime, where rarest-first prefixes prune
-    * the O(n²) pair space the grid cannot avoid. The 0.5 threshold sits
-    * between the regimes; the probe costs two bounded jobs on ≤ `probeDocs`
-    * docs (an index-build-time decision, not a per-query one).
+    * Decision statistic: the two strategies' actual cost drivers.
+    *  - grid-bitset: Θ(n²/blocks) fused popcount kernels — n² is its cost,
+    *    independent of content;
+    *  - prefix/AllPairs: candidates come from an equi-join on shared
+    *    shingles, so its cost is Σ_s df(s)² (each pair generated once per
+    *    shared shingle, then deduped).
+    * Route to the bitset iff `Σdf² > n²/2`: the ½ is calibrated from the
+    * committed shoot-out (SCALE_SMOKE.md — bitset 2.24 s over n² = 2.5e7
+    * ⇒ ~9e-8 s/pair; prefix 13.5 s over Σdf² = 7.3e7 ⇒ ~1.9e-7 s/cand:
+    * a prefix candidate costs ~2× a grid kernel, so the break-even is
+    * Σdf² ≈ n²/2). A dense template corpus measures Σdf² ≈ 3·n² → bitset
+    * (its answer is near-quadratic anyway); a sparse or SHARDED-vocabulary
+    * corpus (e.g. disjoint sub-corpora) measures Σdf² ≪ n² → prefix, whose
+    * candidate space then grows near-LINEARLY — the earlier local-reuse
+    * probe could not see this global pair-space structure and mis-routed
+    * exactly that case (caught by the x200 scale smoke).
+    *
+    * Probe cost: one pass over the shingle stream with a deterministic
+    * 1/`sampleMod` HASH-sample of the VOCABULARY (filter before the
+    * exchange, so the shuffle carries 1/sampleMod of the stream; each
+    * sampled shingle's df is exact ⇒ `sampleMod · Σ_sampled df²` is an
+    * unbiased estimator of Σdf²), plus a count() for n. An
+    * index-build-time decision, not a per-query one. Small corpora
+    * (n < 10·sampleMod) probe exhaustively — sampling noise would exceed
+    * the signal there and the full pass is trivial anyway.
     */
   def jaccardPairsAuto(
       docs: DataFrame,
@@ -166,17 +180,15 @@ object Dedup {
       text: Column,
       n: Int = 2,
       tau: Double = 0.5,
-      probeDocs: Int = 512): DataFrame = {
-    // deterministic sample (smallest ids — a bare limit() is scan-order-
-    // dependent and could flip the routing between runs), one aggregate job
-    val row = docs.select(id.as("id"), shingles(text, n).as("sh"))
-      .orderBy("id").limit(probeDocs)
-      .select(explode(col("sh")).as("s"))
-      .agg(count(col("s")).as("total"), count_distinct(col("s")).as("uniq"))
-      .head()
-    val total = row.getLong(0)
-    val reuse = if (total == 0) 0.0 else 1.0 - row.getLong(1).toDouble / total
-    if (reuse > 0.5) jaccardPairsBitsetHashed(docs, id, text, n, tau)
+      sampleMod: Int = 64): DataFrame = {
+    val nDocs = docs.count()
+    val m = if (nDocs < 10L * sampleMod) 1 else sampleMod
+    val sumDf2 = m * docs.select(explode(shingles(text, n)).as("s"))
+      .filter(pmod(fingerprint(col("s")), lit(m)) === 0)
+      .groupBy("s").agg(count(lit(1)).as("df"))
+      .agg(coalesce(sum(col("df") * col("df")), lit(0L)))
+      .head().getLong(0)
+    if (sumDf2 > nDocs * nDocs / 2.0) jaccardPairsBitsetHashed(docs, id, text, n, tau)
     else jaccardPairs(docs, id, text, n, tau, prefixFilter = true)
   }
 

@@ -198,16 +198,17 @@ class DedupSpec extends SparkSpec {
     assert(deep.count(_.getBoolean(2)) == 1)
   }
 
-  test("auto strategy routes by shingle reuse: dense corpus → bitset, unique-vocab corpus → prefix") {
-    // dense: every doc drawn from the same 4-word vocabulary (reuse ≈ 1)
+  test("auto strategy routes by candidate volume: dense corpus → bitset, unique-vocab corpus → prefix") {
+    // dense: every doc shares one 4-shingle set → Σdf² = 4·4² = 64 ≫ n²/2
     val dense = docs(
       1L -> "a b c d a b", 2L -> "b c d a b c", 3L -> "c d a b c d", 4L -> "a b c d a b")
     val densePlan = Dedup.jaccardPairsAuto(dense, col("id"), col("text"))
       .queryExecution.executedPlan.toString
     assert(densePlan.contains("graft_popcount_and"), "dense corpus must route to the bitset strategy")
-    // sparse: every doc's words are globally unique (reuse = 0)
-    val sparse = docs(
-      1L -> "a1 a2 a3 a4", 2L -> "b1 b2 b3 b4", 3L -> "c1 c2 c3 c4")
+    // sparse: every doc's words are globally unique → every df = 1, so
+    // Σdf² = 8·3 = 24 < n²/2 = 32 — prefix's candidate space is linear here
+    val sparse = docs((1L to 8L).map(i =>
+      i -> s"w${i}a w${i}b w${i}c w${i}d"): _*)
     val sparsePlan = Dedup.jaccardPairsAuto(sparse, col("id"), col("text"))
       .queryExecution.executedPlan.toString
     assert(!sparsePlan.contains("graft_popcount_and"), "sparse corpus must route to the prefix filter")
