@@ -585,7 +585,13 @@ object Dedup {
     val left = withBlk
       .withColumn("_pb", explode(array((0 until blocks).map(lit(_)): _*)))
       .drop("_blk")
-    left.as("a").join(withBlk.as("b"),
+    // SHUFFLE_HASH on the block side: without it the planner broadcasts the
+    // small side and the whole O(n²/blocks)-per-task pair evaluation runs at
+    // the SCAN's parallelism (a small parquet file = 1-2 tasks — measured 4×
+    // slower at sf0.1). The shuffle on the block key IS the algorithm's
+    // intended exchange: each reducer owns one grid cell, so parallelism =
+    // `blocks` regardless of input file layout, here and on a real cluster.
+    left.as("a").join(withBlk.as("b").hint("shuffle_hash"),
       col("a._pb") === col("b._blk") && col("a.id") < col("b.id") && cond)
   }
 
