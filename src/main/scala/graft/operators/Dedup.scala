@@ -346,6 +346,22 @@ object Dedup {
         coeffs.map(_._1).toArray, coeffs.map(_._2).toArray, HashP))
   }
 
+  /** Match signature-computation parallelism to the session when the input's
+    * FILE LAYOUT under-splits it: parquet's split unit is the row group, so
+    * a small single-row-group file is scanned by ONE task and the per-doc
+    * hashing (shingles → fingerprints → minhash/simhash) serializes behind
+    * it no matter how many cores are idle. The exchange moves only the
+    * narrow (id, text) projection and the hashing lands AFTER it. On a real
+    * cluster the input arrives in thousands of row groups, the partition
+    * count is ≥ the parallelism, and this is a no-op — the trigger is
+    * layout, not a blanket repartition (a blanket version measured 2×
+    * SLOWER on payload-heavy queries; only the signature paths win).
+    */
+  private def spread(df: DataFrame): DataFrame = {
+    val cores = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < cores / 2) df.repartition(cores) else df
+  }
+
   /** Persistable MinHash signature table `(id, sig ARRAY<BIGINT>)` — the
     * ingest-time index for INCREMENTAL dedup: 8·numHashes bytes per doc
     * regardless of text size, computed once when a document enters the
@@ -358,7 +374,8 @@ object Dedup {
       text: Column,
       n: Int = 2,
       numHashes: Int = 32): DataFrame =
-    docs.select(id.as("id"), shingles(text, n).as("sh"))
+    spread(docs.select(id.as("id"), text.as("txt")))
+      .select(col("id"), shingles(col("txt"), n).as("sh"))
       .filter(size(col("sh")) > 0)
       .select(col("id"), minhashSig(shingleFps(col("sh")), numHashes).as("sig"))
 
@@ -449,7 +466,8 @@ object Dedup {
       bands: Int = 8): DataFrame = {
     require(numHashes % bands == 0, "numHashes must divide into bands")
     val rows = numHashes / bands
-    val sh = docs.select(id.as("id"), shingles(text, n).as("sh"))
+    val sh = spread(docs.select(id.as("id"), text.as("txt")))
+      .select(col("id"), shingles(col("txt"), n).as("sh"))
       .withColumn("fps", shingleFps(col("sh")))
       .withColumn("sig", minhashSig(col("fps"), numHashes))
       .drop("fps")
@@ -503,7 +521,8 @@ object Dedup {
     * as production dedup pipelines do.
     */
   def simhashPairs(docs: DataFrame, id: Column, text: Column, maxHamming: Int = 3): DataFrame = {
-    val sh = docs.select(id.as("id"), simhash(text).as("sim"))
+    val sh = spread(docs.select(id.as("id"), text.as("txt")))
+      .select(col("id"), simhash(col("txt")).as("sim"))
     val banded = sh.select(col("id"), col("sim"),
       posexplode(array((0 until 4).map(b =>
         shiftright(col("sim"), b * 15).bitwiseAND(lit(0x7fffL))): _*)))
