@@ -359,7 +359,13 @@ object Dedup {
     */
   private def spread(df: DataFrame): DataFrame = {
     val cores = df.sparkSession.sparkContext.defaultParallelism
-    if (df.rdd.getNumPartitions < cores / 2) df.repartition(cores) else df
+    val maxSplit = org.apache.spark.sql.internal.SQLConf.get.filesMaxPartitionBytes
+    // logical-plan stats, not .rdd.getNumPartitions: the latter forces full
+    // physical planning + RDD DAG construction per query BUILD, a fixed tax
+    // on every invocation. sizeInBytes under half a split per core means the
+    // scan cannot reach the session's parallelism no matter how it splits.
+    val bytes = df.queryExecution.optimizedPlan.stats.sizeInBytes
+    if (bytes < BigInt(maxSplit) * cores / 2) df.repartition(cores) else df
   }
 
   /** Persistable MinHash signature table `(id, sig ARRAY<BIGINT>)` — the
