@@ -945,6 +945,32 @@ object SparkEntry {
         .withColumn("score", round(col("score"), 6))
         .orderBy(desc("score"), asc("id"))
     }),
+    // Product quantization (Jégou et al. 2011): 64-d float32 (256 B) →
+    // 8 code bytes + shared codebook; per-query scan is m table lookups
+    // per row over the CODE table (32× less I/O than the float corpus).
+    // Deterministic codebooks (subvectors of the 16 lowest-id vectors) so
+    // the oracle replicates encode + ADC arithmetic exactly in SQL.
+    "q_knn_pq" -> ((s, dir) => {
+      val embs = s.read.parquet(s"$dir/embeddings.parquet")
+      val cb = Pq.codebooksFromIds(embs, col("vec_id"), col("embedding"), m = 8, ks = 16)
+      val enc = Pq.encode(embs, col("embedding"), cb)
+      Pq.search(enc, col("vec_id").cast("string"),
+          queryVec(s, dir).map(_.toDouble), cb, k = 10)
+        .withColumn("adist", round(col("adist"), 6))
+        .orderBy(asc("adist"), asc("id"))
+    }),
+    // Two-stage PQ: ADC shortlist (codes-only scan, top-50) → exact cosine
+    // rerank of the shortlist — the IVF-PQ-refine shape where float reads
+    // are bounded by the rerank budget, not the corpus
+    "q_knn_pq_refined" -> ((s, dir) => {
+      val embs = s.read.parquet(s"$dir/embeddings.parquet")
+      val cb = Pq.codebooksFromIds(embs, col("vec_id"), col("embedding"), m = 8, ks = 16)
+      val enc = Pq.encode(embs, col("embedding"), cb)
+      Pq.searchRefined(enc, col("vec_id").cast("string"), col("embedding"),
+          queryVec(s, dir), cb, k = 10, rerank = 50)
+        .withColumn("score", round(col("score"), 6))
+        .orderBy(desc("score"), asc("id"))
+    }),
     // batch k-NN: top-5 per query for 3 query vectors in one corpus scan
     "q_knn_batch" -> ((s, dir) => {
       val store = VectorStore.fromEmbeddingsTable(s, dir)
@@ -1303,6 +1329,65 @@ object SparkEntry {
         |  SELECT CAST(c.vec_id AS VARCHAR) AS id,
         |         list_cosine_similarity(c.ev, q.qv) AS score
         |  FROM cand c, q
+        |  ORDER BY score DESC, id ASC LIMIT 10
+        |) ORDER BY score DESC, id ASC""".stripMargin,
+    // PQ oracle: replicate codebook derivation (subvectors of the 16
+    // lowest-id vectors), encode (argmin |c|²−2·v_j·c per subspace, ties to
+    // the smaller code — same formula as the IVF assignment oracle), and
+    // ADC (Σ_j |c|²−2·q_j·c over the assigned codes) entirely in SQL.
+    "q_knn_pq" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ev FROM embeddings),
+        |cb AS (SELECT vec_id AS code, ev FROM e WHERE vec_id < 16),
+        |sub AS (SELECT CAST(j AS INT) AS j FROM range(8) t(j)),
+        |enc AS (
+        |  SELECT vec_id, j, code FROM (
+        |    SELECT v.vec_id, s.j, c.code,
+        |      row_number() OVER (PARTITION BY v.vec_id, s.j ORDER BY
+        |        list_dot_product(c.ev[s.j*8+1 : s.j*8+8], c.ev[s.j*8+1 : s.j*8+8])
+        |        - 2*list_dot_product(v.ev[s.j*8+1 : s.j*8+8], c.ev[s.j*8+1 : s.j*8+8]) ASC,
+        |        c.code ASC) AS rn
+        |    FROM e v, sub s, cb c) WHERE rn = 1
+        |),
+        |q AS (SELECT ev AS qv FROM e WHERE vec_id = 0),
+        |adc AS (
+        |  SELECT enc.vec_id, sum(
+        |    list_dot_product(c.ev[enc.j*8+1 : enc.j*8+8], c.ev[enc.j*8+1 : enc.j*8+8])
+        |    - 2*list_dot_product(q.qv[enc.j*8+1 : enc.j*8+8], c.ev[enc.j*8+1 : enc.j*8+8])) AS adist
+        |  FROM enc JOIN cb c ON enc.code = c.code, q
+        |  GROUP BY enc.vec_id
+        |)
+        |SELECT id, round(adist, 6) AS adist FROM (
+        |  SELECT CAST(vec_id AS VARCHAR) AS id, adist FROM adc
+        |  ORDER BY adist ASC, id ASC LIMIT 10
+        |) ORDER BY adist ASC, id ASC""".stripMargin,
+    // Two-stage PQ oracle: same codebook/encode/ADC CTEs, then the
+    // (adist ASC, id ASC) top-50 shortlist reranked by exact cosine.
+    "q_knn_pq_refined" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ev FROM embeddings),
+        |cb AS (SELECT vec_id AS code, ev FROM e WHERE vec_id < 16),
+        |sub AS (SELECT CAST(j AS INT) AS j FROM range(8) t(j)),
+        |enc AS (
+        |  SELECT vec_id, j, code FROM (
+        |    SELECT v.vec_id, s.j, c.code,
+        |      row_number() OVER (PARTITION BY v.vec_id, s.j ORDER BY
+        |        list_dot_product(c.ev[s.j*8+1 : s.j*8+8], c.ev[s.j*8+1 : s.j*8+8])
+        |        - 2*list_dot_product(v.ev[s.j*8+1 : s.j*8+8], c.ev[s.j*8+1 : s.j*8+8]) ASC,
+        |        c.code ASC) AS rn
+        |    FROM e v, sub s, cb c) WHERE rn = 1
+        |),
+        |q AS (SELECT ev AS qv FROM e WHERE vec_id = 0),
+        |adc AS (
+        |  SELECT enc.vec_id, sum(
+        |    list_dot_product(c.ev[enc.j*8+1 : enc.j*8+8], c.ev[enc.j*8+1 : enc.j*8+8])
+        |    - 2*list_dot_product(q.qv[enc.j*8+1 : enc.j*8+8], c.ev[enc.j*8+1 : enc.j*8+8])) AS adist
+        |  FROM enc JOIN cb c ON enc.code = c.code, q
+        |  GROUP BY enc.vec_id
+        |),
+        |cand AS (SELECT vec_id FROM adc ORDER BY adist ASC, CAST(vec_id AS VARCHAR) ASC LIMIT 50)
+        |SELECT id, round(score, 6) AS score FROM (
+        |  SELECT CAST(c.vec_id AS VARCHAR) AS id,
+        |         list_cosine_similarity(e.ev, q.qv) AS score
+        |  FROM cand c JOIN e ON c.vec_id = e.vec_id, q
         |  ORDER BY score DESC, id ASC LIMIT 10
         |) ORDER BY score DESC, id ASC""".stripMargin,
     "q_knn_batch" ->
