@@ -612,6 +612,13 @@ object SparkEntry {
           col("doc_id"), col("text"), n = 2, tau = 0.5)
         .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
         .orderBy("id_a", "id_b")),
+    // ExactSubstr-style repeated spans (Lee et al. ACL 2022): maximal runs
+    // of word positions whose 5-gram fingerprint occurs in ≥2 distinct
+    // docs — the cross-doc boilerplate detector whole-doc near-dup misses
+    "q_dedup_spans" -> ((s, dir) =>
+      Dedup.repeatedSpans(graft.sources.Testdata.table(s, dir, "documents"),
+          col("doc_id"), col("text"), k = 5, minDocs = 2)
+        .orderBy("id", "start_pos")),
     // SimHash near-dup by Hamming ≤ 3. The banding is pigeonhole-complete at
     // this radius, so the oracle is the direct all-pairs Hamming predicate
     // over an exact SQL replica of the 60-bit simhash kernel
@@ -1685,6 +1692,23 @@ object SparkEntry {
         |FROM documents
         |QUALIFY row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) = 1
         |ORDER BY id""".stripMargin,
+    // Repeated-span oracle: positioned 5-gram fingerprints (same polyhash
+    // as the decontam oracle), cross-doc duplicated positions, islands
+    // merged by the pos − row_number trick.
+    "q_dedup_spans" ->
+      s"""WITH tok AS (SELECT doc_id, string_split_regex(text, '\\s+') AS w FROM documents),
+         |gr AS (SELECT doc_id, list_transform(
+         |    list_transform(range(1, len(w)-3), i -> w[i]||' '||w[i+1]||' '||w[i+2]||' '||w[i+3]||' '||w[i+4]),
+         |    g -> $polyhashSql) AS fps FROM tok),
+         |px AS (SELECT doc_id, fps, unnest(range(1, len(fps)+1)) AS i FROM gr),
+         |g AS (SELECT doc_id, CAST(i-1 AS INT) AS pos, fps[i] AS fp FROM px),
+         |dup AS (SELECT fp FROM g GROUP BY fp HAVING count(DISTINCT doc_id) >= 2),
+         |dp AS (SELECT g.doc_id, g.pos FROM g JOIN dup USING (fp)),
+         |isl AS (SELECT doc_id, pos,
+         |  pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS grp FROM dp)
+         |SELECT doc_id AS id, min(pos) AS start_pos,
+         |  CAST(max(pos)-min(pos)+5 AS INT) AS span_words
+         |FROM isl GROUP BY doc_id, grp ORDER BY id, start_pos""".stripMargin,
     // Exact SQL replica of SimHash60Expr (functions/HashExprs.scala): per
     // token two polynomial hashes (base 37 mod 998244353, base 31 mod
     // 1000000007) packed into 60 bits, ±1 per-bit counters, sign collapse.

@@ -544,6 +544,53 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("hamming"))
   }
 
+  // ------------------------------------------------------ repeated spans
+
+  /** ExactSubstr-style repeated-span detection (Lee, Ippolito et al.,
+    * "Deduplicating Training Data Makes Language Models Better", ACL 2022
+    * — public paper): a word position is DUPLICATED iff its k-gram
+    * fingerprint occurs in ≥ `minDocs` distinct documents; runs of
+    * consecutive duplicated positions merge into maximal spans (a run of r
+    * positions covers r + k − 1 words). This is the document-crossing
+    * boilerplate/quotation detector that whole-doc near-dup cannot see —
+    * the paper's suffix-array pass re-expressed as three equi-shuffles:
+    *
+    *  1. groupBy(fingerprint) over the positioned k-gram stream (8-byte
+    *     keys; the shuffle carries (fp, id, pos) — no gram text);
+    *  2. join back on fp to keep duplicated positions (both sides already
+    *     partitioned by fp from step 1 — the exchange is reused);
+    *  3. per-doc islands-and-gaps window (pos − row_number) to merge runs —
+    *     partitioned by doc id, rows are bare (id, pos) ints.
+    *
+    * All three scale out on their keys; nothing is broadcast or collected.
+    * Output: (id, start_pos, span_words) per maximal span, word-indexed.
+    */
+  def repeatedSpans(
+      docs: DataFrame,
+      id: Column,
+      text: Column,
+      k: Int = 50,
+      minDocs: Int = 2): DataFrame = {
+    val toks = split(col("txt"), "\\s+")
+    val grams = org.apache.spark.sql.graft.Bridge.column(
+      graft.functions.WordNgramsExpr(
+        org.apache.spark.sql.graft.Bridge.expression(toks), k))
+    val g = spread(docs.select(id.as("id"), text.as("txt")))
+      .select(col("id"), posexplode(grams))
+      .select(col("id"), col("pos"), fingerprint(col("col")).as("fp"))
+    val dupFps = g.groupBy("fp")
+      .agg(count_distinct(col("id")).as("nd"))
+      .filter(col("nd") >= minDocs)
+      .select("fp")
+    val dup = g.join(dupFps, Seq("fp")).select("id", "pos")
+    val w = Window.partitionBy("id").orderBy("pos")
+    dup.withColumn("grp", col("pos") - row_number().over(w))
+      .groupBy("id", "grp")
+      .agg(min(col("pos")).as("start_pos"),
+        (max(col("pos")) - min(col("pos")) + k).as("span_words"))
+      .select(col("id"), col("start_pos"), col("span_words"))
+  }
+
   /** SemDeDup-style semantic deduplication (Abbas et al. 2023, public
     * paper): cluster embeddings (k-means / IVF lists), then flag near-dups
     * ONLY within each cluster — clustering is what makes embedding dedup

@@ -117,6 +117,29 @@ class DedupSpec extends SparkSpec {
     assert(r(0).getAs[Int]("hamming") == 0)
   }
 
+  test("repeatedSpans: cross-doc runs merge to maximal spans; within-doc repeats don't count") {
+    // docs 1 and 2 share a 7-word phrase -> with k=3 positions p..p+4 are
+    // duplicated in each, one maximal span of 4+3 = 7 words; doc 3 repeats
+    // its own trigram twice but shares nothing across docs -> no span
+    val d = docs(
+      1L -> "alpha beta gamma delta epsilon zeta eta unique1 tail1",
+      2L -> "head2 alpha beta gamma delta epsilon zeta eta unique2",
+      3L -> "solo solo solo solo solo")
+    val spans = Dedup.repeatedSpans(d, col("id"), col("text"), k = 3, minDocs = 2)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2))).sortBy(x => (x._1, x._2))
+    assert(spans.toSeq == Seq((1L, 0, 7), (2L, 1, 7)))
+  }
+
+  test("repeatedSpans: two disjoint shared phrases in one doc give two spans") {
+    val d = docs(
+      1L -> "aa bb cc xx yy zz dd ee ff",
+      2L -> "aa bb cc q1 q2 q3 q4 q5 q6",
+      3L -> "p1 p2 p3 p4 p5 p6 dd ee ff")
+    val spans = Dedup.repeatedSpans(d, col("id"), col("text"), k = 3, minDocs = 2)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2))).sortBy(x => (x._1, x._2))
+    assert(spans.toSeq == Seq((1L, 0, 3), (1L, 6, 3), (2L, 0, 3), (3L, 6, 3)))
+  }
+
   test("cosinePairs: threshold self-join on small vectors") {
     import testImplicits._
     val d = Seq(
