@@ -143,6 +143,29 @@ object SparkEntry {
     "list_transform(range(1, length(g)+1), i -> CAST(unicode(substring(g, CAST(i AS INT), 1)) AS BIGINT))), " +
     "(acc, x) -> (acc*31 + x) % 1000000007)"
 
+  /** Shared CTE chain of the repeated-span oracles: positioned 5-gram
+    * fingerprints, cross-doc duplicated positions, islands merged to
+    * maximal spans with a position-ordered fingerprint fold as the span
+    * content key (the SQL twin of [[graft.operators.Dedup.repeatedSpans]]).
+    */
+  private val spansOracleBase: String =
+    s"""WITH tok AS (SELECT doc_id, string_split_regex(text, '\\s+') AS w FROM documents),
+       |gr AS (SELECT doc_id, list_transform(
+       |    list_transform(range(1, len(w)-3), i -> w[i]||' '||w[i+1]||' '||w[i+2]||' '||w[i+3]||' '||w[i+4]),
+       |    g -> $polyhashSql) AS fps FROM tok),
+       |px AS (SELECT doc_id, fps, unnest(range(1, len(fps)+1)) AS i FROM gr),
+       |g AS (SELECT doc_id, CAST(i-1 AS INT) AS pos, fps[i] AS fp FROM px),
+       |dup AS (SELECT fp FROM g GROUP BY fp HAVING count(DISTINCT doc_id) >= 2),
+       |dp AS (SELECT g.doc_id, g.pos, g.fp FROM g JOIN dup USING (fp)),
+       |isl AS (SELECT doc_id, pos, fp,
+       |  pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS grp FROM dp),
+       |spans AS (
+       |  SELECT doc_id, min(pos) AS start_pos,
+       |    CAST(max(pos)-min(pos)+5 AS INT) AS span_words,
+       |    list_reduce(list_prepend(CAST(0 AS BIGINT), list(fp ORDER BY pos)),
+       |      (acc, x) -> (acc*31 + x) % 1000000007) AS span_key
+       |  FROM isl GROUP BY doc_id, grp)""".stripMargin
+
   private val rerankOracle: String = {
     val grams = gramsSql
     val polyhash = polyhashSql
@@ -619,6 +642,13 @@ object SparkEntry {
       Dedup.repeatedSpans(graft.sources.Testdata.table(s, dir, "documents"),
           col("doc_id"), col("text"), k = 5, minDocs = 2)
         .orderBy("id", "start_pos")),
+    // Span REMOVAL (the ExactSubstr second half): keep the globally-first
+    // occurrence of each span content, drop the word ranges of every other
+    // occurrence, rebuild text — one row per input document
+    "q_dedup_spans_scrub" -> ((s, dir) =>
+      Dedup.scrubRepeatedSpans(graft.sources.Testdata.table(s, dir, "documents"),
+          col("doc_id"), col("text"), k = 5, minDocs = 2)
+        .orderBy("id")),
     // SimHash near-dup by Hamming ≤ 3. The banding is pigeonhole-complete at
     // this radius, so the oracle is the direct all-pairs Hamming predicate
     // over an exact SQL replica of the 60-bit simhash kernel
@@ -1696,19 +1726,29 @@ object SparkEntry {
     // as the decontam oracle), cross-doc duplicated positions, islands
     // merged by the pos − row_number trick.
     "q_dedup_spans" ->
-      s"""WITH tok AS (SELECT doc_id, string_split_regex(text, '\\s+') AS w FROM documents),
-         |gr AS (SELECT doc_id, list_transform(
-         |    list_transform(range(1, len(w)-3), i -> w[i]||' '||w[i+1]||' '||w[i+2]||' '||w[i+3]||' '||w[i+4]),
-         |    g -> $polyhashSql) AS fps FROM tok),
-         |px AS (SELECT doc_id, fps, unnest(range(1, len(fps)+1)) AS i FROM gr),
-         |g AS (SELECT doc_id, CAST(i-1 AS INT) AS pos, fps[i] AS fp FROM px),
-         |dup AS (SELECT fp FROM g GROUP BY fp HAVING count(DISTINCT doc_id) >= 2),
-         |dp AS (SELECT g.doc_id, g.pos FROM g JOIN dup USING (fp)),
-         |isl AS (SELECT doc_id, pos,
-         |  pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS grp FROM dp)
-         |SELECT doc_id AS id, min(pos) AS start_pos,
-         |  CAST(max(pos)-min(pos)+5 AS INT) AS span_words
-         |FROM isl GROUP BY doc_id, grp ORDER BY id, start_pos""".stripMargin,
+      s"""$spansOracleBase
+         |SELECT doc_id AS id, start_pos, span_words, span_key
+         |FROM spans ORDER BY id, start_pos""".stripMargin,
+    // Scrub oracle: keeper = row_number 1 per span_key ordered (doc, start);
+    // other occurrences explode to masked positions, anti-joined from the
+    // positioned token stream, text rebuilt in position order.
+    "q_dedup_spans_scrub" ->
+      s"""$spansOracleBase,
+         |mask AS (
+         |  SELECT doc_id, start_pos, span_words,
+         |    row_number() OVER (PARTITION BY span_key ORDER BY doc_id, start_pos) AS rn
+         |  FROM spans),
+         |mpos AS (
+         |  SELECT DISTINCT doc_id, CAST(start_pos + unnest(range(0, span_words)) AS INT) AS pos
+         |  FROM mask WHERE rn > 1),
+         |wt AS (SELECT doc_id, CAST(i-1 AS INT) AS pos, w[i] AS word
+         |       FROM (SELECT doc_id, w, unnest(range(1, len(w)+1)) AS i FROM tok)),
+         |kept AS (
+         |  SELECT wt.doc_id, string_agg(wt.word, ' ' ORDER BY wt.pos) AS st
+         |  FROM wt LEFT JOIN mpos ON wt.doc_id = mpos.doc_id AND wt.pos = mpos.pos
+         |  WHERE mpos.doc_id IS NULL GROUP BY wt.doc_id)
+         |SELECT d.doc_id AS id, coalesce(k.st, '') AS scrubbed_text
+         |FROM documents d LEFT JOIN kept k ON d.doc_id = k.doc_id ORDER BY id""".stripMargin,
     // Exact SQL replica of SimHash60Expr (functions/HashExprs.scala): per
     // token two polynomial hashes (base 37 mod 998244353, base 31 mod
     // 1000000007) packed into 60 bits, ±1 per-bit counters, sign collapse.

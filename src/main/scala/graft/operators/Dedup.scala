@@ -582,13 +582,62 @@ object Dedup {
       .agg(count_distinct(col("id")).as("nd"))
       .filter(col("nd") >= minDocs)
       .select("fp")
-    val dup = g.join(dupFps, Seq("fp")).select("id", "pos")
+    val dup = g.join(dupFps, Seq("fp")).select("id", "pos", "fp")
     val w = Window.partitionBy("id").orderBy("pos")
     dup.withColumn("grp", col("pos") - row_number().over(w))
       .groupBy("id", "grp")
       .agg(min(col("pos")).as("start_pos"),
-        (max(col("pos")) - min(col("pos")) + k).as("span_words"))
-      .select(col("id"), col("start_pos"), col("span_words"))
+        (max(col("pos")) - min(col("pos")) + k).as("span_words"),
+        // span content key: polynomial fold over the run's k-gram
+        // fingerprints in position order (sorted-fold => partition-
+        // invariant, oracle-replicable) — identifies equal span content
+        // across documents for the keep-first rule in [[scrubRepeatedSpans]]
+        aggregate(
+          transform(array_sort(collect_list(struct(col("pos"), col("fp")))),
+            x => x.getField("fp")),
+          lit(0L),
+          (acc, x) => pmod(acc * lit(31L) + x, lit(FingerprintMod))).as("span_key"))
+      .select(col("id"), col("start_pos"), col("span_words"), col("span_key"))
+  }
+
+  /** Span REMOVAL — the second half of the ExactSubstr recipe: of all
+    * occurrences of the same span content (equal `span_key`), the
+    * lexicographically first (min doc id, then min start) is KEPT and every
+    * other occurrence's word range is dropped from its document; text is
+    * rebuilt from the surviving words. One row per input document
+    * (`id, scrubbed_text`), documents without spans pass through verbatim.
+    *
+    * Scale shape: the keeper choice is a window over the SPANS table
+    * (pairs-of-duplicates sized, not corpus sized); masked ranges explode
+    * to (id, pos) and anti-join the token stream on (id, pos) — equi keys
+    * end to end, then one per-doc sorted-fold rebuilds the text.
+    */
+  def scrubRepeatedSpans(
+      docs: DataFrame,
+      id: Column,
+      text: Column,
+      k: Int = 50,
+      minDocs: Int = 2): DataFrame = {
+    val spans = repeatedSpans(docs, id, text, k, minDocs)
+    val keepW = Window.partitionBy("span_key").orderBy("id", "start_pos")
+    val masked = spans
+      .withColumn("rn", row_number().over(keepW))
+      .filter(col("rn") > 1)
+      .select(col("id"),
+        explode(sequence(col("start_pos"),
+          col("start_pos") + col("span_words") - 1)).as("pos"))
+      .distinct()
+    val toks = spread(docs.select(id.as("id"), text.as("txt")))
+      .select(col("id"), posexplode(split(col("txt"), "\\s+")))
+    val rebuilt = toks.join(masked, Seq("id", "pos"), "left_anti")
+      .groupBy("id")
+      .agg(concat_ws(" ",
+        transform(array_sort(collect_list(struct(col("pos"), col("col")))),
+          x => x.getField("col"))).as("scrubbed_text"))
+    // fully-masked documents drop out of the token stream — restore them
+    // as empty text so the output stays one row per input document
+    docs.select(id.as("id")).join(rebuilt, Seq("id"), "left")
+      .select(col("id"), coalesce(col("scrubbed_text"), lit("")).as("scrubbed_text"))
   }
 
   /** SemDeDup-style semantic deduplication (Abbas et al. 2023, public

@@ -140,6 +140,28 @@ class DedupSpec extends SparkSpec {
     assert(spans.toSeq == Seq((1L, 0, 3), (1L, 6, 3), (2L, 0, 3), (3L, 6, 3)))
   }
 
+  test("scrubRepeatedSpans: first occurrence kept, later ones removed, text rebuilt") {
+    val d = docs(
+      1L -> "alpha beta gamma delta epsilon zeta eta unique1 tail1",
+      2L -> "head2 alpha beta gamma delta epsilon zeta eta unique2",
+      3L -> "untouched words only here")
+    val out = Dedup.scrubRepeatedSpans(d, col("id"), col("text"), k = 3, minDocs = 2)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out(1L) == "alpha beta gamma delta epsilon zeta eta unique1 tail1")
+    assert(out(2L) == "head2 unique2")
+    assert(out(3L) == "untouched words only here")
+  }
+
+  test("scrubRepeatedSpans: a fully-duplicated later doc becomes empty, row preserved") {
+    val d = docs(
+      1L -> "one two three four five",
+      2L -> "one two three four five")
+    val out = Dedup.scrubRepeatedSpans(d, col("id"), col("text"), k = 3, minDocs = 2)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out(1L) == "one two three four five")
+    assert(out(2L) == "")
+  }
+
   test("cosinePairs: threshold self-join on small vectors") {
     import testImplicits._
     val d = Seq(
