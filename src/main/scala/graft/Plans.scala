@@ -26,7 +26,8 @@ object Plans {
       "q_curate_gopher", "q_curate_sample", "q_curate_decontam", "q_dedup_semantic",
       "q_dedup_incremental", "q_pipeline_curate", "q_sql_knn", "q_curate_mix",
       "q_rel_pricing", "q_rel_top_customers", "q_rel_region_revenue",
-      "q_rel_salted_join", "q_rel_pivot", "q_stream_window_stats")
+      "q_rel_salted_join", "q_rel_pivot", "q_stream_window_stats",
+      "q_knn_pq", "q_knn_pq_refined", "q_dedup_spans", "q_dedup_spans_scrub")
     show.foreach { name =>
       println(s"\n## $name\n")
       println("```")
