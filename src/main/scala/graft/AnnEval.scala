@@ -99,6 +99,32 @@ object AnnEval {
       evalRow(s"binary rerank $budget", hits, budget / n)
     }
 
+    // PQ sweep: codes-only ADC ranking and exact-rerank budgets, for both
+    // codebook sources (deterministic lowest-id rows vs per-subspace Lloyd).
+    // "scanned" column = float rows read per query (0 for pure ADC — the
+    // scan touches only the 8-byte code arrays; the I/O story at 100 TB).
+    println("\n| PQ m=8 ks=16 | recall@10 | float rows read |\n|---|---|---|")
+    for ((label, cb) <- Seq(
+        "ids" -> operators.Pq.codebooksFromIds(embs, col("vec_id"), col("embedding"), m = 8, ks = 16),
+        "lloyd" -> operators.Pq.train(embs, col("vec_id"), col("embedding"), m = 8, ks = 16))) {
+      val enc = operators.Pq.encode(embs, col("embedding"), cb).cache()
+      val adcHits = queries.map { case (qid, q) =>
+        qid -> operators.Pq.search(enc, col("vec_id").cast("string"),
+            q.map(_.toDouble), cb, k = k)
+          .select("id").collect().map(_.getString(0)).toSet
+      }
+      evalRow(s"PQ-$label ADC only", adcHits, 0.0)
+      for (budget <- Seq(20, 50, 100)) {
+        val hits = queries.map { case (qid, q) =>
+          qid -> operators.Pq.searchRefined(enc, col("vec_id").cast("string"),
+              col("embedding"), q, cb, k = k, rerank = budget)
+            .select("id").collect().map(_.getString(0)).toSet
+        }
+        evalRow(s"PQ-$label rerank $budget", hits, budget / n)
+      }
+      enc.unpersist()
+    }
+
     // semantic-dedup pair recall: cluster-blocked near-dup pairs vs the
     // exact all-pairs ground truth, across cluster counts — quantifies the
     // cross-cluster-miss trade the blocking accepts, and the compare-count
