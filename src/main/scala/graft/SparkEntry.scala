@@ -473,6 +473,12 @@ object SparkEntry {
       graft.sources.Testdata.table(s, dir, "documents")
         .select(col("doc_id"), TextAnalysis.langId(col("text")).as("lang_pred"))
         .orderBy("doc_id")),
+    // bigram collocations by PMI: two count aggs + pruned equi-joins +
+    // totals broadcast; pmi rounded before ordering so the top-k boundary
+    // is engine-stable
+    "q_text_collocations" -> ((s, dir) =>
+      TextAnalysis.collocations(graft.sources.Testdata.table(s, dir, "documents"),
+        col("text"), minCount = 5L, topK = 20)),
     // document fingerprinting: rolling polynomial hash
     "q_text_fingerprint" -> ((s, dir) =>
       graft.sources.Testdata.table(s, dir, "documents")
@@ -560,6 +566,14 @@ object SparkEntry {
           targets = Seq("src0" -> 2.0, "src1" -> 1.0, "src2" -> 1.0),
           budgetTokens = 2000L)
         .orderBy("id")),
+    // Curation: per-source document cap (the web-pipeline per-domain cap) —
+    // keep the 10 longest docs per source, id tie-break; runs as the
+    // GroupTopK bounded-heap operator (partial+final), NOT a window sort
+    "q_curate_source_cap" -> ((s, dir) =>
+      Curation.capPerGroup(graft.sources.Testdata.table(s, dir, "documents"),
+          Seq(col("source")), Seq(col("n_chars").desc, col("doc_id").asc), n = 10)
+        .select(col("doc_id").as("id"), col("source"), col("n_chars"))
+        .orderBy("source", "id")),
     // Curation: normalization + pattern scrubbing (PII-redaction shape)
     "q_curate_scrub" -> ((s, dir) =>
       graft.sources.Testdata.table(s, dir, "documents")
@@ -1083,6 +1097,32 @@ object SparkEntry {
         |  len(string_split_regex(text, '\s+')) AS ws_tokens,
         |  len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9\s]')) AS re_tokens
         |FROM documents ORDER BY doc_id""".stripMargin,
+    // Collocations oracle: same tokenization, positional space-joined
+    // bigrams (the WordNgramsExpr spelling), identical PMI parenthesization
+    // and the same round-before-order total order
+    "q_text_collocations" ->
+      """WITH t AS (
+        |  SELECT string_split_regex(text, '\s+') AS w FROM documents
+        |), uni AS (
+        |  SELECT tok, count(*) AS c FROM (SELECT unnest(w) AS tok FROM t) GROUP BY tok
+        |), big AS (
+        |  SELECT bigram, count(*) AS cxy FROM (
+        |    SELECT unnest(list_transform(range(1, len(w)), i -> w[i] || ' ' || w[i+1])) AS bigram FROM t
+        |  ) GROUP BY bigram
+        |), tot AS (
+        |  SELECT (SELECT CAST(sum(c) AS DOUBLE) FROM uni) AS nt,
+        |         (SELECT CAST(sum(cxy) AS DOUBLE) FROM big) AS nb
+        |)
+        |SELECT bigram, cxy,
+        |  round(ln(((CAST(cxy AS DOUBLE) * nt) * nt) / ((nb * CAST(cx AS DOUBLE)) * CAST(cy AS DOUBLE))), 6) AS pmi
+        |FROM (
+        |  SELECT b.bigram, b.cxy, ux.c AS cx, uy.c AS cy
+        |  FROM big b
+        |  JOIN uni ux ON ux.tok = string_split(b.bigram, ' ')[1]
+        |  JOIN uni uy ON uy.tok = string_split(b.bigram, ' ')[2]
+        |  WHERE b.cxy >= 5
+        |), tot
+        |ORDER BY pmi DESC, bigram ASC LIMIT 20""".stripMargin,
     "q_text_quality" ->
       s"""WITH t AS (
         |  SELECT doc_id, string_split_regex(text, '\\s+') AS toks,
@@ -1672,6 +1712,14 @@ object SparkEntry {
         |WHERE ((doc_id % 1000003) * 131 + 7) % 1000 <
         |  CASE lang WHEN 'en' THEN 200 WHEN 'de' THEN 500 WHEN 'es' THEN 800 ELSE 1000 END
         |GROUP BY lang ORDER BY lang""".stripMargin,
+    // Per-source cap oracle: the row_number() window twin of the GroupTopK
+    // bounded-heap plan (same total order: n_chars DESC, doc_id ASC)
+    "q_curate_source_cap" ->
+      """SELECT doc_id AS id, source, n_chars FROM (
+        |  SELECT doc_id, source, n_chars,
+        |    row_number() OVER (PARTITION BY source ORDER BY n_chars DESC, doc_id ASC) AS rn
+        |  FROM documents)
+        |WHERE rn <= 10 ORDER BY source, id""".stripMargin,
     "q_curate_scrub" ->
       """WITH s AS (
         |  SELECT doc_id,  text,

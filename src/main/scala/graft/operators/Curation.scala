@@ -243,4 +243,22 @@ object Curation {
           / lit(budgetTokens))
       .select(col("id"), col("shard"), col("bin").cast("long").as("bin"), col("n_tokens"))
   }
+
+  /** Per-group document cap: keep at most `n` rows per group of `groupCols`,
+    * priority given by `order` (e.g. longest-first with an id tie-break) —
+    * the per-domain cap of a web-corpus pipeline, where a handful of hosts
+    * contribute billions of near-identical pages and an uncapped corpus
+    * overweights them.
+    *
+    * Runs as [[org.apache.spark.sql.graft.GroupTopK]] rather than a
+    * `row_number()` window: the window spelling SORTS every group in full
+    * (WindowExec exchange + sort buffer over the whole corpus); the
+    * GroupTopK physical operator keeps a bounded ≤n heap per group with a
+    * map-side partial pass, so the one exchange carries ≤ groups·n·P rows —
+    * at 100 TB the difference between shuffling the corpus and shuffling
+    * the survivors. `order` must be a total order (include a unique
+    * tie-break column) for reproducible output.
+    */
+  def capPerGroup(docs: DataFrame, groupCols: Seq[Column], order: Seq[Column], n: Int): DataFrame =
+    org.apache.spark.sql.graft.GroupTopK.perGroup(docs, groupCols, order, n)
 }

@@ -149,4 +149,50 @@ object TextAnalysis {
       .withColumn("quality", qualityScore(text))
       .withColumn("lang_pred", langId(text))
       .withColumn("fingerprint", fingerprint(text))
+
+  /** Top bigram collocations by pointwise mutual information — the
+    * corpus-statistics probe of a curation pipeline (which word pairs are
+    * glued templates vs. free text; PMI spikes mark boilerplate and
+    * multi-word entities worth treating as units).
+    *
+    * PMI(x,y) = ln(p(x,y) / (p(x)·p(y))) with p(x,y) = c(x,y)/B over
+    * bigram count B and p(x) = c(x)/T over token count T. `minCount`
+    * prunes the long low-support tail BEFORE any join (rare pairs have
+    * unstable PMI and dominate the candidate set otherwise).
+    *
+    * Scale shape: two count aggregations (map-side partial combine — the
+    * shuffle carries one row per DISTINCT token/bigram, not per token),
+    * then two equi-joins of the pruned bigram table against the unigram
+    * table keyed on the 1st/2nd word, and a single-row totals broadcast.
+    * No driver-side vocabulary, no window, top-k via
+    * TakeOrderedAndProject. The unigram side is NOT assumed broadcastable
+    * (a 100 TB corpus has 10⁸+ distinct tokens) — both joins are plain
+    * equi-joins Catalyst/AQE can route. PMI is rounded to 6 dp before the
+    * final ordering so the (pmi, bigram) order is total and engine-stable
+    * (ln's last ulp may differ across libm implementations).
+    */
+  def collocations(docs: DataFrame, text: Column, minCount: Long, topK: Int): DataFrame = {
+    def ngrams(toks: Column, n: Int): Column =
+      org.apache.spark.sql.graft.Bridge.column(
+        graft.functions.WordNgramsExpr(
+          org.apache.spark.sql.graft.Bridge.expression(toks), n))
+    val toks = docs.select(explode(wsTokens(text)).as("tok"))
+    val uni = toks.groupBy("tok").agg(count(lit(1)).as("c"))
+    val bigAll = docs.select(explode(ngrams(wsTokens(text), 2)).as("bigram"))
+      .groupBy("bigram").agg(count(lit(1)).as("cxy"))
+    val totals = uni.agg(sum(col("c")).cast("double").as("nt"))
+      .crossJoin(bigAll.agg(sum(col("cxy")).cast("double").as("nb")))
+    val cand = bigAll.filter(col("cxy") >= minCount)
+      .withColumn("x", split(col("bigram"), " ", 2).getItem(0))
+      .withColumn("y", split(col("bigram"), " ", 2).getItem(1))
+    cand
+      .join(uni.select(col("tok").as("x"), col("c").as("cx")), Seq("x"))
+      .join(uni.select(col("tok").as("y"), col("c").as("cy")), Seq("y"))
+      .crossJoin(broadcast(totals))
+      .select(col("bigram"), col("cxy"),
+        round(log(((col("cxy").cast("double") * col("nt")) * col("nt")) /
+          ((col("nb") * col("cx").cast("double")) * col("cy").cast("double"))), 6).as("pmi"))
+      .orderBy(col("pmi").desc, col("bigram").asc)
+      .limit(topK)
+  }
 }

@@ -170,4 +170,23 @@ class CurationSpec extends SparkSpec {
     val plan = run().queryExecution.executedPlan.toString
     assert(!plan.contains("Exchange"), s"sampling must not shuffle:\n$plan")
   }
+
+  test("per-group cap ≡ row_number window; runs as GroupTopK, no WindowExec") {
+    val docs = spark.range(1000).select(
+      col("id").as("doc_id"),
+      concat(lit("src"), pmod(col("id"), lit(7))).as("source"),
+      pmod(col("id") * 37 + 11, lit(50)).as("n_chars"))
+    val capped = Curation.capPerGroup(docs,
+      Seq(col("source")), Seq(col("n_chars").desc, col("doc_id").asc), n = 5)
+    val got = capped.select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    val exp = docs.withColumn("rn",
+        row_number().over(org.apache.spark.sql.expressions.Window
+          .partitionBy("source").orderBy(col("n_chars").desc, col("doc_id").asc)))
+      .filter(col("rn") <= 5).select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(got == exp)
+    assert(got.size == 35)
+    val plan = capped.queryExecution.executedPlan.toString
+    assert(plan.contains("GroupTopK"), s"expected the GroupTopK operator:\n$plan")
+    assert(!plan.contains("Window"), s"cap must not plan a window sort:\n$plan")
+  }
 }

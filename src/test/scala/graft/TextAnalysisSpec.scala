@@ -80,4 +80,22 @@ class TextAnalysisSpec extends SparkSpec {
     val r = profiled("ab cdef")
     assert(math.abs(r.getAs[Double]("avg_tok_len") - 3.0) < 1e-9)
   }
+
+  test("collocations: hand-computed PMI, minCount prunes the tail") {
+    import testImplicits._
+    // corpus: 8×"a b", 2×"a c" → T=20 tokens (a:10 b:8 c:2), B=10 bigrams
+    val docs = (Seq.fill(8)("a b") ++ Seq.fill(2)("a c")).zipWithIndex
+      .map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+    val out = TextAnalysis.collocations(docs, col("text"), minCount = 2L, topK = 10)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSeq
+    // pmi("a b") = ln((8/10)/((10/20)·(8/20))) = ln 4; same for "a c"
+    val ln4 = math.rint(math.log(4.0) * 1e6) / 1e6
+    assert(out.map(_._1).sorted == Seq("a b", "a c"))
+    assert(out.forall(r => math.abs(r._3 - ln4) < 2e-6))
+    assert(out.find(_._1 == "a b").get._2 == 8L)
+    // raising minCount past a pair's support prunes it before any join
+    val pruned = TextAnalysis.collocations(docs, col("text"), minCount = 3L, topK = 10)
+      .collect().map(_.getString(0)).toSeq
+    assert(pruned == Seq("a b"))
+  }
 }
