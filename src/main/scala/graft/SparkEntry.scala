@@ -540,6 +540,16 @@ object SparkEntry {
           docs.filter(col("doc_id") < 20), col("text"), n = 5)
         .orderBy("id")
     }),
+    // Decontamination against a LARGE blocklist: Bloom prefilter in the
+    // scan stage (no false negatives) + exact verify on survivors — same
+    // exact semantics, so the oracle is the plain intersect; here 4-grams
+    // vs the doc_id<25 eval slice
+    "q_curate_decontam_bloom" -> ((s, dir) => {
+      val docs = graft.sources.Testdata.table(s, dir, "documents")
+      Curation.decontaminateBloom(docs, col("doc_id"), col("text"),
+          docs.filter(col("doc_id") < 25), col("text"), n = 4, fpp = 0.01)
+        .orderBy("id")
+    }),
     // The COMPOSED curation pipeline in ONE Catalyst plan — quality gate →
     // scrub → exact dedup → chunk → per-doc chunk stats. The point: every
     // stage is column algebra, so the chain fuses (gate and scrub share the
@@ -1650,6 +1660,22 @@ object SparkEntry {
          |    g -> $polyhashSql)) AS fps
          |  FROM tok
          |), ev AS (SELECT list_distinct(flatten(list(fps))) AS efps FROM gr WHERE doc_id < 20)
+         |SELECT gr.doc_id AS id,
+         |  CAST(len(list_intersect(gr.fps, ev.efps)) AS BIGINT) AS n_hits,
+         |  len(list_intersect(gr.fps, ev.efps)) > 0 AS contaminated
+         |FROM gr, ev ORDER BY id""".stripMargin,
+    // Bloom-decontamination oracle: the bloom phase is exact-by-
+    // construction (verify join removes false positives), so the oracle is
+    // the same plain 4-gram-fingerprint intersect — no bloom in SQL
+    "q_curate_decontam_bloom" ->
+      s"""WITH tok AS (
+         |  SELECT doc_id, string_split_regex(text, '\\s+') AS w FROM documents
+         |), gr AS (
+         |  SELECT doc_id, list_distinct(list_transform(
+         |    list_transform(range(1, len(w)-2), i -> w[i]||' '||w[i+1]||' '||w[i+2]||' '||w[i+3]),
+         |    g -> $polyhashSql)) AS fps
+         |  FROM tok
+         |), ev AS (SELECT list_distinct(flatten(list(fps))) AS efps FROM gr WHERE doc_id < 25)
          |SELECT gr.doc_id AS id,
          |  CAST(len(list_intersect(gr.fps, ev.efps)) AS BIGINT) AS n_hits,
          |  len(list_intersect(gr.fps, ev.efps)) > 0 AS contaminated

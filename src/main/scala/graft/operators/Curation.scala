@@ -146,14 +146,63 @@ object Curation {
       evalDocs: DataFrame,
       evalText: Column,
       n: Int = 5): DataFrame = {
-    def gramFps(t: Column): Column = array_distinct(transform(
-      org.apache.spark.sql.graft.Bridge.column(
-        graft.functions.WordNgramsExpr(
-          org.apache.spark.sql.graft.Bridge.expression(TextAnalysis.wsTokens(t)), n)),
-      g => TextAnalysis.fingerprint(g)))
-    val evalGrams = evalDocs.select(explode(gramFps(evalText)).as("fp")).distinct()
-    val docGrams = docs.select(id.as("id"), explode(gramFps(text)).as("fp"))
+    val evalGrams = evalDocs.select(explode(gramFps(evalText, n)).as("fp")).distinct()
+    val docGrams = docs.select(id.as("id"), explode(gramFps(text, n)).as("fp"))
     val hits = docGrams.join(broadcast(evalGrams), Seq("fp"), "left_semi")
+      .groupBy("id").agg(count(lit(1)).as("n_hits"))
+    docs.select(id.as("id")).join(hits, Seq("id"), "left")
+      .select(col("id"), coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+        (coalesce(col("n_hits"), lit(0L)) > 0).as("contaminated"))
+  }
+
+  /** Per-doc DISTINCT word-n-gram 64-bit fingerprints — the 8-byte join/
+    * screen key shared by [[decontaminate]] and [[decontaminateBloom]].
+    */
+  private def gramFps(t: Column, n: Int): Column = array_distinct(transform(
+    org.apache.spark.sql.graft.Bridge.column(
+      graft.functions.WordNgramsExpr(
+        org.apache.spark.sql.graft.Bridge.expression(TextAnalysis.wsTokens(t)), n)),
+    g => TextAnalysis.fingerprint(g)))
+
+  /** [[decontaminate]] with a Bloom prefilter — EXACTLY the same answer,
+    * built for the regime where the blocklist side is too large to
+    * broadcast as a raw fingerprint set (screening a crawl against a 10⁹-
+    * gram reference corpus: raw 64-bit fps are 8+ GB; the Bloom filter at
+    * `fpp` = 1 % is ~1.2 bits-per-item ≈ 1.4 GB, and OR-mergeable so it
+    * builds in ONE map-side-combined aggregation with no shuffle of the
+    * grams — [[graft.functions.BloomBitsAgg]]).
+    *
+    * Phase 1 tests every corpus gram against the filter INSIDE the scan
+    * stage (one codegen node, [[graft.functions.BloomMightContainExpr]];
+    * the word array rides the task binary once per executor). No false
+    * negatives ⇒ docs with zero hits exit at the scan. Phase 2 verifies
+    * only the surviving ~`fpp` fraction against the exact set, so the
+    * result is identical to [[decontaminate]] — the oracle is shared.
+    */
+  def decontaminateBloom(
+      docs: DataFrame,
+      id: Column,
+      text: Column,
+      evalDocs: DataFrame,
+      evalText: Column,
+      n: Int = 5,
+      fpp: Double = 0.01): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val evalFps = evalDocs.select(explode(gramFps(evalText, n)).as("fp")).distinct()
+    val nEval = evalFps.count()
+    val (numWords, k) = graft.functions.Bloom.dims(nEval, fpp)
+    val bits: Array[Long] =
+      if (nEval == 0L) new Array[Long](numWords)
+      else evalFps.as[Long]
+        .select(new graft.functions.BloomBitsAgg(numWords, k).toColumn)
+        .head()
+    val mightHit = org.apache.spark.sql.graft.Bridge.column(
+      graft.functions.BloomMightContainExpr(
+        org.apache.spark.sql.graft.Bridge.expression(col("fp")), bits, k))
+    val hits = docs.select(id.as("id"), explode(gramFps(text, n)).as("fp"))
+      .filter(mightHit)                                  // scan-stage screen
+      .join(broadcast(evalFps), Seq("fp"), "left_semi")  // exact verify, survivors only
       .groupBy("id").agg(count(lit(1)).as("n_hits"))
     docs.select(id.as("id")).join(hits, Seq("id"), "left")
       .select(col("id"), coalesce(col("n_hits"), lit(0L)).as("n_hits"),

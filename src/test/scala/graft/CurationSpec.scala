@@ -171,6 +171,25 @@ class CurationSpec extends SparkSpec {
     assert(!plan.contains("Exchange"), s"sampling must not shuffle:\n$plan")
   }
 
+  test("bloom decontamination ≡ exact decontamination (both n-gram widths)") {
+    val docs = graft.sources.Testdata.table(spark, "/root/testdata/sf0.001", "documents")
+    for (n <- Seq(4, 5)) {
+      def rows(df: org.apache.spark.sql.DataFrame) =
+        df.orderBy("id").collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSeq
+      val exact = rows(Curation.decontaminate(docs, col("doc_id"), col("text"),
+        docs.filter(col("doc_id") < 10), col("text"), n = n))
+      val bloom = rows(Curation.decontaminateBloom(docs, col("doc_id"), col("text"),
+        docs.filter(col("doc_id") < 10), col("text"), n = n, fpp = 0.01))
+      assert(bloom == exact, s"n=$n")
+      assert(exact.exists(_._3), s"n=$n: fixture must contain contaminated docs")
+    }
+    // empty eval set: nothing flagged, no crash on the zero-item filter
+    val none = Curation.decontaminateBloom(docs, col("doc_id"), col("text"),
+      docs.filter(col("doc_id") < 0), col("text"), n = 5)
+      .filter(col("contaminated")).count()
+    assert(none == 0L)
+  }
+
   test("per-group cap ≡ row_number window; runs as GroupTopK, no WindowExec") {
     val docs = spark.range(1000).select(
       col("id").as("doc_id"),

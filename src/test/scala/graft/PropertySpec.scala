@@ -364,4 +364,32 @@ class PropertySpec extends SparkSpec {
       assert(java.util.Arrays.equals(got, expect), s"vocab=${vocab.size} ss=$ss")
     }
   }
+
+  test("Bloom: zero false negatives, column kernel ≡ scala contract, fpp near target") {
+    import testImplicits._
+    import org.apache.spark.sql.graft.Bridge
+    val rnd = new scala.util.Random(7)
+    val inserted = Array.fill(2000)(rnd.nextLong()).distinct
+    val (numWords, k) = graft.functions.Bloom.dims(inserted.length, 0.01)
+    val words = new Array[Long](numWords)
+    inserted.foreach(graft.functions.Bloom.set(words, _, k))
+    // no false negatives — the exactness of the two-phase screen rests here
+    assert(inserted.forall(graft.functions.Bloom.mightContain(words, _, k)))
+    // column expression agrees with the scala kernel on mixed members/misses
+    val insertedSet = inserted.toSet
+    val probes = inserted.take(500) ++ Array.fill(10000)(rnd.nextLong()).filterNot(insertedSet)
+    val got = probes.toSeq.toDF("fp")
+      .select(col("fp"), Bridge.column(graft.functions.BloomMightContainExpr(
+        Bridge.expression(col("fp")), words, k)).as("hit"))
+      .collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    probes.foreach { fp =>
+      assert(got(fp) == graft.functions.Bloom.mightContain(words, fp, k), s"fp=$fp")
+    }
+    // false-positive rate lands near the 1% target (loose 3× bound)
+    val misses = probes.filterNot(insertedSet)
+    val fpRate = misses.count(graft.functions.Bloom.mightContain(words, _, k)).toDouble / misses.length
+    assert(fpRate < 0.03, s"fpp=$fpRate")
+    // dims: power-of-two word count, sane k
+    assert((numWords & (numWords - 1)) == 0 && k >= 1 && k <= 16)
+  }
 }
