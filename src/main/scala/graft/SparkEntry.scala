@@ -479,6 +479,12 @@ object SparkEntry {
     "q_text_collocations" -> ((s, dir) =>
       TextAnalysis.collocations(graft.sources.Testdata.table(s, dir, "documents"),
         col("text"), minCount = 5L, topK = 20)),
+    // per-doc TF-IDF keywords: two count aggs + vocab equi-join, then the
+    // per-doc top-3 as the GroupTopK bounded heap (no window sort)
+    "q_text_keywords" -> ((s, dir) =>
+      TextAnalysis.keywords(graft.sources.Testdata.table(s, dir, "documents"),
+          col("doc_id"), col("text"), topK = 3)
+        .orderBy(col("id"), col("score").desc, col("tok"))),
     // document fingerprinting: rolling polynomial hash
     "q_text_fingerprint" -> ((s, dir) =>
       graft.sources.Testdata.table(s, dir, "documents")
@@ -1107,6 +1113,25 @@ object SparkEntry {
         |  len(string_split_regex(text, '\s+')) AS ws_tokens,
         |  len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9\s]')) AS re_tokens
         |FROM documents ORDER BY doc_id""".stripMargin,
+    // Keywords oracle: the row_number window twin of the GroupTopK heap,
+    // same round-before-select score and (score DESC, tok ASC) total order
+    "q_text_keywords" ->
+      """WITH tok AS (
+        |  SELECT doc_id AS id, unnest(string_split_regex(text, '\s+')) AS tok FROM documents
+        |), tf AS (
+        |  SELECT id, tok, count(*) AS tf FROM tok GROUP BY id, tok
+        |), dfq AS (
+        |  SELECT tok, count(*) AS df FROM tf GROUP BY tok
+        |), n AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs FROM documents),
+        |s AS (
+        |  SELECT id, tok, tf,
+        |    round(CAST(tf AS DOUBLE) * ln(n_docs / CAST(df AS DOUBLE)), 6) AS score
+        |  FROM tf JOIN dfq USING (tok), n
+        |)
+        |SELECT id, tok, tf, score FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY id ORDER BY score DESC, tok ASC) AS rn
+        |  FROM s)
+        |WHERE rn <= 3 ORDER BY id, score DESC, tok""".stripMargin,
     // Collocations oracle: same tokenization, positional space-joined
     // bigrams (the WordNgramsExpr spelling), identical PMI parenthesization
     // and the same round-before-order total order

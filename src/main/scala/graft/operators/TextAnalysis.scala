@@ -171,6 +171,33 @@ object TextAnalysis {
     * final ordering so the (pmi, bigram) order is total and engine-stable
     * (ln's last ulp may differ across libm implementations).
     */
+  /** Top-`topK` TF-IDF keywords per document — the per-doc salient-term
+    * probe (tagging, clustering features, index terms). Score is
+    * tf · ln(N/df), rounded to 6 dp BEFORE the per-group selection so the
+    * boundary is engine-stable; ties break on the token.
+    *
+    * Scale shape: a (doc, token) count aggregation, a token-keyed
+    * document-frequency aggregation (both map-side combined), one
+    * equi-join (the df side is NOT assumed broadcastable at corpus
+    * vocabulary sizes), a single-row N broadcast — then the per-doc top-k
+    * runs as [[org.apache.spark.sql.graft.GroupTopK]]: bounded ≤k heap
+    * per doc with a map-side partial pass, no WindowExec sort of the full
+    * (doc, token) table.
+    */
+  def keywords(docs: DataFrame, id: Column, text: Column, topK: Int): DataFrame = {
+    val toks = docs.select(id.as("id"), explode(wsTokens(text)).as("tok"))
+    val tf = toks.groupBy("id", "tok").agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy("tok").agg(count(lit(1)).as("df"))
+    val nDocs = docs.agg(count(lit(1)).cast("double").as("n_docs"))
+    val scored = tf.join(dfreq, Seq("tok"))
+      .crossJoin(broadcast(nDocs))
+      .select(col("id"), col("tok"), col("tf"),
+        round(col("tf").cast("double") * log(col("n_docs") / col("df").cast("double")), 6)
+          .as("score"))
+    org.apache.spark.sql.graft.GroupTopK
+      .perGroup(scored, Seq(col("id")), Seq(col("score").desc, col("tok").asc), topK)
+  }
+
   def collocations(docs: DataFrame, text: Column, minCount: Long, topK: Int): DataFrame = {
     def ngrams(toks: Column, n: Int): Column =
       org.apache.spark.sql.graft.Bridge.column(

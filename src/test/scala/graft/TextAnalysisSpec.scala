@@ -81,6 +81,21 @@ class TextAnalysisSpec extends SparkSpec {
     assert(math.abs(r.getAs[Double]("avg_tok_len") - 3.0) < 1e-9)
   }
 
+  test("keywords: hand-computed TF-IDF top-1, tie on token, GroupTopK plan") {
+    import testImplicits._
+    val docs = Seq(
+      (1L, "apple apple banana"),          // apple: 2·ln3 beats banana: ln1.5
+      (2L, "banana cherry"),               // tie at ln1.5 → token order → banana
+      (3L, "cherry cherry cherry durian")  // cherry: 3·ln1.5 beats durian: ln3
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.keywords(docs, col("doc_id"), col("text"), topK = 1)
+    assert(out.collect().map(r => r.getLong(0) -> r.getString(1)).toMap ==
+      Map(1L -> "apple", 2L -> "banana", 3L -> "cherry"))
+    val plan = out.queryExecution.executedPlan.toString
+    assert(plan.contains("GroupTopK") && !plan.contains("Window"),
+      s"keywords must select per-doc top-k without a window sort:\n$plan")
+  }
+
   test("collocations: hand-computed PMI, minCount prunes the tail") {
     import testImplicits._
     // corpus: 8×"a b", 2×"a c" → T=20 tokens (a:10 b:8 c:2), B=10 bigrams
