@@ -27,7 +27,9 @@ object Plans {
       "q_dedup_incremental", "q_pipeline_curate", "q_sql_knn", "q_curate_mix",
       "q_rel_pricing", "q_rel_top_customers", "q_rel_region_revenue",
       "q_rel_salted_join", "q_rel_pivot", "q_stream_window_stats",
-      "q_knn_pq", "q_knn_pq_refined", "q_dedup_spans", "q_dedup_spans_scrub")
+      "q_knn_pq", "q_knn_pq_refined", "q_dedup_spans", "q_dedup_spans_scrub",
+      "q_curate_source_cap", "q_text_keywords", "q_text_collocations",
+      "q_curate_decontam_bloom")
     show.foreach { name =>
       println(s"\n## $name\n")
       println("```")
@@ -44,7 +46,10 @@ object Plans {
     // show the same queries' initial plans.
     val aqeShow = Seq(
       "q_dedup_jaccard", "q_dedup_clusters", "q_curate_quality_filter",
-      "q_pipeline_curate", "q_dedup_embedding")
+      "q_pipeline_curate", "q_dedup_embedding",
+      // repeated-subtree queries: the final plans show whether exchange
+      // reuse collapses the recomputed token-count aggregations
+      "q_text_keywords", "q_text_collocations")
     println(s"\n# Appendix: FINAL adaptive plans (post-execution, AQE on)\n")
     aqeShow.foreach { name =>
       println(s"\n## $name (final adaptive plan)\n")

@@ -187,7 +187,13 @@ object TextAnalysis {
   def keywords(docs: DataFrame, id: Column, text: Column, topK: Int): DataFrame = {
     val toks = docs.select(id.as("id"), explode(wsTokens(text)).as("tok"))
     val tf = toks.groupBy("id", "tok").agg(count(lit(1)).as("tf"))
-    val dfreq = tf.groupBy("tok").agg(count(lit(1)).as("df"))
+    // df = docs where the term count is positive. The tf > 0 gate (always
+    // true by construction) also keeps the tf count in this branch's
+    // column set, so its shuffle subtree stays canonically IDENTICAL to
+    // tf's and exchange reuse replaces a second full tokenize pass of the
+    // corpus with a re-read of tf's shuffle files — without it, column
+    // pruning narrows this branch and the reuse never fires.
+    val dfreq = tf.filter(col("tf") > 0).groupBy("tok").agg(count(lit(1)).as("df"))
     val nDocs = docs.agg(count(lit(1)).cast("double").as("n_docs"))
     val scored = tf.join(dfreq, Seq("tok"))
       .crossJoin(broadcast(nDocs))
