@@ -213,8 +213,16 @@ object TextAnalysis {
     val uni = toks.groupBy("tok").agg(count(lit(1)).as("c"))
     val bigAll = docs.select(explode(ngrams(wsTokens(text), 2)).as("bigram"))
       .groupBy("bigram").agg(count(lit(1)).as("cxy"))
+    // nb = nt − n_docs exactly: whitespace split yields ≥1 token per doc
+    // (even "" → [""]), so each doc contributes len−1 bigrams. Deriving nb
+    // this way drops a whole second bigram tokenize+shuffle branch (a
+    // sum over bigAll would NOT reuse bigAll's exchange — the candidate
+    // branch's pushed join-key isnotnull filter makes the subtrees differ);
+    // nt's sum over uni reuses uni's exchange, and the doc count reads no
+    // columns at all.
     val totals = uni.agg(sum(col("c")).cast("double").as("nt"))
-      .crossJoin(bigAll.agg(sum(col("cxy")).cast("double").as("nb")))
+      .crossJoin(docs.agg(count(lit(1)).cast("double").as("n_docs")))
+      .select(col("nt"), (col("nt") - col("n_docs")).as("nb"))
     val cand = bigAll.filter(col("cxy") >= minCount)
       .withColumn("x", split(col("bigram"), " ", 2).getItem(0))
       .withColumn("y", split(col("bigram"), " ", 2).getItem(1))
