@@ -605,6 +605,30 @@ object SparkEntry {
           TextAnalysis.wsTokenCount(col("text")), budgetTokens = 512, shardDocs = 250)
         .orderBy("id")
     }),
+    // Embedding statistics: per-label centroids via the one-pass typed
+    // vector-mean aggregator (the k-means update step surfaced as a query —
+    // shuffle carries one (sum-vector, count) buffer per label, not d rows
+    // per vector)
+    "q_embed_label_centroid" -> ((s, dir) =>
+      graft.sources.Testdata.table(s, dir, "embeddings")
+        .groupBy("label")
+        .agg(graft.functions.VectorAggs.vectorMean(col("embedding")).as("centroid"),
+          count(lit(1)).as("n"))
+        .select(col("label"), col("n"), posexplode(col("centroid")))
+        .select(col("label"), col("n"), col("pos"),
+          round(col("col"), 6).as("mean_v"))
+        .orderBy("label", "pos")),
+    // Embedding statistics: corpus Gram matrix Σ v·vᵀ in ONE aggregation
+    // pass (d² buffer, map-side combine) — the covariance/PCA/whitening
+    // input without the posexplode self-join's n·d² row blowup
+    "q_embed_gram" -> ((s, dir) =>
+      graft.sources.Testdata.table(s, dir, "embeddings")
+        .agg(graft.functions.VectorAggs.gramMatrix(col("embedding")).as("g"))
+        .select(posexplode(col("g")))
+        .select((col("pos") / 64).cast("int").as("i"),
+          pmod(col("pos"), lit(64)).cast("int").as("j"),
+          round(col("col"), 6).as("g"))
+        .orderBy("i", "j")),
     // Dedup family (beyond-reference): exact content dedup via hash-groupBy
     "q_dedup_exact" -> ((s, dir) =>
       Dedup.exactDedup(graft.sources.Testdata.table(s, dir, "documents"),
@@ -1689,6 +1713,30 @@ object SparkEntry {
          |  CAST(len(list_intersect(gr.fps, ev.efps)) AS BIGINT) AS n_hits,
          |  len(list_intersect(gr.fps, ev.efps)) > 0 AS contaminated
          |FROM gr, ev ORDER BY id""".stripMargin,
+    // Centroid oracle: per-(label, position) mean over the unnested
+    // embeddings; double sums differ only in the last ulps across engines
+    // and the 6-dp rounding absorbs that
+    "q_embed_label_centroid" ->
+      """WITH e AS (
+        |  SELECT label, CAST(unnest(embedding) AS DOUBLE) AS v,
+        |    generate_subscripts(embedding, 1) - 1 AS pos
+        |  FROM embeddings
+        |)
+        |SELECT label, CAST(count(*) AS BIGINT) AS n, CAST(pos AS INT) AS pos,
+        |  round(avg(v), 6) AS mean_v
+        |FROM e GROUP BY label, pos ORDER BY label, pos""".stripMargin,
+    // Gram oracle: the self-join spelling of Σ v·vᵀ the one-pass aggregator
+    // replaces — per-cell product sums, 6-dp rounding for float parity
+    "q_embed_gram" ->
+      """WITH e AS (
+        |  SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS p,
+        |    CAST(unnest(embedding) AS DOUBLE) AS v
+        |  FROM embeddings
+        |)
+        |SELECT CAST(a.p AS INT) AS i, CAST(b.p AS INT) AS j,
+        |  round(sum(a.v * b.v), 6) AS g
+        |FROM e a JOIN e b ON a.vec_id = b.vec_id
+        |GROUP BY a.p, b.p ORDER BY i, j""".stripMargin,
     // Bloom-decontamination oracle: the bloom phase is exact-by-
     // construction (verify join removes false positives), so the oracle is
     // the same plain 4-gram-fingerprint intersect — no bloom in SQL

@@ -57,4 +57,72 @@ object VectorAggs {
       org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Float]]()
     udaf(VectorMeanAgg).apply(v)
   }
+
+  /** One-pass Gram matrix Σᵣ vᵣ·vᵣᵀ of an ARRAY<FLOAT> column, flattened
+    * row-major (G[i·d + j]) — the covariance/PCA/whitening building block
+    * of an embedding pipeline (center the vectors first for covariance).
+    *
+    * The d² accumulation runs inside the aggregation buffer with map-side
+    * partial combine: the shuffle carries ≤P buffers of d² doubles, NOT the
+    * posexplode self-join alternative's n·d² rows. Exploits symmetry (fills
+    * the upper triangle, mirrors on finish) for half the per-row FLOPs.
+    */
+  object GramAgg extends Aggregator[Seq[Float], GramBuf, Seq[Double]] {
+    override def zero: GramBuf = GramBuf(Array.emptyDoubleArray, 0)
+
+    override def reduce(b: GramBuf, v: Seq[Float]): GramBuf = {
+      if (v == null) b
+      else {
+        val d = v.length
+        val g = if (b.d == 0) new Array[Double](d * d) else b.g
+        require(b.d == 0 || b.d == d, s"vector length mismatch: ${b.d} vs $d")
+        val arr = new Array[Double](d)
+        var i = 0
+        while (i < d) { arr(i) = v(i).toDouble; i += 1 }
+        i = 0
+        while (i < d) {
+          var j = i
+          while (j < d) { g(i * d + j) += arr(i) * arr(j); j += 1 }
+          i += 1
+        }
+        GramBuf(g, d)
+      }
+    }
+
+    override def merge(a: GramBuf, b: GramBuf): GramBuf =
+      if (a.d == 0) b
+      else if (b.d == 0) a
+      else {
+        require(a.d == b.d)
+        val g = a.g.clone()
+        var i = 0
+        while (i < g.length) { g(i) += b.g(i); i += 1 }
+        GramBuf(g, a.d)
+      }
+
+    override def finish(r: GramBuf): Seq[Double] = {
+      val d = r.d
+      val g = r.g
+      var i = 1
+      while (i < d) {
+        var j = 0
+        while (j < i) { g(i * d + j) = g(j * d + i); j += 1 }
+        i += 1
+      }
+      g.toSeq
+    }
+
+    override def bufferEncoder: Encoder[GramBuf] = Encoders.product[GramBuf]
+    override def outputEncoder: Encoder[Seq[Double]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Double]]()
+  }
+
+  final case class GramBuf(g: Array[Double], d: Int)
+
+  /** Column form of [[GramAgg]]. */
+  def gramMatrix(v: Column): Column = {
+    implicit val enc: Encoder[Seq[Float]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Float]]()
+    udaf(GramAgg).apply(v)
+  }
 }

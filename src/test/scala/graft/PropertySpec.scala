@@ -365,6 +365,32 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("GramAgg ≡ brute-force Σ v·vᵀ; partition-count invariant to 1e-9") {
+    import testImplicits._
+    val gen: Gen[List[List[Float]]] = for {
+      d <- Gen.choose(1, 8)
+      n <- Gen.choose(1, 30)
+      vs <- Gen.listOfN(n, Gen.listOfN(d, Gen.choose(-2.0f, 2.0f)))
+    } yield vs
+    samples(gen, 15).foreach { vs =>
+      val d = vs.head.length
+      val expect = Array.ofDim[Double](d * d)
+      vs.foreach { v =>
+        for (i <- 0 until d; j <- 0 until d)
+          expect(i * d + j) += v(i).toDouble * v(j).toDouble
+      }
+      for (parts <- Seq(1, 3)) {
+        val got = vs.map(Tuple1(_)).toDF("vec").repartition(parts)
+          .agg(graft.functions.VectorAggs.gramMatrix(col("vec")))
+          .head().getSeq[Double](0)
+        assert(got.length == d * d)
+        got.zip(expect).zipWithIndex.foreach { case ((g, e), idx) =>
+          assert(math.abs(g - e) < 1e-9, s"cell $idx: $g vs $e (parts=$parts, d=$d)")
+        }
+      }
+    }
+  }
+
   test("Bloom: zero false negatives, column kernel ≡ scala contract, fpp near target") {
     import testImplicits._
     import org.apache.spark.sql.graft.Bridge
