@@ -582,6 +582,13 @@ object SparkEntry {
           targets = Seq("src0" -> 2.0, "src1" -> 1.0, "src2" -> 1.0),
           budgetTokens = 2000L)
         .orderBy("id")),
+    // Curation: DSIR-style importance resampling — unigram-LM likelihood
+    // ratio toward the lang='en' target domain, deterministic Gumbel-top-k
+    // draw of 50 docs (one tokenize pass, conditional-count LM, sorted-fold
+    // per-doc sum, TakeOrderedAndProject)
+    "q_curate_dsir" -> ((s, dir) =>
+      Curation.importanceSample(graft.sources.Testdata.table(s, dir, "documents"),
+        col("doc_id"), col("text"), col("lang") === "en", k = 50)),
     // Curation: per-source document cap (the web-pipeline per-domain cap) —
     // keep the 10 longest docs per source, id tie-break; runs as the
     // GroupTopK bounded-heap operator (partial+final), NOT a window sort
@@ -1811,6 +1818,35 @@ object SparkEntry {
         |WHERE ((doc_id % 1000003) * 131 + 7) % 1000 <
         |  CASE lang WHEN 'en' THEN 200 WHEN 'de' THEN 500 WHEN 'es' THEN 800 ELSE 1000 END
         |GROUP BY lang ORDER BY lang""".stripMargin,
+    // DSIR oracle: same smoothed LM terms (identical parenthesization),
+    // same sorted-fold doc sum, same deterministic Gumbel hash and
+    // (score DESC, id) total order
+    "q_curate_dsir" ->
+      """WITH tok AS (
+        |  SELECT doc_id AS id, (lang = 'en') AS is_t,
+        |    unnest(string_split_regex(text, '\s+')) AS t
+        |  FROM documents
+        |), lm AS (
+        |  SELECT t, count(*) AS cr, count(*) FILTER (WHERE is_t) AS ct
+        |  FROM tok GROUP BY t
+        |), tot AS (
+        |  SELECT CAST(sum(cr) AS DOUBLE) AS n_r, CAST(sum(ct) AS DOUBLE) AS n_t,
+        |    CAST(count(*) AS DOUBLE) AS vv
+        |  FROM lm
+        |), term AS (
+        |  SELECT tok.id,
+        |    ln((CAST(ct AS DOUBLE) + 1.0) / (n_t + vv)) -
+        |    ln((CAST(cr AS DOUBLE) + 1.0) / (n_r + vv)) AS lp
+        |  FROM tok JOIN lm USING (t), tot
+        |), dw AS (
+        |  SELECT id,
+        |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list(lp ORDER BY lp)),
+        |      (a, x) -> a + x) AS logw
+        |  FROM term GROUP BY id
+        |)
+        |SELECT id, round(logw, 6) AS logw,
+        |  round(logw - ln(-ln((((id % 1000003) * 137 + 11) % 1000 + 0.5) / 1000.0)), 6) AS score
+        |FROM dw ORDER BY score DESC, id ASC LIMIT 50""".stripMargin,
     // Per-source cap oracle: the row_number() window twin of the GroupTopK
     // bounded-heap plan (same total order: n_chars DESC, doc_id ASC)
     "q_curate_source_cap" ->

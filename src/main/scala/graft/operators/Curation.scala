@@ -293,6 +293,59 @@ object Curation {
       .select(col("id"), col("shard"), col("bin").cast("long").as("bin"), col("n_tokens"))
   }
 
+  /** Domain-targeted importance resampling — the DSIR shape (Xie et al.
+    * 2023, "Data Selection for Language Models via Importance Resampling"):
+    * score every document by the log likelihood ratio between a TARGET
+    * domain LM and the raw-corpus LM (both add-one-smoothed unigram models
+    * over the corpus vocabulary), then draw `k` documents without
+    * replacement ∝ exp(score) via Gumbel-top-k — with the Gumbel noise
+    * derived from a deterministic id hash, so selection is a pure function
+    * of the data (reproducible across engines, reruns, and partitionings;
+    * the DuckDB oracle replays it exactly).
+    *
+    * Scale shape: ONE tokenize pass; raw and target counts come out of the
+    * SAME aggregation (conditional count — no second shuffle, no left
+    * join); the vocabulary table is equi-joined (never assumed
+    * broadcastable), totals are a single-row broadcast; the per-doc sum
+    * folds over the SORTED per-token terms so the float result is
+    * partition-invariant; the final k survivors come out of a
+    * TakeOrderedAndProject, not a global sort.
+    */
+  def importanceSample(
+      docs: DataFrame,
+      id: Column,
+      text: Column,
+      isTarget: Column,
+      k: Int): DataFrame = {
+    val toks = docs.select(id.as("id"), isTarget.as("is_t"),
+      explode(TextAnalysis.wsTokens(text)).as("t"))
+    val lm = toks.groupBy("t").agg(
+      count(lit(1)).as("cr"),
+      count(when(col("is_t"), 1)).as("ct"))
+    // the isnotnull(t) gate matches the join's pushed key filter below, so
+    // this branch's shuffle subtree stays canonically identical to the join
+    // side's and exchange reuse serves both from one aggregation
+    val totals = lm.filter(col("t").isNotNull).agg(
+      sum(col("cr")).cast("double").as("n_r"),
+      sum(col("ct")).cast("double").as("n_t"),
+      count(lit(1)).cast("double").as("vv"))
+    val term = toks.join(lm, Seq("t")).crossJoin(broadcast(totals))
+      .select(col("id"),
+        (log((col("ct").cast("double") + lit(1.0)) / (col("n_t") + col("vv"))) -
+         log((col("cr").cast("double") + lit(1.0)) / (col("n_r") + col("vv")))).as("lp"))
+    val logw = term.groupBy("id")
+      .agg(aggregate(sort_array(collect_list(col("lp"))), lit(0.0), (a, x) => a + x).as("logw"))
+    // deterministic Gumbel: u = (bucket(id) + 0.5)/1000 with a hash family
+    // independent of the split/sample buckets; g = −ln(−ln u)
+    val u = (pmod(pmod(col("id").cast("long"), lit(1000003L)) * 137 + 11, lit(1000L))
+      .cast("double") + lit(0.5)) / lit(1000.0)
+    logw
+      .select(col("id"), round(col("logw"), 6).as("logw"),
+        round(col("logw") - log(-log(u)), 6).as("score"))
+      .orderBy(col("score").desc, col("id").asc)
+      .limit(k)
+  }
+
   /** Per-group document cap: keep at most `n` rows per group of `groupCols`,
     * priority given by `order` (e.g. longest-first with an id tie-break) —
     * the per-domain cap of a web-corpus pipeline, where a handful of hosts

@@ -171,6 +171,28 @@ class CurationSpec extends SparkSpec {
     assert(!plan.contains("Exchange"), s"sampling must not shuffle:\n$plan")
   }
 
+  test("importance resampling: disjoint target vocab dominates the Gumbel noise; deterministic") {
+    import testImplicits._
+    // 20 target docs with one vocabulary, 20 background docs with another —
+    // the per-doc log-ratio gap (≈ ±4 per token over 6 tokens) exceeds the
+    // deterministic Gumbel range ([−2.03, 7.6]), so all k survivors must be
+    // target docs regardless of the noise draw
+    val docs = ((0 until 20).map(i => (i.toLong, "ml training data pipeline tokens corpus", "en")) ++
+      (20 until 40).map(i => (i.toLong, "cooking recipes food kitchen salt pepper", "xx")))
+      .toDF("doc_id", "text", "lang")
+    def run() = Curation.importanceSample(docs, col("doc_id"), col("text"),
+      col("lang") === "en", k = 10)
+    val sel = run().collect()
+    assert(sel.length == 10)
+    assert(sel.forall(_.getLong(0) < 20L), s"non-target doc selected: ${sel.mkString(",")}")
+    // pure function of the data: identical ids and scores on rerun
+    assert(run().collect().map(r => (r.getLong(0), r.getDouble(2))).toSeq ==
+      sel.map(r => (r.getLong(0), r.getDouble(2))).toSeq)
+    // output is (score desc, id asc)-ordered
+    val scores = sel.map(_.getDouble(2)).toSeq
+    assert(scores == scores.sorted.reverse)
+  }
+
   test("bloom decontamination ≡ exact decontamination (both n-gram widths)") {
     val docs = graft.sources.Testdata.table(spark, "/root/testdata/sf0.001", "documents")
     for (n <- Seq(4, 5)) {
