@@ -113,6 +113,27 @@ object ScaleSmoke {
         Seq("en" -> 200, "de" -> 500, "es" -> 800), defaultPerMille = 1000).count()
     }
 
+    // ---- round-5 text/curation operators --------------------------------
+    time("tf-idf keywords (top-3/doc)") {
+      graft.operators.TextAnalysis.keywords(docs, col("doc_id"), col("text"), topK = 3).count()
+    }
+    time("pmi collocations (minCount 5, top-20)") {
+      graft.operators.TextAnalysis.collocations(docs, col("text"), minCount = 5L, topK = 20).count()
+    }
+    time("bloom decontaminate (vs 20-doc eval set)") {
+      graft.operators.Curation.decontaminateBloom(docs, col("doc_id"), col("text"),
+        docs0.filter(col("doc_id") < 20), col("text"), n = 5)
+        .filter(col("contaminated")).count()
+    }
+    time("dsir importance resampling (k=1000)") {
+      graft.operators.Curation.importanceSample(docs, col("doc_id"), col("text"),
+        col("lang") === "en", k = 1000).count()
+    }
+    time("per-source cap (10 longest per source)") {
+      graft.operators.Curation.capPerGroup(docs, Seq(col("source")),
+        Seq(col("n_chars").desc, col("doc_id").asc), n = 10).count()
+    }
+
     // ---- wired dedup tier (round-4/5 operators) -------------------------
     // disjoint-vocab replication: every replica's TOKENS get a per-replica
     // suffix, so cross-replica Jaccard is exactly 0 — the true answer grows
@@ -197,6 +218,10 @@ object ScaleSmoke {
         emb0, col("vec_id"), col("embedding"), c = nLists)
       graft.operators.Dedup.semanticDedup(emb, col("vec_id"), col("embedding"),
         cents, tau = 0.4).filter(col("keep")).count()
+    }
+    time("gram matrix (one-pass 64x64)") {
+      emb.agg(graft.functions.VectorAggs.gramMatrix(col("embedding")))
+        .head(); 4096L
     }
 
     spark.stop()
