@@ -151,10 +151,11 @@ object ScaleSmoke {
         .drop("_rep")
     val docsU = replicateDistinctText(docs0).localCheckpoint()
 
-    // the production FRONT DOOR: the probe sees low shingle reuse on the
-    // disjoint-vocab corpus and routes to the prefix filter, whose candidate
-    // space is bounded by shared shingles (here: within-replica only) —
-    // THIS is the sub-quadratic path a natural 100 TB corpus takes
+    // the production FRONT DOOR: the probe's Σdf² estimate reads low on the
+    // disjoint-vocab corpus (candidate volume ≪ n²/2 grid kernels) and
+    // routes to the prefix filter, whose candidate space is bounded by
+    // shared shingles (here: within-replica only) — THIS is the
+    // sub-quadratic path a natural 100 TB corpus takes
     time("exact jaccard front door (auto -> prefix on sparse vocab)") {
       graft.operators.Dedup.jaccardPairsAuto(
         docsU, col("doc_id"), col("text"), n = 2, tau = 0.5).count()

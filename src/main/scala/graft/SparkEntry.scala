@@ -145,8 +145,9 @@ object SparkEntry {
 
   /** Shared CTE chain of the repeated-span oracles: positioned 5-gram
     * fingerprints, cross-doc duplicated positions, islands merged to
-    * maximal spans with a position-ordered fingerprint fold as the span
-    * content key (the SQL twin of [[graft.operators.Dedup.repeatedSpans]]).
+    * maximal spans keyed by md5 of the actual span text (the SQL twin of
+    * [[graft.operators.Dedup.repeatedSpans]] — content-exact key, since the
+    * scrub deletes on key equality).
     */
   private val spansOracleBase: String =
     s"""WITH tok AS (SELECT doc_id, string_split_regex(text, '\\s+') AS w FROM documents),
@@ -159,12 +160,14 @@ object SparkEntry {
        |dp AS (SELECT g.doc_id, g.pos, g.fp FROM g JOIN dup USING (fp)),
        |isl AS (SELECT doc_id, pos, fp,
        |  pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS grp FROM dp),
-       |spans AS (
+       |spans0 AS (
        |  SELECT doc_id, min(pos) AS start_pos,
-       |    CAST(max(pos)-min(pos)+5 AS INT) AS span_words,
-       |    list_reduce(list_prepend(CAST(0 AS BIGINT), list(fp ORDER BY pos)),
-       |      (acc, x) -> (acc*31 + x) % 1000000007) AS span_key
-       |  FROM isl GROUP BY doc_id, grp)""".stripMargin
+       |    CAST(max(pos)-min(pos)+5 AS INT) AS span_words
+       |  FROM isl GROUP BY doc_id, grp),
+       |spans AS (
+       |  SELECT s.doc_id, s.start_pos, s.span_words,
+       |    md5(array_to_string(t.w[s.start_pos+1 : s.start_pos+s.span_words], ' ')) AS span_key
+       |  FROM spans0 s JOIN tok t ON s.doc_id = t.doc_id)""".stripMargin
 
   private val rerankOracle: String = {
     val grams = gramsSql

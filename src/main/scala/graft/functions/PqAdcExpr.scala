@@ -62,8 +62,13 @@ object PqAdcExpr {
 
   /** Shared kernel (interpreted and generated paths): left-to-right Double
     * accumulation over the subspaces, so the engine-side sum order is fixed
-    * and oracle-replicable. An out-of-range code (corrupt input) indexes
-    * out of the LUT — caller guarantees codes come from [[graft.operators.Pq.encode]].
+    * and oracle-replicable. Byte/short codes are decoded UNSIGNED — the
+    * storage convention of [[graft.operators.Pq.encode]], which packs
+    * ks ≤ 256 codebooks into TINYINT (a ks=256 codebook stores codes
+    * 128..255 as negative bytes; a signed read would index out of the LUT
+    * or into the previous subspace's entries). An out-of-range code
+    * (corrupt input) still indexes out of the LUT — caller guarantees codes
+    * come from encode.
     */
   def adc(codes: ArrayData, elemTag: Int, lut: Array[Double], ks: Int): Double = {
     val m = codes.numElements()
@@ -71,8 +76,8 @@ object PqAdcExpr {
     var j = 0
     while (j < m) {
       val code = elemTag match {
-        case 0 => codes.getByte(j).toInt
-        case 1 => codes.getShort(j).toInt
+        case 0 => codes.getByte(j) & 0xff
+        case 1 => codes.getShort(j) & 0xffff
         case _ => codes.getInt(j)
       }
       acc += lut(j * ks + code)

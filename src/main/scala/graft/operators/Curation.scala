@@ -189,7 +189,12 @@ object Curation {
       fpp: Double = 0.01): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
+    // the blocklist fingerprints drive three consumers (count for sizing,
+    // the bloom build, the verify join) — persist so the distinct
+    // aggregation over the large side runs once (MEMORY_AND_DISK: eviction-
+    // safe; recompute is the fallback, never wrong)
     val evalFps = evalDocs.select(explode(gramFps(evalText, n)).as("fp")).distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val nEval = evalFps.count()
     val (numWords, k) = graft.functions.Bloom.dims(nEval, fpp)
     val bits: Array[Long] =
@@ -200,9 +205,15 @@ object Curation {
     val mightHit = org.apache.spark.sql.graft.Bridge.column(
       graft.functions.BloomMightContainExpr(
         org.apache.spark.sql.graft.Bridge.expression(col("fp")), bits, k))
+    // exact verify on the bloom survivors only. Deliberately NO broadcast
+    // hint: in the regime this operator exists for the blocklist does NOT
+    // fit a broadcast (that is the point of the bloom phase) — Catalyst/AQE
+    // still broadcasts it when runtime stats say it fits, and falls back to
+    // a shuffled semi-join over the ~fpp surviving fraction when it
+    // doesn't.
     val hits = docs.select(id.as("id"), explode(gramFps(text, n)).as("fp"))
       .filter(mightHit)                                  // scan-stage screen
-      .join(broadcast(evalFps), Seq("fp"), "left_semi")  // exact verify, survivors only
+      .join(evalFps, Seq("fp"), "left_semi")             // exact verify, survivors only
       .groupBy("id").agg(count(lit(1)).as("n_hits"))
     docs.select(id.as("id")).join(hits, Seq("id"), "left")
       .select(col("id"), coalesce(col("n_hits"), lit(0L)).as("n_hits"),

@@ -188,7 +188,9 @@ object Dedup {
       .groupBy("s").agg(count(lit(1)).as("df"))
       .agg(coalesce(sum(col("df") * col("df")), lit(0L)))
       .head().getLong(0)
-    if (sumDf2 > nDocs * nDocs / 2.0) jaccardPairsBitsetHashed(docs, id, text, n, tau)
+    // Double arithmetic: nDocs² overflows Long past ~3.04e9 docs (wrapping
+    // negative and force-routing every huge corpus to the Θ(n²) grid)
+    if (sumDf2 > nDocs.toDouble * nDocs.toDouble / 2.0) jaccardPairsBitsetHashed(docs, id, text, n, tau)
     else jaccardPairs(docs, id, text, n, tau, prefixFilter = true)
   }
 
@@ -438,14 +440,20 @@ object Dedup {
       batchDocs: DataFrame, batchId: Column, batchText: Column,
       n: Int = 2,
       tau: Double = 0.5): DataFrame = {
-    val flagged = screened.select(col("corpus_id")).distinct()
+    // the screen (banded join + groupBy over the full signature index)
+    // feeds two subtrees — pruned to corpus_id for the semi-join and in
+    // full for the final join; the pruned branch is not canonically
+    // identical, so exchange reuse cannot collapse them and WITHOUT a
+    // lineage cut the dominant index-scan aggregation would run twice
+    val scr = screened.localCheckpoint(false)
+    val flagged = scr.select(col("corpus_id")).distinct()
     // semi-join BEFORE the shingle projection so the per-doc shingling work
     // is bounded by the flag count, not the corpus size
     val corpusSh = corpusDocs.select(corpusId.as("corpus_id"), corpusText.as("txt"))
       .join(broadcast(flagged), Seq("corpus_id"), "left_semi")
       .select(col("corpus_id"), shingles(col("txt"), n).as("sh_b"))
     val batchSh = batchDocs.select(batchId.as("new_id"), shingles(batchText, n).as("sh_a"))
-    screened
+    scr
       .join(broadcast(batchSh), Seq("new_id"))
       .join(corpusSh, Seq("corpus_id"))
       .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))))
@@ -584,20 +592,25 @@ object Dedup {
       .select("fp")
     val dup = g.join(dupFps, Seq("fp")).select("id", "pos", "fp")
     val w = Window.partitionBy("id").orderBy("pos")
-    dup.withColumn("grp", col("pos") - row_number().over(w))
+    val runs = dup.withColumn("grp", col("pos") - row_number().over(w))
       .groupBy("id", "grp")
       .agg(min(col("pos")).as("start_pos"),
-        (max(col("pos")) - min(col("pos")) + k).as("span_words"),
-        // span content key: polynomial fold over the run's k-gram
-        // fingerprints in position order (sorted-fold => partition-
-        // invariant, oracle-replicable) — identifies equal span content
-        // across documents for the keep-first rule in [[scrubRepeatedSpans]]
-        aggregate(
-          transform(array_sort(collect_list(struct(col("pos"), col("fp")))),
-            x => x.getField("fp")),
-          lit(0L),
-          (acc, x) => pmod(acc * lit(31L) + x, lit(FingerprintMod))).as("span_key"))
-      .select(col("id"), col("start_pos"), col("span_words"), col("span_key"))
+        (max(col("pos")) - min(col("pos")) + k).as("span_words"))
+    // span content key: md5 of the ACTUAL span text (sliced back out of the
+    // doc's tokens) — [[scrubRepeatedSpans]] DELETES on key equality, so the
+    // key must be content-exact, not a fold of the 30-bit gram fingerprints
+    // (whose cross-doc collisions — near-certain at 1e5+ grams, guaranteed
+    // at corpus scale — would silently remove unique text). Same exactness
+    // standard [[exactDedup]] keys on. The token re-read is pruned to
+    // span-bearing docs by the semi-join (spans are pairs-of-duplicates
+    // sized, broadcastable), so the corpus text never rescans in full.
+    val spanDocs = spread(docs.select(id.as("id"), text.as("txt")))
+      .join(runs.select("id").distinct(), Seq("id"), "left_semi")
+      .select(col("id"), toks.as("w"))
+    runs.join(spanDocs, Seq("id"))
+      .select(col("id"), col("start_pos"), col("span_words"),
+        md5(array_join(slice(col("w"), col("start_pos") + 1, col("span_words")), " "))
+          .as("span_key"))
   }
 
   /** Span REMOVAL — the second half of the ExactSubstr recipe: of all

@@ -3,7 +3,7 @@ package graft.operators
 import graft.functions.{VectorFunctions => VF}
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.ByteType
+import org.apache.spark.sql.types.{ByteType, ShortType}
 
 /** Product quantization (Jégou, Douze, Schmid, TPAMI 2011) — the
   * billion-scale memory layout for vector search: each vector is cut into
@@ -107,19 +107,28 @@ object Pq {
     cb
   }
 
-  /** Attach `pq_codes` (ARRAY<TINYINT>, length m) — the ingest-time encode.
-    * Per subspace one [[graft.functions.NearestCentroidExpr]] node over the
-    * vector slice: argmin `|c|² − 2·v_j·c` with ties to the smaller code,
-    * the same kernel and tie rule as IVF assignment.
+  /** Attach `pq_codes` (ARRAY<TINYINT> for ks ≤ 256, ARRAY<SMALLINT> up to
+    * 65536) — the ingest-time encode. Per subspace one
+    * [[graft.functions.NearestCentroidExpr]] node over the vector slice:
+    * argmin `|c|² − 2·v_j·c` with ties to the smaller code, the same kernel
+    * and tie rule as IVF assignment. Codes are stored as UNSIGNED values of
+    * the narrow type (ks=256 packs codes 128..255 as negative bytes — the
+    * standard PQ layout, 1 B/subspace); [[graft.functions.PqAdcExpr]]
+    * decodes with the matching unsigned read.
     */
   def encode(df: DataFrame, vec: Column, cb: Codebooks): DataFrame = {
+    require(cb.ks <= 65536, s"ks=${cb.ks} exceeds SMALLINT code storage")
+    val (narrow, width) = if (cb.ks <= 256) (ByteType, 256L) else (ShortType, 65536L)
     val codes = (0 until cb.m).map { j =>
-      org.apache.spark.sql.graft.Bridge.column(
+      val raw = org.apache.spark.sql.graft.Bridge.column(
         graft.functions.NearestCentroidExpr(
           org.apache.spark.sql.graft.Bridge.expression(
             slice(vec, j * cb.subDim + 1, cb.subDim)),
           cb.cents(j),
-          Array.tabulate(cb.ks)(_.toLong))).cast(ByteType)
+          Array.tabulate(cb.ks)(_.toLong)))
+      // explicit two's-complement wrap into the narrow signed range (ANSI
+      // mode rejects the overflowing cast); a no-op for ks ≤ half-range
+      when(raw >= lit(width / 2), raw - lit(width)).otherwise(raw).cast(narrow)
     }
     df.withColumn("pq_codes", array(codes: _*))
   }

@@ -150,27 +150,6 @@ object TextAnalysis {
       .withColumn("lang_pred", langId(text))
       .withColumn("fingerprint", fingerprint(text))
 
-  /** Top bigram collocations by pointwise mutual information — the
-    * corpus-statistics probe of a curation pipeline (which word pairs are
-    * glued templates vs. free text; PMI spikes mark boilerplate and
-    * multi-word entities worth treating as units).
-    *
-    * PMI(x,y) = ln(p(x,y) / (p(x)·p(y))) with p(x,y) = c(x,y)/B over
-    * bigram count B and p(x) = c(x)/T over token count T. `minCount`
-    * prunes the long low-support tail BEFORE any join (rare pairs have
-    * unstable PMI and dominate the candidate set otherwise).
-    *
-    * Scale shape: two count aggregations (map-side partial combine — the
-    * shuffle carries one row per DISTINCT token/bigram, not per token),
-    * then two equi-joins of the pruned bigram table against the unigram
-    * table keyed on the 1st/2nd word, and a single-row totals broadcast.
-    * No driver-side vocabulary, no window, top-k via
-    * TakeOrderedAndProject. The unigram side is NOT assumed broadcastable
-    * (a 100 TB corpus has 10⁸+ distinct tokens) — both joins are plain
-    * equi-joins Catalyst/AQE can route. PMI is rounded to 6 dp before the
-    * final ordering so the (pmi, bigram) order is total and engine-stable
-    * (ln's last ulp may differ across libm implementations).
-    */
   /** Top-`topK` TF-IDF keywords per document — the per-doc salient-term
     * probe (tagging, clustering features, index terms). Score is
     * tf · ln(N/df), rounded to 6 dp BEFORE the per-group selection so the
@@ -204,6 +183,27 @@ object TextAnalysis {
       .perGroup(scored, Seq(col("id")), Seq(col("score").desc, col("tok").asc), topK)
   }
 
+  /** Top bigram collocations by pointwise mutual information — the
+    * corpus-statistics probe of a curation pipeline (which word pairs are
+    * glued templates vs. free text; PMI spikes mark boilerplate and
+    * multi-word entities worth treating as units).
+    *
+    * PMI(x,y) = ln(p(x,y) / (p(x)·p(y))) with p(x,y) = c(x,y)/B over
+    * bigram count B and p(x) = c(x)/T over token count T. `minCount`
+    * prunes the long low-support tail BEFORE any join (rare pairs have
+    * unstable PMI and dominate the candidate set otherwise).
+    *
+    * Scale shape: two count aggregations (map-side partial combine — the
+    * shuffle carries one row per DISTINCT token/bigram, not per token),
+    * then two equi-joins of the pruned bigram table against the unigram
+    * table keyed on the 1st/2nd word, and a single-row totals broadcast.
+    * No driver-side vocabulary, no window, top-k via
+    * TakeOrderedAndProject. The unigram side is NOT assumed broadcastable
+    * (a 100 TB corpus has 10⁸+ distinct tokens) — both joins are plain
+    * equi-joins Catalyst/AQE can route. PMI is rounded to 6 dp before the
+    * final ordering so the (pmi, bigram) order is total and engine-stable
+    * (ln's last ulp may differ across libm implementations).
+    */
   def collocations(docs: DataFrame, text: Column, minCount: Long, topK: Int): DataFrame = {
     def ngrams(toks: Column, n: Int): Column =
       org.apache.spark.sql.graft.Bridge.column(
@@ -213,15 +213,17 @@ object TextAnalysis {
     val uni = toks.groupBy("tok").agg(count(lit(1)).as("c"))
     val bigAll = docs.select(explode(ngrams(wsTokens(text), 2)).as("bigram"))
       .groupBy("bigram").agg(count(lit(1)).as("cxy"))
-    // nb = nt − n_docs exactly: whitespace split yields ≥1 token per doc
-    // (even "" → [""]), so each doc contributes len−1 bigrams. Deriving nb
-    // this way drops a whole second bigram tokenize+shuffle branch (a
-    // sum over bigAll would NOT reuse bigAll's exchange — the candidate
-    // branch's pushed join-key isnotnull filter makes the subtrees differ);
-    // nt's sum over uni reuses uni's exchange, and the doc count reads no
-    // columns at all.
+    // nb = nt − n_docs exactly: whitespace split yields ≥1 token per
+    // NON-NULL doc (even "" → [""]), so each contributes len−1 bigrams —
+    // and count(text) matches that by skipping NULL texts, which produce
+    // neither tokens nor bigrams (explode of a NULL array emits nothing).
+    // Deriving nb this way drops a whole second bigram tokenize+shuffle
+    // branch (a sum over bigAll would NOT reuse bigAll's exchange — the
+    // candidate branch's pushed join-key isnotnull filter makes the
+    // subtrees differ); nt's sum over uni reuses uni's exchange, and the
+    // doc count reads only the text column's null mask.
     val totals = uni.agg(sum(col("c")).cast("double").as("nt"))
-      .crossJoin(docs.agg(count(lit(1)).cast("double").as("n_docs")))
+      .crossJoin(docs.agg(count(text).cast("double").as("n_docs")))
       .select(col("nt"), (col("nt") - col("n_docs")).as("nb"))
     val cand = bigAll.filter(col("cxy") >= minCount)
       .withColumn("x", split(col("bigram"), " ", 2).getItem(0))

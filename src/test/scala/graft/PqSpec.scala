@@ -54,6 +54,22 @@ class PqSpec extends SparkSpec {
     }
   }
 
+  test("ks=256 codes survive the TINYINT round-trip (unsigned decode)") {
+    import testImplicits._
+    // 256 1-d centroids at 0,1,...,255: vector v encodes to code round(v),
+    // so codes above 127 are exercised (stored as negative bytes)
+    val cents = Array.tabulate(1, 256)((_, c) => Array(c.toDouble))
+    val wide = Pq.Codebooks(m = 1, ks = 256, subDim = 1, cents = cents)
+    val df = Seq(Tuple1(Seq(200.0f)), Tuple1(Seq(35.0f)), Tuple1(Seq(255.0f)))
+      .toDF("embedding")
+    val enc = Pq.encode(df, col("embedding"), wide)
+    assert(enc.schema("pq_codes").dataType.simpleString == "array<tinyint>")
+    // lut(c) = c so ADC returns the decoded code itself
+    val l = Array.tabulate(256)(_.toDouble)
+    val got = enc.select(Pq.adcCol(col("pq_codes"), l, 256)).collect().map(_.getDouble(0)).toSeq
+    assert(got == Seq(200.0, 35.0, 255.0), s"signed-byte corruption: $got")
+  }
+
   test("refined search with corpus-wide rerank budget == exact top-k") {
     val store = VectorStore.fromEmbeddingsTable(spark, dir)
     val q = store.getVector("0").toSeq
