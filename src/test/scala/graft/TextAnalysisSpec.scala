@@ -96,6 +96,17 @@ class TextAnalysisSpec extends SparkSpec {
       s"keywords must select per-doc top-k without a window sort:\n$plan")
   }
 
+  test("collocations: a NULL-text row contributes nothing (nb derivation stays exact)") {
+    import testImplicits._
+    val docs = (Seq.fill(8)("a b") ++ Seq.fill(2)("a c")).zipWithIndex
+      .map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+    val withNull = docs.union(Seq((99L, null.asInstanceOf[String])).toDF("doc_id", "text"))
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      TextAnalysis.collocations(df, col("text"), minCount = 2L, topK = 10)
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(rows(withNull) == rows(docs))
+  }
+
   test("collocations: hand-computed PMI, minCount prunes the tail") {
     import testImplicits._
     // corpus: 8×"a b", 2×"a c" → T=20 tokens (a:10 b:8 c:2), B=10 bigrams
