@@ -897,6 +897,12 @@ object SparkEntry {
     "q_rel_window_ranks" -> ((s, dir) =>
       Relational.customerOrderRanks(graft.sources.Testdata.orders(s, dir))
         .orderBy("o_custkey", "rn")),
+    // RANGE-frame sliding window: trailing-30-day revenue per customer,
+    // keyed on an integer day number (event-time range, not row count) —
+    // one exchange + one ordered pass, no self-join expansion
+    "q_rel_rolling" -> ((s, dir) =>
+      Relational.rollingRevenue(graft.sources.Testdata.orders(s, dir), days = 30)
+        .orderBy("o_custkey", "day", "o_orderkey")),
     // set operations with SQL INTERSECT/EXCEPT distinct semantics
     "q_rel_setops" -> ((s, dir) => {
       val ord = graft.sources.Testdata.orders(s, dir)
@@ -1334,6 +1340,22 @@ object SparkEntry {
         |FROM orders
         |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
         |ORDER BY o_custkey, rn""".stripMargin,
+    // Rolling-window oracle: identical day arithmetic and RANGE frame;
+    // per-frame double sums of ≤ tens of 1e5-magnitude values carry ~1e-10
+    // error, absorbed by the 6-dp rounding
+    "q_rel_rolling" ->
+      """WITH o AS (
+        |  SELECT o_custkey, o_orderkey,
+        |    CAST(datediff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) AS INT) AS day,
+        |    o_totalprice
+        |  FROM orders
+        |)
+        |SELECT o_custkey, o_orderkey, day,
+        |  round(sum(o_totalprice) OVER w, 6) AS rolling_rev,
+        |  count(*) OVER w AS n_in_window
+        |FROM o
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY day RANGE BETWEEN 29 PRECEDING AND CURRENT ROW)
+        |ORDER BY o_custkey, day, o_orderkey""".stripMargin,
     "q_rel_setops" ->
       """SELECT o_custkey FROM (
         |  (SELECT o_custkey FROM orders WHERE year(CAST(o_orderdate AS TIMESTAMP)) = 1995

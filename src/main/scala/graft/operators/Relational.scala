@@ -209,6 +209,31 @@ object Relational {
       .drop("o_orderdate")
   }
 
+  /** Rolling `days`-day revenue per customer — the RANGE-frame sliding
+    * window (trailing spend, rolling retention, moving averages). The frame
+    * is keyed on an integer DAY number, so it is a true event-time range
+    * (orders 40 days apart never share a frame even when adjacent in row
+    * order), ties on the same day share one well-defined frame, and the
+    * day arithmetic replays exactly in the oracle.
+    *
+    * Scale shape: one hash exchange on the customer key + one
+    * partition-local sort — Spark evaluates the sliding frame in a single
+    * ordered pass per partition (no self-join expansion of the window,
+    * which is the naive spelling's `orders ⋈ orders ON datediff ≤ d`
+    * quadratic blowup per customer).
+    */
+  def rollingRevenue(orders: DataFrame, days: Int = 30): DataFrame = {
+    require(days >= 1)
+    val day = datediff(col("o_orderdate").cast("date"), to_date(lit("1970-01-01")))
+    val w = Window.partitionBy("o_custkey").orderBy("day")
+      .rangeBetween(-(days - 1).toLong, 0L)
+    orders
+      .select(col("o_custkey"), col("o_orderkey"), day.as("day"), col("o_totalprice"))
+      .select(col("o_custkey"), col("o_orderkey"), col("day"),
+        round(sum(col("o_totalprice")).over(w), 6).as("rolling_rev"),
+        count(lit(1)).over(w).as("n_in_window"))
+  }
+
   /** Salted equi-join for skewed keys — HOT KEYS ONLY: a sampled frequency
     * scan finds keys whose estimated fact-side row count exceeds
     * `hotRowThreshold`; only those keys get salted (fact rows take a

@@ -125,6 +125,32 @@ class RelationalSpec extends SparkSpec {
       s"approx median $approxM too far from exact $exactM")
   }
 
+  test("rolling revenue: hand-computed range frame; one exchange, no self-join") {
+    import testImplicits._
+    import org.apache.spark.sql.functions._
+    // customer 1: days 0, 10, 45 — the 30-day frame at day 45 excludes
+    // days 0 and 10 (event-time range, not row adjacency); same-day ties
+    // (customer 2) share one frame
+    val orders = Seq(
+      (1L, 101L, "1970-01-01 00:00:00", 10.0),
+      (1L, 102L, "1970-01-11 00:00:00", 20.0),
+      (1L, 103L, "1970-02-15 00:00:00", 40.0),
+      (2L, 201L, "1970-01-05 00:00:00", 5.0),
+      (2L, 202L, "1970-01-05 00:00:00", 7.0))
+      .toDF("o_custkey", "o_orderkey", "ts", "o_totalprice")
+      .withColumn("o_orderdate", col("ts").cast("timestamp")).drop("ts")
+    val got = Relational.rollingRevenue(orders, days = 30)
+      .orderBy("o_custkey", "day", "o_orderkey")
+      .collect().map(r => (r.getLong(1), r.getDouble(3), r.getLong(4))).toSeq
+    assert(got == Seq(
+      (101L, 10.0, 1L), (102L, 30.0, 2L), (103L, 40.0, 1L),
+      (201L, 12.0, 2L), (202L, 12.0, 2L)))
+    val plan = Relational.rollingRevenue(orders, days = 30)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("Window"), s"expected a window pass:\n$plan")
+    assert(!plan.contains("Join"), s"rolling frame must not self-join:\n$plan")
+  }
+
   test("sessionize: every event lands in exactly one session; gaps split") {
     val ev = Testdata.events(spark, dir)
     val sessions = Relational.sessionize(ev, gapMinutes = 30).collect()
