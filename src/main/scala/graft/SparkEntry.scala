@@ -615,6 +615,22 @@ object SparkEntry {
           TextAnalysis.wsTokenCount(col("text")), budgetTokens = 512, shardDocs = 250)
         .orderBy("id")
     }),
+    // Per-label k-NN: top-3 cosine matches per label in ONE corpus scan —
+    // the GroupTopK bounded heap over the scored stream (a stratified
+    // retrieval probe; the window spelling would sort every label group)
+    "q_knn_per_label" -> ((s, dir) => {
+      val emb = graft.sources.Testdata.table(s, dir, "embeddings")
+      val q = queryVec(s, dir)
+      val qNorm = math.sqrt(q.map(x => x.toDouble * x.toDouble).sum)
+      val scored = emb.select(col("label"), col("vec_id").cast("string").as("id"),
+        (graft.functions.VectorFunctions.dot(col("embedding"), typedLit(q)) /
+          (sqrt(graft.functions.VectorFunctions.dot(col("embedding"), col("embedding"))) *
+            lit(qNorm))).as("score"))
+      org.apache.spark.sql.graft.GroupTopK
+        .perGroup(scored, Seq(col("label")), Seq(col("score").desc, col("id").asc), 3)
+        .select(col("label"), col("id"), round(col("score"), 6).as("score"))
+        .orderBy(col("label"), col("score").desc, col("id"))
+    }),
     // Embedding statistics: per-label centroids via the one-pass typed
     // vector-mean aggregator (the k-means update step surfaced as a query —
     // shuffle carries one (sum-vector, count) buffer per label, not d rows
@@ -1745,6 +1761,18 @@ object SparkEntry {
          |  CAST(len(list_intersect(gr.fps, ev.efps)) AS BIGINT) AS n_hits,
          |  len(list_intersect(gr.fps, ev.efps)) > 0 AS contaminated
          |FROM gr, ev ORDER BY id""".stripMargin,
+    // Per-label k-NN oracle: the row_number window twin of the GroupTopK
+    // heap — selection on the exact double score, rounding after
+    "q_knn_per_label" ->
+      """SELECT label, id, round(score, 6) AS score FROM (
+        |  SELECT e.label, CAST(e.vec_id AS VARCHAR) AS id,
+        |    list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), CAST(q.qe AS DOUBLE[])) AS score,
+        |    row_number() OVER (
+        |      PARTITION BY e.label
+        |      ORDER BY list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), CAST(q.qe AS DOUBLE[])) DESC,
+        |        CAST(e.vec_id AS VARCHAR) ASC) AS rn
+        |  FROM embeddings e, (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0) q
+        |) WHERE rn <= 3 ORDER BY label, score DESC, id""".stripMargin,
     // Centroid oracle: per-(label, position) mean over the unnested
     // embeddings; double sums differ only in the last ulps across engines
     // and the 6-dp rounding absorbs that
