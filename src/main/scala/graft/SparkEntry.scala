@@ -729,6 +729,13 @@ object SparkEntry {
       Dedup.scrubRepeatedSpans(graft.sources.Testdata.table(s, dir, "documents"),
           col("doc_id"), col("text"), k = 5, minDocs = 2)
         .orderBy("id")),
+    // Source-overlap matrix: distinct shared bigram fingerprints + gram
+    // Jaccard per source pair — fp-keyed self-join with fanout bounded by
+    // the source count, never a doc-pair space
+    "q_dedup_source_overlap" -> ((s, dir) =>
+      Dedup.sourceOverlapMatrix(graft.sources.Testdata.table(s, dir, "documents"),
+          col("source"), col("text"), n = 2)
+        .orderBy("src_a", "src_b")),
     // SimHash near-dup by Hamming ≤ 3. The banding is pigeonhole-complete at
     // this radius, so the oracle is the direct all-pairs Hamming predicate
     // over an exact SQL replica of the 60-bit simhash kernel
@@ -1961,6 +1968,21 @@ object SparkEntry {
     // Repeated-span oracle: positioned 5-gram fingerprints (same polyhash
     // as the decontam oracle), cross-doc duplicated positions, islands
     // merged by the pos − row_number trick.
+    // Source-overlap oracle: same bigram fingerprints, distinct per source,
+    // fp-equality self-join with the same '<' pair ordering
+    "q_dedup_source_overlap" ->
+      s"""WITH tok AS (SELECT source AS src, string_split_regex(text, '\\s+') AS w FROM documents),
+         |gr AS (SELECT src, unnest(list_transform(
+         |    list_transform(range(1, len(w)), i -> w[i]||' '||w[i+1]),
+         |    g -> $polyhashSql)) AS fp FROM tok),
+         |g AS (SELECT DISTINCT src, fp FROM gr),
+         |sz AS (SELECT src, count(*) AS n_grams FROM g GROUP BY src),
+         |sh AS (SELECT a.src AS src_a, b.src AS src_b, count(*) AS shared_grams
+         |       FROM g a JOIN g b ON a.fp = b.fp AND a.src < b.src GROUP BY a.src, b.src)
+         |SELECT src_a, src_b, shared_grams,
+         |  round(CAST(shared_grams AS DOUBLE) / (sa.n_grams + sb.n_grams - shared_grams), 6) AS jaccard
+         |FROM sh JOIN sz sa ON sa.src = sh.src_a JOIN sz sb ON sb.src = sh.src_b
+         |ORDER BY src_a, src_b""".stripMargin,
     "q_dedup_spans" ->
       s"""$spansOracleBase
          |SELECT doc_id AS id, start_pos, span_words, span_key

@@ -194,6 +194,41 @@ object Dedup {
     else jaccardPairs(docs, id, text, n, tau, prefixFilter = true)
   }
 
+  /** Source-overlap matrix — corpus forensics: for every pair of sources,
+    * how many DISTINCT word-n-gram fingerprints they share, plus the
+    * set-Jaccard of their gram vocabularies. The "did feed A scrape feed B"
+    * / cross-source contamination probe a multi-source 100 TB ingest needs
+    * before mixing.
+    *
+    * Scale shape: one tokenize pass → distinct (source, fp) pairs (the
+    * map-side-combined distinct is the only corpus-sized shuffle) → a
+    * self equi-join ON THE FINGERPRINT whose per-key fanout is bounded by
+    * the SOURCE count (≤ S rows per fp side, ≤ S²/2 emitted pairs per fp —
+    * independent of corpus size), then an S²-row aggregate. No pair of
+    * documents is ever materialized.
+    */
+  def sourceOverlapMatrix(
+      docs: DataFrame,
+      source: Column,
+      text: Column,
+      n: Int = 2): DataFrame = {
+    val g = docs
+      .select(source.as("src"), explode(shingles(text, n)).as("s"))
+      .select(col("src"), fingerprint(col("s")).as("fp"))
+      .distinct()
+    val sz = g.groupBy("src").agg(count(lit(1)).as("n_grams"))
+    val shared = g.as("a").join(g.as("b"),
+        col("a.fp") === col("b.fp") && col("a.src") < col("b.src"))
+      .groupBy(col("a.src").as("src_a"), col("b.src").as("src_b"))
+      .agg(count(lit(1)).as("shared_grams"))
+    shared
+      .join(sz.select(col("src").as("src_a"), col("n_grams").as("na")), Seq("src_a"))
+      .join(sz.select(col("src").as("src_b"), col("n_grams").as("nb")), Seq("src_b"))
+      .select(col("src_a"), col("src_b"), col("shared_grams"),
+        round(col("shared_grams").cast("double") /
+          (col("na") + col("nb") - col("shared_grams")), 6).as("jaccard"))
+  }
+
   /** Exact Jaccard pairs, BITSET strategy — for the dense-small-vocabulary
     * regime (template/log-like corpora) where nearly every pair shares
     * shingles, so candidate pruning cannot help and the O(n²) pair space is

@@ -327,4 +327,17 @@ class DedupSpec extends SparkSpec {
     assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
       s"pair generation must be the list_id equi-join:\n$plan")
   }
+
+  test("source overlap: identical vocabularies hit jaccard 1, disjoint ones emit no row") {
+    import testImplicits._
+    val docs = Seq(
+      (1L, "alpha beta gamma delta", "s1"),
+      (2L, "alpha beta gamma delta", "s2"),
+      (3L, "omega psi chi phi", "s3"))
+      .toDF("doc_id", "text", "source")
+    val m = Dedup.sourceOverlapMatrix(docs, col("source"), col("text"), n = 2)
+      .collect().map(r => ((r.getString(0), r.getString(1)), (r.getLong(2), r.getDouble(3)))).toMap
+    assert(m(("s1", "s2")) == ((3L, 1.0)))
+    assert(!m.contains(("s1", "s3")) && !m.contains(("s2", "s3")) && m.size == 1)
+  }
 }
