@@ -29,7 +29,8 @@ object Plans {
       "q_rel_salted_join", "q_rel_pivot", "q_stream_window_stats",
       "q_knn_pq", "q_knn_pq_refined", "q_dedup_spans", "q_dedup_spans_scrub",
       "q_curate_source_cap", "q_text_keywords", "q_text_collocations",
-      "q_curate_decontam_bloom")
+      "q_curate_decontam_bloom", "q_curate_dsir", "q_rel_rolling",
+      "q_knn_per_label", "q_dedup_source_overlap", "q_embed_gram")
     show.foreach { name =>
       println(s"\n## $name\n")
       println("```")
