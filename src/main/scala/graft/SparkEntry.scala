@@ -476,6 +476,12 @@ object SparkEntry {
       graft.sources.Testdata.table(s, dir, "documents")
         .select(col("doc_id"), TextAnalysis.langId(col("text")).as("lang_pred"))
         .orderBy("doc_id")),
+    // tokenizer-prep vocabulary: top-30 tokens with cumulative coverage —
+    // one corpus-sized count shuffle, TakeOrderedAndProject selection,
+    // V-row window
+    "q_text_vocab" -> ((s, dir) =>
+      TextAnalysis.vocabulary(graft.sources.Testdata.table(s, dir, "documents"),
+        col("text"), topV = 30)),
     // bigram collocations by PMI: two count aggs + pruned equi-joins +
     // totals broadcast; pmi rounded before ordering so the top-k boundary
     // is engine-stable
@@ -1195,6 +1201,18 @@ object SparkEntry {
         |  SELECT *, row_number() OVER (PARTITION BY id ORDER BY score DESC, tok ASC) AS rn
         |  FROM s)
         |WHERE rn <= 3 ORDER BY id, score DESC, tok""".stripMargin,
+    // Vocabulary oracle: same counts, same (c DESC, tok) total order, exact
+    // integer running sum divided by the double total
+    "q_text_vocab" ->
+      """WITH uni AS (
+        |  SELECT tok, count(*) AS c FROM (
+        |    SELECT unnest(string_split_regex(text, '\s+')) AS tok FROM documents
+        |  ) GROUP BY tok
+        |), tot AS (SELECT CAST(sum(c) AS DOUBLE) AS n_total FROM uni),
+        |top AS (SELECT tok, c FROM uni ORDER BY c DESC, tok ASC LIMIT 30)
+        |SELECT tok, c,
+        |  round(sum(c) OVER (ORDER BY c DESC, tok ASC ROWS UNBOUNDED PRECEDING) / n_total, 6) AS coverage
+        |FROM top, tot ORDER BY c DESC, tok ASC""".stripMargin,
     // Collocations oracle: same tokenization, positional space-joined
     // bigrams (the WordNgramsExpr spelling), identical PMI parenthesization
     // and the same round-before-order total order

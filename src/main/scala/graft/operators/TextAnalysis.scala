@@ -183,6 +183,29 @@ object TextAnalysis {
       .perGroup(scored, Seq(col("id")), Seq(col("score").desc, col("tok").asc), topK)
   }
 
+  /** Tokenizer-prep vocabulary probe: the `topV` most frequent tokens with
+    * each rank's CUMULATIVE share of all corpus tokens — the curve that
+    * sizes a vocabulary ("how many types cover 95 % of tokens"). One
+    * map-side-combined count aggregation is the only corpus-sized shuffle;
+    * the top-V selection is a TakeOrderedAndProject and the running
+    * coverage a single-partition window over the V survivors (V rows, not
+    * the vocabulary).
+    */
+  def vocabulary(docs: DataFrame, text: Column, topV: Int): DataFrame = {
+    val uni = docs.select(explode(wsTokens(text)).as("tok"))
+      .groupBy("tok").agg(count(lit(1)).as("c"))
+    val total = uni.agg(sum(col("c")).cast("double").as("n_total"))
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("c").desc, col("tok").asc)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    uni.orderBy(col("c").desc, col("tok").asc).limit(topV)
+      .crossJoin(broadcast(total))
+      .select(col("tok"), col("c"),
+        round(sum(col("c")).over(w) / col("n_total"), 6).as("coverage"))
+      .orderBy(col("c").desc, col("tok").asc)
+  }
+
   /** Top bigram collocations by pointwise mutual information — the
     * corpus-statistics probe of a curation pipeline (which word pairs are
     * glued templates vs. free text; PMI spikes mark boilerplate and
