@@ -96,6 +96,17 @@ class TextAnalysisSpec extends SparkSpec {
       s"keywords must select per-doc top-k without a window sort:\n$plan")
   }
 
+  test("vocabulary: rank order, monotone coverage, exact shares") {
+    import testImplicits._
+    // counts: a=4, b=2, c=1 over 7 tokens
+    val docs = Seq((1L, "a a b c"), (2L, "a a b")).toDF("doc_id", "text")
+    val v = TextAnalysis.vocabulary(docs, col("text"), topV = 2)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(v == Seq(
+      ("a", 4L, math.rint(4.0 / 7 * 1e6) / 1e6),
+      ("b", 2L, math.rint(6.0 / 7 * 1e6) / 1e6)))
+  }
+
   test("collocations: a NULL-text row contributes nothing (nb derivation stays exact)") {
     import testImplicits._
     val docs = (Seq.fill(8)("a b") ++ Seq.fill(2)("a c")).zipWithIndex
