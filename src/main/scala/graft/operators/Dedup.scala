@@ -576,15 +576,19 @@ object Dedup {
       posexplode(array((0 until 4).map(b =>
         shiftright(col("sim"), b * 15).bitwiseAND(lit(0x7fffL))): _*)))
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "bval")
+    // hamming is computed and filtered in the join projection, BEFORE the
+    // distinct exchange: a pair's hamming is the same from every band that
+    // matched it, so pruning first is semantics-free and the distinct only
+    // shuffles qualifying pairs (on a hostile corpus most band candidates
+    // fail the radius and would otherwise ride the exchange just to be
+    // dropped after)
     banded.as("x").join(banded.as("y"),
         col("x.band") === col("y.band") && col("x.bval") === col("y.bval") &&
           col("x.id") < col("y.id"))
       .select(col("x.id").as("id_a"), col("y.id").as("id_b"),
-        col("x.sim").as("sim_a"), col("y.sim").as("sim_b"))
-      .distinct()
-      .withColumn("hamming", hamming(col("sim_a"), col("sim_b")))
+        hamming(col("x.sim"), col("y.sim")).as("hamming"))
       .filter(col("hamming") <= maxHamming)
-      .select(col("id_a"), col("id_b"), col("hamming"))
+      .distinct()
   }
 
   // ------------------------------------------------------ repeated spans
