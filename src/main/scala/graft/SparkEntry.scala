@@ -476,6 +476,13 @@ object SparkEntry {
       graft.sources.Testdata.table(s, dir, "documents")
         .select(col("doc_id"), TextAnalysis.langId(col("text")).as("lang_pred"))
         .orderBy("doc_id")),
+    // bigram-LM NLL (the closer CCNet-perplexity proxy): MLE conditionals
+    // over corpus bigram counts, context denominators derived from the
+    // bigram table, sorted-fold per-doc sums (bit-parity oracle)
+    "q_text_bigram_nll" -> ((s, dir) =>
+      TextAnalysis.bigramNll(graft.sources.Testdata.table(s, dir, "documents"),
+          col("doc_id"), col("text"))
+        .orderBy("id")),
     // tokenizer-prep vocabulary: top-30 tokens with cumulative coverage —
     // one corpus-sized count shuffle, TakeOrderedAndProject selection,
     // V-row window
@@ -1201,6 +1208,29 @@ object SparkEntry {
         |  SELECT *, row_number() OVER (PARTITION BY id ORDER BY score DESC, tok ASC) AS rn
         |  FROM s)
         |WHERE rn <= 3 ORDER BY id, score DESC, tok""".stripMargin,
+    // Bigram-NLL oracle: same positional bigrams, same MLE terms and
+    // parenthesization, same sorted-fold doc sum; 6-dp rounding absorbs the
+    // JVM-vs-libm last-ulp ln divergence (two ln calls per term, unlike the
+    // unigram model's one-variable ln difference)
+    "q_text_bigram_nll" ->
+      """WITH t AS (
+        |  SELECT doc_id AS id, string_split_regex(text, '\s+') AS w FROM documents
+        |), bp AS (
+        |  SELECT id, b, string_split(b, ' ')[1] AS prev FROM (
+        |    SELECT id, unnest(list_transform(range(1, len(w)), i -> w[i] || ' ' || w[i+1])) AS b FROM t)
+        |), c2 AS (SELECT b, count(*) AS c2 FROM bp GROUP BY b),
+        |cs AS (SELECT string_split(b, ' ')[1] AS prev, CAST(sum(c2) AS BIGINT) AS cs
+        |       FROM c2 GROUP BY 1),
+        |lp AS (
+        |  SELECT bp.id, ln(CAST(c2.c2 AS DOUBLE)) - ln(CAST(cs.cs AS DOUBLE)) AS lp
+        |  FROM bp JOIN c2 USING (b) JOIN cs USING (prev)
+        |), d AS (
+        |  SELECT id,
+        |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list(lp ORDER BY lp)), (a, x) -> a + x) AS s,
+        |    count(*) AS n
+        |  FROM lp GROUP BY id
+        |)
+        |SELECT id, round(s / -n, 6) AS avg_nll2, n AS n_bigrams FROM d ORDER BY id""".stripMargin,
     // Vocabulary oracle: same counts, same (c DESC, tok) total order, exact
     // integer running sum divided by the double total
     "q_text_vocab" ->

@@ -138,6 +138,40 @@ object TextAnalysis {
         col("n_tokens"))
   }
 
+  /** Bigram-LM quality scoring — [[unigramNll]] one order up (the closer
+    * proxy for the CCNet/KenLM perplexity filter): per-bigram
+    * lp = ln(c(prev,tok) / c(prev→·)) with MLE conditionals over the
+    * corpus's own bigram counts, averaged per document over its bigrams
+    * (docs with < 2 tokens have no bigrams and emit no row). The context
+    * denominator c(prev→·) is derived FROM the bigram-count table (a
+    * vocabulary-sized aggregation), not by re-scanning the corpus.
+    * Determinism contract as in [[unigramNll]]: the per-doc sum folds over
+    * the SORTED lp list, so the result is partition-invariant; the output
+    * is rounded to 6 dp because each term carries TWO ln calls and the
+    * JVM-vs-libm last-ulp divergence shows up where the unigram model's
+    * single-variable difference did not.
+    */
+  def bigramNll(docs: DataFrame, id: Column, text: Column): DataFrame = {
+    def ngrams2(toks: Column): Column =
+      org.apache.spark.sql.graft.Bridge.column(
+        graft.functions.WordNgramsExpr(
+          org.apache.spark.sql.graft.Bridge.expression(toks), 2))
+    val bigs = docs.select(id.as("id"), explode(ngrams2(wsTokens(text))).as("b"))
+      .withColumn("prev", split(col("b"), " ", 2).getItem(0))
+    val c2 = bigs.groupBy("b").agg(count(lit(1)).as("c2"))
+    val cs = c2.withColumn("prev", split(col("b"), " ", 2).getItem(0))
+      .groupBy("prev").agg(sum(col("c2")).as("cs"))
+    bigs.join(c2, Seq("b")).join(cs, Seq("prev"))
+      .select(col("id"),
+        (log(col("c2").cast("double")) - log(col("cs").cast("double"))).as("lp"))
+      .groupBy("id")
+      .agg(sort_array(collect_list(col("lp"))).as("lps"), count(lit(1)).as("n_bigrams"))
+      .select(col("id"),
+        round(aggregate(col("lps"), lit(0.0), (a, x) => a + x) / -col("n_bigrams"), 6)
+          .as("avg_nll2"),
+        col("n_bigrams"))
+  }
+
   /** The full per-document profile in one projection pass. */
   def profile(docs: DataFrame, text: Column): DataFrame =
     docs
