@@ -96,6 +96,22 @@ class TextAnalysisSpec extends SparkSpec {
       s"keywords must select per-doc top-k without a window sort:\n$plan")
   }
 
+  test("bigram NLL: hand-computed MLE conditionals; 1-token docs emit no row") {
+    import testImplicits._
+    // corpus bigrams: "a b" ×2, "a c" ×1, "b a" ×1 → c(a→·)=3, c(b→·)=1
+    val docs = Seq((1L, "a b a c"), (2L, "a b"), (3L, "x")).toDF("doc_id", "text")
+    val out = TextAnalysis.bigramNll(docs, col("doc_id"), col("text"))
+      .collect().map(r => r.getLong(0) -> (r.getDouble(1), r.getLong(2))).toMap
+    def r6(x: Double) = math.rint(x * 1e6) / 1e6
+    // doc 1: lps = ln(2/3), ln(1/1), ln(1/3) → avg_nll = −(sum)/3
+    val d1 = -(math.log(2.0 / 3) + math.log(1.0) + math.log(1.0 / 3)) / 3
+    // doc 2: single bigram "a b" → −ln(2/3)
+    val d2 = -math.log(2.0 / 3)
+    assert(out(1L)._2 == 3L && math.abs(out(1L)._1 - r6(d1)) < 1e-9)
+    assert(out(2L)._2 == 1L && math.abs(out(2L)._1 - r6(d2)) < 1e-9)
+    assert(!out.contains(3L))
+  }
+
   test("vocabulary: rank order, monotone coverage, exact shares") {
     import testImplicits._
     // counts: a=4, b=2, c=1 over 7 tokens
