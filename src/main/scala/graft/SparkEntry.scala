@@ -489,6 +489,14 @@ object SparkEntry {
     "q_text_vocab" -> ((s, dir) =>
       TextAnalysis.vocabulary(graft.sources.Testdata.table(s, dir, "documents"),
         col("text"), topV = 30)),
+    // per-doc novelty: share of the doc's distinct word-3-gram
+    // fingerprints occurring in NO other doc (df=1) — one tokenize pass,
+    // (doc, fp) count agg, fp-keyed df re-agg with exchange reuse, one
+    // equi-join; grams travel as 8-byte fingerprints
+    "q_text_novelty" -> ((s, dir) =>
+      TextAnalysis.novelty(graft.sources.Testdata.table(s, dir, "documents"),
+          col("doc_id"), col("text"), n = 3)
+        .orderBy("id")),
     // bigram collocations by PMI: two count aggs + pruned equi-joins +
     // totals broadcast; pmi rounded before ordering so the top-k boundary
     // is engine-stable
@@ -553,6 +561,13 @@ object SparkEntry {
         .groupBy("lang")
         .agg(count(lit(1)).as("n_docs"), sum(col("doc_id")).as("sum_ids"))
         .orderBy("lang")),
+    // Curation: deterministic 16-shard training layout audit — shard is
+    // pure id-hash arithmetic (scan-stage, no window/sort), the audit one
+    // 16-group aggregation (docs, token mass, source spread per shard)
+    "q_curate_shards" -> ((s, dir) =>
+      Curation.shardStats(graft.sources.Testdata.table(s, dir, "documents"),
+          col("doc_id"), col("text"), col("source"), nShards = 16)
+        .orderBy("shard_id")),
     // Curation: train/eval decontamination — docs sharing any word 5-gram
     // (by 64-bit fingerprint) with the eval subset (doc_id < 20) are
     // flagged; broadcast semi-join on the 8-byte gram fingerprint
@@ -668,6 +683,33 @@ object SparkEntry {
           pmod(col("pos"), lit(64)).cast("int").as("j"),
           round(col("col"), 6).as("g"))
         .orderBy("i", "j")),
+    // Embedding statistics: ONE Lloyd (k-means) round — codegen argmin
+    // assignment against the 8 seed centroids (no join; the matrix rides
+    // the task binary), then per-cluster means via the typed vector-mean
+    // aggregator (one (sum-vector, count) buffer per cluster through the
+    // exchange — the distributed k-means update step)
+    "q_embed_kmeans" -> ((s, dir) =>
+      IvfSearch.lloydStep(graft.sources.Testdata.table(s, dir, "embeddings"),
+          col("vec_id"), col("embedding"), c = 8)
+        .select(col("list_id"), col("n"), posexplode(col("centroid")))
+        .select(col("list_id"), col("n"), col("pos"),
+          round(col("col"), 6).as("mean_v"))
+        .orderBy("list_id", "pos")),
+    // Embedding training data: hard-negative mining — for each of 6 anchor
+    // vectors, the 4 most similar DIFFERENT-label items in one broadcast
+    // scan; the label-mismatch predicate runs before the GroupTopK heap so
+    // the anchor_id exchange moves <= anchors*k survivors
+    "q_embed_hardneg" -> ((s, dir) => {
+      val embs = graft.sources.Testdata.table(s, dir, "embeddings")
+      val anchors = embs.filter(col("vec_id") < 6)
+        .select(col("vec_id").as("anchor_id"), col("embedding").as("anchor_vec"),
+          col("label").as("anchor_label"))
+      Search.hardNegatives(embs, col("vec_id"), col("embedding"),
+          col("label"), anchors, k = 4)
+        .select(col("anchor_id"), col("id"), col("lbl").as("neg_label"),
+          round(col("score"), 6).as("score"))
+        .orderBy(col("anchor_id"), col("score").desc, col("id"))
+    }),
     // Dedup family (beyond-reference): exact content dedup via hash-groupBy
     "q_dedup_exact" -> ((s, dir) =>
       Dedup.exactDedup(graft.sources.Testdata.table(s, dir, "documents"),
@@ -1004,6 +1046,24 @@ object SparkEntry {
     "q_rel_sessions" -> ((s, dir) =>
       Relational.sessionize(graft.sources.Testdata.events(s, dir), gapMinutes = 30)
         .orderBy("user_id", "session_idx")),
+    // SCD-2 dimension build from the event log: per-user event_type change
+    // points with [valid_from, valid_to) ranges — one exchange + one sort
+    // shared by both windows (the filter preserves ordering)
+    "q_rel_scd2" -> ((s, dir) =>
+      Relational.scd2(graft.sources.Testdata.events(s, dir),
+          col("user_id"), col("ts"), col("event_id"), col("event_type"))
+        .select(col("k").as("user_id"), col("attr").as("event_type"),
+          col("valid_from"), col("valid_to"), col("tie").as("first_event_id"))
+        .orderBy("user_id", "valid_from", "first_event_id")),
+    // ordered conversion funnel (view -> click -> purchase, strictly-after
+    // sequence matching): ONE exchange — per-user sorted stage lists from a
+    // single groupBy, chained strictly-after minima as array folds, no
+    // self-joins or windows
+    "q_rel_funnel" -> ((s, dir) =>
+      Relational.funnel(graft.sources.Testdata.events(s, dir),
+          col("user_id"), col("ts"), col("event_type"),
+          Seq("view", "click", "purchase"))
+        .orderBy("stage_idx")),
     // Streaming batch-twin: the exact windowed-aggregation definition the
     // streaming path runs (graft.streaming.Streaming.windowedEventStats),
     // executed as a batch plan over the same events table
@@ -1243,6 +1303,25 @@ object SparkEntry {
         |SELECT tok, c,
         |  round(sum(c) OVER (ORDER BY c DESC, tok ASC ROWS UNBOUNDED PRECEDING) / n_total, 6) AS coverage
         |FROM top, tot ORDER BY c DESC, tok ASC""".stripMargin,
+    // Novelty oracle: same tokenize/3-gram/polyhash chain as the decontam
+    // oracles, distinct (doc, fp), fp doc-frequency, df=1 share per doc
+    "q_text_novelty" ->
+      s"""WITH tok AS (SELECT doc_id, string_split_regex(text, '\\s+') AS w FROM documents),
+         |gr AS (SELECT doc_id, list_transform(range(1, len(w)-1),
+         |  i -> w[i]||' '||w[i+1]||' '||w[i+2]) AS gs FROM tok),
+         |u AS (SELECT DISTINCT doc_id,
+         |  unnest(list_transform(gs, g -> $polyhashSql)) AS fp FROM gr),
+         |dfreq AS (SELECT fp, count(*) AS df FROM u GROUP BY fp),
+         |per AS (SELECT u.doc_id, count(*) AS n_grams,
+         |    sum(CASE WHEN df = 1 THEN 1 ELSE 0 END) AS n_unique
+         |  FROM u JOIN dfreq USING (fp) GROUP BY u.doc_id)
+         |SELECT d.doc_id AS id,
+         |  CAST(coalesce(per.n_grams, 0) AS BIGINT) AS n_grams,
+         |  CAST(coalesce(per.n_unique, 0) AS BIGINT) AS n_unique,
+         |  CASE WHEN coalesce(per.n_grams, 0) = 0 THEN 0.0
+         |       ELSE round(CAST(per.n_unique AS DOUBLE) / per.n_grams, 6) END AS novelty
+         |FROM documents d LEFT JOIN per ON d.doc_id = per.doc_id
+         |ORDER BY id""".stripMargin,
     // Collocations oracle: same tokenization, positional space-joined
     // bigrams (the WordNgramsExpr spelling), identical PMI parenthesization
     // and the same round-before-order total order
@@ -1484,6 +1563,46 @@ object SparkEntry {
         |)
         |SELECT user_id, session_idx, count(*) AS n_events, max(us) - min(us) AS duration_us
         |FROM x GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    // SCD-2 oracle: same (ts, event_id) total order in both windows
+    "q_rel_scd2" ->
+      """WITH o AS (
+        |  SELECT user_id, ts, event_id, event_type,
+        |    lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+        |  FROM events
+        |), ch AS (
+        |  SELECT user_id, event_type, ts, event_id FROM o
+        |  WHERE prev IS NULL OR prev <> event_type
+        |)
+        |SELECT user_id, event_type, ts AS valid_from,
+        |  lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS valid_to,
+        |  event_id AS first_event_id
+        |FROM ch ORDER BY user_id, valid_from, first_event_id""".stripMargin,
+    // Funnel oracle: per-user sorted stage lists, chained strictly-after
+    // minima as list folds (NULL predicate rows excluded by list_filter on
+    // both engines), single-row stage rollup
+    "q_rel_funnel" ->
+      """WITH per AS (
+        |  SELECT user_id,
+        |    min(CASE WHEN event_type = 'view' THEN ts END) AS t1,
+        |    list(ts ORDER BY ts) FILTER (WHERE event_type = 'click') AS l2,
+        |    list(ts ORDER BY ts) FILTER (WHERE event_type = 'purchase') AS l3
+        |  FROM events GROUP BY user_id
+        |), p2 AS (
+        |  SELECT user_id, t1, list_aggregate(list_filter(l2, x -> x > t1), 'min') AS t2, l3
+        |  FROM per
+        |), p3 AS (
+        |  SELECT user_id, t1, t2, list_aggregate(list_filter(l3, x -> x > t2), 'min') AS t3
+        |  FROM p2
+        |), t AS (SELECT count(t1) AS n1, count(t2) AS n2, count(t3) AS n3 FROM p3)
+        |SELECT 1 AS stage_idx, 'view' AS stage, n1 AS users,
+        |  CAST(1.0 AS DOUBLE) AS conv_from_prev FROM t
+        |UNION ALL SELECT 2, 'click', n2,
+        |  CASE WHEN n1 = 0 THEN CAST(0.0 AS DOUBLE)
+        |       ELSE round(CAST(n2 AS DOUBLE) / n1, 6) END FROM t
+        |UNION ALL SELECT 3, 'purchase', n3,
+        |  CASE WHEN n2 = 0 THEN CAST(0.0 AS DOUBLE)
+        |       ELSE round(CAST(n3 AS DOUBLE) / n2, 6) END FROM t
+        |ORDER BY stage_idx""".stripMargin,
     "q_text_bm25" -> bm25Oracle,
     "q_rerank_hybrid" -> rerankOracle,
     "q_text_search" -> textSearchOracle,
@@ -1852,6 +1971,43 @@ object SparkEntry {
         |  round(sum(a.v * b.v), 6) AS g
         |FROM e a JOIN e b ON a.vec_id = b.vec_id
         |GROUP BY a.p, b.p ORDER BY i, j""".stripMargin,
+    // Lloyd-step oracle: the q_ann_ivf assignment CTE (same double argmin
+    // with cid tie-break) feeding the per-(cluster, position) average
+    "q_embed_kmeans" ->
+      """WITH c AS (SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS cv
+        |           FROM embeddings WHERE vec_id < 8),
+        |e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ev FROM embeddings),
+        |asg AS (
+        |  SELECT vec_id, cid FROM (
+        |    SELECT e.vec_id, c.cid,
+        |      row_number() OVER (PARTITION BY e.vec_id ORDER BY
+        |        list_dot_product(c.cv, c.cv) - 2*list_dot_product(e.ev, c.cv) ASC,
+        |        c.cid ASC) AS rn
+        |    FROM e, c) WHERE rn = 1
+        |),
+        |x AS (
+        |  SELECT asg.cid, generate_subscripts(em.embedding, 1) - 1 AS pos,
+        |    CAST(unnest(em.embedding) AS DOUBLE) AS v
+        |  FROM asg JOIN embeddings em ON asg.vec_id = em.vec_id
+        |)
+        |SELECT cid AS list_id, CAST(count(*) AS BIGINT) AS n, CAST(pos AS INT) AS pos,
+        |  round(avg(v), 6) AS mean_v
+        |FROM x GROUP BY cid, pos ORDER BY list_id, pos""".stripMargin,
+    // Hard-negative oracle: label-mismatch join, cosine rank per anchor,
+    // round AFTER the rank-4 selection (same boundary as GroupTopK)
+    "q_embed_hardneg" ->
+      """WITH a AS (SELECT vec_id AS anchor_id, CAST(embedding AS DOUBLE[]) AS av, label AS al
+        |           FROM embeddings WHERE vec_id < 6),
+        |e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ev, label FROM embeddings),
+        |s AS (
+        |  SELECT a.anchor_id, e.vec_id AS id, e.label AS neg_label,
+        |    list_cosine_similarity(e.ev, a.av) AS score,
+        |    row_number() OVER (PARTITION BY a.anchor_id ORDER BY
+        |      list_cosine_similarity(e.ev, a.av) DESC, e.vec_id ASC) AS rn
+        |  FROM e JOIN a ON e.label <> a.al
+        |)
+        |SELECT anchor_id, id, neg_label, round(score, 6) AS score
+        |FROM s WHERE rn <= 4 ORDER BY anchor_id, score DESC, id""".stripMargin,
     // Bloom-decontamination oracle: the bloom phase is exact-by-
     // construction (verify join removes false positives), so the oracle is
     // the same plain 4-gram-fingerprint intersect — no bloom in SQL
@@ -1926,6 +2082,13 @@ object SparkEntry {
         |WHERE ((doc_id % 1000003) * 131 + 7) % 1000 <
         |  CASE lang WHEN 'en' THEN 200 WHEN 'de' THEN 500 WHEN 'es' THEN 800 ELSE 1000 END
         |GROUP BY lang ORDER BY lang""".stripMargin,
+    // Shard-layout oracle: the sampleBucket hash mod 16, same token count
+    "q_curate_shards" ->
+      """SELECT CAST(((doc_id % 1000003) * 131 + 7) % 1000 % 16 AS BIGINT) AS shard_id,
+        |  count(*) AS n_docs,
+        |  CAST(sum(len(string_split_regex(text, '\s+'))) AS BIGINT) AS total_tokens,
+        |  count(DISTINCT source) AS n_sources
+        |FROM documents GROUP BY shard_id ORDER BY shard_id""".stripMargin,
     // DSIR oracle: same smoothed LM terms (identical parenthesization),
     // same sorted-fold doc sum, same deterministic Gumbel hash and
     // (score DESC, id) total order

@@ -374,4 +374,33 @@ object Curation {
     */
   def capPerGroup(docs: DataFrame, groupCols: Seq[Column], order: Seq[Column], n: Int): DataFrame =
     org.apache.spark.sql.graft.GroupTopK.perGroup(docs, groupCols, order, n)
+
+  /** Deterministic shard assignment for training-data layout: shard =
+    * (id-hash mod `nShards`) with the SAME hash family as [[sampleBucket]],
+    * so membership is a pure per-row function — no window, no global sort,
+    * no coordination; any executor can compute any row's shard, which is
+    * what makes a 100 TB re-layout embarrassingly parallel (and backfills
+    * reproducible: re-running assigns identical shards).
+    */
+  def shardOf(id: Column, nShards: Int): Column = {
+    require(nShards >= 1)
+    pmod(sampleBucket(id), lit(nShards))
+  }
+
+  /** Shard-layout audit: per-shard document count, token mass, and source
+    * spread for an [[shardOf]] assignment — the balance check run before
+    * committing a layout (token skew across shards = stragglers in every
+    * downstream training epoch). One map-side-combined aggregation on
+    * `nShards` groups; the exact distinct-source count is a second partial
+    * pass over the same exchange, still `nShards`-bounded.
+    */
+  def shardStats(docs: DataFrame, id: Column, text: Column, source: Column,
+      nShards: Int): DataFrame =
+    docs.select(shardOf(id, nShards).as("shard_id"),
+        TextAnalysis.wsTokenCount(text).cast("long").as("n_tokens"),
+        source.as("source"))
+      .groupBy("shard_id")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("total_tokens"),
+        countDistinct(col("source")).as("n_sources"))
 }

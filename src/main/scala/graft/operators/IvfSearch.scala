@@ -123,4 +123,24 @@ object IvfSearch {
       .orderBy(desc("score"), asc("id"))
       .limit(k)
   }
+
+  /** ONE Lloyd (k-means) update round surfaced as a DataFrame: assign every
+    * vector to its nearest seed centroid (the [[assignCol]] codegen argmin —
+    * the centroid matrix rides the task binary, no join), then recompute
+    * each cluster's mean with the one-pass typed aggregator. The only
+    * exchange carries one (sum-vector, count) buffer per cluster — at 100 TB
+    * the update step is a single map-side-combined aggregation over the
+    * scan, which is why distributed k-means scales on exactly this shape
+    * ([[train]] iterates it; this entry exposes one auditable round).
+    */
+  def lloydStep(embs: DataFrame, id: Column, vec: Column, c: Int): DataFrame = {
+    val cents = centroidsFromIds(embs, id, vec, c)
+    val v = vec.cast(org.apache.spark.sql.types.ArrayType(
+      org.apache.spark.sql.types.FloatType))
+    embs.select(v.as("v"))
+      .withColumn("list_id", assignCol(col("v"), cents))
+      .groupBy("list_id")
+      .agg(count(lit(1)).as("n"),
+        graft.functions.VectorAggs.vectorMean(col("v")).as("centroid"))
+  }
 }

@@ -328,4 +328,68 @@ object Relational {
         count(lit(1)).as("n_events"),
         (max(col("us")) - min(col("us"))).as("duration_us"))
   }
+
+  /** SCD-2 (slowly-changing-dimension) build from an event log: collapse
+    * each key's stream to its CHANGE POINTS of `attr`, with
+    * `[valid_from, valid_to)` ranges (`valid_to` null = current). The
+    * warehouse dimension-table shape derived from raw events in one
+    * shuffle: both windows share the (key, ts, tie) partitioning+ordering,
+    * and the change-point filter preserves sort order, so Catalyst plans
+    * ONE exchange and ONE sort for the whole operator. `tie` must make the
+    * order total (duplicate timestamps otherwise make lag/lead
+    * nondeterministic).
+    */
+  def scd2(events: DataFrame, key: Column, ts: Column, tie: Column,
+      attr: Column): DataFrame = {
+    val w = Window.partitionBy("k").orderBy("ts", "tie")
+    events
+      .select(key.as("k"), ts.as("ts"), tie.as("tie"), attr.as("attr"))
+      .withColumn("prev", lag(col("attr"), 1).over(w))
+      .filter(col("prev").isNull || col("prev") =!= col("attr"))
+      .withColumn("valid_to", lead(col("ts"), 1).over(w))
+      // `tie` stays in the output: (k, valid_from) alone is not a total
+      // order when two change points share a timestamp
+      .select(col("k"), col("attr"), col("ts").as("valid_from"), col("valid_to"),
+        col("tie"))
+  }
+
+  /** Ordered conversion funnel: per user, the earliest stage-1 event, the
+    * earliest stage-2 event STRICTLY AFTER it, and the earliest stage-3
+    * event strictly after that — sequence-matched, not mere presence.
+    *
+    * One exchange total: a single groupBy(user) collects each user's
+    * per-stage timestamp lists (sorted on finish, bounded by that user's
+    * events), and the chained strictly-after minima are per-row array
+    * folds — no self-joins, no second shuffle, no window. The final
+    * stage-count rollup is a single-row aggregation of the tiny per-user
+    * frame.
+    */
+  def funnel(events: DataFrame, user: Column, ts: Column, typeCol: Column,
+      stages: Seq[String]): DataFrame = {
+    require(stages.length == 3, "three-stage funnel")
+    val per = events
+      .select(user.as("u"), ts.as("ts"), typeCol.as("et"))
+      .groupBy("u")
+      .agg(
+        min(when(col("et") === stages(0), col("ts"))).as("t1"),
+        sort_array(collect_list(when(col("et") === stages(1), col("ts")))).as("l2"),
+        sort_array(collect_list(when(col("et") === stages(2), col("ts")))).as("l3"))
+      .withColumn("t2", array_min(filter(col("l2"), c => c > col("t1"))))
+      .withColumn("t3", array_min(filter(col("l3"), c => c > col("t2"))))
+    val totals = per.agg(
+      count(col("t1")).as("n1"), count(col("t2")).as("n2"), count(col("t3")).as("n3"))
+    totals.select(explode(array(
+        struct(lit(1).as("stage_idx"), lit(stages(0)).as("stage"),
+          col("n1").as("users"), lit(1.0).as("conv_from_prev")),
+        struct(lit(2).as("stage_idx"), lit(stages(1)).as("stage"),
+          col("n2").as("users"),
+          when(col("n1") === 0, lit(0.0))
+            .otherwise(round(col("n2").cast("double") / col("n1"), 6)).as("conv_from_prev")),
+        struct(lit(3).as("stage_idx"), lit(stages(2)).as("stage"),
+          col("n3").as("users"),
+          when(col("n2") === 0, lit(0.0))
+            .otherwise(round(col("n3").cast("double") / col("n2"), 6)).as("conv_from_prev"))
+      )).as("r"))
+      .select(col("r.stage_idx"), col("r.stage"), col("r.users"), col("r.conv_from_prev"))
+  }
 }

@@ -91,6 +91,38 @@ object Search {
     val w = Window.partitionBy("query_id").orderBy(desc("score"), asc("id"))
     topk.withColumn("rank", row_number().over(w))
   }
+
+  /** Hard-negative mining for embedding-model training (the contrastive
+    * batch-construction step: for each anchor, the most similar items with
+    * a DIFFERENT label are the informative negatives). Same plan skeleton
+    * as [[findMostSimilarBatch]] — broadcast the anchor set against one
+    * corpus scan, score with the fused dot kernel — but the label-mismatch
+    * predicate runs BEFORE the heap, so same-label rows never enter the
+    * top-k and the `anchor_id` exchange still moves ≤ anchors·k survivors
+    * (GroupTopK partial). One corpus scan mines negatives for the whole
+    * anchor batch.
+    *
+    * `anchors`: (anchor_id, anchor_vec ARRAY&lt;FLOAT&gt;, anchor_label).
+    */
+  def hardNegatives(
+      embs: DataFrame,
+      id: Column,
+      vec: Column,
+      label: Column,
+      anchors: DataFrame,
+      k: Int = 5): DataFrame = {
+    val a = broadcast(anchors
+      .select(col("anchor_id"), col("anchor_vec"), col("anchor_label"),
+        sqrt(VF.normSq(col("anchor_vec"))).as("anrm")))
+    val scored = embs
+      .select(id.as("id"), vec.as("v"), label.as("lbl"))
+      .join(a, col("lbl") =!= col("anchor_label")) // negatives only
+      .withColumn("score",
+        VF.dot(col("v"), col("anchor_vec")) / (sqrt(VF.normSq(col("v"))) * col("anrm")))
+      .select(col("anchor_id"), col("id"), col("lbl"), col("score"))
+    org.apache.spark.sql.graft.GroupTopK.perGroup(
+      scored, Seq(col("anchor_id")), Seq(desc("score"), asc("id")), k)
+  }
 }
 
 /** Autocut (reference `autocut_scores`, vector_database.py:443-464): over a

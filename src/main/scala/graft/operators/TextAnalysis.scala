@@ -240,6 +240,43 @@ object TextAnalysis {
       .orderBy(col("c").desc, col("tok").asc)
   }
 
+  /** Per-document novelty: the share of a doc's DISTINCT word-n-gram
+    * fingerprints that occur in NO other document (df = 1) — the diversity
+    * signal a curation pipeline uses to favor docs contributing new content
+    * over near-boilerplate (high template overlap ⇒ low novelty), and the
+    * per-doc complement of the corpus-level dedup screens.
+    *
+    * Scale shape mirrors [[keywords]]: one tokenize + n-gram + fingerprint
+    * pass feeds a (doc, fp) count aggregation; the document-frequency
+    * branch re-aggregates THAT table by fp (its `tf > 0` gate keeps the
+    * subtree canonically identical so exchange reuse replaces a second
+    * corpus tokenize with a shuffle-file re-read); one fp-keyed equi-join
+    * (the gram table is never assumed broadcastable) and a per-doc count
+    * finish it. Grams ride as 8-byte fingerprints through every exchange —
+    * the text never shuffles.
+    */
+  def novelty(docs: DataFrame, id: Column, text: Column, n: Int = 3): DataFrame = {
+    val grams = docs.select(id.as("id"),
+        explode(org.apache.spark.sql.graft.Bridge.column(
+          graft.functions.WordNgramsExpr(
+            org.apache.spark.sql.graft.Bridge.expression(wsTokens(text)), n))).as("g"))
+      .select(col("id"), fingerprint(col("g")).as("fp"))
+    val tf = grams.groupBy("id", "fp").agg(count(lit(1)).as("tf"))
+    val dfreq = tf.filter(col("tf") > 0).groupBy("fp").agg(count(lit(1)).as("df"))
+    val per = tf.join(dfreq, Seq("fp"))
+      .groupBy("id").agg(
+        count(lit(1)).as("n_grams"),
+        sum(when(col("df") === 1, 1L).otherwise(0L)).as("n_unique"))
+    // short docs (< n tokens) have no grams: novelty 0 by convention
+    docs.select(id.as("id")).join(per, Seq("id"), "left")
+      .select(col("id"),
+        coalesce(col("n_grams"), lit(0L)).as("n_grams"),
+        coalesce(col("n_unique"), lit(0L)).as("n_unique"),
+        when(coalesce(col("n_grams"), lit(0L)) === 0, lit(0.0))
+          .otherwise(round(col("n_unique").cast("double") / col("n_grams"), 6))
+          .as("novelty"))
+  }
+
   /** Top bigram collocations by pointwise mutual information — the
     * corpus-statistics probe of a curation pipeline (which word pairs are
     * glued templates vs. free text; PMI spikes mark boilerplate and

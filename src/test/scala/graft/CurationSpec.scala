@@ -230,4 +230,23 @@ class CurationSpec extends SparkSpec {
     assert(plan.contains("GroupTopK"), s"expected the GroupTopK operator:\n$plan")
     assert(!plan.contains("Window"), s"cap must not plan a window sort:\n$plan")
   }
+
+  test("shard layout: in-range deterministic shards, stats cover the corpus") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val shards = docs.select(Curation.shardOf(col("doc_id"), 16).as("s"))
+      .collect().map(_.getLong(0))
+    assert(shards.forall(s => s >= 0 && s < 16))
+    // pure function of id: re-evaluation is identical
+    val again = docs.select(Curation.shardOf(col("doc_id"), 16).as("s"))
+      .collect().map(_.getLong(0))
+    assert(shards.toSeq == again.toSeq)
+    val stats = Curation.shardStats(docs, col("doc_id"), col("text"),
+      col("source"), nShards = 16).collect()
+    assert(stats.map(_.getAs[Long]("n_docs")).sum == docs.count())
+    assert(stats.forall(_.getAs[Long]("n_sources") >= 1))
+    // no window/sort in the plan: assignment is scan-stage arithmetic
+    val plan = Curation.shardStats(docs, col("doc_id"), col("text"),
+      col("source"), nShards = 16).queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), s"shard layout must not plan a window:\n$plan")
+  }
 }

@@ -79,4 +79,20 @@ class IvfSpec extends SparkSpec {
     assert(scan.contains("PartitionFilters") && scan.contains("list_id"),
       s"expected list_id partition pruning in:\n$scan")
   }
+
+  test("lloydStep: counts cover the corpus and a cluster mean is the member mean") {
+    val step = IvfSearch.lloydStep(embs, col("vec_id"), col("embedding"), c = 8)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getSeq[Double](2))).toMap
+    assert(step.values.map(_._1).sum == embs.count())
+    // hand-recompute cluster 0's mean from the assignment the index applies
+    val cents8 = IvfSearch.centroidsFromIds(embs, col("vec_id"), col("embedding"), c = 8)
+    val members = IvfSearch.index(embs, col("embedding"), cents8)
+      .filter(col("list_id") === 0L)
+      .select(col("embedding")).collect().map(_.getSeq[Float](0))
+    val want = Array.tabulate(64)(i =>
+      members.map(_(i).toDouble).sum / members.length)
+    val got = step(0L)._2
+    assert(step(0L)._1 == members.length.toLong)
+    assert(want.indices.forall(i => math.abs(got(i) - want(i)) < 1e-9))
+  }
 }

@@ -161,4 +161,47 @@ class RelationalSpec extends SparkSpec {
     val users = ev.select("user_id").distinct().count()
     assert(one.length == users)
   }
+
+  test("scd2: change points only, contiguous ranges, current row open") {
+    import testImplicits._
+    import org.apache.spark.sql.functions.col
+    import java.sql.Timestamp
+    def ts(s: Long) = new Timestamp(s * 1000L)
+    val ev = Seq(
+      (1L, ts(1), 10L, "x"), (1L, ts(2), 11L, "x"), (1L, ts(3), 12L, "y"),
+      (1L, ts(5), 13L, "x"), (2L, ts(4), 14L, "z")
+    ).toDF("user_id", "ts", "event_id", "event_type")
+    val out = Relational.scd2(ev, col("user_id"), col("ts"), col("event_id"),
+        col("event_type"))
+      .orderBy("k", "valid_from").collect()
+      .map(r => (r.getLong(0), r.getString(1),
+        r.getTimestamp(2).getTime / 1000, Option(r.getTimestamp(3)).map(_.getTime / 1000)))
+    assert(out.toSeq == Seq(
+      (1L, "x", 1L, Some(3L)), (1L, "y", 3L, Some(5L)), (1L, "x", 5L, None),
+      (2L, "z", 4L, None)))
+  }
+
+  test("funnel: strictly-after sequence matching, out-of-order stages don't count") {
+    import testImplicits._
+    import org.apache.spark.sql.functions.col
+    import java.sql.Timestamp
+    def ts(s: Long) = new Timestamp(s * 1000L)
+    val ev = Seq(
+      // user 1 completes in order
+      (1L, ts(1), "view"), (1L, ts(2), "click"), (1L, ts(3), "purchase"),
+      // user 2: click precedes the first view -> stalls at view
+      (2L, ts(5), "click"), (2L, ts(6), "view"),
+      // user 3: view then click, purchase BEFORE the click -> no stage 3
+      (3L, ts(1), "view"), (3L, ts(4), "click"), (3L, ts(2), "purchase"),
+      // user 4 never views: counted nowhere
+      (4L, ts(1), "purchase")
+    ).toDF("user_id", "ts", "event_type")
+    val out = Relational.funnel(ev, col("user_id"), col("ts"), col("event_type"),
+        Seq("view", "click", "purchase"))
+      .orderBy("stage_idx").collect()
+      .map(r => (r.getString(1), r.getLong(2), r.getDouble(3)))
+    assert(out.toSeq == Seq(
+      ("view", 3L, 1.0), ("click", 2L, math.rint(2.0 / 3 * 1e6) / 1e6),
+      ("purchase", 1L, 0.5)))
+  }
 }

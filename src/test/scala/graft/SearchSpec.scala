@@ -172,4 +172,30 @@ class SearchSpec extends SparkSpec {
     val parts = new java.io.File(dir).listFiles().count(_.getName.endsWith(".parquet"))
     assert(parts >= 2)
   }
+
+  test("hardNegatives: only label-mismatched items, k-bounded, brute-force top-1 agrees") {
+    val sfDir = "/root/testdata/sf0.001"
+    val embs = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val anchors = embs.filter(col("vec_id") < 4)
+      .select(col("vec_id").as("anchor_id"), col("embedding").as("anchor_vec"),
+        col("label").as("anchor_label"))
+    val out = Search.hardNegatives(embs, col("vec_id"), col("embedding"),
+      col("label"), anchors, k = 3).collect()
+    val anchorLabel = embs.filter(col("vec_id") < 4)
+      .select("vec_id", "label").collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(out.groupBy(_.getAs[Long]("anchor_id")).values.forall(_.length <= 3))
+    assert(out.forall(r => r.getAs[Int]("lbl") != anchorLabel(r.getAs[Long]("anchor_id"))))
+    // brute-force the best negative for anchor 0
+    val all = embs.select("vec_id", "embedding", "label").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).map(_.toDouble).toArray, r.getInt(2)))
+    val a0 = all.find(_._1 == 0L).get
+    def cos(x: Array[Double], y: Array[Double]) = {
+      val d = x.indices.map(i => x(i) * y(i)).sum
+      d / (math.sqrt(x.map(v => v * v).sum) * math.sqrt(y.map(v => v * v).sum))
+    }
+    val want = all.filter(_._3 != a0._3).maxBy(t => (cos(t._2, a0._2), -t._1))._1
+    val got = out.filter(_.getAs[Long]("anchor_id") == 0L)
+      .maxBy(_.getAs[Double]("score")).getAs[Long]("id")
+    assert(got == want)
+  }
 }

@@ -151,4 +151,26 @@ class TextAnalysisSpec extends SparkSpec {
       .collect().map(_.getString(0)).toSeq
     assert(pruned == Seq("a b"))
   }
+
+  test("novelty: df=1 gram share, hand-computed; short docs score 0") {
+    import testImplicits._
+    val docs = Seq(
+      (1L, "x y z w"),            // grams {x y z, y z w}: first shared with doc 2
+      (2L, "x y z q"),            // grams {x y z, y z q}
+      (3L, "u v w t"),            // both grams unique
+      (4L, "hi there")            // < 3 tokens: no grams
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.novelty(docs, col("doc_id"), col("text"), n = 3)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    assert(out(1L) == ((2L, 1L, 0.5)))
+    assert(out(2L) == ((2L, 1L, 0.5)))
+    assert(out(3L) == ((2L, 2L, 1.0)))
+    assert(out(4L) == ((0L, 0L, 0.0)))
+    // a repeated gram WITHIN one doc still counts as that doc's own (df=1)
+    val rep = Seq((1L, "a b c a b c a b c"), (2L, "z z z z")).toDF("doc_id", "text")
+    val r1 = TextAnalysis.novelty(rep, col("doc_id"), col("text"), n = 3)
+      .collect().map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    assert(r1(1L) == 1.0 && r1(2L) == 1.0)
+  }
 }
