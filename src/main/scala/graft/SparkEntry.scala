@@ -1215,6 +1215,30 @@ object SparkEntry {
       VectorStore.load(s, tmp).df
         .select("id", "metadata").orderBy(col("id").cast("bigint"))
     }),
+    // Source-format coverage: JSONL egress + ingest roundtrip (the LLM
+    // dataset interchange format) — line-splittable files, explicit schema
+    // on read (no inference pass); content proven by md5 against the
+    // parquet original
+    "q_source_jsonl_roundtrip" -> ((s, dir) => {
+      val docs = graft.sources.Testdata.table(s, dir, "documents")
+      val tmp = System.getProperty("java.io.tmpdir") + "/graft_roundtrip_jsonl"
+      graft.sources.TextFormats.writeJsonl(docs, tmp)
+      graft.sources.TextFormats.readJsonl(s, tmp, docs.schema)
+        .select(col("doc_id"), col("lang"), col("source"), col("n_chars"),
+          md5(col("text")).as("text_md5"))
+        .orderBy("doc_id")
+    }),
+    // Source-format coverage: headered-CSV egress + ingest roundtrip with
+    // an explicit schema (header names only, types from the schema)
+    "q_source_csv_roundtrip" -> ((s, dir) => {
+      val docs = graft.sources.Testdata.table(s, dir, "documents")
+      val tmp = System.getProperty("java.io.tmpdir") + "/graft_roundtrip_csv"
+      graft.sources.TextFormats.writeCsv(docs, tmp)
+      graft.sources.TextFormats.readCsv(s, tmp, docs.schema)
+        .select(col("doc_id"), col("lang"), col("source"), col("n_chars"),
+          md5(col("text")).as("text_md5"))
+        .orderBy("doc_id")
+    }),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -2337,5 +2361,13 @@ object SparkEntry {
     "q_crud_persist_roundtrip" ->
       """SELECT CAST(vec_id AS VARCHAR) AS id, '{"label":' || label || '}' AS metadata
         |FROM embeddings ORDER BY vec_id""".stripMargin,
+    // Format-roundtrip oracles: the roundtrip is content-preserving iff it
+    // reproduces the parquet original, so the oracle IS the original
+    "q_source_jsonl_roundtrip" ->
+      """SELECT doc_id, lang, source, n_chars, md5(text) AS text_md5
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "q_source_csv_roundtrip" ->
+      """SELECT doc_id, lang, source, n_chars, md5(text) AS text_md5
+        |FROM documents ORDER BY doc_id""".stripMargin,
   )
 }
