@@ -256,14 +256,24 @@ object TextAnalysis {
     * the text never shuffles.
     */
   def novelty(docs: DataFrame, id: Column, text: Column, n: Int = 3): DataFrame = {
-    val grams = docs.select(id.as("id"),
+    // the explicit not-null gate keeps BOTH downstream branches' scan
+    // subtrees identical: the final left-join-back pushes isnotnull(id)
+    // into the probe branch only, and without the gate already present on
+    // the shared subtree that asymmetry defeats the (id, fp) exchange
+    // reuse and the corpus tokenizes twice
+    val grams = docs.filter(id.isNotNull)
+      .select(id.as("id"),
         explode(org.apache.spark.sql.graft.Bridge.column(
           graft.functions.WordNgramsExpr(
             org.apache.spark.sql.graft.Bridge.expression(wsTokens(text)), n))).as("g"))
       .select(col("id"), fingerprint(col("g")).as("fp"))
     val tf = grams.groupBy("id", "fp").agg(count(lit(1)).as("tf"))
+    // BOTH branches gate on tf > 0 (vacuously true): without the gate the
+    // probe side prunes tf away and its partial aggregate degrades to a
+    // plain distinct, which de-canonicalizes the shared (id, fp) exchange
+    // and the corpus tokenizes twice (same trade as [[keywords]])
     val dfreq = tf.filter(col("tf") > 0).groupBy("fp").agg(count(lit(1)).as("df"))
-    val per = tf.join(dfreq, Seq("fp"))
+    val per = tf.filter(col("tf") > 0).join(dfreq, Seq("fp"))
       .groupBy("id").agg(
         count(lit(1)).as("n_grams"),
         sum(when(col("df") === 1, 1L).otherwise(0L)).as("n_unique"))
