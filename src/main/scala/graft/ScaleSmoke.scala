@@ -76,6 +76,17 @@ object ScaleSmoke {
     time("sessionize") {
       graft.operators.Relational.sessionize(ev, gapMinutes = 30).count()
     }
+    time("scd2 dimension build") {
+      graft.operators.Relational.scd2(ev, col("user_id"), col("ts"),
+        col("event_id"), col("event_type")).count()
+    }
+    time("funnel (view->click->purchase)") {
+      graft.operators.Relational.funnel(ev, col("user_id"), col("ts"),
+        col("event_type"), Seq("view", "click", "purchase")).count()
+    }
+    time("cohort retention matrix") {
+      graft.operators.Relational.retention(ev, col("user_id"), col("ts")).count()
+    }
 
     // ---- documents-family (pair ops under mass duplication) -------------
     val docs0 = graft.sources.Testdata.table(spark, sfDir, "documents")
@@ -132,6 +143,19 @@ object ScaleSmoke {
     time("per-source cap (10 longest per source)") {
       graft.operators.Curation.capPerGroup(docs, Seq(col("source")),
         Seq(col("n_chars").desc, col("doc_id").asc), n = 10).count()
+    }
+    // replication makes every gram df >= mult (novelty ~0 everywhere) —
+    // the timing still exercises the full two-exchange + join pipeline.
+    // The novelty >= 0 gate references the aggregated side: a bare count()
+    // lets Catalyst ELIMINATE the unique-key left join (and with it the
+    // whole gram pipeline), timing only the base scan.
+    time("novelty (df=1 3-gram share)") {
+      graft.operators.TextAnalysis.novelty(docs, col("doc_id"), col("text"), n = 3)
+        .filter(col("novelty") >= 0).count()
+    }
+    time("shard layout stats (16 shards)") {
+      graft.operators.Curation.shardStats(docs, col("doc_id"), col("text"),
+        col("source"), nShards = 16).count()
     }
 
     // ---- wired dedup tier (round-4/5 operators) -------------------------
@@ -206,6 +230,29 @@ object ScaleSmoke {
       val b = graft.operators.Quantized.binarize(emb, col("embedding"), dim = 64)
       graft.operators.Quantized.binarySearch(b, col("vec_id").cast("string"),
         col("embedding"), query, k = 10, rerank = 50).count()
+    }
+    // seeds from the ORIGINAL corpus for the same reason as semantic dedup
+    // below: the replicated table's smallest ids are all copies of vector 0
+    time("lloyd step (16 clusters, base seeds)") {
+      val cents = graft.operators.IvfSearch.centroidsFromIds(
+        emb0, col("vec_id"), col("embedding"), c = 16)
+      // reduce over the mean itself — a bare count() would prune the
+      // vectorMean aggregate and time only the assignment distinct
+      graft.operators.IvfSearch.index(emb, col("embedding"), cents)
+        .groupBy("list_id")
+        .agg(graft.functions.VectorAggs.vectorMean(col("embedding")).as("c"))
+        .select(count(element_at(col("c"), 1))).head().getLong(0)
+    }
+    time("centroid-distance outliers (top-100)") {
+      graft.operators.EmbedQc.outliers(emb, col("vec_id"), col("embedding"),
+        col("label"), k = 100).count()
+    }
+    time("hard negatives (6 anchors, k=4)") {
+      val anchors = emb0.filter(col("vec_id") < 6)
+        .select(col("vec_id").as("anchor_id"), col("embedding").as("anchor_vec"),
+          col("label").as("anchor_label"))
+      graft.operators.Search.hardNegatives(emb, col("vec_id"), col("embedding"),
+        col("label"), anchors, k = 4).count()
     }
     // cluster count grows with the corpus (C ∝ n keeps cluster size — and
     // therefore Σ|c|² = n·s — LINEAR in n; fixed C would be n²/C).

@@ -710,6 +710,13 @@ object SparkEntry {
           round(col("score"), 6).as("score"))
         .orderBy(col("anchor_id"), col("score").desc, col("id"))
     }),
+    // Embedding QC: distance-to-centroid outliers — broadcast per-label
+    // centroids (rounded to pin the float boundary), two fused dot kernels
+    // per row, 8-byte dist through the stats exchange, TakeOrderedAndProject
+    "q_embed_outliers" -> ((s, dir) =>
+      EmbedQc.outliers(graft.sources.Testdata.table(s, dir, "embeddings"),
+          col("vec_id"), col("embedding"), col("label"), k = 20)
+        .orderBy(col("z").desc, col("id").asc)),
     // Dedup family (beyond-reference): exact content dedup via hash-groupBy
     "q_dedup_exact" -> ((s, dir) =>
       Dedup.exactDedup(graft.sources.Testdata.table(s, dir, "documents"),
@@ -1055,6 +1062,12 @@ object SparkEntry {
         .select(col("k").as("user_id"), col("attr").as("event_type"),
           col("valid_from"), col("valid_to"), col("tie").as("first_event_id"))
         .orderBy("user_id", "valid_from", "first_event_id")),
+    // cohort retention matrix: acquisition-week cohorts x whole-week
+    // offsets — two user-key-aligned exchanges + a tiny-key distinct count
+    "q_rel_retention" -> ((s, dir) =>
+      Relational.retention(graft.sources.Testdata.events(s, dir),
+          col("user_id"), col("ts"))
+        .orderBy("cohort_week", "week_offset")),
     // ordered conversion funnel (view -> click -> purchase, strictly-after
     // sequence matching): ONE exchange — per-user sorted stage lists from a
     // single groupBy, chained strictly-after minima as array folds, no
@@ -1601,6 +1614,16 @@ object SparkEntry {
         |  lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS valid_to,
         |  event_id AS first_event_id
         |FROM ch ORDER BY user_id, valid_from, first_event_id""".stripMargin,
+    // Retention oracle: same Monday-start date_trunc week, same day-count
+    // arithmetic (date-cast difference, floor/7)
+    "q_rel_retention" ->
+      """WITH f AS (SELECT user_id AS u, min(ts) AS first_ts FROM events GROUP BY user_id)
+        |SELECT CAST(date_trunc('week', CAST(first_ts AS TIMESTAMP)) AS DATE) AS cohort_week,
+        |  CAST(floor(date_diff('day', CAST(first_ts AS DATE), CAST(ts AS DATE)) / 7) AS BIGINT) AS week_offset,
+        |  count(DISTINCT e.user_id) AS n_users
+        |FROM events e JOIN f ON e.user_id = f.u
+        |GROUP BY cohort_week, week_offset
+        |ORDER BY cohort_week, week_offset""".stripMargin,
     // Funnel oracle: per-user sorted stage lists, chained strictly-after
     // minima as list folds (NULL predicate rows excluded by list_filter on
     // both engines), single-row stage rollup
@@ -2017,6 +2040,28 @@ object SparkEntry {
         |SELECT cid AS list_id, CAST(count(*) AS BIGINT) AS n, CAST(pos AS INT) AS pos,
         |  round(avg(v), 6) AS mean_v
         |FROM x GROUP BY cid, pos ORDER BY list_id, pos""".stripMargin,
+    // Outlier oracle: 6-dp-rounded per-(label, pos) mean rebuilt as a list
+    // centroid, the same |v|^2 - 2 v.c + |c|^2 expansion, population std,
+    // round-before-order z with id tie-break
+    "q_embed_outliers" ->
+      """WITH m AS (
+        |  SELECT label AS lbl, pos, round(avg(v), 6) AS m FROM (
+        |    SELECT label, generate_subscripts(embedding, 1) AS pos,
+        |      CAST(unnest(embedding) AS DOUBLE) AS v
+        |    FROM embeddings) GROUP BY label, pos
+        |), c AS (SELECT lbl, list(m ORDER BY pos) AS cv FROM m GROUP BY lbl),
+        |d AS (
+        |  SELECT e.vec_id AS id, e.lbl,
+        |    sqrt(greatest(list_dot_product(ev, ev) - 2*list_dot_product(ev, c.cv)
+        |      + list_dot_product(c.cv, c.cv), 0.0)) AS dist
+        |  FROM (SELECT vec_id, label AS lbl, CAST(embedding AS DOUBLE[]) AS ev
+        |        FROM embeddings) e
+        |  JOIN c USING (lbl)
+        |), st AS (SELECT lbl, avg(dist) AS mu, stddev_pop(dist) AS sigma
+        |          FROM d GROUP BY lbl)
+        |SELECT id, lbl, round(dist, 6) AS dist, round((dist - mu) / sigma, 6) AS z
+        |FROM d JOIN st USING (lbl)
+        |ORDER BY z DESC, id ASC LIMIT 20""".stripMargin,
     // Hard-negative oracle: label-mismatch join, cosine rank per anchor,
     // round AFTER the rank-4 selection (same boundary as GroupTopK)
     "q_embed_hardneg" ->

@@ -1,0 +1,47 @@
+package graft.operators
+
+import graft.functions.{VectorFunctions => VF}
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Embedding quality control: distance-to-centroid outlier scoring — the
+  * pre-training screen that catches mislabeled/corrupt vectors (an
+  * embedding far from its own label's centroid is either noise or a label
+  * error, and both poison contrastive training batches).
+  *
+  * Scale shape: the per-label centroids are ONE map-side-combined
+  * aggregation (a (sum-vector, count) buffer per label — labels are few)
+  * broadcast back against the corpus; squared distance expands to
+  * `|v|² − 2·v·c + |c|²` so the per-row work is two fused dot kernels
+  * against the broadcast row, no posexplode. The per-label mean/std of the
+  * distance is a second small aggregation over (label, dist) — the corpus
+  * shuffles NOTHING wider than an 8-byte double through it — and the final
+  * top-k is a TakeOrderedAndProject, not a global sort.
+  *
+  * Determinism contract: centroids are rounded to 6 dp BEFORE the distance
+  * computation, pinning the float boundary on both engine sides (an
+  * unrounded mean's last-ulp shuffle-order drift would propagate through
+  * dist → z → the selection boundary); z is rounded before the final
+  * ordering with an id tie-break.
+  */
+object EmbedQc {
+
+  def outliers(embs: DataFrame, id: Column, vec: Column, label: Column,
+      k: Int): DataFrame = {
+    val cents = embs.groupBy(label.as("lbl"))
+      .agg(graft.functions.VectorAggs.vectorMean(vec).as("c0"))
+      .select(col("lbl"), transform(col("c0"), x => round(x, 6)).as("c"))
+    val d2 =
+      VF.normSq(col("v")) - lit(2.0) * VF.dot(col("v"), col("c")) + VF.normSq(col("c"))
+    val dists = embs.select(id.as("id"), label.as("lbl"), vec.as("v"))
+      .join(broadcast(cents), Seq("lbl"))
+      .select(col("id"), col("lbl"), sqrt(greatest(d2, lit(0.0))).as("dist"))
+    val stats = dists.groupBy("lbl")
+      .agg(avg(col("dist")).as("mu"), stddev_pop(col("dist")).as("sigma"))
+    dists.join(broadcast(stats), Seq("lbl"))
+      .select(col("id"), col("lbl"), round(col("dist"), 6).as("dist"),
+        round((col("dist") - col("mu")) / col("sigma"), 6).as("z"))
+      .orderBy(col("z").desc, col("id").asc)
+      .limit(k)
+  }
+}

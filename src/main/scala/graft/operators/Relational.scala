@@ -392,4 +392,23 @@ object Relational {
       )).as("r"))
       .select(col("r.stage_idx"), col("r.stage"), col("r.users"), col("r.conv_from_prev"))
   }
+
+  /** Cohort retention matrix: users grouped by acquisition week (their
+    * FIRST event), counted as active per whole-week offset from that first
+    * event. Two key-aligned exchanges: the first-event aggregation and the
+    * join back both hash on the user key (co-partitioned — one logical
+    * shuffle of the fact table), then the (cohort, offset) matrix is a
+    * distinct-count aggregation on a tiny key space. No windows, no
+    * self-join explosion.
+    */
+  def retention(events: DataFrame, user: Column, ts: Column): DataFrame = {
+    val first = events.groupBy(user.as("u")).agg(min(ts).as("first_ts"))
+    events.select(user.as("u"), ts.as("ts"))
+      .join(first, Seq("u"))
+      .select(col("u"),
+        date_trunc("week", col("first_ts")).cast("date").as("cohort_week"),
+        floor(datediff(col("ts"), col("first_ts")) / 7).cast("long").as("week_offset"))
+      .groupBy("cohort_week", "week_offset")
+      .agg(countDistinct(col("u")).as("n_users"))
+  }
 }

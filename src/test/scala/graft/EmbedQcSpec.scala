@@ -1,0 +1,46 @@
+package graft
+
+import graft.operators.EmbedQc
+import org.apache.spark.sql.functions._
+
+/** Embedding QC: a planted far-from-centroid vector must surface as the
+  * top outlier, and scores must be deterministic across re-evaluation.
+  */
+class EmbedQcSpec extends SparkSpec {
+
+  test("outliers: planted off-cluster vector ranks first; z ordering total") {
+    import testImplicits._
+    val rows = Seq(
+      (0L, Array(1.00f, 0.00f), 0),
+      (1L, Array(0.98f, 0.02f), 0),
+      (2L, Array(1.02f, -0.02f), 0),
+      (3L, Array(0.00f, 1.00f), 0), // planted outlier in label 0
+      (10L, Array(0.00f, 1.00f), 1),
+      (11L, Array(0.02f, 0.98f), 1),
+      (12L, Array(-0.02f, 1.02f), 1)
+    ).toDF("vec_id", "embedding", "label")
+    val out = EmbedQc.outliers(rows, col("vec_id"), col("embedding"),
+      col("label"), k = 3).collect()
+    assert(out.head.getAs[Long]("id") == 3L)
+    val zs = out.map(_.getAs[Double]("z")).toSeq
+    assert(zs == zs.sorted.reverse)
+    // deterministic: a second evaluation returns the identical frame
+    val again = EmbedQc.outliers(rows, col("vec_id"), col("embedding"),
+      col("label"), k = 3).collect()
+    assert(out.map(_.toSeq).toSeq == again.map(_.toSeq).toSeq)
+  }
+
+  test("outliers on the test corpus: k rows, finite scores, plan broadcasts stats") {
+    val embs = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val df = EmbedQc.outliers(embs, col("vec_id"), col("embedding"),
+      col("label"), k = 20)
+    val out = df.collect()
+    assert(out.length == 20)
+    assert(out.forall(r => !r.getAs[Double]("z").isNaN))
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"centroid/stats joins must broadcast:\n$plan")
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"top-k must not global-sort:\n$plan")
+  }
+}

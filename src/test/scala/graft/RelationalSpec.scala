@@ -204,4 +204,21 @@ class RelationalSpec extends SparkSpec {
       ("view", 3L, 1.0), ("click", 2L, math.rint(2.0 / 3 * 1e6) / 1e6),
       ("purchase", 1L, 0.5)))
   }
+
+  test("retention: Monday-start cohorts, whole-week offsets, distinct users") {
+    import testImplicits._
+    import org.apache.spark.sql.functions.col
+    val ev = Seq(
+      (1L, "2020-01-06 10:00:00"), (1L, "2020-01-09 10:00:00"), // offsets 0, 0
+      (1L, "2020-01-14 10:00:00"),                              // day 8 -> offset 1
+      (2L, "2020-01-07 09:00:00"), (2L, "2020-01-27 09:00:00"), // offsets 0, 2
+      (3L, "2020-01-15 12:00:00")                               // next cohort week
+    ).toDF("user_id", "s").withColumn("ts", col("s").cast("timestamp")).drop("s")
+    val got = Relational.retention(ev, col("user_id"), col("ts"))
+      .orderBy("cohort_week", "week_offset").collect()
+      .map(r => (r.getDate(0).toString, r.getLong(1), r.getLong(2))).toSeq
+    assert(got == Seq(
+      ("2020-01-06", 0L, 2L), ("2020-01-06", 1L, 1L), ("2020-01-06", 2L, 1L),
+      ("2020-01-13", 0L, 1L)))
+  }
 }
