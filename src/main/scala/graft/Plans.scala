@@ -33,7 +33,8 @@ object Plans {
       "q_knn_per_label", "q_dedup_source_overlap", "q_embed_gram",
       "q_text_vocab", "q_text_bigram_nll", "q_text_novelty",
       "q_embed_kmeans", "q_embed_hardneg", "q_embed_outliers",
-      "q_curate_shards", "q_rel_scd2", "q_rel_funnel", "q_rel_retention")
+      "q_curate_shards", "q_rel_scd2", "q_rel_funnel", "q_rel_retention",
+      "q_pipeline_embed")
     show.foreach { name =>
       println(s"\n## $name\n")
       println("```")
@@ -53,7 +54,8 @@ object Plans {
       "q_pipeline_curate", "q_dedup_embedding",
       // repeated-subtree queries: the final plans show whether exchange
       // reuse collapses the recomputed token-count aggregations
-      "q_text_keywords", "q_text_collocations", "q_text_novelty")
+      "q_text_keywords", "q_text_collocations", "q_text_novelty",
+      "q_pipeline_embed")
     println(s"\n# Appendix: FINAL adaptive plans (post-execution, AQE on)\n")
     aqeShow.foreach { name =>
       println(s"\n## $name (final adaptive plan)\n")

@@ -106,13 +106,18 @@ object SparkEntry {
     * candidate iff Hamming(bucket_a, bucket_b) ≤ radius (what the multiprobe
     * equi-join generates) — so the check is exact whatever the LSH recall.
     */
-  private val dedupEmbeddingLshOracle: String = {
+  /** SQL twin of the sign-LSH bucket id over `vecSql` — shared by the
+    * embedding-LSH dedup oracle and the embed-pipeline oracle.
+    */
+  private def bucketExpr(vecSql: String): String = {
     val planes = AnnSearch.hyperplanes(dim = 64)
-    def bucketExpr(vecSql: String): String =
-      planes.zipWithIndex.map { case (p, i) =>
-        val lst = p.mkString("[", ",", "]")
-        s"(CASE WHEN list_dot_product($vecSql, $lst) >= 0 THEN ${1 << i} ELSE 0 END)"
-      }.mkString("(", " + ", ")")
+    planes.zipWithIndex.map { case (p, i) =>
+      val lst = p.mkString("[", ",", "]")
+      s"(CASE WHEN list_dot_product($vecSql, $lst) >= 0 THEN ${1 << i} ELSE 0 END)"
+    }.mkString("(", " + ", ")")
+  }
+
+  private val dedupEmbeddingLshOracle: String = {
     s"""WITH e AS (
        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ev,
        |         ${bucketExpr("CAST(embedding AS DOUBLE[])")} AS bucket
@@ -591,6 +596,24 @@ object SparkEntry {
     // scrub → exact dedup → chunk → per-doc chunk stats. The point: every
     // stage is column algebra, so the chain fuses (gate and scrub share the
     // scan; only dedup's window and the final agg shuffle)
+    // Composed embedding pipeline in ONE plan: LSH near-dup screen (keep
+    // non-dominated) -> per-label centroid z-screen over the SURVIVORS ->
+    // deterministic 8-shard layout audit. The dedup candidate join, the
+    // broadcast centroid/stats joins, and the shard aggregation all stack
+    // into one DAG — the embedding-side twin of q_pipeline_curate.
+    "q_pipeline_embed" -> ((s, dir) => {
+      val embs = s.read.parquet(s"$dir/embeddings.parquet")
+      val dominated = Dedup.cosinePairsLsh(embs, col("vec_id"), col("embedding"),
+          tau = 0.4, planes = AnnSearch.hyperplanes(dim = 64), probeRadius = 2)
+        .select(col("id_b").as("vec_id")).distinct()
+      val surv = embs.join(dominated, Seq("vec_id"), "left_anti")
+      val kept = EmbedQc.zScreen(surv, col("vec_id"), col("embedding"),
+        col("label"), zMax = 3.0)
+      kept.select(Curation.shardOf(col("id"), 8).as("shard_id"), col("lbl"))
+        .groupBy("shard_id")
+        .agg(count(lit(1)).as("n_vecs"), countDistinct(col("lbl")).as("n_labels"))
+        .orderBy("shard_id")
+    }),
     "q_pipeline_curate" -> ((s, dir) => {
       val docs = graft.sources.Testdata.table(s, dir, "documents")
       val gated = Curation.gopherFilter(docs, col("doc_id"), col("text"))
@@ -2375,6 +2398,41 @@ object SparkEntry {
         |  AND list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) >= 0.4
         |ORDER BY id_a, id_b""".stripMargin,
     "q_dedup_embedding_lsh" -> dedupEmbeddingLshOracle,
+    // Embed-pipeline oracle: LSH dominated set (same bucket twin), survivor
+    // centroids/std (6-dp-rounded means, population std), rounded-z keep
+    // gate, sampleBucket-hash shard rollup
+    "q_pipeline_embed" ->
+      s"""WITH e AS (
+         |  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS ev,
+         |         ${bucketExpr("CAST(embedding AS DOUBLE[])")} AS bucket
+         |  FROM embeddings
+         |), dom AS (
+         |  SELECT DISTINCT b.vec_id FROM e a, e b
+         |  WHERE a.vec_id < b.vec_id
+         |    AND bit_count(xor(CAST(a.bucket AS BIGINT), CAST(b.bucket AS BIGINT))) <= 2
+         |    AND list_cosine_similarity(a.ev, b.ev) >= 0.4
+         |), surv AS (
+         |  SELECT vec_id, label, ev FROM e
+         |  WHERE vec_id NOT IN (SELECT vec_id FROM dom)
+         |), m AS (
+         |  SELECT lbl, pos, round(avg(v), 6) AS m FROM (
+         |    SELECT label AS lbl, generate_subscripts(ev, 1) AS pos, unnest(ev) AS v
+         |    FROM surv) GROUP BY lbl, pos
+         |), c AS (SELECT lbl, list(m ORDER BY pos) AS cv FROM m GROUP BY lbl),
+         |d AS (
+         |  SELECT s.vec_id AS id, s.label AS lbl,
+         |    sqrt(greatest(list_dot_product(ev, ev) - 2*list_dot_product(ev, c.cv)
+         |      + list_dot_product(c.cv, c.cv), 0.0)) AS dist
+         |  FROM surv s JOIN c ON s.label = c.lbl
+         |), st AS (SELECT lbl, avg(dist) AS mu, stddev_pop(dist) AS sigma
+         |          FROM d GROUP BY lbl),
+         |kept AS (
+         |  SELECT id, d.lbl FROM d JOIN st USING (lbl)
+         |  WHERE round((dist - mu) / sigma, 6) <= 3.0
+         |)
+         |SELECT CAST(((id % 1000003) * 131 + 7) % 1000 % 8 AS BIGINT) AS shard_id,
+         |  count(*) AS n_vecs, count(DISTINCT lbl) AS n_labels
+         |FROM kept GROUP BY shard_id ORDER BY shard_id""".stripMargin,
     "q_knn_autocut" ->
       """WITH topk AS (
         |  SELECT CAST(e.vec_id AS VARCHAR) AS id,

@@ -26,8 +26,11 @@ import org.apache.spark.sql.functions._
   */
 object EmbedQc {
 
-  def outliers(embs: DataFrame, id: Column, vec: Column, label: Column,
-      k: Int): DataFrame = {
+  /** Per-row (id, label, 6-dp dist, 6-dp z) against the row's own-label
+    * centroid — the shared core of [[outliers]] (rank view) and
+    * [[zScreen]] (gate view).
+    */
+  def zScored(embs: DataFrame, id: Column, vec: Column, label: Column): DataFrame = {
     val cents = embs.groupBy(label.as("lbl"))
       .agg(graft.functions.VectorAggs.vectorMean(vec).as("c0"))
       .select(col("lbl"), transform(col("c0"), x => round(x, 6)).as("c"))
@@ -41,7 +44,19 @@ object EmbedQc {
     dists.join(broadcast(stats), Seq("lbl"))
       .select(col("id"), col("lbl"), round(col("dist"), 6).as("dist"),
         round((col("dist") - col("mu")) / col("sigma"), 6).as("z"))
+  }
+
+  def outliers(embs: DataFrame, id: Column, vec: Column, label: Column,
+      k: Int): DataFrame =
+    zScored(embs, id, vec, label)
       .orderBy(col("z").desc, col("id").asc)
       .limit(k)
-  }
+
+  /** Keep-gate view: rows whose rounded z is within `zMax` (the screen a
+    * pipeline applies before training; the comparison runs on the ROUNDED
+    * z so the keep boundary is engine-stable).
+    */
+  def zScreen(embs: DataFrame, id: Column, vec: Column, label: Column,
+      zMax: Double): DataFrame =
+    zScored(embs, id, vec, label).filter(col("z") <= zMax)
 }

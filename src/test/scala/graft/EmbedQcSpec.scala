@@ -30,6 +30,23 @@ class EmbedQcSpec extends SparkSpec {
     assert(out.map(_.toSeq).toSeq == again.map(_.toSeq).toSeq)
   }
 
+  test("zScreen: outlier gate complements the ranked view") {
+    import testImplicits._
+    val rows = Seq(
+      (0L, Array(1.00f, 0.00f), 0), (1L, Array(0.98f, 0.02f), 0),
+      (2L, Array(1.02f, -0.02f), 0), (3L, Array(0.00f, 1.00f), 0),
+      (10L, Array(0.00f, 1.00f), 1), (11L, Array(0.02f, 0.98f), 1),
+      (12L, Array(-0.02f, 1.02f), 1)
+    ).toDF("vec_id", "embedding", "label")
+    val scored = EmbedQc.zScored(rows, col("vec_id"), col("embedding"), col("label"))
+      .collect().map(r => r.getAs[Long]("id") -> r.getAs[Double]("z")).toMap
+    val keepZ = 1.0
+    val kept = EmbedQc.zScreen(rows, col("vec_id"), col("embedding"), col("label"),
+      zMax = keepZ).collect().map(_.getAs[Long]("id")).toSet
+    assert(kept == scored.filter(_._2 <= keepZ).keySet)
+    assert(!kept.contains(3L)) // the planted outlier fails the gate
+  }
+
   test("outliers on the test corpus: k rows, finite scores, plan broadcasts stats") {
     val embs = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val df = EmbedQc.outliers(embs, col("vec_id"), col("embedding"),
