@@ -93,6 +93,43 @@ object Streaming {
       }
   }
 
+  /** Per-user funnel progress as a custom-state machine — the streaming
+    * twin of [[graft.operators.Relational.funnel]]'s strictly-after
+    * semantics: the state is (stage reached, that stage's event time), and
+    * a stage-k+1 event advances it only when its timestamp is strictly
+    * after the stage-k time. Rows are sorted by (ts, type) within each
+    * micro-batch before the fold, so in-batch disorder is repaired;
+    * CROSS-batch late events cannot retro-advance a stage (the watermarked
+    * ingest bounds how stale a batch can be — the documented streaming vs
+    * batch-twin divergence window).
+    *
+    * State per user is two numbers — at 100 TB-scale event volumes the
+    * state store grows with USERS, not events.
+    */
+  final case class FunnelProgress(user_id: Long, stage: Int, stage_us: Long)
+
+  def funnelProgress(events: DataFrame, stages: Seq[String]): Dataset[FunnelProgress] = {
+    require(stages.length == 3, "three-stage funnel")
+    val sp = events.sparkSession
+    import sp.implicits._
+    events
+      .select(col("user_id").cast("long"), unix_micros(col("ts")).as("us"),
+        col("event_type"))
+      .as[(Long, Long, String)]
+      .groupByKey(_._1)
+      .mapGroupsWithState[(Int, Long), FunnelProgress](GroupStateTimeout.NoTimeout) {
+        case (user, rows, state: GroupState[(Int, Long)]) =>
+          var (stage, sts) = state.getOption.getOrElse((0, Long.MinValue))
+          rows.toSeq.sortBy(r => (r._2, r._3)).foreach { case (_, us, et) =>
+            if (stage < 3 && et == stages(stage) && (stage == 0 || us > sts)) {
+              stage += 1; sts = us
+            }
+          }
+          state.update((stage, sts))
+          FunnelProgress(user, stage, sts)
+      }
+  }
+
   /** Start the running-totals stream into a named memory sink (update
     * mode — one refreshed row per user per batch).
     */

@@ -119,6 +119,43 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("funnel state machine: strictly-after advancement across micro-batches") {
+    val sp = spark
+    import sp.implicits._
+    implicit val sqlCtx = sp.sqlContext
+    def us(s: Long) = new Timestamp(s * 1000L)
+    val in = MemoryStream[(Long, Timestamp, String)]
+    val prog = Streaming.funnelProgress(
+      in.toDF().toDF("user_id", "ts", "event_type"),
+      Seq("view", "click", "purchase"))
+    val q = prog.writeStream.format("memory").queryName("funnel_prog")
+      .outputMode("update").start()
+    try {
+      // batch 1: user 1 views; user 2's click precedes any view (no advance)
+      in.addData((1L, us(1), "view"), (2L, us(5), "click"), (2L, us(6), "view"))
+      q.processAllAvailable()
+      // batch 2: user 1 clicks then purchases (in-batch disorder repaired);
+      // user 2's purchase is strictly after the view but stage 2 never
+      // happened, so it stays at 1
+      in.addData((1L, us(3), "purchase"), (1L, us(2), "click"), (2L, us(7), "purchase"))
+      q.processAllAvailable()
+      val last = sp.table("funnel_prog").collect()
+        .map(r => (r.getLong(0), (r.getInt(1), r.getLong(2))))
+        .groupBy(_._1).view.mapValues(_.map(_._2).maxBy(_._1)).toMap
+      assert(last(1L)._1 == 3) // full funnel across the batch boundary
+      assert(last(2L)._1 == 1) // out-of-order click never counted
+      // matches the batch twin over the same union of events
+      import org.apache.spark.sql.functions.col
+      val ev = Seq((1L, us(1), "view"), (2L, us(5), "click"), (2L, us(6), "view"),
+        (1L, us(3), "purchase"), (1L, us(2), "click"), (2L, us(7), "purchase"))
+        .toDF("user_id", "ts", "event_type")
+      val batch = graft.operators.Relational.funnel(ev, col("user_id"), col("ts"),
+          col("event_type"), Seq("view", "click", "purchase"))
+        .orderBy("stage_idx").collect().map(_.getLong(2)).toSeq
+      assert(batch == Seq(2L, 1L, 1L)) // views: u1+u2; click: u1; purchase: u1
+    } finally q.stop()
+  }
+
   test("session windows: per-user sessions close on the gap") {
     val sp = spark
     import sp.implicits._
