@@ -132,4 +132,44 @@ class PlanSpec extends SparkSpec {
     assert(plan.contains("*(1) Project") || plan.contains("WholeStageCodegen"),
       s"scoring must run inside codegen, got:\n$plan")
   }
+
+  test("novelty reuses the gram exchange: ONE tokenize pass in the final plan") {
+    val df = SparkEntry.queries("q_text_novelty")(spark, dir)
+    df.collect() // ReuseExchange shows in the FINAL adaptive plan
+    val plan = df.queryExecution.executedPlan.toString
+    // AdaptiveSparkPlanExec.toString prints final AND initial plans —
+    // count within the final section only
+    val finalPlan = plan.split("== Initial Plan ==").head
+    assert(finalPlan.contains("ReusedExchange"),
+      s"the df branch must re-read the (id, fp) shuffle, got:\n$finalPlan")
+    val generates = "Generate explode".r.findAllIn(finalPlan).length
+    assert(generates == 1,
+      s"expected exactly one tokenize+explode of the corpus, got $generates:\n$finalPlan")
+  }
+
+  test("hard negatives: GroupTopK partial runs before the anchor exchange") {
+    import org.apache.spark.sql.graft.GroupTopKExec
+    val embs = spark.read.parquet(s"$dir/embeddings.parquet")
+    val anchors = embs.filter(col("vec_id") < 4)
+      .select(col("vec_id").as("anchor_id"), col("embedding").as("anchor_vec"),
+        col("label").as("anchor_label"))
+    val df = graft.operators.Search.hardNegatives(embs, col("vec_id"),
+      col("embedding"), col("label"), anchors, k = 3)
+    df.collect()
+    val modes = allNodes(df.queryExecution.executedPlan)
+      .collect { case g: GroupTopKExec => g.partial }.sorted
+    assert(modes == Seq(false, true),
+      s"label-filtered batch mining must keep the partial+final heap pair, got $modes")
+  }
+
+  test("scd2 plans ONE data exchange + ONE sort shared by both windows") {
+    val df = SparkEntry.queries("q_rel_scd2")(spark, dir)
+    // pre-execution plan: the final orderBy adds a range exchange, so count
+    // hash exchanges (data) separately from the output-order exchange
+    val plan = df.queryExecution.executedPlan.toString
+    val hashEx = "Exchange hashpartitioning".r.findAllIn(plan).length
+    assert(hashEx == 1, s"both windows must share one (k, ts, tie) exchange:\n$plan")
+    val sorts = "\\bSort \\[".r.findAllIn(plan).length
+    assert(sorts <= 2, s"expected the shared window sort + output sort only:\n$plan")
+  }
 }
