@@ -573,6 +573,13 @@ object SparkEntry {
       Curation.shardStats(graft.sources.Testdata.table(s, dir, "documents"),
           col("doc_id"), col("text"), col("source"), nShards = 16)
         .orderBy("shard_id")),
+    // Curation: deterministic strided epoch order over the 16-shard hash
+    // layout — one per-shard dense rank (narrow rows), epoch position is
+    // pure arithmetic; no global sort of the corpus
+    "q_curate_epoch" -> ((s, dir) =>
+      Curation.epochOrder(graft.sources.Testdata.table(s, dir, "documents"),
+          col("doc_id"), nShards = 16)
+        .orderBy("epoch_pos")),
     // Curation: train/eval decontamination — docs sharing any word 5-gram
     // (by 64-bit fingerprint) with the eval subset (doc_id < 20) are
     // flagged; broadcast semi-join on the 8-byte gram fingerprint
@@ -2174,6 +2181,22 @@ object SparkEntry {
         |WHERE ((doc_id % 1000003) * 131 + 7) % 1000 <
         |  CASE lang WHEN 'en' THEN 200 WHEN 'de' THEN 500 WHEN 'es' THEN 800 ELSE 1000 END
         |GROUP BY lang ORDER BY lang""".stripMargin,
+    // Epoch-order oracle: same hash shard, same per-shard dense rank and
+    // stride arithmetic
+    "q_curate_epoch" ->
+      """WITH s AS (
+        |  SELECT doc_id AS id,
+        |    CAST(((doc_id % 1000003) * 131 + 7) % 1000 % 16 AS BIGINT) AS shard_id
+        |  FROM documents
+        |), p AS (
+        |  SELECT id, shard_id,
+        |    CAST(row_number() OVER (PARTITION BY shard_id ORDER BY id) - 1 AS BIGINT)
+        |      AS pos_in_shard
+        |  FROM s
+        |)
+        |SELECT id, shard_id, pos_in_shard,
+        |  pos_in_shard * 16 + shard_id AS epoch_pos
+        |FROM p ORDER BY epoch_pos""".stripMargin,
     // Shard-layout oracle: the sampleBucket hash mod 16, same token count
     "q_curate_shards" ->
       """SELECT CAST(((doc_id % 1000003) * 131 + 7) % 1000 % 16 AS BIGINT) AS shard_id,

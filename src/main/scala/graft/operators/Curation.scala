@@ -403,4 +403,22 @@ object Curation {
       .agg(count(lit(1)).as("n_docs"),
         sum(col("n_tokens")).as("total_tokens"),
         countDistinct(col("source")).as("n_sources"))
+
+  /** Deterministic training-epoch order over an [[shardOf]] layout: strided
+    * round-robin — `epoch_pos = pos_in_shard · nShards + shard_id` — so a
+    * training run draws one document per shard in rotation. Because the
+    * hash layout already mixes sources into every shard, the stride gives
+    * source-interleaved batches WITHOUT a global shuffle-sort of the
+    * corpus: the only per-row coordination is a dense rank within each
+    * shard (narrow (id, shard) rows through one window whose parallelism
+    * is the shard count), and the epoch position is pure arithmetic —
+    * resumable from any step, reproducible on backfills.
+    */
+  def epochOrder(docs: DataFrame, id: Column, nShards: Int): DataFrame = {
+    val w = Window.partitionBy("shard_id").orderBy("id")
+    docs.select(id.as("id"), shardOf(id, nShards).as("shard_id"))
+      .withColumn("pos_in_shard", (row_number().over(w) - 1).cast("long"))
+      .withColumn("epoch_pos",
+        col("pos_in_shard") * nShards + col("shard_id"))
+  }
 }

@@ -249,4 +249,21 @@ class CurationSpec extends SparkSpec {
       col("source"), nShards = 16).queryExecution.executedPlan.toString
     assert(!plan.contains("Window"), s"shard layout must not plan a window:\n$plan")
   }
+
+  test("epoch order: bijective positions, strided round-robin across shards") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val out = Curation.epochOrder(docs, col("doc_id"), nShards = 16)
+      .orderBy("epoch_pos").collect()
+    assert(out.length == docs.count())
+    // every doc gets a distinct epoch position
+    assert(out.map(_.getAs[Long]("epoch_pos")).distinct.length == out.length)
+    // within a full rotation, shards repeat only after all non-exhausted
+    // shards have been drawn once: the first 16 positions are 16 distinct
+    // shards (all shards non-empty at 500 docs, per shardStats)
+    val firstRotation = out.take(16).map(_.getAs[Long]("shard_id")).toSet
+    assert(firstRotation.size == 16)
+    // stride arithmetic: epoch_pos ≡ shard_id (mod nShards)
+    assert(out.forall(r =>
+      r.getAs[Long]("epoch_pos") % 16 == r.getAs[Long]("shard_id")))
+  }
 }
