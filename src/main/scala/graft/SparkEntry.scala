@@ -1092,6 +1092,13 @@ object SparkEntry {
         .select(col("k").as("user_id"), col("attr").as("event_type"),
           col("valid_from"), col("valid_to"), col("tie").as("first_event_id"))
         .orderBy("user_id", "valid_from", "first_event_id")),
+    // event-type affinity (market-basket lift): user-key co-partitioned
+    // self-join over per-user DISTINCT type sets — pair fanout bounded by
+    // the type count, never raw event volume
+    "q_rel_affinity" -> ((s, dir) =>
+      Relational.typeAffinity(graft.sources.Testdata.events(s, dir),
+          col("user_id"), col("event_type"))
+        .orderBy("ta", "tb")),
     // cohort retention matrix: acquisition-week cohorts x whole-week
     // offsets — two user-key-aligned exchanges + a tiny-key distinct count
     "q_rel_retention" -> ((s, dir) =>
@@ -1644,6 +1651,22 @@ object SparkEntry {
         |  lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS valid_to,
         |  event_id AS first_event_id
         |FROM ch ORDER BY user_id, valid_from, first_event_id""".stripMargin,
+    // Affinity oracle: same distinct (user, type) base, ordered pairs,
+    // identical lift parenthesization
+    "q_rel_affinity" ->
+      """WITH ut AS (SELECT DISTINCT user_id AS u, event_type AS t FROM events),
+        |n AS (SELECT CAST(count(DISTINCT user_id) AS DOUBLE) AS n_users FROM events),
+        |s AS (SELECT t, count(*) AS ct FROM ut GROUP BY t),
+        |p AS (
+        |  SELECT a.t AS ta, b.t AS tb, count(*) AS cab
+        |  FROM ut a JOIN ut b ON a.u = b.u AND a.t < b.t
+        |  GROUP BY a.t, b.t
+        |)
+        |SELECT ta, tb, cab,
+        |  round((CAST(cab AS DOUBLE) * n_users) /
+        |    (CAST(sa.ct AS DOUBLE) * CAST(sb.ct AS DOUBLE)), 6) AS lift
+        |FROM p JOIN s sa ON p.ta = sa.t JOIN s sb ON p.tb = sb.t, n
+        |ORDER BY ta, tb""".stripMargin,
     // Retention oracle: same Monday-start date_trunc week, same day-count
     // arithmetic (date-cast difference, floor/7)
     "q_rel_retention" ->

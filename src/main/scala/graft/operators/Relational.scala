@@ -393,6 +393,33 @@ object Relational {
       .select(col("r.stage_idx"), col("r.stage"), col("r.users"), col("r.conv_from_prev"))
   }
 
+  /** Market-basket affinity over per-user event-type sets: for each
+    * unordered type pair, the co-occurrence count and lift
+    * `P(a∧b) / (P(a)·P(b))` across users. The self-join is on the USER key
+    * (co-partitioned with the distinct aggregation feeding it) and its
+    * fanout is bounded by the per-user DISTINCT type count — at k types the
+    * pair space is k·(k−1)/2 per user regardless of event volume, so the
+    * operator scales with users, never with raw events. Lift is rounded
+    * before the final ordering (engine-stable boundary).
+    */
+  def typeAffinity(events: DataFrame, user: Column, typeCol: Column): DataFrame = {
+    val ut = events.select(user.as("u"), typeCol.as("t")).distinct()
+    val nUsers = events.select(user.as("u")).distinct()
+      .agg(count(lit(1)).cast("double").as("n_users"))
+    val singles = ut.groupBy("t").agg(count(lit(1)).as("ct"))
+    val pairs = ut.as("a").join(ut.as("b"),
+        col("a.u") === col("b.u") && col("a.t") < col("b.t"))
+      .groupBy(col("a.t").as("ta"), col("b.t").as("tb"))
+      .agg(count(lit(1)).as("cab"))
+    pairs
+      .join(broadcast(singles.select(col("t").as("ta"), col("ct").as("ca"))), Seq("ta"))
+      .join(broadcast(singles.select(col("t").as("tb"), col("ct").as("cb"))), Seq("tb"))
+      .crossJoin(broadcast(nUsers))
+      .select(col("ta"), col("tb"), col("cab"),
+        round((col("cab").cast("double") * col("n_users")) /
+          (col("ca").cast("double") * col("cb").cast("double")), 6).as("lift"))
+  }
+
   /** Cohort retention matrix: users grouped by acquisition week (their
     * FIRST event), counted as active per whole-week offset from that first
     * event. Two key-aligned exchanges: the first-event aggregation and the

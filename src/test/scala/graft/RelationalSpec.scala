@@ -221,4 +221,21 @@ class RelationalSpec extends SparkSpec {
       ("2020-01-06", 0L, 2L), ("2020-01-06", 1L, 1L), ("2020-01-06", 2L, 1L),
       ("2020-01-13", 0L, 1L)))
   }
+
+  test("type affinity: hand-computed lift over distinct per-user type sets") {
+    import testImplicits._
+    import org.apache.spark.sql.functions.col
+    // users: 1 {a,b}, 2 {a,b}, 3 {a}, 4 {b,c} — n=4
+    // lift(a,b) = (2 * 4) / (3 * 3); lift(b,c) = (1 * 4) / (3 * 1)
+    val ev = Seq((1L, "a"), (1L, "b"), (1L, "a"), (2L, "a"), (2L, "b"),
+      (3L, "a"), (4L, "b"), (4L, "c")).toDF("user_id", "event_type")
+    val got = Relational.typeAffinity(ev, col("user_id"), col("event_type"))
+      .orderBy("ta", "tb").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getDouble(3))).toSeq
+    assert(got == Seq(
+      ("a", "b", 2L, math.rint(8.0 / 9 * 1e6) / 1e6),
+      ("b", "c", 1L, math.rint(4.0 / 3 * 1e6) / 1e6)))
+    // duplicate events (user 1's second 'a') must not inflate counts
+    assert(got.head._3 == 2L)
+  }
 }
