@@ -34,7 +34,7 @@ object Plans {
       "q_text_vocab", "q_text_bigram_nll", "q_text_novelty",
       "q_embed_kmeans", "q_embed_hardneg", "q_embed_outliers",
       "q_curate_shards", "q_rel_scd2", "q_rel_funnel", "q_rel_retention",
-      "q_pipeline_embed")
+      "q_pipeline_embed", "q_curate_epoch", "q_rel_affinity")
     show.foreach { name =>
       println(s"\n## $name\n")
       println("```")
