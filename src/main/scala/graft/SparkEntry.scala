@@ -2112,7 +2112,8 @@ object SparkEntry {
         |  JOIN c USING (lbl)
         |), st AS (SELECT lbl, avg(dist) AS mu, stddev_pop(dist) AS sigma
         |          FROM d GROUP BY lbl)
-        |SELECT id, lbl, round(dist, 6) AS dist, round((dist - mu) / sigma, 6) AS z
+        |SELECT id, lbl, round(dist, 6) AS dist,
+        |  CASE WHEN sigma = 0 THEN 0.0 ELSE round((dist - mu) / sigma, 6) END AS z
         |FROM d JOIN st USING (lbl)
         |ORDER BY z DESC, id ASC LIMIT 20""".stripMargin,
     // Hard-negative oracle: label-mismatch join, cosine rank per anchor,
@@ -2474,7 +2475,8 @@ object SparkEntry {
          |          FROM d GROUP BY lbl),
          |kept AS (
          |  SELECT id, d.lbl FROM d JOIN st USING (lbl)
-         |  WHERE round((dist - mu) / sigma, 6) <= 3.0
+         |  WHERE (CASE WHEN sigma = 0 THEN 0.0
+         |         ELSE round((dist - mu) / sigma, 6) END) <= 3.0
          |)
          |SELECT CAST(((id % 1000003) * 131 + 7) % 1000 % 8 AS BIGINT) AS shard_id,
          |  count(*) AS n_vecs, count(DISTINCT lbl) AS n_labels

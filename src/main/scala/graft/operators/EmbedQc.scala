@@ -41,9 +41,14 @@ object EmbedQc {
       .select(col("id"), col("lbl"), sqrt(greatest(d2, lit(0.0))).as("dist"))
     val stats = dists.groupBy("lbl")
       .agg(avg(col("dist")).as("mu"), stddev_pop(col("dist")).as("sigma"))
+    // sigma = 0 (singleton or all-identical label) ⇒ every member sits at
+    // the mean ⇒ z = 0 by convention. Without the guard Spark's non-ANSI
+    // x/0 yields NULL and the whole label silently falls out of zScreen
+    // (and NaN sorts differently across engines in the outlier ranking).
     dists.join(broadcast(stats), Seq("lbl"))
       .select(col("id"), col("lbl"), round(col("dist"), 6).as("dist"),
-        round((col("dist") - col("mu")) / col("sigma"), 6).as("z"))
+        when(col("sigma") === 0, lit(0.0))
+          .otherwise(round((col("dist") - col("mu")) / col("sigma"), 6)).as("z"))
   }
 
   def outliers(embs: DataFrame, id: Column, vec: Column, label: Column,

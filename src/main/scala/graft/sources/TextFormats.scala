@@ -12,8 +12,14 @@ import org.apache.spark.sql.types.StructType
   * the distributed equivalent.
   *
   * Scale contract:
-  *  - both formats are LINE-SPLITTABLE, so a 100 TB directory reads as one
-  *    task per `maxPartitionBytes` slice — no single-reader bottleneck;
+  *  - JSONL is LINE-SPLITTABLE (the JSON writer escapes embedded newlines
+  *    as \n inside the string), so a 100 TB directory reads as one task
+  *    per `maxPartitionBytes` slice — no single-reader bottleneck. It is
+  *    the recommended interchange format for exactly this reason;
+  *  - CSV quotes embedded newlines LITERALLY, so a correct reader must run
+  *    in multiLine mode — which reads one file per task (no intra-file
+  *    splitting). Correctness wins here; parallelism then comes from the
+  *    file count, which the writer controls (one file per task);
   *  - readers take an EXPLICIT schema: schema inference is a full extra
   *    pass over the data (and type-unstable across samples) — at scale it
   *    is always a bug, so these APIs do not expose it;
@@ -34,13 +40,33 @@ object TextFormats {
   def readJsonl(spark: SparkSession, path: String, schema: StructType): DataFrame =
     spark.read.schema(schema).json(path)
 
-  /** Write `df` as headered CSV. */
+  /** Write `df` as headered CSV. CSV has no native null/empty-string
+    * distinction, so this writer pins a convention: NULL is the bare
+    * token `\N` (the MySQL/Hive sentinel), empty string is a quoted `""`.
+    * Without it the default reader folds both to NULL (it compares the
+    * parsed datum to nullValue="" AFTER unquoting). Caveat of any
+    * sentinel scheme: a data value that is literally `\N` reads back as
+    * NULL.
+    */
   def writeCsv(df: DataFrame, path: String): Unit =
-    df.write.mode("overwrite").option("header", "true").csv(path)
+    df.write.mode("overwrite")
+      .option("header", "true")
+      .option("nullValue", "\\N")
+      .option("emptyValue", "\"\"")
+      .csv(path)
 
-  /** Read a headered CSV directory with an explicit schema (the header is
-    * only used to NAME columns on read; types come from `schema`).
+  /** Read a headered CSV directory with an explicit schema (with an
+    * explicit schema Spark maps columns POSITIONALLY and skips the header
+    * row; types come from `schema`). multiLine mode is mandatory for
+    * correctness: quoted fields may contain literal newlines, and without
+    * it such rows silently shatter into garbage records. The nullValue
+    * option mirrors the writer's `\N`/`""` convention so empty strings
+    * survive the roundtrip.
     */
   def readCsv(spark: SparkSession, path: String, schema: StructType): DataFrame =
-    spark.read.schema(schema).option("header", "true").csv(path)
+    spark.read.schema(schema)
+      .option("header", "true")
+      .option("multiLine", "true")
+      .option("nullValue", "\\N")
+      .csv(path)
 }

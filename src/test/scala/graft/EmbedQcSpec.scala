@@ -47,6 +47,27 @@ class EmbedQcSpec extends SparkSpec {
     assert(!kept.contains(3L)) // the planted outlier fails the gate
   }
 
+  test("sigma = 0 labels: singleton and all-identical groups score z = 0, pass the screen") {
+    import testImplicits._
+    val rows = Seq(
+      (0L, Array(1.00f, 0.00f), 0),             // singleton label
+      (10L, Array(0.00f, 1.00f), 1),            // identical pair: sigma = 0
+      (11L, Array(0.00f, 1.00f), 1),
+      (20L, Array(1.00f, 0.00f), 2),            // a normal spread label
+      (21L, Array(0.00f, 1.00f), 2)
+    ).toDF("vec_id", "embedding", "label")
+    val scored = EmbedQc.zScored(rows, col("vec_id"), col("embedding"), col("label"))
+      .collect().map(r => r.getAs[Long]("id") ->
+        Option(r.get(r.fieldIndex("z"))).map(_.asInstanceOf[Double])).toMap
+    // no NULLs, no NaNs; degenerate labels score exactly 0
+    assert(scored.values.forall(z => z.exists(v => !v.isNaN)))
+    assert(scored(0L).contains(0.0) && scored(10L).contains(0.0) && scored(11L).contains(0.0))
+    // the screen must RETAIN degenerate labels (they'd vanish on NULL z)
+    val kept = EmbedQc.zScreen(rows, col("vec_id"), col("embedding"), col("label"),
+      zMax = 3.0).collect().map(_.getAs[Long]("id")).toSet
+    assert(Set(0L, 10L, 11L).subsetOf(kept))
+  }
+
   test("outliers on the test corpus: k rows, finite scores, plan broadcasts stats") {
     val embs = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val df = EmbedQc.outliers(embs, col("vec_id"), col("embedding"),

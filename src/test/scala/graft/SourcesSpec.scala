@@ -98,4 +98,31 @@ class SourcesSpec extends SparkSpec {
       .orderBy("doc_id").collect().map(r => (r.getLong(0), r.getString(1))).toSeq
     assert(gotC == want)
   }
+
+  test("roundtrips survive adversarial text: embedded newlines, quotes, commas, backslashes") {
+    import org.apache.spark.sql.functions._
+    import testImplicits._
+    val nasty = Seq(
+      (1L, "line one\nline two\r\nline three"),   // CSV quotes these LITERALLY
+      (2L, "she said \"hi\", twice"),             // quote + delimiter
+      (3L, "backslash \\n is not a newline"),     // literal backslash-n
+      (4L, ""),                                   // empty string ≠ NULL
+      (5L, "plain"),
+      (6L, null: String)                          // NULL ≠ empty string
+    ).toDF("doc_id", "text")
+    val want = nasty.orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq
+
+    val jd = Files.createTempDirectory("graft_tf_jnasty").toString
+    graft.sources.TextFormats.writeJsonl(nasty, jd)
+    val gotJ = graft.sources.TextFormats.readJsonl(spark, jd, nasty.schema)
+      .orderBy("doc_id").collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(gotJ == want)
+
+    val cd = Files.createTempDirectory("graft_tf_cnasty").toString
+    graft.sources.TextFormats.writeCsv(nasty, cd)
+    val gotC = graft.sources.TextFormats.readCsv(spark, cd, nasty.schema)
+      .orderBy("doc_id").collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(gotC == want)
+  }
 }
