@@ -508,6 +508,19 @@ object SparkEntry {
     "q_text_collocations" -> ((s, dir) =>
       TextAnalysis.collocations(graft.sources.Testdata.table(s, dir, "documents"),
         col("text"), minCount = 5L, topK = 20)),
+    // TextRank keywords: fixed-iteration damped PageRank over the
+    // adjacent-token graph — edge-sized working set after one count agg,
+    // one equi-join + sorted-fold agg per iteration
+    "q_text_textrank" -> ((s, dir) =>
+      TextAnalysis.textrank(graft.sources.Testdata.table(s, dir, "documents"),
+        col("text"), iters = 5, damping = 0.85, topK = 20)),
+    // hashed-feature linear quality classifier (fastText shape):
+    // bucket→weight→mean→sigmoid entirely inside transform/aggregate —
+    // zero-shuffle single projection, deterministic weight table
+    "q_text_qclassifier" -> ((s, dir) =>
+      TextAnalysis.hashedClassifier(graft.sources.Testdata.table(s, dir, "documents"),
+          col("doc_id"), col("text"), dim = 4096)
+        .orderBy("id")),
     // per-doc TF-IDF keywords: two count aggs + vocab equi-join, then the
     // per-doc top-3 as the GroupTopK bounded heap (no window sort)
     "q_text_keywords" -> ((s, dir) =>
@@ -531,6 +544,11 @@ object SparkEntry {
         .groupBy("split")
         .agg(count(lit(1)).as("n_docs"), sum(col("doc_id")).as("sum_ids"))
         .orderBy("split")),
+    // Split-leakage audit: near-dup pair matrix BETWEEN train/val/test —
+    // the prefix-filter Jaccard pair join + id-arithmetic split assignment
+    "q_curate_split_leakage" -> ((s, dir) =>
+      Curation.splitLeakage(graft.sources.Testdata.table(s, dir, "documents"),
+        col("doc_id"), col("text"), tau = 0.5)),
     // Curation: percentile-threshold quality filter — corpus-level exact
     // quantile (single-row broadcast) gates the per-doc quality score
     "q_curate_quality_filter" -> ((s, dir) => {
@@ -1422,6 +1440,67 @@ object SparkEntry {
         |  WHERE b.cxy >= 5
         |), tot
         |ORDER BY pmi DESC, bigram ASC LIMIT 20""".stripMargin,
+    // TextRank oracle: the 5 damped-PageRank iterations unrolled as CTEs.
+    // Contribution sums fold over value-sorted lists (partition/engine
+    // invariant); the restart term is written (CAST(1.0 AS DOUBLE) -
+    // CAST(0.85 AS DOUBLE)) because DuckDB decimal-literal subtraction is
+    // exact-decimal, which differs in the last ulp from the Scala side's
+    // IEEE `1.0 - 0.85`.
+    "q_text_textrank" -> {
+      val iter = (i: Int) =>
+        s"""i$i AS (
+           |  SELECT ew.dst AS tok,
+           |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+           |      list(ew.w / ew.ow * s.sc ORDER BY ew.w / ew.ow * s.sc)),
+           |      (a, x) -> a + x) AS sm
+           |  FROM ew JOIN s${i - 1} s ON s.tok = ew.src GROUP BY ew.dst
+           |), s$i AS (
+           |  SELECT n.tok,
+           |    (CAST(1.0 AS DOUBLE) - CAST(0.85 AS DOUBLE))
+           |      + CAST(0.85 AS DOUBLE) * coalesce(i$i.sm, CAST(0.0 AS DOUBLE)) AS sc
+           |  FROM nodes n LEFT JOIN i$i ON i$i.tok = n.tok
+           |)""".stripMargin
+      s"""WITH t AS (
+         |  SELECT string_split_regex(text, '\\s+') AS w FROM documents
+         |), pr AS (
+         |  SELECT string_split(b, ' ')[1] AS x, string_split(b, ' ')[2] AS y FROM (
+         |    SELECT unnest(list_transform(range(1, len(w)), i -> w[i] || ' ' || w[i+1])) AS b FROM t)
+         |), e AS (
+         |  SELECT src, dst, CAST(count(*) AS DOUBLE) AS w FROM (
+         |    SELECT x AS src, y AS dst FROM pr UNION ALL SELECT y AS src, x AS dst FROM pr
+         |  ) GROUP BY src, dst
+         |), ow AS (SELECT src, sum(w) AS ow FROM e GROUP BY src),
+         |ew AS (SELECT e.src, e.dst, e.w, ow.ow FROM e JOIN ow USING (src)),
+         |nodes AS (SELECT DISTINCT src AS tok FROM e),
+         |s0 AS (SELECT tok, CAST(1.0 AS DOUBLE) AS sc FROM nodes),
+         |${(1 to 5).map(iter).mkString(",\n")}
+         |SELECT tok, round(sc, 6) AS score FROM s5
+         |ORDER BY score DESC, tok ASC LIMIT 20""".stripMargin
+    },
+    // Hashed-classifier oracle: per-token poly-fingerprint → bucket →
+    // deterministic weight, value-sorted fold, single exp under the 6-dp
+    // rounding margin
+    "q_text_qclassifier" ->
+      """WITH t AS (
+        |  SELECT doc_id, string_split_regex(text, '\s+') AS toks FROM documents
+        |), w AS (
+        |  SELECT doc_id, len(toks) AS n,
+        |    list_sort(list_transform(toks, t ->
+        |      CAST(((list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |          list_transform(range(1, length(t)+1), i -> CAST(ascii(substring(t, i, 1)) AS BIGINT))),
+        |          (acc, x) -> (acc*31 + x) % 1000000007) % 4096)
+        |        * 2654435761 + 99991) % 2000003 AS DOUBLE) / CAST(2000003.0 AS DOUBLE)
+        |        - CAST(0.5 AS DOUBLE))) AS ws
+        |  FROM t
+        |), z AS (
+        |  SELECT doc_id, n,
+        |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE), ws), (a, x) -> a + x)
+        |      / CAST(n AS DOUBLE) AS zc
+        |  FROM w
+        |)
+        |SELECT doc_id AS id, CAST(n AS INT) AS n_tokens, round(zc, 6) AS z,
+        |  round(CAST(1.0 AS DOUBLE) / (CAST(1.0 AS DOUBLE) + exp(-zc)), 6) AS score
+        |FROM z ORDER BY id""".stripMargin,
     "q_text_quality" ->
       s"""WITH t AS (
         |  SELECT doc_id, string_split_regex(text, '\\s+') AS toks,
@@ -1977,6 +2056,33 @@ object SparkEntry {
         |            ELSE 'test' END AS split,
         |  count(*) AS n_docs, CAST(sum(doc_id) AS BIGINT) AS sum_ids
         |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
+    // Leakage-audit oracle: exact pairwise-Jaccard near-dup pairs (the
+    // q_dedup_jaccard ground truth) bucketed by the hash-split matrix
+    "q_curate_split_leakage" ->
+      """WITH t AS (
+        |  SELECT doc_id, list_distinct(list_transform(
+        |    range(1, len(string_split_regex(text, '\s+'))),
+        |    i -> string_split_regex(text, '\s+')[i] || ' ' || string_split_regex(text, '\s+')[i+1])) AS sh
+        |  FROM documents
+        |), p AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        |  FROM t a, t b
+        |  WHERE a.doc_id < b.doc_id
+        |    AND CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+        |        (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.5
+        |), s AS (
+        |  SELECT doc_id,
+        |    CASE WHEN ((doc_id % 1000003) * 97 + 13) % 1000 < 800 THEN 'train'
+        |         WHEN ((doc_id % 1000003) * 97 + 13) % 1000 < 900 THEN 'val'
+        |         ELSE 'test' END AS split
+        |  FROM documents
+        |)
+        |SELECT least(sa.split, sb.split) AS split_a,
+        |       greatest(sa.split, sb.split) AS split_b, count(*) AS n_pairs
+        |FROM p
+        |JOIN s sa ON sa.doc_id = p.id_a
+        |JOIN s sb ON sb.doc_id = p.id_b
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     // Same quality formula as the q_text_quality oracle, then the exact
     // interpolated 25th percentile gates the corpus (computed over the
     // ROUNDED scores, like the Spark plan; output q25 rounded after).

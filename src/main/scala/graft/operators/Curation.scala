@@ -421,4 +421,36 @@ object Curation {
       .withColumn("epoch_pos",
         col("pos_in_shard") * nShards + col("shard_id"))
   }
+
+  /** Train/val/test leakage audit: the near-dup pair matrix BETWEEN splits.
+    * An eval split is only honest if no test document has a near-duplicate
+    * in train (Lee et al. 2021 "Deduplicating Training Data …" §6.2 shows
+    * dup-driven eval inflation — public paper); this composes [[hashSplit]]
+    * with the exact-Jaccard pair machinery ([[Dedup.jaccardPairs]],
+    * prefix-filtered) into the split×split matrix of near-dup pair counts.
+    * Off-diagonal rows with n_pairs > 0 are the leaks; the diagonal is
+    * ordinary within-split redundancy for context.
+    *
+    * Scale shape: the pair space is the existing scale-safe prefix-filter
+    * candidate join (rarest-first shingle prefixes, equi-join on shingle);
+    * the split assignment is pure id arithmetic joined back on NARROW
+    * (id, split) rows; the final aggregate is at most a 3×3 matrix. Cost ≈
+    * the dedup pass a pipeline already runs — auditing leakage is free at
+    * the margin.
+    */
+  def splitLeakage(docs: DataFrame, id: Column, text: Column,
+      tau: Double = 0.5,
+      trainPerMille: Int = 800, valPerMille: Int = 100): DataFrame = {
+    val pairs = Dedup.jaccardPairs(docs, id, text, tau = tau)
+    val splits = hashSplit(docs.select(id.as("id")), col("id"),
+      trainPerMille, valPerMille).select(col("id"), col("split"))
+    pairs
+      .join(splits.select(col("id").as("id_a"), col("split").as("sp_a")), Seq("id_a"))
+      .join(splits.select(col("id").as("id_b"), col("split").as("sp_b")), Seq("id_b"))
+      .select(least(col("sp_a"), col("sp_b")).as("split_a"),
+        greatest(col("sp_a"), col("sp_b")).as("split_b"))
+      .groupBy("split_a", "split_b")
+      .agg(count(lit(1)).as("n_pairs"))
+      .orderBy("split_a", "split_b")
+  }
 }

@@ -342,4 +342,93 @@ object TextAnalysis {
       .orderBy(col("pmi").desc, col("bigram").asc)
       .limit(topK)
   }
+
+  /** Hashed-feature linear quality classifier — the fastText shape behind
+    * the CCNet/LLaMA "looks like a Wikipedia reference" filters (Joulin et
+    * al. 2016, Bag of Tricks; Touvron et al. 2023 §2 data filtering —
+    * public papers): score = σ(w·x̄) over a D-dim hashed bag-of-words,
+    * bucket(t) = polyfingerprint(t) mod D. Real deployments load trained
+    * weights; with zero egress the weight table is a DETERMINISTIC
+    * pseudo-random function of the bucket (`((b·2654435761 + 99991) mod
+    * 2000003)/2000003 − 0.5`), which exercises the identical plan — a
+    * trained model swaps in as a lookup column without changing a single
+    * operator.
+    *
+    * Scale shape: pure per-row column algebra (hash → weight → mean →
+    * sigmoid INSIDE `transform`/`aggregate`) — no explode, no shuffle, no
+    * weight-table join or broadcast at any corpus size; the plan is a
+    * single codegen'd projection over the scan.
+    *
+    * Determinism contract: the feature sum folds over the SORTED weight
+    * list (partition- and engine-invariant, see [[unigramNll]]); bucket
+    * and weight arithmetic stay in exact i64/IEEE territory (max product
+    * 4095·2654435761 ≪ 2⁶³), so only the final single `exp` needs the
+    * 6-dp rounding margin.
+    */
+  def hashedClassifier(docs: DataFrame, id: Column, text: Column,
+      dim: Int = 4096): DataFrame = {
+    val toks = wsTokens(text)
+    def weightOf(t: Column): Column =
+      (pmod(fingerprint(t), lit(dim.toLong)) * lit(2654435761L) + lit(99991L))
+        .%(lit(2000003L)).cast("double") / lit(2000003.0) - lit(0.5)
+    val zc = aggregate(sort_array(transform(toks, weightOf(_))), lit(0.0),
+      (a, x) => a + x) / size(toks).cast("double")
+    docs.select(id.as("id"), size(toks).as("n_tokens"),
+        round(zc, 6).as("z"),
+        round(lit(1.0) / (lit(1.0) + exp(-zc)), 6).as("score"))
+  }
+
+  /** TextRank keyword ranking (Mihalcea & Tarau 2004 — public paper):
+    * PageRank with damping `d` over the token co-occurrence graph (edges =
+    * adjacent-token pairs, both directions, weighted by corpus count),
+    * run for a FIXED iteration count so the result is a deterministic
+    * function of the corpus. Scores converge toward tokens that many
+    * distinct well-connected tokens point at — a graph-global signal the
+    * purely local TF-IDF [[keywords]] can't see.
+    *
+    * Scale shape: after one explode + count aggregation the working set is
+    * EDGE-sized (distinct bigrams ≈ vocabulary²-bounded, corpus-volume
+    * independent), and each iteration is one equi-join + one aggregation
+    * on that edge table. The edge/out-weight/node tables are
+    * lazily localCheckpointed once (they feed every iteration; without the
+    * cut the plan re-derives the corpus scan per iteration and the DAG
+    * depth grows ×iters). No driver-side collection at any point.
+    *
+    * Determinism contract: per-node contribution sums fold over SORTED
+    * lists; `w/ow·sc` is pure IEEE arithmetic in identical association on
+    * both engines, so scores are bit-identical without intermediate
+    * rounding; the top-k boundary is taken on the 6-dp-rounded score with
+    * a token tie-break (round BEFORE ordering, the engine-stable order).
+    */
+  def textrank(docs: DataFrame, text: Column, iters: Int = 5,
+      damping: Double = 0.85, topK: Int = 20): DataFrame = {
+    def ngrams2(toks: Column): Column =
+      org.apache.spark.sql.graft.Bridge.column(
+        graft.functions.WordNgramsExpr(
+          org.apache.spark.sql.graft.Bridge.expression(toks), 2))
+    val pairs = docs.select(explode(ngrams2(wsTokens(text))).as("b"))
+      .select(split(col("b"), " ", 2).getItem(0).as("x"),
+        split(col("b"), " ", 2).getItem(1).as("y"))
+    val edges = pairs.select(col("x").as("src"), col("y").as("dst"))
+      .unionAll(pairs.select(col("y").as("src"), col("x").as("dst")))
+      .groupBy("src", "dst").agg(count(lit(1)).cast("double").as("w"))
+    val ew = edges
+      .join(edges.groupBy("src").agg(sum(col("w")).as("ow")), Seq("src"))
+      .localCheckpoint(false)
+    val nodes = ew.select(col("src").as("tok")).distinct().localCheckpoint(false)
+    var score = nodes.select(col("tok"), lit(1.0).as("sc"))
+    for (_ <- 1 to iters) {
+      val summed = ew.join(score.withColumnRenamed("tok", "src"), Seq("src"))
+        .select(col("dst").as("tok"), (col("w") / col("ow") * col("sc")).as("c"))
+        .groupBy("tok")
+        .agg(aggregate(sort_array(collect_list(col("c"))), lit(0.0),
+          (a, x) => a + x).as("s"))
+      score = nodes.join(summed, Seq("tok"), "left")
+        .select(col("tok"),
+          (lit(1.0 - damping) + lit(damping) * coalesce(col("s"), lit(0.0))).as("sc"))
+    }
+    score.select(col("tok"), round(col("sc"), 6).as("score"))
+      .orderBy(col("score").desc, col("tok").asc)
+      .limit(topK)
+  }
 }

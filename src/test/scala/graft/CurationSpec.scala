@@ -266,4 +266,29 @@ class CurationSpec extends SparkSpec {
     assert(out.forall(r =>
       r.getAs[Long]("epoch_pos") % 16 == r.getAs[Long]("shard_id")))
   }
+
+  test("splitLeakage: planted cross-split near-dup surfaces in the right matrix cell") {
+    import testImplicits._
+    // split bucket for small ids is (97·id + 13) mod 1000:
+    //   id 1 → 110 (train), id 2 → 207 (train), id 9 → 886 (val),
+    //   id 10 → 983 (test)
+    val base = "the quick brown fox jumps over the lazy dog again and again"
+    val docs = Seq(
+      (1L, base),                        // train ─┐ exact dup pair
+      (2L, base),                        // train ─┘
+      (10L, base + " tail"),             // test: near-dup of 1 and 2 → leak
+      (9L, "completely different words with no shingle overlap at all")
+    ).toDF("doc_id", "text")
+    val m = Curation.splitLeakage(docs, col("doc_id"), col("text"), tau = 0.5)
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(m(("train", "train")) == 1L)  // the 1–2 dup
+    assert(m(("test", "train")) == 2L)   // 10–1 and 10–2 leaks
+    assert(!m.contains(("val", "val")) && !m.contains(("train", "val")))
+    // raising tau past the near-dup similarity clears the leak cell but
+    // keeps the exact dup
+    val strict = Curation.splitLeakage(docs, col("doc_id"), col("text"), tau = 0.99)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(strict == Map(("train", "train") -> 1L))
+  }
 }

@@ -173,4 +173,54 @@ class TextAnalysisSpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> r.getDouble(3)).toMap
     assert(r1(1L) == 1.0 && r1(2L) == 1.0)
   }
+
+  test("hashedClassifier: bounded scores, token-order invariance, zero-shuffle plan") {
+    import testImplicits._
+    val docs = Seq(
+      (1L, "alpha beta gamma delta"),
+      (2L, "delta gamma beta alpha"),   // same multiset, permuted
+      (3L, "alpha alpha alpha alpha"),  // one bucket only
+      (4L, "omega")
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.hashedClassifier(docs, col("doc_id"), col("text"))
+      .collect().map(r => r.getLong(0) ->
+        (r.getInt(1), r.getDouble(2), r.getDouble(3))).toMap
+    // z is a mean of weights in [-0.5, 0.5); sigmoid stays in (0.37, 0.63)
+    assert(out.values.forall { case (_, z, s) =>
+      z >= -0.5 && z < 0.5 && s > 0.37 && s < 0.63 })
+    // bag-of-words: token order cannot change the score (sorted fold)
+    assert(out(1L) == out(2L))
+    // single repeated token: z is exactly that token's weight
+    val (n3, z3, _) = out(3L)
+    assert(n3 == 4)
+    val single = TextAnalysis.hashedClassifier(
+      Seq((9L, "alpha")).toDF("doc_id", "text"), col("doc_id"), col("text"))
+      .collect().head.getDouble(2)
+    assert(z3 == single)
+    // scale contract: one projection, no exchange anywhere in the plan
+    val plan = TextAnalysis.hashedClassifier(docs, col("doc_id"), col("text"))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"classifier must not shuffle:\n$plan")
+  }
+
+  test("textrank: hub token ranks first; symmetric tokens tie exactly; deterministic") {
+    import testImplicits._
+    // star graph: y is adjacent to x and z; x and z are symmetric leaves
+    val docs = Seq((1L, "x y"), (2L, "y z")).toDF("doc_id", "text")
+    val out = TextAnalysis.textrank(docs, col("text"), iters = 5, topK = 10)
+      .collect().map(r => (r.getString(0), r.getDouble(1)))
+    assert(out.head._1 == "y")                       // the hub dominates
+    val byTok = out.toMap
+    assert(byTok("x") == byTok("z"))                 // symmetry is exact
+    assert(byTok("y") > byTok("x"))
+    // fixed iterations: re-evaluation returns the identical ranking
+    val again = TextAnalysis.textrank(docs, col("text"), iters = 5, topK = 10)
+      .collect().map(r => (r.getString(0), r.getDouble(1)))
+    assert(out.toSeq == again.toSeq)
+    // the 1-iteration hand value for the hub: 0.15 + 0.85·(1/1·1 + 1/1·1)
+    val one = TextAnalysis.textrank(docs, col("text"), iters = 1, topK = 10)
+      .collect().map(r => (r.getString(0), r.getDouble(1))).toMap
+    assert(math.abs(one("y") - (0.15 + 0.85 * 2.0)) < 1e-9)
+    assert(math.abs(one("x") - (0.15 + 0.85 * 0.5)) < 1e-9)
+  }
 }
