@@ -431,17 +431,18 @@ object Curation {
     * Off-diagonal rows with n_pairs > 0 are the leaks; the diagonal is
     * ordinary within-split redundancy for context.
     *
-    * Scale shape: the pair space is the existing scale-safe prefix-filter
-    * candidate join (rarest-first shingle prefixes, equi-join on shingle);
-    * the split assignment is pure id arithmetic joined back on NARROW
-    * (id, split) rows; the final aggregate is at most a 3×3 matrix. Cost ≈
-    * the dedup pass a pipeline already runs — auditing leakage is free at
-    * the margin.
+    * Scale shape: the pair space goes through [[Dedup.jaccardPairsAuto]] —
+    * the same cost-based strategy routing (grid-bitset vs rarest-first
+    * prefix filter) the flagship dedup query uses, chosen from measured
+    * corpus statistics; the split assignment is pure id arithmetic joined
+    * back on NARROW (id, split) rows; the final aggregate is at most a 3×3
+    * matrix. Cost ≈ the dedup pass a pipeline already runs — auditing
+    * leakage is free at the margin.
     */
   def splitLeakage(docs: DataFrame, id: Column, text: Column,
       tau: Double = 0.5,
       trainPerMille: Int = 800, valPerMille: Int = 100): DataFrame = {
-    val pairs = Dedup.jaccardPairs(docs, id, text, tau = tau)
+    val pairs = Dedup.jaccardPairsAuto(docs, id, text, tau = tau)
     val splits = hashSplit(docs.select(id.as("id")), col("id"),
       trainPerMille, valPerMille).select(col("id"), col("split"))
     pairs
