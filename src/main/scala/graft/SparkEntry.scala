@@ -148,6 +148,12 @@ object SparkEntry {
     "list_transform(range(1, length(g)+1), i -> CAST(unicode(substring(g, CAST(i AS INT), 1)) AS BIGINT))), " +
     "(acc, x) -> (acc*31 + x) % 1000000007)"
 
+  // same rolling fingerprint over an arbitrary column name (sketch oracles)
+  private def polySqlOf(v: String): String =
+    s"list_reduce(list_prepend(CAST(0 AS BIGINT), " +
+      s"list_transform(range(1, length($v)+1), i -> CAST(unicode(substring($v, CAST(i AS INT), 1)) AS BIGINT))), " +
+      "(acc, x) -> (acc*31 + x) % 1000000007)"
+
   /** Shared CTE chain of the repeated-span oracles: positioned 5-gram
     * fingerprints, cross-doc duplicated positions, islands merged to
     * maximal spans keyed by md5 of the actual span text (the SQL twin of
@@ -521,6 +527,21 @@ object SparkEntry {
       TextAnalysis.hashedClassifier(graft.sources.Testdata.table(s, dir, "documents"),
           col("doc_id"), col("text"), dim = 4096)
         .orderBy("id")),
+    // deterministic HyperLogLog: distinct user-days per event type plus the
+    // register-merged ALL row — constant m-register state per group, exact
+    // twin alongside for the rel_err audit
+    "q_events_dau_hll" -> ((s, dir) =>
+      Sketches.hllCardinality(graft.sources.Testdata.events(s, dir),
+        col("event_type"),
+        concat(col("user_id").cast("string"), lit(":"),
+          col("ts").cast("date").cast("string")), p = 10)),
+    // count-min heavy hitters: d x w counter matrix in one aggregation,
+    // exact top-20 tokens estimated as min over their d cells
+    "q_text_heavy_hitters" -> ((s, dir) =>
+      Sketches.cmHeavyHitters(
+        graft.sources.Testdata.table(s, dir, "documents")
+          .select(explode(TextAnalysis.wsTokens(col("text"))).as("t")),
+        col("t"), depth = 4, width = 1024, topK = 20)),
     // per-doc TF-IDF keywords: two count aggs + vocab equi-join, then the
     // per-doc top-3 as the GroupTopK bounded heap (no window sort)
     "q_text_keywords" -> ((s, dir) =>
@@ -549,6 +570,15 @@ object SparkEntry {
     "q_curate_split_leakage" -> ((s, dir) =>
       Curation.splitLeakage(graft.sources.Testdata.table(s, dir, "documents"),
         col("doc_id"), col("text"), tau = 0.5)),
+    // one-pass histogram quantiles of the quality-score distribution —
+    // the sketch replacement for the exact percentile gate: B bin counts,
+    // rank interpolation, error bounded by one bin width
+    "q_curate_quality_quantiles" -> ((s, dir) => {
+      val scored = graft.sources.Testdata.table(s, dir, "documents")
+        .select(round(TextAnalysis.qualityScore(col("text")), 6).as("quality"))
+      Sketches.histogramQuantiles(scored, col("quality"),
+        Seq(0.25, 0.5, 0.75, 0.9), bins = 256, lo = 0.0, hi = 1.0)
+    }),
     // Curation: percentile-threshold quality filter — corpus-level exact
     // quantile (single-row broadcast) gates the per-doc quality score
     "q_curate_quality_filter" -> ((s, dir) => {
@@ -1501,6 +1531,82 @@ object SparkEntry {
         |SELECT doc_id AS id, CAST(n AS INT) AS n_tokens, round(zc, 6) AS z,
         |  round(CAST(1.0 AS DOUBLE) / (CAST(1.0 AS DOUBLE) + exp(-zc)), 6) AS score
         |FROM z ORDER BY id""".stripMargin,
+    // HLL oracle: identical salted universal hashes, trailing-zero rho via
+    // integer divisibility, register sum in scaled-integer arithmetic (the
+    // only float-library call is the ln in the linear-counting branch)
+    "q_events_dau_hll" ->
+      s"""WITH k AS (
+         |  SELECT event_type,
+         |    CAST(user_id AS VARCHAR) || ':' || CAST(CAST(ts AS DATE) AS VARCHAR) AS kk
+         |  FROM events
+         |), h0 AS (
+         |  SELECT event_type, kk, ${polySqlOf("kk")} AS h FROM k
+         |), h1 AS (
+         |  SELECT event_type, kk, (h * 2654435761 + 97) % 1000000007 AS t1 FROM h0
+         |), h2 AS (
+         |  SELECT event_type, kk, (xor(t1, t1 >> 15) * 1866763009 + 127) % 1000000007 AS t2 FROM h1
+         |), hm AS (
+         |  SELECT event_type, kk, xor(t2, t2 >> 13) AS hf FROM h2
+         |), r0 AS (
+         |  SELECT event_type, hf % 1024 AS bucket,
+         |    1 + len(list_filter(list_transform(range(1, 21), j -> (CAST(1 AS BIGINT) << j)),
+         |      pk -> (hf // 1024) % pk = 0)) AS rho
+         |  FROM hm
+         |), regs AS (
+         |  SELECT event_type AS grp, bucket, max(rho) AS rho FROM r0 GROUP BY 1, 2
+         |  UNION ALL
+         |  SELECT 'ALL' AS grp, bucket, max(rho) AS rho FROM r0 GROUP BY 1, 2
+         |), agg AS (
+         |  SELECT grp, count(*) AS present,
+         |    CAST(sum(CAST(1 AS BIGINT) << (21 - rho)) AS BIGINT) AS si
+         |  FROM regs GROUP BY grp
+         |), e AS (
+         |  SELECT grp, 1024 - present AS v,
+         |    CAST(0.7213 AS DOUBLE) / (CAST(1.0 AS DOUBLE) + CAST(1.079 AS DOUBLE) / CAST(1024.0 AS DOUBLE))
+         |      * CAST(1048576.0 AS DOUBLE)
+         |      / (CAST((1024 - present) * 2097152 + si AS DOUBLE) / CAST(2097152.0 AS DOUBLE)) AS e_raw
+         |  FROM agg
+         |), fin AS (
+         |  SELECT grp, CASE WHEN e_raw <= CAST(2560.0 AS DOUBLE) AND v > 0
+         |    THEN CAST(1024.0 AS DOUBLE) * ln(CAST(1024.0 AS DOUBLE) / CAST(v AS DOUBLE))
+         |    ELSE e_raw END AS est
+         |  FROM e
+         |), ex AS (
+         |  SELECT event_type AS grp, count(DISTINCT kk) AS n_exact FROM k GROUP BY 1
+         |  UNION ALL SELECT 'ALL', count(DISTINCT kk) FROM k
+         |)
+         |SELECT ex.grp, ex.n_exact, round(fin.est, 6) AS hll_est,
+         |  round((fin.est - ex.n_exact) / ex.n_exact, 6) AS rel_err
+         |FROM ex JOIN fin ON fin.grp = ex.grp
+         |ORDER BY ex.grp""".stripMargin,
+    // Count-min oracle: one UNION ALL branch per hash row for both the
+    // counter matrix and the probe side; min over the d cells
+    "q_text_heavy_hitters" -> {
+      val salts = graft.operators.Sketches.CmSalts
+      val counterRows = salts.zipWithIndex.map { case ((a, b), i) =>
+        s"SELECT $i AS i, ((fp*$a + $b) % 1000000007) % 1024 AS cell, count(*) AS cnt FROM f GROUP BY 2"
+      }.mkString("\n  UNION ALL ")
+      val probeRows = salts.zipWithIndex.map { case ((a, b), i) =>
+        s"SELECT item, n_exact, $i AS i, ((fp*$a + $b) % 1000000007) % 1024 AS cell FROM tf"
+      }.mkString("\n  UNION ALL ")
+      s"""WITH occ AS (
+         |  SELECT unnest(string_split_regex(text, '\\s+')) AS item FROM documents
+         |), f AS (
+         |  SELECT item, ${polySqlOf("item")} AS fp FROM occ
+         |), counters AS (
+         |  $counterRows
+         |), top AS (
+         |  SELECT item, count(*) AS n_exact FROM occ GROUP BY item
+         |  ORDER BY n_exact DESC, item ASC LIMIT 20
+         |), tf AS (
+         |  SELECT item, n_exact, ${polySqlOf("item")} AS fp FROM top
+         |), probe AS (
+         |  $probeRows
+         |)
+         |SELECT p.item, p.n_exact, min(c.cnt) AS n_est
+         |FROM probe p JOIN counters c ON c.i = p.i AND c.cell = p.cell
+         |GROUP BY 1, 2 ORDER BY n_exact DESC, item ASC""".stripMargin
+    },
     "q_text_quality" ->
       s"""WITH t AS (
         |  SELECT doc_id, string_split_regex(text, '\\s+') AS toks,
@@ -2083,6 +2189,44 @@ object SparkEntry {
         |JOIN s sa ON sa.doc_id = p.id_a
         |JOIN s sb ON sb.doc_id = p.id_b
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    // Histogram-quantile oracle: same quality formula (rounded to 6 dp
+    // BEFORE binning, like the Spark plan), same bin transform, integer
+    // rank targets, identical interpolation expression
+    "q_curate_quality_quantiles" ->
+      s"""WITH t AS (
+         |  SELECT doc_id, string_split_regex(text, '\\s+') AS toks,
+         |         length(regexp_replace(text, '\\s', '', 'g')) AS nonws,
+         |         length(regexp_replace(text, '[a-z0-9\\s]', '', 'g')) AS punct
+         |  FROM documents
+         |), sc AS (
+         |  SELECT round(
+         |    0.4*least(len(toks)/100.0, 1.0)
+         |    + 0.3*(1.0 - CASE WHEN nonws > 0 THEN CAST(punct AS DOUBLE)/nonws ELSE 0.0 END)
+         |    + 0.3*least((CASE WHEN len(toks) > 0 THEN CAST(len(list_filter(toks, x -> list_contains(${profileSql("en")}, x))) AS DOUBLE)/len(toks) ELSE 0.0 END)/0.1, 1.0),
+         |    6) AS quality
+         |  FROM t
+         |), b AS (
+         |  SELECT CAST(least(greatest(floor((quality - CAST(0.0 AS DOUBLE)) / CAST(1.0 AS DOUBLE) * CAST(256.0 AS DOUBLE)), CAST(0.0 AS DOUBLE)), CAST(255.0 AS DOUBLE)) AS INT) AS bin FROM sc
+         |), c AS (
+         |  SELECT bin, count(*) AS cnt FROM b GROUP BY bin
+         |), cc AS (
+         |  SELECT bin, cnt, sum(cnt) OVER (ORDER BY bin) AS cum FROM c
+         |), tot AS (
+         |  SELECT CAST(sum(cnt) AS BIGINT) AS n FROM c
+         |), qv AS (
+         |  SELECT CAST(unnest([0.25, 0.5, 0.75, 0.9]) AS DOUBLE) AS q
+         |), tg AS (
+         |  SELECT q, CAST(ceil(q * n) AS BIGINT) AS target FROM qv, tot
+         |), pick AS (
+         |  SELECT tg.q, tg.target, min(cc.bin) AS bin
+         |  FROM tg JOIN cc ON cc.cum >= tg.target
+         |  GROUP BY 1, 2
+         |)
+         |SELECT p.q, round(CAST(0.0 AS DOUBLE) + (CAST(p.bin AS DOUBLE)
+         |  + CAST(p.target - (cc.cum - cc.cnt) AS DOUBLE) / CAST(cc.cnt AS DOUBLE))
+         |  * (CAST(1.0 AS DOUBLE) / CAST(256.0 AS DOUBLE)), 6) AS est
+         |FROM pick p JOIN cc ON cc.bin = p.bin
+         |ORDER BY q""".stripMargin,
     // Same quality formula as the q_text_quality oracle, then the exact
     // interpolated 25th percentile gates the corpus (computed over the
     // ROUNDED scores, like the Spark plan; output q25 rounded after).

@@ -1,0 +1,96 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Sketches
+
+class SketchesSpec extends SparkSpec {
+
+  test("hll: registers merge across groups exactly; ALL row equals single-group run") {
+    import testImplicits._
+    val df = (1 to 3000).map(i => (if (i % 2 == 0) "a" else "b", s"key$i"))
+      .toDF("src", "k")
+    // merged-ALL estimate == the estimate of the same data relabeled to one group
+    val out = Sketches.hllCardinality(df, col("src"), col("k"), p = 7)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    val single = Sketches.hllCardinality(df, lit("one"), col("k"), p = 7)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(out("ALL") == single("one"))
+    // register-level merge: max over per-group registers == whole-corpus registers
+    val perGroup = Sketches.hllRegisters(df, col("src"), col("k"), 7)
+      .groupBy("bucket").agg(max("rho").as("rho"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val whole = Sketches.hllRegisters(df, lit("x"), col("k"), 7)
+      .collect().map(r => r.getLong(1) -> r.getInt(2)).toMap
+    assert(perGroup == whole)
+  }
+
+  test("hll: estimate lands within the published error band; deterministic") {
+    import testImplicits._
+    val n = 50000
+    val df = (1 to n).map(i => ("g", s"value-$i")).toDF("src", "k")
+    val rows = Sketches.hllCardinality(df, col("src"), col("k"), p = 10).collect()
+    val byGrp = rows.map(r => r.getString(0) -> r.getDouble(3)).toMap
+    // m=1024 -> sigma ~ 1.04/sqrt(1024) ~ 3.25%; allow 4 sigma
+    assert(math.abs(byGrp("g")) < 0.13, s"rel_err ${byGrp("g")} out of band")
+    assert(byGrp("g") == byGrp("ALL"))
+    val again = Sketches.hllCardinality(df, col("src"), col("k"), p = 10).collect()
+    assert(rows.map(_.toSeq).toSeq == again.map(_.toSeq).toSeq)
+  }
+
+  test("hll: small cardinality routes to linear counting and is near-exact") {
+    import testImplicits._
+    val df = (1 to 40).map(i => ("g", s"k$i")).toDF("src", "k")
+    val r = Sketches.hllCardinality(df, col("src"), col("k"), p = 7)
+      .filter(col("grp") === "g").collect().head
+    assert(r.getLong(1) == 40L)
+    // linear counting with 40 of 128 registers hit is within a few percent
+    assert(math.abs(r.getDouble(3)) < 0.1)
+  }
+
+  test("count-min: one-sided overestimate, exact on the collision-free side, deterministic") {
+    import testImplicits._
+    val occ = (Seq.fill(100)("alpha") ++ Seq.fill(50)("beta") ++
+      Seq.fill(7)("gamma") ++ Seq("delta")).map(Tuple1(_)).toDF("t")
+    val out = Sketches.cmHeavyHitters(occ, col("t"), topK = 10).collect()
+    assert(out.map(_.getString(0)).take(2).toSeq == Seq("alpha", "beta"))
+    out.foreach { r =>
+      assert(r.getLong(2) >= r.getLong(1),
+        s"${r.getString(0)}: est ${r.getLong(2)} < exact ${r.getLong(1)}")
+    }
+    // 4 distinct items in 4x1024 cells: no collisions, estimates exact
+    assert(out.forall(r => r.getLong(2) == r.getLong(1)))
+    val again = Sketches.cmHeavyHitters(occ, col("t"), topK = 10).collect()
+    assert(out.map(_.toSeq).toSeq == again.map(_.toSeq).toSeq)
+  }
+
+  test("count-min: counter matrix is bounded at depth x width cells") {
+    import testImplicits._
+    val occ = (1 to 5000).map(i => Tuple1(s"tok${i % 700}")).toDF("t")
+    val est = Sketches.cmHeavyHitters(occ, col("t"), depth = 4, width = 64, topK = 5)
+    // 700 distinct items hash into <= 4*64 cells; heavy collisions, but the
+    // invariant holds: every estimate >= its exact count
+    est.collect().foreach(r => assert(r.getLong(2) >= r.getLong(1)))
+  }
+
+  test("histogram quantiles: within one bin width of exact; monotone in q") {
+    import testImplicits._
+    // uniform grid on [0,1): exact quantile q is ~q
+    val df = (0 until 10000).map(i => Tuple1(i / 10000.0)).toDF("v")
+    val qs = Seq(0.25, 0.5, 0.75, 0.9)
+    val out = Sketches.histogramQuantiles(df, col("v"), qs, bins = 256)
+      .collect().map(r => r.getDouble(0) -> r.getDouble(1)).toMap
+    val binW = 1.0 / 256
+    qs.foreach(q => assert(math.abs(out(q) - q) <= binW + 1e-9,
+      s"q=$q est=${out(q)}"))
+    assert(qs.map(out).sliding(2).forall(p => p.head <= p.last))
+  }
+
+  test("histogram quantiles: values outside [lo,hi] clamp to edge bins") {
+    import testImplicits._
+    val df = Seq(-5.0, 0.1, 0.2, 0.3, 99.0).map(Tuple1(_)).toDF("v")
+    val out = Sketches.histogramQuantiles(df, col("v"), Seq(0.5), bins = 10)
+      .collect().head.getDouble(1)
+    // median of 5 values = 3rd ranked = 0.2's bin [0.2, 0.3)
+    assert(out >= 0.2 && out < 0.3 + 1e-9)
+  }
+}
