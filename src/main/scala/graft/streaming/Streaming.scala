@@ -292,6 +292,50 @@ object Streaming {
   def loadAnnIndex(spark: org.apache.spark.sql.SparkSession, path: String): DataFrame =
     spark.read.parquet(path).drop("batch_id")
 
+  /** Streaming cardinality maintenance: per micro-batch, reduce arriving
+    * keys to their HLL register contribution
+    * ([[graft.operators.Sketches.hllRegisters]]) and persist the
+    * batch-stamped register rows; the live estimate is merge-on-read
+    * ([[loadHllEstimate]]). HLL registers are the ideal streaming state:
+    * the merge is a per-(grp, bucket) MAX — commutative, associative,
+    * and idempotent — so per-key state never grows (G·m rows per batch
+    * at most, regardless of batch size) and a replayed batch merges to
+    * the identical registers. The batch-stamped dynamic-partition
+    * overwrite makes the persisted bytes idempotent under at-least-once
+    * foreachBatch retries too, same as the signature-screen pattern.
+    */
+  def startHllMaintenance(
+      rows: DataFrame,          // streaming; must contain grp/key columns
+      grp: Column,
+      key: Column,
+      p: Int,
+      outPath: String,
+      checkpoint: String,
+      queryName: String = "hll_maintenance"): StreamingQuery =
+    rows.writeStream
+      .queryName(queryName)
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        graft.operators.Sketches.hllRegisters(batch, grp, key, p)
+          .withColumn("batch_id", lit(batchId))
+          .write.mode("overwrite")
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("batch_id")
+          .parquet(outPath)
+        ()
+      }
+      .start()
+
+  /** Merge the maintained per-batch registers (max per grp/bucket) and
+    * estimate — the running distinct count over everything ever ingested,
+    * computed from KB of state without re-reading any raw data.
+    */
+  def loadHllEstimate(spark: org.apache.spark.sql.SparkSession, path: String,
+      p: Int): DataFrame =
+    graft.operators.Sketches.hllEstimate(
+      spark.read.parquet(path)
+        .groupBy("grp", "bucket").agg(max(col("rho")).as("rho")), p)
+
   /** Stream-stream interval join: attribute each purchase to every click by
     * the same user within `horizonMinutes` before it. Both sides carry
     * watermarks and the join condition bounds event-time distance, so each

@@ -338,4 +338,35 @@ class StreamingSpec extends SparkSpec {
       assert(got == Set((200L, 100L), (201L, 102L)))
     } finally q.stop()
   }
+
+  test("streaming HLL maintenance: registers max-merge across batches; estimate equals the batch twin") {
+    val sp = spark
+    import sp.implicits._
+    implicit val sqlCtx = sp.sqlContext
+    import graft.operators.Sketches
+    val in = MemoryStream[(String, String)]
+    val out = tmpDir("graft_hll_maint")
+    val q = Streaming.startHllMaintenance(
+      in.toDF().toDF("src", "k"), col("src"), col("k"), p = 7,
+      s"$out/regs", s"$out/ckpt")
+    val b1 = (1 to 400).map(i => ("a", s"key-$i"))
+    val b2 = (201 to 600).map(i => ("a", s"key-$i")) // 200 overlap with b1
+    try {
+      in.addData(b1: _*)
+      q.processAllAvailable()
+      in.addData(b2: _*)
+      q.processAllAvailable()
+      val est = Streaming.loadHllEstimate(sp, s"$out/regs", p = 7)
+        .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+      // merged registers must equal a single-batch build over the union:
+      // the max-merge absorbs the 200-key overlap exactly
+      val twin = Sketches.hllEstimate(
+        Sketches.hllRegisters((b1 ++ b2).toDF("src", "k"), col("src"), col("k"), 7), 7)
+        .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+      assert(est == twin)
+      // and the persisted state is bounded: at most m rows per batch
+      val regs = sp.read.parquet(s"$out/regs")
+      assert(regs.groupBy("batch_id").count().collect().forall(_.getLong(1) <= 128))
+    } finally q.stop()
+  }
 }
