@@ -157,6 +157,37 @@ object ScaleSmoke {
       graft.operators.Curation.shardStats(docs, col("doc_id"), col("text"),
         col("source"), nShards = 16).count()
     }
+    // edge table is vocabulary-bounded: corpus growth feeds only the first
+    // count aggregation; the 5 iterations run on the constant-size edges
+    time("textrank keywords (5 iters, top-20)") {
+      graft.operators.TextAnalysis.textrank(docs, col("text"), iters = 5, topK = 20)
+        .filter(col("score") >= 0).count()
+    }
+    time("hashed quality classifier (d=4096)") {
+      graft.operators.TextAnalysis.hashedClassifier(docs, col("doc_id"), col("text"))
+        .filter(col("score") >= 0).count()
+    }
+
+    // ---- sketch tier (constant-state summaries) -------------------------
+    // the filters reference the computed estimates so Catalyst cannot prune
+    // the sketch aggregates down to bare scans
+    time("hll distinct user-days (p=10, per-type + ALL)") {
+      graft.operators.Sketches.hllCardinality(ev, col("event_type"),
+        concat(col("user_id").cast("string"), lit(":"),
+          col("ts").cast("date").cast("string")), p = 10)
+        .filter(col("hll_est") >= 0).count()
+    }
+    time("count-min heavy hitters (4x1024, top-20)") {
+      graft.operators.Sketches.cmHeavyHitters(
+        docs.select(explode(split(col("text"), "\\s+")).as("t")), col("t"), topK = 20)
+        .filter(col("n_est") >= col("n_exact")).count()
+    }
+    time("histogram quantiles (256 bins, 4 qs)") {
+      val scored = docs.select(
+        round(graft.operators.TextAnalysis.qualityScore(col("text")), 6).as("quality"))
+      graft.operators.Sketches.histogramQuantiles(scored, col("quality"),
+        Seq(0.25, 0.5, 0.75, 0.9)).filter(col("est") >= 0).count()
+    }
 
     // ---- wired dedup tier (round-4/5 operators) -------------------------
     // disjoint-vocab replication: every replica's TOKENS get a per-replica
@@ -205,6 +236,12 @@ object ScaleSmoke {
       val batchSigs = graft.operators.Dedup.signatureTable(
         batch0, col("doc_id"), col("text"))
       graft.operators.Dedup.incrementalNearDups(corpusSigs, batchSigs).count()
+    }
+    // split-leakage audit rides the same auto-routed pair machinery plus
+    // two narrow (id, split) joins — its curve should track the front door
+    time("split-leakage audit (auto jaccard + split matrix)") {
+      graft.operators.Curation.splitLeakage(docsU, col("doc_id"), col("text"),
+        tau = 0.5).count()
     }
 
     // ---- embeddings-family ----------------------------------------------

@@ -180,7 +180,13 @@ object Sketches {
     val binCol = least(greatest(
         floor((value - lit(lo)) / lit(hi - lo) * lit(bins.toDouble)), lit(0.0)),
       lit((bins - 1).toDouble)).cast("int")
+    // the ≤B-row bin table IS the sketch — cut the lineage here so the
+    // corpus aggregate runs exactly once (the three downstream consumers
+    // would otherwise each recompute it: the isnotnull predicates pushed
+    // into the join/filter branches de-canonicalize the subtrees and
+    // defeat exchange reuse)
     val counts = df.select(binCol.as("bin")).groupBy("bin").agg(count(lit(1)).as("cnt"))
+      .localCheckpoint(false)
     val cum = counts.withColumn("cum",
       sum(col("cnt")).over(Window.orderBy("bin")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)))

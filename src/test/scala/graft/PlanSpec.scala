@@ -172,4 +172,43 @@ class PlanSpec extends SparkSpec {
     val sorts = "\\bSort \\[".r.findAllIn(plan).length
     assert(sorts <= 2, s"expected the shared window sort + output sort only:\n$plan")
   }
+
+  test("hll registers: one exchange with map-side partial max (mergeable state)") {
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val df = graft.operators.Sketches.hllRegisters(docs, col("source"), col("text"), 10)
+    val plan = df.queryExecution.executedPlan.toString
+    val ex = "Exchange hashpartitioning".r.findAllIn(plan).length
+    assert(ex == 1, s"registers are one grouped aggregate, got $ex exchanges:\n$plan")
+    assert(plan.contains("partial_max"),
+      s"register max must combine map-side (the mergeability contract):\n$plan")
+  }
+
+  test("count-min: counter probe joins by broadcast; no shuffle join or cartesian") {
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val occ = docs.select(explode(split(col("text"), "\\s+")).as("t"))
+    val df = graft.operators.Sketches.cmHeavyHitters(occ, col("t"), topK = 5)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"the d*w counter matrix must broadcast to the probe side:\n$plan")
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("CartesianProduct"),
+      s"sketch-sized sides must never shuffle-join:\n$plan")
+  }
+
+  test("histogram quantiles: one corpus pass into the sketch; downstream never rescans") {
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val scored = docs.select(
+      round(graft.operators.TextAnalysis.qualityScore(col("text")), 6).as("quality"))
+    val df = graft.operators.Sketches.histogramQuantiles(scored, col("quality"),
+      Seq(0.25, 0.5, 0.75, 0.9))
+    // the checkpointed bin table is the sketch: the three consumers (cum,
+    // total, pick) must read it, not re-aggregate the corpus — without the
+    // lineage cut the pushed isnotnull predicates de-canonicalize the
+    // branches and the corpus aggregate ran three times
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("FileScan"),
+      s"downstream of the sketch there must be no corpus rescan:\n$plan")
+    // the cumulative window sorts <= bins rows behind a single-partition
+    // exchange of the AGGREGATED bins, never raw values
+    assert(plan.contains("Window"), s"expected the cumulative-sum window:\n$plan")
+  }
 }
