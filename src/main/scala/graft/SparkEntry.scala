@@ -579,6 +579,21 @@ object SparkEntry {
       Sketches.histogramQuantiles(scored, col("quality"),
         Seq(0.25, 0.5, 0.75, 0.9), bins = 256, lo = 0.0, hi = 1.0)
     }),
+    // the same gate driven by the ONE-PASS histogram threshold instead of
+    // the exact two-pass percentile — the 100 TB shape: corpus → 256-bin
+    // sketch → broadcast single-row threshold, no value sort anywhere
+    "q_curate_quality_filter_sketch" -> ((s, dir) => {
+      val docs = graft.sources.Testdata.table(s, dir, "documents")
+      val scored = docs.select(col("doc_id"),
+        round(TextAnalysis.qualityScore(col("text")), 6).as("quality"))
+      val threshold = Sketches.histogramQuantiles(scored, col("quality"),
+        Seq(0.25), bins = 256, lo = 0.0, hi = 1.0)
+        .select(col("est").as("q25"))
+      scored.crossJoin(broadcast(threshold))
+        .filter(col("quality") >= col("q25"))
+        .select(col("doc_id"), col("quality"), col("q25"))
+        .orderBy("doc_id")
+    }),
     // Curation: percentile-threshold quality filter — corpus-level exact
     // quantile (single-row broadcast) gates the per-doc quality score
     "q_curate_quality_filter" -> ((s, dir) => {
@@ -2227,6 +2242,45 @@ object SparkEntry {
          |  * (CAST(1.0 AS DOUBLE) / CAST(256.0 AS DOUBLE)), 6) AS est
          |FROM pick p JOIN cc ON cc.bin = p.bin
          |ORDER BY q""".stripMargin,
+    // Sketch-gated twin: the histogram-quantile threshold (identical CTE
+    // chain to the q_curate_quality_quantiles oracle at q=0.25) gates the
+    // same rounded scores
+    "q_curate_quality_filter_sketch" ->
+      s"""WITH t AS (
+         |  SELECT doc_id, string_split_regex(text, '\\s+') AS toks,
+         |         length(regexp_replace(text, '\\s', '', 'g')) AS nonws,
+         |         length(regexp_replace(text, '[a-z0-9\\s]', '', 'g')) AS punct
+         |  FROM documents
+         |), sc AS (
+         |  SELECT doc_id, round(
+         |    0.4*least(len(toks)/100.0, 1.0)
+         |    + 0.3*(1.0 - CASE WHEN nonws > 0 THEN CAST(punct AS DOUBLE)/nonws ELSE 0.0 END)
+         |    + 0.3*least((CASE WHEN len(toks) > 0 THEN CAST(len(list_filter(toks, x -> list_contains(${profileSql("en")}, x))) AS DOUBLE)/len(toks) ELSE 0.0 END)/0.1, 1.0),
+         |    6) AS quality
+         |  FROM t
+         |), b AS (
+         |  SELECT CAST(least(greatest(floor((quality - CAST(0.0 AS DOUBLE)) / CAST(1.0 AS DOUBLE) * CAST(256.0 AS DOUBLE)), CAST(0.0 AS DOUBLE)), CAST(255.0 AS DOUBLE)) AS INT) AS bin FROM sc
+         |), c AS (
+         |  SELECT bin, count(*) AS cnt FROM b GROUP BY bin
+         |), cc AS (
+         |  SELECT bin, cnt, sum(cnt) OVER (ORDER BY bin) AS cum FROM c
+         |), tot AS (
+         |  SELECT CAST(sum(cnt) AS BIGINT) AS n FROM c
+         |), tg AS (
+         |  SELECT CAST(0.25 AS DOUBLE) AS q, CAST(ceil(CAST(0.25 AS DOUBLE) * n) AS BIGINT) AS target FROM tot
+         |), pick AS (
+         |  SELECT tg.q, tg.target, min(cc.bin) AS bin
+         |  FROM tg JOIN cc ON cc.cum >= tg.target
+         |  GROUP BY 1, 2
+         |), th AS (
+         |  SELECT round(CAST(0.0 AS DOUBLE) + (CAST(p.bin AS DOUBLE)
+         |    + CAST(p.target - (cc.cum - cc.cnt) AS DOUBLE) / CAST(cc.cnt AS DOUBLE))
+         |    * (CAST(1.0 AS DOUBLE) / CAST(256.0 AS DOUBLE)), 6) AS q25
+         |  FROM pick p JOIN cc ON cc.bin = p.bin
+         |)
+         |SELECT sc.doc_id, sc.quality, th.q25
+         |FROM sc, th WHERE sc.quality >= th.q25
+         |ORDER BY sc.doc_id""".stripMargin,
     // Same quality formula as the q_text_quality oracle, then the exact
     // interpolated 25th percentile gates the corpus (computed over the
     // ROUNDED scores, like the Spark plan; output q25 rounded after).
