@@ -36,7 +36,8 @@ object Plans {
       "q_curate_shards", "q_rel_scd2", "q_rel_funnel", "q_rel_retention",
       "q_pipeline_embed", "q_curate_epoch", "q_rel_affinity",
       "q_text_textrank", "q_text_qclassifier", "q_curate_split_leakage",
-      "q_events_dau_hll", "q_text_heavy_hitters", "q_curate_quality_quantiles")
+      "q_events_dau_hll", "q_text_heavy_hitters", "q_curate_quality_quantiles",
+      "q_curate_quality_filter_sketch")
     show.foreach { name =>
       println(s"\n## $name\n")
       println("```")
