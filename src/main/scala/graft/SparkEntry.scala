@@ -579,6 +579,30 @@ object SparkEntry {
       Sketches.histogramQuantiles(scored, col("quality"),
         Seq(0.25, 0.5, 0.75, 0.9), bins = 256, lo = 0.0, hi = 1.0)
     }),
+    // CCNet head/middle/tail split (Wenzek et al. 2020 §4.3: bucket the
+    // corpus by LM perplexity terciles — public paper): per-doc unigram
+    // NLL → histogram-sketch tercile thresholds (one pass, no value
+    // sort) → bucket assignment + per-bucket fingerprint. The composed
+    // plan: two corpus aggregations (LM counts, per-doc NLL), one 256-bin
+    // sketch, broadcast thresholds back over the scored docs.
+    "q_curate_ccnet_buckets" -> ((s, dir) => {
+      val docs = graft.sources.Testdata.table(s, dir, "documents")
+      val nll = TextAnalysis.unigramNll(docs, col("doc_id"), col("text"))
+        .select(col("id"), round(col("avg_nll"), 6).as("nll"))
+      val th = Sketches.histogramQuantilesAdaptive(nll, col("nll"),
+          Seq(1.0 / 3.0, 2.0 / 3.0), bins = 256)
+        .agg(min(col("est")).as("t1"), max(col("est")).as("t2"))
+      nll.crossJoin(broadcast(th))
+        .select(col("id"),
+          when(col("nll") <= col("t1"), "head")
+            .when(col("nll") <= col("t2"), "middle")
+            .otherwise("tail").as("bucket"),
+          col("t1"), col("t2"))
+        .groupBy("bucket", "t1", "t2")
+        .agg(count(lit(1)).as("n_docs"), sum(col("id")).as("sum_ids"))
+        .orderBy("bucket")
+        .select("bucket", "n_docs", "sum_ids", "t1", "t2")
+    }),
     // the same gate driven by the ONE-PASS histogram threshold instead of
     // the exact two-pass percentile — the 100 TB shape: corpus → 256-bin
     // sketch → broadcast single-row threshold, no value sort anywhere
@@ -2242,6 +2266,58 @@ object SparkEntry {
          |  * (CAST(1.0 AS DOUBLE) / CAST(256.0 AS DOUBLE)), 6) AS est
          |FROM pick p JOIN cc ON cc.bin = p.bin
          |ORDER BY q""".stripMargin,
+    // CCNet-bucket oracle: the proven unigram-NLL chain (bit-parity sorted
+    // fold) feeds the histogram-quantile CTE chain at the tercile targets;
+    // thresholds rounded per-estimate then min/max'd, same as the Spark agg
+    "q_curate_ccnet_buckets" ->
+      """WITH tok AS (
+        |  SELECT doc_id AS id, unnest(string_split_regex(text, '\s+')) AS t FROM documents
+        |), lm AS (SELECT t, count(*) AS c FROM tok GROUP BY t),
+        |tot AS (SELECT count(*) AS n FROM tok),
+        |lp AS (
+        |  SELECT id, ln(CAST(c AS DOUBLE)) - ln(CAST(n AS DOUBLE)) AS lp
+        |  FROM tok JOIN lm USING (t), tot
+        |), ag AS (
+        |  SELECT id, list(lp ORDER BY lp) AS lps, count(*) AS n_tokens FROM lp GROUP BY id
+        |), sc AS (
+        |  SELECT id, round(list_reduce(list_prepend(CAST(0.0 AS DOUBLE), lps), (a, x) -> a + x) / -n_tokens, 6) AS nll
+        |  FROM ag
+        |), ext AS (
+        |  SELECT min(nll) AS lo, max(nll) AS hi FROM sc
+        |), b AS (
+        |  SELECT CASE WHEN ext.hi = ext.lo THEN 0
+        |    ELSE CAST(least(greatest(floor((nll - ext.lo) / (ext.hi - ext.lo) * CAST(256.0 AS DOUBLE)), CAST(0.0 AS DOUBLE)), CAST(255.0 AS DOUBLE)) AS INT) END AS bin
+        |  FROM sc, ext
+        |), c AS (
+        |  SELECT bin, count(*) AS cnt FROM b GROUP BY bin
+        |), cc AS (
+        |  SELECT bin, cnt, sum(cnt) OVER (ORDER BY bin) AS cum FROM c
+        |), tct AS (
+        |  SELECT CAST(sum(cnt) AS BIGINT) AS n FROM c
+        |), qv AS (
+        |  SELECT CAST(1.0 AS DOUBLE)/CAST(3.0 AS DOUBLE) AS q
+        |  UNION ALL SELECT CAST(2.0 AS DOUBLE)/CAST(3.0 AS DOUBLE)
+        |), tg AS (
+        |  SELECT q, CAST(ceil(q * n) AS BIGINT) AS target FROM qv, tct
+        |), pick AS (
+        |  SELECT tg.q, tg.target, min(cc.bin) AS bin
+        |  FROM tg JOIN cc ON cc.cum >= tg.target
+        |  GROUP BY 1, 2
+        |), est AS (
+        |  SELECT p.q, round(ext.lo + (CAST(p.bin AS DOUBLE)
+        |    + CAST(p.target - (cc.cum - cc.cnt) AS DOUBLE) / CAST(cc.cnt AS DOUBLE))
+        |    * ((ext.hi - ext.lo) / CAST(256.0 AS DOUBLE)), 6) AS e
+        |  FROM pick p JOIN cc ON cc.bin = p.bin, ext
+        |), th AS (
+        |  SELECT min(e) AS t1, max(e) AS t2 FROM est
+        |)
+        |SELECT CASE WHEN sc.nll <= th.t1 THEN 'head'
+        |            WHEN sc.nll <= th.t2 THEN 'middle'
+        |            ELSE 'tail' END AS bucket,
+        |  th.t1, th.t2,
+        |  count(*) AS n_docs, CAST(sum(sc.id) AS BIGINT) AS sum_ids
+        |FROM sc, th GROUP BY 1, th.t1, th.t2
+        |ORDER BY bucket""".stripMargin,
     // Sketch-gated twin: the histogram-quantile threshold (identical CTE
     // chain to the q_curate_quality_quantiles oracle at q=0.25) gates the
     // same rounded scores

@@ -204,4 +204,45 @@ object Sketches {
           * (lit(hi - lo) / lit(bins.toDouble)), 6).as("est"))
       .orderBy("q")
   }
+
+  /** [[histogramQuantiles]] with the bin range fitted to the observed
+    * [min, max] — one extra cheap extent aggregate buys full bin
+    * resolution on concentrated distributions (a fixed guess of the range
+    * can land every value in a handful of bins and widen the quantile
+    * error to the distribution's span; with the fitted range the error is
+    * (max−min)/bins by construction). Still sort-free and mergeable:
+    * extent is a min/max aggregate, and both the extent row and the bin
+    * table are checkpointed sketches. Feed it values already rounded to
+    * 6 dp so the extent row is engine-exact.
+    */
+  def histogramQuantilesAdaptive(df: DataFrame, value: Column, qs: Seq[Double],
+      bins: Int = 256): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val ext = df.agg(min(value).as("lo"), max(value).as("hi")).localCheckpoint(false)
+    val binCol = when(col("hi") === col("lo"), lit(0))
+      .otherwise(least(greatest(
+          floor((value - col("lo")) / (col("hi") - col("lo")) * lit(bins.toDouble)),
+          lit(0.0)),
+        lit((bins - 1).toDouble)).cast("int"))
+    val counts = df.crossJoin(broadcast(ext))
+      .select(binCol.as("bin")).groupBy("bin").agg(count(lit(1)).as("cnt"))
+      .localCheckpoint(false)
+    val cum = counts.withColumn("cum",
+      sum(col("cnt")).over(Window.orderBy("bin")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val total = counts.agg(sum(col("cnt")).as("n"))
+    val targets = qs.toDF("q").crossJoin(broadcast(total))
+      .withColumn("target", ceil(col("q") * col("n")))
+    val pick = targets.crossJoin(broadcast(cum))
+      .filter(col("cum") >= col("target"))
+      .groupBy("q", "target").agg(min(col("bin")).as("bin"))
+    pick.join(cum, Seq("bin")).crossJoin(broadcast(ext))
+      .select(col("q"),
+        round(col("lo") + (col("bin").cast("double")
+            + (col("target") - (col("cum") - col("cnt"))).cast("double")
+              / col("cnt").cast("double"))
+          * ((col("hi") - col("lo")) / lit(bins.toDouble)), 6).as("est"))
+      .orderBy("q")
+  }
 }

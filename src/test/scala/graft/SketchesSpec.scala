@@ -85,6 +85,42 @@ class SketchesSpec extends SparkSpec {
     assert(qs.map(out).sliding(2).forall(p => p.head <= p.last))
   }
 
+  test("adaptive histogram quantiles: fitted range resolves a concentrated distribution") {
+    import testImplicits._
+    // all mass inside [3.39, 3.42], NON-uniform within the span (quadratic
+    // crowding toward the low end): a fixed [0,16] guess lands everything
+    // in one 0.0625-wide bin whose uniform-interpolation assumption is now
+    // wrong, while the fitted range resolves the shape at (max-min)/bins
+    val df = (0 until 3000).map { i =>
+      val u = i / 3000.0; Tuple1(3.39 + 0.03 * u * u)
+    }.toDF("v")
+    val qs = Seq(0.25, 0.5, 0.75)
+    val fixed = Sketches.histogramQuantiles(df, col("v"), qs, bins = 256, lo = 0.0, hi = 16.0)
+      .collect().map(r => r.getDouble(0) -> r.getDouble(1)).toMap
+    val fitted = Sketches.histogramQuantilesAdaptive(df, col("v"), qs, bins = 256)
+      .collect().map(r => r.getDouble(0) -> r.getDouble(1)).toMap
+    val binW = 0.03 / 256
+    var fixedWorst = 0.0
+    qs.foreach { q =>
+      val exact = 3.39 + 0.03 * q * q // inverse of the quadratic ramp
+      assert(math.abs(fitted(q) - exact) <= binW + 1e-9,
+        s"q=$q fitted=${fitted(q)} exact=$exact")
+      fixedWorst = math.max(fixedWorst, math.abs(fixed(q) - exact))
+    }
+    // the single coarse bin interpolates as if uniform — off by far more
+    // than the fitted sketch's bin-width bound
+    assert(fixedWorst > 5 * binW, s"fixed-range error $fixedWorst unexpectedly small")
+    assert(fitted(0.25) < fitted(0.5) && fitted(0.5) < fitted(0.75))
+  }
+
+  test("adaptive histogram quantiles: constant column degenerates to that value") {
+    import testImplicits._
+    val df = Seq.fill(50)(Tuple1(7.25)).toDF("v")
+    val out = Sketches.histogramQuantilesAdaptive(df, col("v"), Seq(0.5))
+      .collect().head.getDouble(1)
+    assert(out == 7.25)
+  }
+
   test("histogram quantiles: values outside [lo,hi] clamp to edge bins") {
     import testImplicits._
     val df = Seq(-5.0, 0.1, 0.2, 0.3, 99.0).map(Tuple1(_)).toDF("v")
