@@ -514,6 +514,12 @@ object SparkEntry {
     "q_text_collocations" -> ((s, dir) =>
       TextAnalysis.collocations(graft.sources.Testdata.table(s, dir, "documents"),
         col("text"), minCount = 5L, topK = 20)),
+    // Zipf-law corpus audit: ln(freq) ~ ln(rank) least squares over the
+    // vocabulary; order-invariant integer-scaled decimal sums keep float
+    // parity under any partitioning
+    "q_text_zipf" -> ((s, dir) =>
+      TextAnalysis.zipfFit(graft.sources.Testdata.table(s, dir, "documents"),
+        col("text"))),
     // TextRank keywords: fixed-iteration damped PageRank over the
     // adjacent-token graph — edge-sized working set after one count agg,
     // one equi-join + sorted-fold agg per iteration
@@ -578,6 +584,16 @@ object SparkEntry {
         .select(round(TextAnalysis.qualityScore(col("text")), 6).as("quality"))
       Sketches.histogramQuantiles(scored, col("quality"),
         Seq(0.25, 0.5, 0.75, 0.9), bins = 256, lo = 0.0, hi = 1.0)
+    }),
+    // per-source quality distribution audit: grouped histogram quantiles
+    // in ONE corpus pass (G·B sketch rows, bounded per-group windows) —
+    // the pre-mix forensics for a multi-source corpus
+    "q_curate_quality_by_source" -> ((s, dir) => {
+      val docs = graft.sources.Testdata.table(s, dir, "documents")
+      val scored = docs.select(col("source"),
+        round(TextAnalysis.qualityScore(col("text")), 6).as("quality"))
+      Sketches.histogramQuantilesByGroup(scored, col("source"), col("quality"),
+        Seq(0.25, 0.75), bins = 256, lo = 0.0, hi = 1.0)
     }),
     // CCNet head/middle/tail split (Wenzek et al. 2020 §4.3: bucket the
     // corpus by LM perplexity terciles — public paper): per-doc unigram
@@ -1509,6 +1525,40 @@ object SparkEntry {
         |  WHERE b.cxy >= 5
         |), tot
         |ORDER BY pmi DESC, bigram ASC LIMIT 20""".stripMargin,
+    // Zipf oracle: identical ranking (count desc, token asc), identical
+    // integer scaling, DECIMAL sums (order-invariant), identical
+    // closed-form slope/R2 in double
+    "q_text_zipf" ->
+      """WITH tok AS (
+        |  SELECT unnest(string_split_regex(text, '\s+')) AS t FROM documents
+        |), v AS (
+        |  SELECT t, count(*) AS c FROM tok GROUP BY t
+        |), rk AS (
+        |  SELECT c, row_number() OVER (ORDER BY c DESC, t ASC) AS r FROM v
+        |), s AS (
+        |  SELECT CAST(round(ln(CAST(r AS DOUBLE)) * 1000000.0, 0) AS BIGINT) AS x6,
+        |         CAST(round(ln(CAST(c AS DOUBLE)) * 1000000.0, 0) AS BIGINT) AS y6
+        |  FROM rk
+        |), ag AS (
+        |  SELECT count(*) AS n,
+        |    sum(CAST(x6 AS DECIMAL(18,0))) AS sx,
+        |    sum(CAST(y6 AS DECIMAL(18,0))) AS sy,
+        |    sum(CAST(x6 AS DECIMAL(18,0)) * CAST(y6 AS DECIMAL(18,0))) AS sxy,
+        |    sum(CAST(x6 AS DECIMAL(18,0)) * CAST(x6 AS DECIMAL(18,0))) AS sxx,
+        |    sum(CAST(y6 AS DECIMAL(18,0)) * CAST(y6 AS DECIMAL(18,0))) AS syy
+        |  FROM s
+        |)
+        |SELECT CAST(n AS BIGINT) AS n_types,
+        |  CASE WHEN n > 1 AND (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) <> 0.0 THEN round(
+        |    (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+        |    / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)), 6) END AS slope,
+        |  CASE WHEN n > 1 AND (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) <> 0.0
+        |    AND (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)) <> 0.0 THEN round(
+        |    (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+        |    * (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+        |    / ((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+        |      * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 6) END AS r2
+        |FROM ag""".stripMargin,
     // TextRank oracle: the 5 damped-PageRank iterations unrolled as CTEs.
     // Contribution sums fold over value-sorted lists (partition/engine
     // invariant); the restart term is written (CAST(1.0 AS DOUBLE) -
@@ -2266,6 +2316,43 @@ object SparkEntry {
          |  * (CAST(1.0 AS DOUBLE) / CAST(256.0 AS DOUBLE)), 6) AS est
          |FROM pick p JOIN cc ON cc.bin = p.bin
          |ORDER BY q""".stripMargin,
+    // Grouped-quantile oracle: quality chain + per-source partitioned
+    // cumulative window over the bin sketch
+    "q_curate_quality_by_source" ->
+      s"""WITH t AS (
+         |  SELECT source, string_split_regex(text, '\\s+') AS toks,
+         |         length(regexp_replace(text, '\\s', '', 'g')) AS nonws,
+         |         length(regexp_replace(text, '[a-z0-9\\s]', '', 'g')) AS punct
+         |  FROM documents
+         |), sc AS (
+         |  SELECT source AS grp, round(
+         |    0.4*least(len(toks)/100.0, 1.0)
+         |    + 0.3*(1.0 - CASE WHEN nonws > 0 THEN CAST(punct AS DOUBLE)/nonws ELSE 0.0 END)
+         |    + 0.3*least((CASE WHEN len(toks) > 0 THEN CAST(len(list_filter(toks, x -> list_contains(${profileSql("en")}, x))) AS DOUBLE)/len(toks) ELSE 0.0 END)/0.1, 1.0),
+         |    6) AS quality
+         |  FROM t
+         |), b AS (
+         |  SELECT grp, CAST(least(greatest(floor((quality - CAST(0.0 AS DOUBLE)) / CAST(1.0 AS DOUBLE) * CAST(256.0 AS DOUBLE)), CAST(0.0 AS DOUBLE)), CAST(255.0 AS DOUBLE)) AS INT) AS bin FROM sc
+         |), c AS (
+         |  SELECT grp, bin, count(*) AS cnt FROM b GROUP BY 1, 2
+         |), cc AS (
+         |  SELECT grp, bin, cnt, sum(cnt) OVER (PARTITION BY grp ORDER BY bin) AS cum FROM c
+         |), tt AS (
+         |  SELECT grp, CAST(sum(cnt) AS BIGINT) AS n FROM c GROUP BY grp
+         |), qv AS (
+         |  SELECT CAST(unnest([0.25, 0.75]) AS DOUBLE) AS q
+         |), tg AS (
+         |  SELECT grp, q, CAST(ceil(q * n) AS BIGINT) AS target FROM qv, tt
+         |), pick AS (
+         |  SELECT tg.grp, tg.q, tg.target, min(cc.bin) AS bin
+         |  FROM tg JOIN cc ON cc.grp = tg.grp AND cc.cum >= tg.target
+         |  GROUP BY 1, 2, 3
+         |)
+         |SELECT p.grp, p.q, round(CAST(0.0 AS DOUBLE) + (CAST(p.bin AS DOUBLE)
+         |  + CAST(p.target - (cc.cum - cc.cnt) AS DOUBLE) / CAST(cc.cnt AS DOUBLE))
+         |  * (CAST(1.0 AS DOUBLE) / CAST(256.0 AS DOUBLE)), 6) AS est
+         |FROM pick p JOIN cc ON cc.grp = p.grp AND cc.bin = p.bin
+         |ORDER BY p.grp, p.q""".stripMargin,
     // CCNet-bucket oracle: the proven unigram-NLL chain (bit-parity sorted
     // fold) feeds the histogram-quantile CTE chain at the tercile targets;
     // thresholds rounded per-estimate then min/max'd, same as the Spark agg

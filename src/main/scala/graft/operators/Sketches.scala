@@ -205,6 +205,43 @@ object Sketches {
       .orderBy("q")
   }
 
+  /** Per-group histogram quantiles — [[histogramQuantiles]] with a group
+    * key: one corpus aggregation into G·B bin counts, then per-group
+    * cumulative ranks behind a PROPERLY PARTITIONED window (each
+    * partition holds ≤ B sketch rows, so the window is bounded no matter
+    * how skewed the groups are — compare the exact per-group `percentile`,
+    * which buffers every value of the largest group). The per-source
+    * quality/score distribution audit a multi-source corpus runs before
+    * mixing.
+    */
+  def histogramQuantilesByGroup(df: DataFrame, grp: Column, value: Column,
+      qs: Seq[Double], bins: Int = 256, lo: Double = 0.0, hi: Double = 1.0): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val binCol = least(greatest(
+        floor((value - lit(lo)) / lit(hi - lo) * lit(bins.toDouble)), lit(0.0)),
+      lit((bins - 1).toDouble)).cast("int")
+    val counts = df.select(grp.as("grp"), binCol.as("bin"))
+      .groupBy("grp", "bin").agg(count(lit(1)).as("cnt"))
+      .localCheckpoint(false)
+    val cum = counts.withColumn("cum",
+      sum(col("cnt")).over(Window.partitionBy("grp").orderBy("bin")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val totals = counts.groupBy("grp").agg(sum(col("cnt")).as("n"))
+    val targets = totals.crossJoin(broadcast(qs.toDF("q")))
+      .withColumn("target", ceil(col("q") * col("n")))
+    val pick = targets.join(cum, Seq("grp"))
+      .filter(col("cum") >= col("target"))
+      .groupBy("grp", "q", "target").agg(min(col("bin")).as("bin"))
+    pick.join(cum, Seq("grp", "bin"))
+      .select(col("grp"), col("q"),
+        round(lit(lo) + (col("bin").cast("double")
+            + (col("target") - (col("cum") - col("cnt"))).cast("double")
+              / col("cnt").cast("double"))
+          * (lit(hi - lo) / lit(bins.toDouble)), 6).as("est"))
+      .orderBy("grp", "q")
+  }
+
   /** [[histogramQuantiles]] with the bin range fitted to the observed
     * [min, max] — one extra cheap extent aggregate buys full bin
     * resolution on concentrated distributions (a fixed guess of the range

@@ -378,6 +378,48 @@ object TextAnalysis {
         round(lit(1.0) / (lit(1.0) + exp(-zc)), 6).as("score"))
   }
 
+  /** Zipf-law audit: least-squares slope and R² of ln(frequency) against
+    * ln(rank) over the corpus vocabulary — natural text tracks slope ≈ −1
+    * (Zipf 1949); template/log-like or spam corpora deviate sharply, so
+    * the fitted (slope, r2) pair is a cheap whole-corpus health probe.
+    *
+    * Scale shape: one corpus tokenize+count into the VOCABULARY-sized
+    * table; the rank window sorts vocab rows (vocab-bounded, ≪ corpus),
+    * and the regression reduces to five sums.
+    *
+    * Determinism contract: plain double sums are partition-ORDER-dependent
+    * and would break engine parity, so each ln is scaled to an exact
+    * integer (`round(ln·10⁶)`) and the five regression sums run in DECIMAL
+    * arithmetic — exact and order-invariant under ANY partitioning; the
+    * closed-form slope/R² then evaluates in identical double expressions
+    * on both engines. (The scaling quantizes at 1e-6 — far below any
+    * meaningful fit difference.)
+    */
+  def zipfFit(docs: DataFrame, text: Column): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val vocab = docs.select(explode(wsTokens(text)).as("t"))
+      .groupBy("t").agg(count(lit(1)).as("c"))
+    val ranked = vocab.withColumn("r",
+      row_number().over(Window.orderBy(col("c").desc, col("t").asc)))
+    val s = ranked.select(
+      round(log(col("r").cast("double")) * lit(1000000.0), 0).cast("long").as("x6"),
+      round(log(col("c").cast("double")) * lit(1000000.0), 0).cast("long").as("y6"))
+    val d = (c: String) => col(c).cast("decimal(18,0)")
+    val ag = s.agg(count(lit(1)).as("n"),
+      sum(d("x6")).as("sx"), sum(d("y6")).as("sy"),
+      sum(d("x6") * d("y6")).as("sxy"),
+      sum(d("x6") * d("x6")).as("sxx"),
+      sum(d("y6") * d("y6")).as("syy"))
+    val nD = col("n").cast("double")
+    val cov = nD * col("sxy").cast("double") - col("sx").cast("double") * col("sy").cast("double")
+    val varX = nD * col("sxx").cast("double") - col("sx").cast("double") * col("sx").cast("double")
+    val varY = nD * col("syy").cast("double") - col("sy").cast("double") * col("sy").cast("double")
+    ag.select(col("n").as("n_types"),
+      when(col("n") > 1 && varX =!= 0.0, round(cov / varX, 6)).as("slope"),
+      when(col("n") > 1 && varX =!= 0.0 && varY =!= 0.0,
+        round(cov * cov / (varX * varY), 6)).as("r2"))
+  }
+
   /** TextRank keyword ranking (Mihalcea & Tarau 2004 — public paper):
     * PageRank with damping `d` over the token co-occurrence graph (edges =
     * adjacent-token pairs, both directions, weighted by corpus count),

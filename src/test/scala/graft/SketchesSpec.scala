@@ -113,6 +113,19 @@ class SketchesSpec extends SparkSpec {
     assert(fitted(0.25) < fitted(0.5) && fitted(0.5) < fitted(0.75))
   }
 
+  test("grouped histogram quantiles: per-group estimates independent and within a bin width") {
+    import testImplicits._
+    // group a uniform on [0, 0.5); group b uniform on [0.5, 1.0)
+    val df = ((0 until 4000).map(i => ("a", 0.5 * i / 4000.0)) ++
+      (0 until 2000).map(i => ("b", 0.5 + 0.5 * i / 2000.0))).toDF("src", "v")
+    val out = Sketches.histogramQuantilesByGroup(df, col("src"), col("v"),
+      Seq(0.5), bins = 256).collect()
+      .map(r => r.getString(0) -> r.getDouble(2)).toMap
+    val binW = 1.0 / 256
+    assert(math.abs(out("a") - 0.25) <= binW + 1e-9, s"a median ${out("a")}")
+    assert(math.abs(out("b") - 0.75) <= binW + 1e-9, s"b median ${out("b")}")
+  }
+
   test("adaptive histogram quantiles: constant column degenerates to that value") {
     import testImplicits._
     val df = Seq.fill(50)(Tuple1(7.25)).toDF("v")

@@ -203,6 +203,25 @@ class TextAnalysisSpec extends SparkSpec {
     assert(!plan.contains("Exchange"), s"classifier must not shuffle:\n$plan")
   }
 
+  test("zipfFit: exact power law fits slope -1 with r2 ~ 1; flat corpus fits slope 0") {
+    import testImplicits._
+    // token i appears floor(1200/i) times: c(r) = 1200/r, ln c = ln 1200 - ln r
+    val zipfy = (1 to 30).flatMap(i => Seq.fill(1200 / i)(f"tok$i%02d"))
+    val docs = Seq(Tuple1(zipfy.mkString(" "))).toDF("text")
+    val r = TextAnalysis.zipfFit(docs, col("text")).collect().head
+    assert(r.getLong(0) == 30L)
+    assert(math.abs(r.getDouble(1) - (-1.0)) < 0.02, s"slope ${r.getDouble(1)}")
+    assert(r.getDouble(2) > 0.999, s"r2 ${r.getDouble(2)}")
+    // uniform frequencies: ln c constant -> slope 0, r2 degenerate (null)
+    val flat = Seq(Tuple1((1 to 20).flatMap(i => Seq.fill(5)(s"t$i")).mkString(" "))).toDF("text")
+    val f = TextAnalysis.zipfFit(flat, col("text")).collect().head
+    assert(f.getDouble(1) == 0.0, s"flat slope ${f.getDouble(1)}")
+    assert(f.isNullAt(2), "flat corpus r2 must be null (zero y-variance)")
+    // determinism under repartitioning: decimal sums are order-invariant
+    val again = TextAnalysis.zipfFit(docs.repartition(7), col("text")).collect().head
+    assert(r.toSeq == again.toSeq)
+  }
+
   test("textrank: hub token ranks first; symmetric tokens tie exactly; deterministic") {
     import testImplicits._
     // star graph: y is adjacent to x and z; x and z are symmetric leaves
