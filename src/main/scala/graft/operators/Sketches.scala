@@ -133,31 +133,44 @@ object Sketches {
       pmod(pmod(fp * lit(a) + lit(b), lit(1000000007L)), lit(width.toLong))
     }: _*)
 
-  /** Count-min heavy hitters: build the d×w counter matrix in one
-    * aggregation (bounded d·w rows regardless of corpus size), then
-    * estimate each of the exact top-K items as min_i counter[i, h_i] —
-    * the one-sided overestimate guarantee (est ≥ exact, error bounded by
-    * collisions) holds deterministically. The counter matrix is the
-    * production artifact — mergeable across shards by cell-wise sum and
-    * probe-able for ANY item without touching the corpus; the exact
-    * top-K twin here makes the estimate auditable.
+  /** The count-min d×w counter matrix in one map-side-combined
+    * aggregation — bounded d·w rows regardless of corpus size, mergeable
+    * across shards/batches by cell-wise SUM, probe-able for any item via
+    * [[cmEstimate]] without touching the corpus.
+    */
+  def cmCounters(items: DataFrame, item: Column,
+      depth: Int = 4, width: Int = 1024): DataFrame = {
+    require(depth >= 1 && depth <= CmSalts.length)
+    items.select(item.as("item"))
+      .withColumn("fp", TextAnalysis.fingerprint(col("item")))
+      .select(posexplode(cmCells(col("fp"), depth, width)).as(Seq("i", "cell")))
+      .groupBy("i", "cell").agg(count(lit(1)).as("cnt"))
+  }
+
+  /** Frequency estimates for `probes` against a counter matrix:
+    * min_i counter[i, h_i] per item — the one-sided overestimate
+    * guarantee (est ≥ true count, error bounded by collisions) holds
+    * deterministically. Counter matrix broadcasts (d·w rows). */
+  def cmEstimate(counters: DataFrame, probes: DataFrame, item: Column,
+      depth: Int = 4, width: Int = 1024): DataFrame =
+    probes.select(item.as("item")).distinct()
+      .withColumn("fp", TextAnalysis.fingerprint(col("item")))
+      .select(col("item"), posexplode(cmCells(col("fp"), depth, width)).as(Seq("i", "cell")))
+      .join(broadcast(counters), Seq("i", "cell"))
+      .groupBy("item").agg(min(col("cnt")).as("n_est"))
+
+  /** Count-min heavy hitters: [[cmCounters]] + the exact top-K twin,
+    * estimated via [[cmEstimate]] — the exact side makes the sketch
+    * auditable row by row (production keeps only the counter matrix).
     */
   def cmHeavyHitters(items: DataFrame, item: Column,
       depth: Int = 4, width: Int = 1024, topK: Int = 20): DataFrame = {
-    require(depth >= 1 && depth <= CmSalts.length)
     val occ = items.select(item.as("item"))
-      .withColumn("fp", TextAnalysis.fingerprint(col("item")))
-    val counters = occ
-      .select(posexplode(cmCells(col("fp"), depth, width)).as(Seq("i", "cell")))
-      .groupBy("i", "cell").agg(count(lit(1)).as("cnt"))
+    val counters = cmCounters(occ, col("item"), depth, width)
     val top = occ.groupBy("item").agg(count(lit(1)).as("n_exact"))
       .orderBy(col("n_exact").desc, col("item").asc).limit(topK)
-    top
-      .withColumn("fp", TextAnalysis.fingerprint(col("item")))
-      .select(col("item"), col("n_exact"),
-        posexplode(cmCells(col("fp"), depth, width)).as(Seq("i", "cell")))
-      .join(broadcast(counters), Seq("i", "cell"))
-      .groupBy("item", "n_exact").agg(min(col("cnt")).as("n_est"))
+    top.join(cmEstimate(counters, top, col("item"), depth, width), Seq("item"))
+      .select(col("item"), col("n_exact"), col("n_est"))
       .orderBy(col("n_exact").desc, col("item").asc)
   }
 

@@ -336,6 +336,46 @@ object Streaming {
       spark.read.parquet(path)
         .groupBy("grp", "bucket").agg(max(col("rho")).as("rho")), p)
 
+  /** Streaming count-min maintenance: per micro-batch, reduce arriving
+    * items to their d×w cell counts and persist the batch-stamped rows;
+    * running frequencies are SUM-merge-on-read ([[loadCmCounters]]).
+    * Contrast with the HLL screen above: register max-merge is idempotent
+    * (a replayed batch converges by itself), but counter SUM-merge double
+    * counts on replay — so here the batch-stamped dynamic-partition
+    * overwrite is not just hygiene, it is what makes at-least-once
+    * foreachBatch exactly-once in the persisted bytes (a retried batch
+    * REPLACES its own partition before the reader ever sums it).
+    */
+  def startCmMaintenance(
+      rows: DataFrame,          // streaming; must contain the item column
+      item: Column,
+      depth: Int,
+      width: Int,
+      outPath: String,
+      checkpoint: String,
+      queryName: String = "cm_maintenance"): StreamingQuery =
+    rows.writeStream
+      .queryName(queryName)
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        graft.operators.Sketches.cmCounters(batch, item, depth, width)
+          .withColumn("batch_id", lit(batchId))
+          .write.mode("overwrite")
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("batch_id")
+          .parquet(outPath)
+        ()
+      }
+      .start()
+
+  /** Sum the maintained per-batch cell counts into the live d×w counter
+    * matrix — probe-able for any item's frequency estimate without
+    * re-reading any raw data (bounded d·w rows regardless of history).
+    */
+  def loadCmCounters(spark: org.apache.spark.sql.SparkSession, path: String): DataFrame =
+    spark.read.parquet(path)
+      .groupBy("i", "cell").agg(sum(col("cnt")).as("cnt"))
+
   /** Stream-stream interval join: attribute each purchase to every click by
     * the same user within `horizonMinutes` before it. Both sides carry
     * watermarks and the join condition bounds event-time distance, so each

@@ -369,4 +369,38 @@ class StreamingSpec extends SparkSpec {
       assert(regs.groupBy("batch_id").count().collect().forall(_.getLong(1) <= 128))
     } finally q.stop()
   }
+
+  test("streaming count-min maintenance: cell counts sum-merge across batches; probes equal the batch twin") {
+    val sp = spark
+    import sp.implicits._
+    implicit val sqlCtx = sp.sqlContext
+    import graft.operators.Sketches
+    val in = MemoryStream[String]
+    val out = tmpDir("graft_cm_maint")
+    val q = Streaming.startCmMaintenance(
+      in.toDF().toDF("t"), col("t"), depth = 4, width = 256,
+      s"$out/cells", s"$out/ckpt")
+    val b1 = Seq.fill(30)("alpha") ++ Seq.fill(5)("beta")
+    val b2 = Seq.fill(20)("alpha") ++ Seq.fill(9)("gamma")
+    try {
+      in.addData(b1: _*)
+      q.processAllAvailable()
+      in.addData(b2: _*)
+      q.processAllAvailable()
+      val counters = Streaming.loadCmCounters(sp, s"$out/cells")
+      // merged counters == a single-batch build over the union (sum-merge)
+      val twin = Sketches.cmCounters((b1 ++ b2).toDF("t"), col("t"), 4, 256)
+        .collect().map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2)).toMap
+      val got = counters.collect().map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2)).toMap
+      assert(got == twin)
+      // the live matrix answers frequency probes across everything ingested
+      val est = Sketches.cmEstimate(counters, Seq("alpha", "beta", "gamma").toDF("t"),
+          col("t"), 4, 256)
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(est("alpha") >= 50L && est("beta") >= 5L && est("gamma") >= 9L)
+      // bounded state per batch: at most d*w cells
+      val cells = sp.read.parquet(s"$out/cells")
+      assert(cells.groupBy("batch_id").count().collect().forall(_.getLong(1) <= 4 * 256))
+    } finally q.stop()
+  }
 }
