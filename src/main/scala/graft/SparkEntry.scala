@@ -769,6 +769,20 @@ object SparkEntry {
           (Curation.scrub(col("text")) =!= col("text")).as("changed"),
           length(Curation.scrub(col("text"))).as("scrub_len"))
         .orderBy("doc_id")),
+    // extended PII scrub (emails/URLs/IPs/phones/digits, specificity
+    // order) — md5 content parity + per-doc marker counts
+    "q_curate_scrub_pii" -> ((s, dir) => {
+      val s2 = Curation.scrubPii(col("text"))
+      def marks(tag: String): org.apache.spark.sql.Column =
+        ((length(s2) - length(regexp_replace(s2, tag, ""))) / lit(tag.length))
+          .cast("int")
+      graft.sources.Testdata.table(s, dir, "documents")
+        .select(col("doc_id"), md5(s2).as("scrub_md5"),
+          marks("<email>").as("n_email"), marks("<url>").as("n_url"),
+          marks("<ip>").as("n_ip"), marks("<phone>").as("n_phone"),
+          marks("<num>").as("n_num"))
+        .orderBy("doc_id")
+    }),
     // Curation: shard-local sequence packing into ~512-token bins
     "q_curate_pack" -> ((s, dir) => {
       val docs = graft.sources.Testdata.table(s, dir, "documents")
@@ -2732,6 +2746,32 @@ object SparkEntry {
         |    row_number() OVER (PARTITION BY source ORDER BY n_chars DESC, doc_id ASC) AS rn
         |  FROM documents)
         |WHERE rn <= 10 ORDER BY source, id""".stripMargin,
+    // Extended-PII oracle: same six regexes in the same specificity order,
+    // marker counts by length arithmetic (int/int division is double on
+    // both engines; values exactly divisible)
+    "q_curate_scrub_pii" ->
+      """WITH s AS (
+        |  SELECT doc_id,
+        |    trim(regexp_replace(
+        |      regexp_replace(
+        |        regexp_replace(
+        |          regexp_replace(
+        |            regexp_replace(
+        |              regexp_replace(lower(text), '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}', '<email>', 'g'),
+        |              '(https?://|www\.)[^\s]+', '<url>', 'g'),
+        |            '[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}', '<ip>', 'g'),
+        |          '\+?[0-9][0-9().\-\s]{5,}[0-9]', '<phone>', 'g'),
+        |        '[0-9]+', '<num>', 'g'),
+        |      '\s+', ' ', 'g')) AS sc
+        |  FROM documents
+        |)
+        |SELECT doc_id, md5(sc) AS scrub_md5,
+        |  CAST((length(sc) - length(regexp_replace(sc, '<email>', '', 'g'))) / 7 AS INT) AS n_email,
+        |  CAST((length(sc) - length(regexp_replace(sc, '<url>', '', 'g'))) / 5 AS INT) AS n_url,
+        |  CAST((length(sc) - length(regexp_replace(sc, '<ip>', '', 'g'))) / 4 AS INT) AS n_ip,
+        |  CAST((length(sc) - length(regexp_replace(sc, '<phone>', '', 'g'))) / 7 AS INT) AS n_phone,
+        |  CAST((length(sc) - length(regexp_replace(sc, '<num>', '', 'g'))) / 5 AS INT) AS n_num
+        |FROM s ORDER BY doc_id""".stripMargin,
     "q_curate_scrub" ->
       """WITH s AS (
         |  SELECT doc_id,  text,

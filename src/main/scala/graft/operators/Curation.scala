@@ -53,6 +53,33 @@ object Curation {
         DigitPattern, "<num>"),
       "\\s+", " "))
 
+  /** Extended PII scrub: emails, URLs, IPv4 addresses, phone-like digit
+    * groups, then residual digit runs — ORDER MATTERS (a URL contains
+    * digits; an IP is a digit group; each more-specific pattern must fire
+    * before the generic ones swallow its span). Same contract as [[scrub]]:
+    * RE2-compatible patterns (no backrefs/lookaround) that run verbatim in
+    * the SQL oracle, pure codegen'd string expressions in the scan stage.
+    * The phone pattern is deliberately aggressive (any 7+-char digit group
+    * with separators) — standard for pretraining scrubs, where a false
+    * `<phone>` costs nothing and a leaked number is unrecoverable.
+    */
+  val UrlPattern = "(https?://|www\\.)[^\\s]+"
+  val Ipv4Pattern = "[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}"
+  val PhonePattern = "\\+?[0-9][0-9().\\-\\s]{5,}[0-9]"
+
+  def scrubPii(text: Column): Column =
+    trim(regexp_replace(
+      regexp_replace(
+        regexp_replace(
+          regexp_replace(
+            regexp_replace(
+              regexp_replace(lower(text), EmailPattern, "<email>"),
+              UrlPattern, "<url>"),
+            Ipv4Pattern, "<ip>"),
+          PhonePattern, "<phone>"),
+        DigitPattern, "<num>"),
+      "\\s+", " "))
+
   /** Deterministic train/val/test assignment by id arithmetic (the
     * hash-split pattern: membership is a pure function of the id, so
     * re-runs, backfills, and other engines agree). Buckets 0..999:

@@ -68,6 +68,24 @@ class CurationSpec extends SparkSpec {
     assert(got(2L) == "already clean text")
   }
 
+  test("scrubPii: specificity order keeps urls/ips/phones atomic before digit runs") {
+    val docs = Seq(
+      (1L, "See https://Example.com/a?id=99 or www.foo.io/x for info"),
+      (2L, "Call +1 (555) 123-4567 or 555-9876 today"),
+      (3L, "Server 192.168.0.1 port 8080"),
+      (4L, "Mail A.B@c.de ref 42")
+    ).toDF("doc_id", "text")
+    val got = docs.select(col("doc_id"), Curation.scrubPii(col("text")).as("s"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    // the URL is ONE <url>, not <url> + stray <num> fragments
+    assert(got(1L) == "see <url> or <url> for info")
+    // phone groups collapse whole, including separators and the leading +
+    assert(got(2L) == "call <phone> or <phone> today")
+    // the IP is one <ip>; the bare port remains a digit run
+    assert(got(3L) == "server <ip> port <num>")
+    assert(got(4L) == "mail <email> ref <num>")
+  }
+
   test("chunking plan has no exchange (embarrassingly parallel)") {
     val docs = Seq((1L, "a b c d e")).toDF("doc_id", "text")
     val plan = Curation.chunkTokens(docs, col("doc_id"), col("text"), 4, 2)
