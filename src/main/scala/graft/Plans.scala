@@ -37,7 +37,8 @@ object Plans {
       "q_pipeline_embed", "q_curate_epoch", "q_rel_affinity",
       "q_text_textrank", "q_text_qclassifier", "q_curate_split_leakage",
       "q_events_dau_hll", "q_text_heavy_hitters", "q_curate_quality_quantiles",
-      "q_curate_quality_filter_sketch")
+      "q_curate_quality_filter_sketch", "q_curate_ccnet_buckets",
+      "q_curate_quality_by_source", "q_text_zipf", "q_curate_scrub_pii")
     show.foreach { name =>
       println(s"\n## $name\n")
       println("```")
@@ -58,7 +59,11 @@ object Plans {
       // repeated-subtree queries: the final plans show whether exchange
       // reuse collapses the recomputed token-count aggregations
       "q_text_keywords", "q_text_collocations", "q_text_novelty",
-      "q_pipeline_embed")
+      "q_pipeline_embed",
+      // round-5 sketch/audit wave: the iterative textrank DAG, the
+      // auto-routed leakage audit, and the sketch-gated quality filter
+      "q_text_textrank", "q_curate_split_leakage",
+      "q_curate_quality_filter_sketch")
     println(s"\n# Appendix: FINAL adaptive plans (post-execution, AQE on)\n")
     aqeShow.foreach { name =>
       println(s"\n## $name (final adaptive plan)\n")
