@@ -317,7 +317,10 @@ object Relational {
     val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     val gapUs = gapMinutes.toLong * 60 * 1000000
     events
-      .withColumn("us", unix_micros(col("ts")))
+      // cast first: the testdata parquet carries a no-timezone (NTZ)
+      // timestamp, which unix_micros rejects; sessions pin UTC, so the cast
+      // is wall-clock-preserving and matches the oracle's naive epoch
+      .withColumn("us", unix_micros(col("ts").cast("timestamp")))
       .withColumn("prev_us", lag(col("us"), 1).over(w))
       .withColumn("new_session",
         when(col("prev_us").isNull || col("us") - col("prev_us") > gapUs, 1).otherwise(0))

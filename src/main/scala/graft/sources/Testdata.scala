@@ -2,15 +2,20 @@ package graft.sources
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.LongType
+import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
 
 /** Readers for the driver-generated testdata (TESTDATA.md).
   *
-  * The generator wrote timestamps as parquet INT64 TIMESTAMP(NANOS), which
-  * Spark's vectorized reader rejects outright. We read them via the
-  * `nanosAsLong` legacy conf and rebuild proper TimestampType columns
-  * (integer `div` keeps full precision — nanos since epoch exceed 2^53, so a
-  * double division would corrupt microseconds).
+  * Timestamp physical types have varied across testdata generations and
+  * both need canonicalizing to session-zoned TimestampType:
+  *  - INT64 TIMESTAMP(NANOS), which Spark's vectorized reader rejects
+  *    outright — read via the `nanosAsLong` legacy conf and rebuilt
+  *    (integer `div` keeps full precision — nanos since epoch exceed 2^53,
+  *    so a double division would corrupt microseconds);
+  *  - TIMESTAMP(MICROS, isAdjustedToUTC=false), which Spark 4 infers as
+  *    TIMESTAMP_NTZ — cast to TimestampType (all engine/verify/bench
+  *    sessions pin UTC, so the cast is wall-clock-preserving and matches
+  *    the DuckDB oracle's naive-timestamp epoch math).
   */
 object Testdata {
 
@@ -24,9 +29,11 @@ object Testdata {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val df = spark.read.parquet(s"$sfDir/$name.parquet")
     tsColumns.getOrElse(name, Nil).foldLeft(df) { (d, c) =>
-      if (d.schema(c).dataType == LongType)
-        d.withColumn(c, timestamp_micros(expr(s"$c div 1000")))
-      else d
+      d.schema(c).dataType match {
+        case LongType => d.withColumn(c, timestamp_micros(expr(s"$c div 1000")))
+        case _: TimestampNTZType => d.withColumn(c, col(c).cast(TimestampType))
+        case _ => d
+      }
     }
   }
 
