@@ -103,6 +103,15 @@ object ScaleSmoke {
         .join(docs, "doc_id")
       graft.operators.Dedup.minhashLshPairs(rep, col("doc_id"), col("text"), 2, 0.5).count()
     }
+    time("containment pairs (auto route, on representatives)") {
+      // same mass-duplication collapse as minhash: every replica pair is a
+      // containment-1.0 hit, so measure on exact-dedup representatives
+      val rep = graft.operators.Dedup.exactDedup(docs, col("doc_id"), col("text"))
+        .filter(col("keep")).select(col("id").as("doc_id"))
+        .join(docs, "doc_id")
+      graft.operators.Dedup.containmentPairsAuto(rep, col("doc_id"), col("text"),
+        tau = 0.5, minShingles = 5).count()
+    }
     time("bm25 top-10") {
       graft.operators.Bm25.rank(docs, col("doc_id"), col("text"),
         Seq("table", "join", "query", "scan", "fast"), k = 10).count()
@@ -262,6 +271,17 @@ object ScaleSmoke {
       val idx = graft.operators.IvfSearch.index(emb, col("embedding"), cents)
       graft.operators.IvfSearch.search(idx, col("vec_id").cast("string"),
         col("embedding"), query, cents, k = 10, nprobe = 4).count()
+    }
+    time("ivfpq search (C=8, nprobe 3, rerank 40)") {
+      // centroids and residual codebooks from the ORIGINAL corpus (the
+      // replicated table's smallest ids are all copies of vector 0)
+      val cents = graft.operators.IvfSearch.centroidsFromIds(
+        emb0, col("vec_id"), col("embedding"), c = 8)
+      val rcb = graft.operators.IvfPq.residualCodebooks(
+        emb0, col("vec_id"), col("embedding"), cents, m = 8, ks = 16)
+      val idx = graft.operators.IvfPq.index(emb, col("embedding"), cents, rcb)
+      graft.operators.IvfPq.search(idx, col("vec_id").cast("string"),
+        col("embedding"), query, cents, rcb, k = 10, nprobe = 3, rerank = 40).count()
     }
     time("binary hamming prefilter + rerank") {
       val b = graft.operators.Quantized.binarize(emb, col("embedding"), dim = 64)

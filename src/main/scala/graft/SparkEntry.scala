@@ -881,6 +881,15 @@ object SparkEntry {
           col("doc_id"), col("text"), n = 2, tau = 0.5)
         .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
         .orderBy("id_a", "id_b")),
+    // Asymmetric containment |A∩B|/min(|A|,|B|): catches a short doc quoted
+    // inside a long one, which the symmetric Jaccard union denominator
+    // provably cannot at the same threshold
+    "q_dedup_containment" -> ((s, dir) =>
+      Dedup.containmentPairsAuto(graft.sources.Testdata.table(s, dir, "documents"),
+          col("doc_id"), col("text"), n = 2, tau = 0.5, minShingles = 5)
+        .select(col("id_a"), col("id_b"),
+          round(col("containment"), 6).as("containment"))
+        .orderBy("id_a", "id_b")),
     // Incremental near-dup screening: band-join the doc_id<50 batch's
     // minhash signatures against the doc_id>=50 corpus SIGNATURE table —
     // the persisted-index shape that dedups a new crawl without touching
@@ -1005,6 +1014,19 @@ object SparkEntry {
       val indexed = IvfSearch.index(embs, col("embedding"), cents)
       IvfSearch.search(indexed, col("vec_id").cast("string"), col("embedding"),
           queryVec(s, dir), cents, k = 10, nprobe = 4)
+        .withColumn("score", round(col("score"), 6))
+        .orderBy(desc("score"), asc("id"))
+    }),
+    // IVF-PQ: coarse list pruning + residual ADC from codes + exact refine
+    // (FAISS IndexIVFPQ shape); codebooks are residuals of vec_ids 8..23
+    "q_ann_ivf_pq" -> ((s, dir) => {
+      val embs = s.read.parquet(s"$dir/embeddings.parquet")
+      val cents = IvfSearch.centroidsFromIds(embs, col("vec_id"), col("embedding"), c = 8)
+      val cb = IvfPq.residualCodebooks(embs, col("vec_id"), col("embedding"),
+        cents, m = 8, ks = 16)
+      val indexed = IvfPq.index(embs, col("embedding"), cents, cb)
+      IvfPq.search(indexed, col("vec_id").cast("string"), col("embedding"),
+          queryVec(s, dir), cents, cb, k = 10, nprobe = 3, rerank = 40)
         .withColumn("score", round(col("score"), 6))
         .orderBy(desc("score"), asc("id"))
     }),
@@ -2231,6 +2253,68 @@ object SparkEntry {
         |  WHERE asg.cid IN (SELECT cid FROM qp)
         |  ORDER BY score DESC, id ASC LIMIT 10
         |) ORDER BY score DESC, id ASC""".stripMargin,
+    // IVF-PQ: centroids = vec_id < 8; residual codebooks = residuals of
+    // vec_ids 8..23 (code = vec_id - 8); nprobe 3; ADC = per-subspace LUT
+    // terms + the per-list |q - c_l|^2 constant (NOT rank-invariant across
+    // lists); rerank 40 exact-cosine refine
+    "q_ann_ivf_pq" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ev FROM embeddings),
+        |c AS (SELECT vec_id AS cid, ev AS cv FROM e WHERE vec_id < 8),
+        |asg AS (
+        |  SELECT vec_id, cid FROM (
+        |    SELECT e.vec_id, c.cid,
+        |      row_number() OVER (PARTITION BY e.vec_id ORDER BY
+        |        list_dot_product(c.cv, c.cv) - 2*list_dot_product(e.ev, c.cv) ASC,
+        |        c.cid ASC) AS rn
+        |    FROM e, c) WHERE rn = 1
+        |),
+        |res AS (
+        |  SELECT e.vec_id, a.cid,
+        |    list_transform(range(1, len(e.ev) + 1), i -> e.ev[i] - c.cv[i]) AS rv
+        |  FROM e JOIN asg a ON e.vec_id = a.vec_id JOIN c ON a.cid = c.cid
+        |),
+        |rcb AS (SELECT vec_id - 8 AS code, rv FROM res WHERE vec_id >= 8 AND vec_id < 24),
+        |sub AS (SELECT CAST(j AS INT) AS j FROM range(8) t(j)),
+        |enc AS (
+        |  SELECT vec_id, j, code FROM (
+        |    SELECT v.vec_id, s.j, r.code,
+        |      row_number() OVER (PARTITION BY v.vec_id, s.j ORDER BY
+        |        list_dot_product(r.rv[s.j*8+1 : s.j*8+8], r.rv[s.j*8+1 : s.j*8+8])
+        |        - 2*list_dot_product(v.rv[s.j*8+1 : s.j*8+8], r.rv[s.j*8+1 : s.j*8+8]) ASC,
+        |        r.code ASC) AS rn
+        |    FROM res v, sub s, rcb r) WHERE rn = 1
+        |),
+        |q AS (SELECT ev AS qv FROM e WHERE vec_id = 0),
+        |qp AS (
+        |  SELECT cid FROM (
+        |    SELECT c.cid, row_number() OVER (ORDER BY
+        |      list_dot_product(c.cv, c.cv) - 2*list_dot_product(q.qv, c.cv) ASC,
+        |      c.cid ASC) AS rn
+        |    FROM c, q) WHERE rn <= 3
+        |),
+        |qr AS (
+        |  SELECT c.cid,
+        |    list_transform(range(1, len(q.qv) + 1), i -> q.qv[i] - c.cv[i]) AS qrv
+        |  FROM c JOIN qp USING (cid), q
+        |),
+        |adc AS (
+        |  SELECT enc.vec_id,
+        |    sum(list_dot_product(r.rv[enc.j*8+1 : enc.j*8+8], r.rv[enc.j*8+1 : enc.j*8+8])
+        |        - 2*list_dot_product(qr.qrv[enc.j*8+1 : enc.j*8+8], r.rv[enc.j*8+1 : enc.j*8+8]))
+        |      + max(list_dot_product(qr.qrv, qr.qrv)) AS adist
+        |  FROM enc
+        |  JOIN asg ON enc.vec_id = asg.vec_id
+        |  JOIN qr ON asg.cid = qr.cid
+        |  JOIN rcb r ON enc.code = r.code
+        |  GROUP BY enc.vec_id
+        |),
+        |cand AS (SELECT vec_id FROM adc ORDER BY adist ASC, CAST(vec_id AS VARCHAR) ASC LIMIT 40)
+        |SELECT id, round(score, 6) AS score FROM (
+        |  SELECT CAST(cd.vec_id AS VARCHAR) AS id,
+        |         list_cosine_similarity(e.ev, q.qv) AS score
+        |  FROM cand cd JOIN e ON cd.vec_id = e.vec_id, q
+        |  ORDER BY score DESC, id ASC LIMIT 10
+        |) ORDER BY score DESC, id ASC""".stripMargin,
     "q_media_meta" ->
       """SELECT doc_id,
         |  CASE WHEN doc_id % 3 = 0 THEN 'image/x-fake' WHEN doc_id % 3 = 1 THEN 'audio/x-fake' ELSE 'video/x-fake' END AS mime,
@@ -2918,6 +3002,22 @@ object SparkEntry {
         |  round(CASE WHEN n = 0 THEN 0.0 ELSE CAST(bsum AS DOUBLE) / n / 255.0 END, 6) AS brightness
         |FROM s ORDER BY doc_id""".stripMargin,
     "q_dedup_jaccard" -> dedupJaccardOracle,
+    "q_dedup_containment" ->
+      """WITH t AS (
+        |  SELECT doc_id, list_distinct(list_transform(
+        |    range(1, len(string_split_regex(text, '\s+'))),
+        |    i -> string_split_regex(text, '\s+')[i] || ' ' || string_split_regex(text, '\s+')[i+1])) AS sh
+        |  FROM documents
+        |)
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |  round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+        |        least(len(a.sh), len(b.sh)), 6) AS containment
+        |FROM t a, t b
+        |WHERE a.doc_id < b.doc_id
+        |  AND len(a.sh) >= 5 AND len(b.sh) >= 5
+        |  AND CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+        |      least(len(a.sh), len(b.sh)) >= 0.5
+        |ORDER BY id_a, id_b""".stripMargin,
     "q_dedup_minhash" -> dedupJaccardOracle,
     "q_dedup_incremental" -> dedupIncrementalOracle,
     "q_dedup_incremental_verified" -> dedupIncrementalVerifiedOracle,

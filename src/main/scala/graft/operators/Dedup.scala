@@ -181,6 +181,20 @@ object Dedup {
       n: Int = 2,
       tau: Double = 0.5,
       sampleMod: Int = 64): DataFrame = {
+    val (nDocs, sumDf2) = pairCostProbe(docs, text, n, sampleMod)
+    // Double arithmetic: nDocs² overflows Long past ~3.04e9 docs (wrapping
+    // negative and force-routing every huge corpus to the Θ(n²) grid)
+    if (sumDf2 > nDocs.toDouble * nDocs.toDouble / 2.0) jaccardPairsBitsetHashed(docs, id, text, n, tau)
+    else jaccardPairs(docs, id, text, n, tau, prefixFilter = true)
+  }
+
+  /** The shared routing statistic for pair-join strategy choice: (n docs,
+    * estimated Σ_s df(s)² from a deterministic 1/sampleMod vocabulary
+    * hash-sample — unbiased, exact per sampled shingle, filtered BEFORE the
+    * exchange). Small corpora probe exhaustively.
+    */
+  private def pairCostProbe(
+      docs: DataFrame, text: Column, n: Int, sampleMod: Int): (Long, Long) = {
     val nDocs = docs.count()
     val m = if (nDocs < 10L * sampleMod) 1 else sampleMod
     val sumDf2 = m * docs.select(explode(shingles(text, n)).as("s"))
@@ -188,10 +202,7 @@ object Dedup {
       .groupBy("s").agg(count(lit(1)).as("df"))
       .agg(coalesce(sum(col("df") * col("df")), lit(0L)))
       .head().getLong(0)
-    // Double arithmetic: nDocs² overflows Long past ~3.04e9 docs (wrapping
-    // negative and force-routing every huge corpus to the Θ(n²) grid)
-    if (sumDf2 > nDocs.toDouble * nDocs.toDouble / 2.0) jaccardPairsBitsetHashed(docs, id, text, n, tau)
-    else jaccardPairs(docs, id, text, n, tau, prefixFilter = true)
+    (nDocs, sumDf2)
   }
 
   /** Source-overlap matrix — corpus forensics: for every pair of sources,
@@ -227,6 +238,129 @@ object Dedup {
       .select(col("src_a"), col("src_b"), col("shared_grams"),
         round(col("shared_grams").cast("double") /
           (col("na") + col("nb") - col("shared_grams")), 6).as("jaccard"))
+  }
+
+  /** All pairs whose shingle-set CONTAINMENT `|A∩B| / min(|A|,|B|)` ≥ tau —
+    * the asymmetric near-dup predicate. Jaccard under-scores a short
+    * document quoted inside a long one (the union denominator is dominated
+    * by the long side: a fully-contained 10-shingle doc inside a 75-shingle
+    * doc scores J ≈ 0.13 but C = 1.0); containment is the standard measure
+    * for quote/boilerplate/subset detection in web-corpus curation and for
+    * the reference corpus finds pairs Jaccard ≥ 0.5 provably cannot.
+    *
+    * This is the COUNT-JOIN route (explode→equi-join→count, a `least(sz)`
+    * denominator) — the sparse-vocabulary strategy, cost Σ_s df(s)². The
+    * prefix-filter (AllPairs/PPJoin) route does NOT transfer to
+    * containment: its prefix bound derives from the symmetric Jaccard
+    * threshold (J ≥ τ ⇒ a shared element in the first |x| − ⌈τ|x|⌉ + 1
+    * rarest shingles of BOTH docs), while a contained doc constrains only
+    * the SMALLER side. On dense/template corpora use
+    * [[containmentPairsBitsetHashed]] (the Θ(n²/blocks) grid, measured 30×
+    * faster there); [[containmentPairsAuto]] routes between the two from
+    * the same Σdf² probe as [[jaccardPairsAuto]].
+    *
+    * `maxDf` is an additional screen dial: dropping shingles with df > cap
+    * removes them from the JOIN only, never the denominator, so measured
+    * containment only DECREASES — conservative (may miss pairs whose shared
+    * shingles are all corpus-hot, never a false positive). `minShingles`
+    * suppresses noise pairs from trivially short docs.
+    */
+  def containmentPairs(
+      docs: DataFrame,
+      id: Column,
+      text: Column,
+      n: Int = 2,
+      tau: Double = 0.8,
+      minShingles: Int = 1,
+      maxDf: Option[Int] = None): DataFrame = {
+    val sh = docs.select(id.as("id"), shingles(text, n).as("sh"))
+      .withColumn("sz", size(col("sh")))
+      .filter(col("sz") >= minShingles)
+    val exploded = sh.select(col("id"), col("sz"), explode(col("sh")).as("s"))
+    val joined = maxDf match {
+      case Some(cap) =>
+        val rare = exploded.groupBy("s").agg(count(lit(1)).as("df"))
+          .filter(col("df") <= cap)
+        exploded.join(rare.select("s"), Seq("s"), "left_semi")
+      case None => exploded
+    }
+    val a = joined.select(col("id").as("id_a"), col("sz").as("sz_a"), col("s"))
+    val b = joined.select(col("id").as("id_b"), col("sz").as("sz_b"), col("s"))
+    a.join(b, Seq("s"))
+      .filter(col("id_a") < col("id_b"))
+      .groupBy("id_a", "id_b", "sz_a", "sz_b")
+      .agg(count(lit(1)).as("inter"))
+      .withColumn("containment",
+        col("inter").cast("double") / least(col("sz_a"), col("sz_b")))
+      .filter(col("containment") >= tau)
+      .select(col("id_a"), col("id_b"), col("containment"))
+  }
+
+  /** Containment pairs, two-phase hashed-bitset GRID route — the
+    * dense-vocabulary strategy ([[jaccardPairsBitsetHashed]] lifted to the
+    * asymmetric predicate). Phase 1 moves only NARROW rows (id, sz,
+    * bits/8-byte mask, collision count) through the 1-Bucket-Theta grid and
+    * prefilters on the popcount overlap UPPER BOUND: C ≥ τ ⇔ inter ≥
+    * τ·min(|A|,|B|), and inter ≤ popcount(maskA ∧ maskB) + min(collA,
+    * collB) — so testing the bound never drops a true pair (completeness by
+    * the collision upper bound, same argument as the Jaccard twin). Phase 2
+    * fetches shingle sets by id for the few survivors and verifies exact
+    * containment. NOTE the Jaccard twin's size-ratio window (τ·|B| ≤ |A| ≤
+    * |B|/τ) is deliberately ABSENT: containment permits any size ratio —
+    * that window is precisely what makes Jaccard blind to subset pairs.
+    */
+  def containmentPairsBitsetHashed(
+      docs: DataFrame,
+      id: Column,
+      text: Column,
+      n: Int = 2,
+      tau: Double = 0.8,
+      minShingles: Int = 1,
+      bits: Int = 1024): DataFrame = {
+    require(bits % 64 == 0)
+    val hashMask = org.apache.spark.sql.graft.Bridge.column(
+      graft.functions.HashMaskExpr(
+        org.apache.spark.sql.graft.Bridge.expression(col("sh")), bits))
+    val t = docs.select(id.as("id"), shingles(text, n).as("sh"))
+      .withColumn("sz", size(col("sh")))
+      .filter(col("sz") >= math.max(1, minShingles))
+      .withColumn("ms", hashMask)
+      .select(col("id"), col("sh"), col("sz"),
+        col("ms.mask").as("mask"), (col("sz") - col("ms.set_bits")).as("coll"))
+    val interBits = org.apache.spark.sql.graft.Bridge.column(
+      graft.functions.PopcountAndExpr(
+        org.apache.spark.sql.graft.Bridge.expression(col("a.mask")),
+        org.apache.spark.sql.graft.Bridge.expression(col("b.mask"))))
+    val ub = interBits + least(col("a.coll"), col("b.coll"))
+    val candidate = ub >= lit(tau) * least(col("a.sz"), col("b.sz"))
+    val cand = gridSelfJoin(t.select("id", "sz", "mask", "coll"), candidate)
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+    def exactInter = size(array_intersect(col("sh_a"), col("sh_b"))).cast("long")
+    def exactCont = exactInter.cast("double") / least(col("sz_a"), col("sz_b"))
+    cand
+      .join(t.select(col("id").as("id_a"), col("sh").as("sh_a"), col("sz").as("sz_a")), Seq("id_a"))
+      .join(t.select(col("id").as("id_b"), col("sh").as("sh_b"), col("sz").as("sz_b")), Seq("id_b"))
+      .filter(exactCont >= lit(tau))
+      .select(col("id_a"), col("id_b"), exactCont.as("containment"))
+  }
+
+  /** Cost-based containment front door: the same Σdf² vs n²/2 routing
+    * statistic as [[jaccardPairsAuto]] (the two routes share the identical
+    * cost drivers — count-join volume is Σdf², the grid is Θ(n²)); both
+    * routes are exact and oracle-equal.
+    */
+  def containmentPairsAuto(
+      docs: DataFrame,
+      id: Column,
+      text: Column,
+      n: Int = 2,
+      tau: Double = 0.8,
+      minShingles: Int = 1,
+      sampleMod: Int = 64): DataFrame = {
+    val (nDocs, sumDf2) = pairCostProbe(docs, text, n, sampleMod)
+    if (sumDf2 > nDocs.toDouble * nDocs.toDouble / 2.0)
+      containmentPairsBitsetHashed(docs, id, text, n, tau, minShingles)
+    else containmentPairs(docs, id, text, n, tau, minShingles)
   }
 
   /** Exact Jaccard pairs, BITSET strategy — for the dense-small-vocabulary

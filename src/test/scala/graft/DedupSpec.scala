@@ -51,6 +51,64 @@ class DedupSpec extends SparkSpec {
     assert(exact.count() == 3)
   }
 
+  test("containmentPairs: a quoted subset scores 1.0 where jaccard stays low") {
+    // doc 2 is fully contained in doc 1 (a 4-shingle doc inside a
+    // 12-shingle doc): containment 1.0, jaccard 4/12 = 0.33
+    val d = docs(
+      1L -> "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu nu",
+      2L -> "alpha beta gamma delta epsilon",
+      3L -> "completely different words here now")
+    val cont = Dedup.containmentPairs(d, col("id"), col("text"), tau = 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(cont.toSeq == Seq((1L, 2L, 1.0)))
+    val jac = Dedup.jaccardPairs(d, col("id"), col("text"), tau = 0.5)
+      .count()
+    assert(jac == 0, "jaccard at 0.5 must miss the asymmetric pair")
+  }
+
+  test("containmentPairs: minShingles suppresses short docs; maxDf only lowers scores") {
+    val d = docs(
+      1L -> "a b c d e f g h i j k",
+      2L -> "a b c",            // 2 shingles — below minShingles=3
+      3L -> "a b c d e",
+      4L -> "x y z w v u t s")
+    val base = Dedup.containmentPairs(d, col("id"), col("text"),
+      tau = 0.5, minShingles = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(base == Set((1L, 3L)))
+    // df cap drops shared shingles from the join only: measured containment
+    // can only decrease (conservative screen), never create a new pair
+    val capped = Dedup.containmentPairs(d, col("id"), col("text"),
+      tau = 0.0, minShingles = 3, maxDf = Some(1))
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    val uncapped = Dedup.containmentPairs(d, col("id"), col("text"),
+      tau = 0.0, minShingles = 3)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    capped.foreach { case (pair, c) =>
+      assert(uncapped.contains(pair) && c <= uncapped(pair), s"$pair")
+    }
+  }
+
+  test("containmentPairs: count-join, grid-bitset, and auto routes agree") {
+    val d = docs(
+      1L -> "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu nu",
+      2L -> "alpha beta gamma delta epsilon zeta",
+      3L -> "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu xi",
+      4L -> "completely different words in here right now folks",
+      5L -> "different words in here")
+    def norm(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1),
+        BigDecimal(r.getDouble(2)).setScale(6, BigDecimal.RoundingMode.HALF_UP))).toSet
+    val cj = norm(Dedup.containmentPairs(d, col("id"), col("text"), tau = 0.5, minShingles = 3))
+    val grid = norm(Dedup.containmentPairsBitsetHashed(d, col("id"), col("text"),
+      tau = 0.5, minShingles = 3))
+    val auto = norm(Dedup.containmentPairsAuto(d, col("id"), col("text"),
+      tau = 0.5, minShingles = 3))
+    assert(cj.nonEmpty)
+    assert(cj == grid)
+    assert(cj == auto)
+  }
+
   test("jaccardPairs: prefix-filter and count-join strategies return identical pairs") {
     val docs = graft.sources.Testdata.table(spark, "/root/testdata/sf0.001", "documents")
     def canon(df: org.apache.spark.sql.DataFrame) =
