@@ -300,6 +300,12 @@ object ScaleSmoke {
         .agg(graft.functions.VectorAggs.vectorMean(col("embedding")).as("c"))
         .select(count(element_at(col("c"), 1))).head().getLong(0)
     }
+    time("abtt top-component (8 power iterations)") {
+      // 9 map-side-combined aggregation scans; the driver holds one
+      // dim-length vector — the curve should be linear scan-bound
+      graft.operators.EmbedQc.abtt(emb, col("vec_id"), col("embedding"),
+        iters = 8).count()
+    }
     time("centroid-distance outliers (top-100)") {
       graft.operators.EmbedQc.outliers(emb, col("vec_id"), col("embedding"),
         col("label"), k = 100).count()

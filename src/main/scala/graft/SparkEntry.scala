@@ -324,6 +324,47 @@ object SparkEntry {
     * candidates are verified with true Jaccard and its banding recall covers
     * every pair at tau=0.5 on this corpus.
     */
+  /** Generates the all-but-the-top oracle: per-dim mean rounded to 6 dp,
+    * `iters` power-iteration CTEs (each normalized then re-rounded to 6 dp —
+    * the exact driver sync points of [[graft.operators.EmbedQc.topComponent]],
+    * so shuffle-order float drift cannot compound), then per-vector
+    * projection and residual norm. `dim` is the corpus embedding width.
+    */
+  private def abttOracle(iters: Int, dim: Int): String = {
+    val d1 = dim + 1
+    val sub = s"(SELECT CAST(j AS INT) AS j FROM range(1, $d1) t(j))"
+    val its = (1 to iters).map { k =>
+      val prev = if (k == 1) "v0" else s"it${k - 1}"
+      s"""it$k AS (
+         |  SELECT list(vj ORDER BY j) AS v FROM (
+         |    SELECT j, round(wx / sqrt(sum(wx*wx) OVER ()), 6) AS vj FROM (
+         |      SELECT s.j AS j, avg(list_dot_product(c.xc, p.v) * c.xc[s.j]) AS wx
+         |      FROM c, $prev p, $sub s
+         |      GROUP BY s.j))
+         |)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ev FROM embeddings),
+       |m AS (
+       |  SELECT list(round(mx, 6) ORDER BY j) AS mv FROM (
+       |    SELECT s.j AS j, avg(e.ev[s.j]) AS mx FROM e, $sub s GROUP BY s.j)
+       |),
+       |c AS (
+       |  SELECT e.vec_id, list_transform(range(1, $d1), i -> e.ev[i] - m.mv[i]) AS xc
+       |  FROM e, m
+       |),
+       |v0 AS (SELECT list_transform(range(1, $d1),
+       |  i -> CASE WHEN i = 1 THEN 1.0 ELSE 0.0 END) AS v),
+       |$its
+       |SELECT vec_id AS id, round(list_dot_product(xc, v), 6) AS proj,
+       |  round(sqrt(list_dot_product(r, r)), 6) AS resid_norm
+       |FROM (
+       |  SELECT c.vec_id, c.xc, f.v,
+       |    list_transform(range(1, $d1),
+       |      i -> c.xc[i] - list_dot_product(c.xc, f.v) * f.v[i]) AS r
+       |  FROM c, it$iters f
+       |) ORDER BY id""".stripMargin
+  }
+
   private val dedupJaccardOracle =
     """WITH t AS (
       |  SELECT doc_id, list_distinct(list_transform(
@@ -864,6 +905,19 @@ object SparkEntry {
       EmbedQc.outliers(graft.sources.Testdata.table(s, dir, "embeddings"),
           col("vec_id"), col("embedding"), col("label"), k = 20)
         .orderBy(col("z").desc, col("id").asc)),
+    // all-but-the-top: corpus mean + top PC by distributed power iteration
+    // (8 rounds, 6-dp driver sync points), per-vector projection + residual
+    "q_embed_abtt" -> ((s, dir) =>
+      EmbedQc.abtt(graft.sources.Testdata.table(s, dir, "embeddings"),
+          col("vec_id"), col("embedding"), iters = 8)
+        .orderBy("id")),
+    // matryoshka truncation probe: recall@10 of prefix sub-embeddings
+    // against the full-dimension ranking
+    "q_embed_mrl" -> ((s, dir) => {
+      val embs = graft.sources.Testdata.table(s, dir, "embeddings")
+      EmbedQc.truncationRecall(embs, col("vec_id"), col("embedding"),
+        queryVec(s, dir), dims = Seq(8, 16, 32), k = 10)
+    }),
     // Dedup family (beyond-reference): exact content dedup via hash-groupBy
     "q_dedup_exact" -> ((s, dir) =>
       Dedup.exactDedup(graft.sources.Testdata.table(s, dir, "documents"),
@@ -2681,6 +2735,39 @@ object SparkEntry {
         |  CASE WHEN sigma = 0 THEN 0.0 ELSE round((dist - mu) / sigma, 6) END AS z
         |FROM d JOIN st USING (lbl)
         |ORDER BY z DESC, id ASC LIMIT 20""".stripMargin,
+    // ABTT oracle: per-dim mean (round 6), 8 power-iteration CTEs each
+    // re-rounded to 6 dp (the driver sync points), then per-vector
+    // projection + residual norm
+    "q_embed_abtt" -> abttOracle(iters = 8, dim = 64),
+    // Matryoshka truncation oracle: per-width prefix-cosine top-10 vs the
+    // full-width top-10, recall by id-set intersection
+    "q_embed_mrl" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ev FROM embeddings),
+        |q AS (SELECT ev AS qv FROM e WHERE vec_id = 0),
+        |f AS (SELECT id FROM (
+        |  SELECT CAST(e.vec_id AS VARCHAR) AS id,
+        |    list_cosine_similarity(e.ev, q.qv) AS score
+        |  FROM e, q ORDER BY score DESC, id ASC LIMIT 10)),
+        |d8 AS (SELECT id FROM (
+        |  SELECT CAST(e.vec_id AS VARCHAR) AS id,
+        |    list_cosine_similarity(e.ev[1:8], q.qv[1:8]) AS score
+        |  FROM e, q ORDER BY score DESC, id ASC LIMIT 10)),
+        |d16 AS (SELECT id FROM (
+        |  SELECT CAST(e.vec_id AS VARCHAR) AS id,
+        |    list_cosine_similarity(e.ev[1:16], q.qv[1:16]) AS score
+        |  FROM e, q ORDER BY score DESC, id ASC LIMIT 10)),
+        |d32 AS (SELECT id FROM (
+        |  SELECT CAST(e.vec_id AS VARCHAR) AS id,
+        |    list_cosine_similarity(e.ev[1:32], q.qv[1:32]) AS score
+        |  FROM e, q ORDER BY score DESC, id ASC LIMIT 10))
+        |SELECT dim, hits, round(hits / 10.0, 6) AS recall FROM (
+        |  SELECT CAST(8 AS INT) AS dim,
+        |    (SELECT count(*) FROM d8 WHERE id IN (SELECT id FROM f)) AS hits
+        |  UNION ALL SELECT CAST(16 AS INT),
+        |    (SELECT count(*) FROM d16 WHERE id IN (SELECT id FROM f))
+        |  UNION ALL SELECT CAST(32 AS INT),
+        |    (SELECT count(*) FROM d32 WHERE id IN (SELECT id FROM f))
+        |) ORDER BY dim""".stripMargin,
     // Hard-negative oracle: label-mismatch join, cosine rank per anchor,
     // round AFTER the rank-4 selection (same boundary as GroupTopK)
     "q_embed_hardneg" ->

@@ -64,4 +64,121 @@ object EmbedQc {
   def zScreen(embs: DataFrame, id: Column, vec: Column, label: Column,
       zMax: Double): DataFrame =
     zScored(embs, id, vec, label).filter(col("z") <= zMax)
+
+  /** Top principal direction of the embedding corpus by DISTRIBUTED power
+    * iteration — the workhorse of all-but-the-top post-processing (Mu &
+    * Viswanath, ICLR 2018: embedding matrices share a large common-direction
+    * component; removing the mean and the top principal component(s)
+    * measurably improves similarity tasks).
+    *
+    * Scale shape: the mean and each power-iteration step are ONE
+    * map-side-combined aggregation over the corpus — the shuffle carries a
+    * single (sum-vector, count) buffer per partition, never a row. The
+    * driver holds only `v` (one dim-length vector); `iters` is fixed, so at
+    * 100 TB the cost is `iters + 1` scans, each embarrassingly parallel —
+    * the same iterate-on-a-broadcast-vector shape as [[IvfSearch.train]].
+    *
+    * Determinism contract (the [[zScored]] rounded-boundary pattern, applied
+    * per iteration): the mean and every iterate are rounded to 6 dp at the
+    * driver sync point, so both engine sides re-enter each scan with
+    * IDENTICAL floats and shuffle-order drift cannot compound across
+    * iterations. `v₀ = e₁` fixed; the iterate is `w = Σ (x'·v)·x'`
+    * normalized (sign follows v₀ — deterministic, since the covariance
+    * operator is PSD).
+    */
+  def topComponent(
+      embs: DataFrame,
+      vec: Column,
+      iters: Int = 8): (Seq[Double], Seq[Double]) = {
+    def r6(x: Double): Double =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val mean = embs.select(vec.as("xv"))
+      .agg(graft.functions.VectorAggs.vectorMean(col("xv")).as("m"))
+      .head().getSeq[Double](0).map(r6)
+    val dim = mean.length
+    val centered = embs
+      .select(zip_with(VF.toDoubleArray(vec), typedLit(mean), (a, b) => a - b).as("xc"))
+    var v: Seq[Double] = 1.0 +: Seq.fill(dim - 1)(0.0)
+    for (_ <- 0 until iters) {
+      // one map-side-combined pass: dim scalar sums of the scaled vector
+      // (normalization absorbs the sum-vs-mean 1/n, so plain sums suffice)
+      val d = VF.dot(col("xc"), typedLit(v))
+      val sums = (1 to dim).map(i => sum(element_at(col("wv"), i)))
+      val row = centered.select(transform(col("xc"), e => e * d).as("wv"))
+        .agg(sums.head, sums.tail: _*).head()
+      val w = (0 until dim).map(row.getDouble)
+      val norm = math.sqrt(w.foldLeft(0.0)((acc, x) => acc + x * x))
+      v = w.map(x => r6(x / norm)).toSeq
+    }
+    (mean, v)
+  }
+
+  /** All-but-the-top decomposition per vector: the projection coefficient
+    * onto the corpus top component and the residual norm after removing
+    * mean + that component — `x' = x − m`, `proj = x'·v`, `resid =
+    * |x' − proj·v|`. High-|proj| rows ride the anisotropic common direction
+    * (frequency artifacts, per the paper); the residual is the corrected
+    * embedding's magnitude. One projection pass over the corpus once
+    * [[topComponent]] has run its `iters + 1` aggregation scans.
+    */
+  def abtt(
+      embs: DataFrame,
+      id: Column,
+      vec: Column,
+      iters: Int = 8): DataFrame = {
+    val (mean, v) = topComponent(embs, vec, iters)
+    val xc = zip_with(VF.toDoubleArray(vec), typedLit(mean), (a, b) => a - b)
+    val proj = VF.dot(col("xc"), typedLit(v))
+    val resid = zip_with(col("xc"),
+      transform(typedLit(v), e => e * col("proj")), (a, b) => a - b)
+    embs.select(id.as("id"), xc.as("xc"))
+      .withColumn("proj", proj)
+      .withColumn("resid_norm", sqrt(VF.normSq(resid)))
+      .select(col("id"), round(col("proj"), 6).as("proj"),
+        round(col("resid_norm"), 6).as("resid_norm"))
+  }
+
+  /** Matryoshka-style truncation probe: retrieval recall@k of PREFIX
+    * sub-embeddings against the full-dimension ranking, per candidate
+    * width. The operational question behind matryoshka representation
+    * learning (Kusupati et al., NeurIPS 2022): how much of the ANN index
+    * can be served from the first d dims? Each width's top-k is one
+    * TakeOrderedAndProject scan over sliced columns (cosine renormalizes
+    * per slice, so no re-materialization); recall is computed by a
+    * driver-side set intersection on the two k-row results — nothing
+    * corpus-sized moves.
+    */
+  def truncationRecall(
+      embs: DataFrame,
+      id: Column,
+      vec: Column,
+      query: Seq[Float],
+      dims: Seq[Int],
+      k: Int = 10): DataFrame = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val spark = embs.sparkSession
+    def topIds(d: Option[Int]): Seq[String] = {
+      val (vcol, q) = d match {
+        case Some(w) => (slice(vec, 1, w), query.take(w))
+        case None => (vec, query)
+      }
+      embs.select(id.cast("string").as("id"),
+          VF.cosine(vcol, typedLit(q)).as("score"))
+        .orderBy(desc("score"), asc("id"))
+        .limit(k)
+        .collect().map(_.getString(0)).toSeq
+    }
+    val full = topIds(None).toSet
+    val rows = dims.sorted.map { w =>
+      val hit = topIds(Some(w)).count(full.contains)
+      Row(w, hit.toLong, BigDecimal(hit.toDouble / k)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    }
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 1),
+      StructType(Seq(StructField("dim", IntegerType, nullable = false),
+        StructField("hits", LongType, nullable = false),
+        StructField("recall", DoubleType, nullable = false))))
+  }
 }

@@ -81,4 +81,48 @@ class EmbedQcSpec extends SparkSpec {
     assert(plan.contains("TakeOrderedAndProject"),
       s"top-k must not global-sort:\n$plan")
   }
+
+  private val dir = "/root/testdata/sf0.001"
+
+  test("abtt: unit top component, Pythagorean consistency, deterministic reruns") {
+    import graft.operators.EmbedQc
+    val embs = spark.read.parquet(s"$dir/embeddings.parquet")
+    val (mean, v) = EmbedQc.topComponent(embs, col("embedding"), iters = 8)
+    assert(mean.length == v.length)
+    val norm = math.sqrt(v.map(x => x * x).sum)
+    assert(math.abs(norm - 1.0) < 1e-4, s"|v| = $norm (6-dp rounding tolerance)")
+    val rows = EmbedQc.abtt(embs, col("vec_id"), col("embedding"), iters = 8)
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2)))
+    assert(rows.length == embs.count())
+    // |xc|^2 = proj^2 + resid^2 for a unit v (check a few rows exactly)
+    val xcNorm = embs
+      .select(col("vec_id"), zip_with(col("embedding").cast("array<double>"),
+        typedLit(mean), (a, b) => a - b).as("xc"))
+      .select(col("vec_id"),
+        sqrt(aggregate(zip_with(col("xc"), col("xc"), (a, b) => a * b),
+          lit(0.0), (acc, x) => acc + x)).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    rows.take(20).foreach { case (id, proj, resid) =>
+      val expect = xcNorm(id)
+      val got = math.sqrt(proj * proj + resid * resid)
+      assert(math.abs(got - expect) < 1e-3, s"vec $id: $got vs $expect")
+    }
+    val rerun = EmbedQc.abtt(embs, col("vec_id"), col("embedding"), iters = 8)
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2)))
+    assert(rows.toSeq == rerun.toSeq)
+  }
+
+  test("truncationRecall: full width recalls 1.0; schema pinned") {
+    import graft.operators.EmbedQc
+    val embs = spark.read.parquet(s"$dir/embeddings.parquet")
+    val q = graft.sources.VectorStore.fromEmbeddingsTable(spark, dir)
+      .getVector("0").toSeq
+    val out = EmbedQc.truncationRecall(embs, col("vec_id"), col("embedding"),
+      q, dims = Seq(16, 64), k = 10).collect()
+    assert(out.map(_.getInt(0)).toSeq == Seq(16, 64))
+    val full = out.find(_.getInt(0) == 64).get
+    assert(full.getLong(1) == 10 && full.getDouble(2) == 1.0)
+    val d16 = out.find(_.getInt(0) == 16).get
+    assert(d16.getLong(1) >= 0 && d16.getLong(1) <= 10)
+  }
 }
