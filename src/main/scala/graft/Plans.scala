@@ -39,7 +39,8 @@ object Plans {
       "q_events_dau_hll", "q_text_heavy_hitters", "q_curate_quality_quantiles",
       "q_curate_quality_filter_sketch", "q_curate_ccnet_buckets",
       "q_curate_quality_by_source", "q_text_zipf", "q_curate_scrub_pii",
-      "q_ann_ivf_pq", "q_dedup_containment", "q_embed_abtt", "q_embed_mrl")
+      "q_ann_ivf_pq", "q_dedup_containment", "q_embed_abtt", "q_embed_mrl",
+      "q_pipeline_dedup")
     show.foreach { name =>
       println(s"\n## $name\n")
       println("```")

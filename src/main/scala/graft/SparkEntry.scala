@@ -1028,6 +1028,25 @@ object SparkEntry {
       Dedup.connectedComponentsAuto(docs.select(col("doc_id").as("id")), pairs)
         .orderBy("id")
     }),
+    // The full dedup story in ONE composed plan: exact dedup (md5 groups,
+    // min-id representative) → MinHash-LSH near-dup pairs over the
+    // representatives only (exact content never re-compared) → connected
+    // components → per-cluster roll-up carrying the exact-dup multiplicity
+    "q_pipeline_dedup" -> ((s, dir) => {
+      val docs = graft.sources.Testdata.table(s, dir, "documents")
+      val reps = Dedup.exactDedup(docs, col("doc_id"), col("text"))
+        .filter(col("keep"))
+        .select(col("id").as("doc_id"), col("group_size"))
+        .join(docs, "doc_id")
+      val pairs = Dedup.minhashLshPairs(reps, col("doc_id"), col("text"), n = 2, tau = 0.5)
+        .select("id_a", "id_b")
+      val cc = Dedup.connectedComponentsAuto(reps.select(col("doc_id").as("id")), pairs)
+      cc.join(reps.select(col("doc_id").as("id"), col("group_size")), "id")
+        .groupBy("cluster_id")
+        .agg(count(lit(1)).as("near_members"), sum(col("group_size")).as("total_docs"))
+        .orderBy("cluster_id")
+        .select("cluster_id", "near_members", "total_docs")
+    }),
     // embedding-cosine near-dup pairs over the embeddings table — EXACT,
     // planned as the 1-Bucket-Theta grid equi-join (no BNLJ/cartesian, even
     // reducer load, `blocks` = scale-out dial); see Dedup.cosinePairs for
@@ -3131,6 +3150,38 @@ object SparkEntry {
         |)
         |SELECT id, min(reach) AS cluster_id, (id = min(reach)) AS keep
         |FROM r GROUP BY id ORDER BY id""".stripMargin,
+    // Composed pipeline oracle: exact-dedup representatives first (QUALIFY
+    // min-id per md5 group), exact Jaccard pairs among representatives
+    // (LSH recall 1.0 on this corpus, as q_dedup_clusters), recursive
+    // closure, then the per-cluster roll-up with exact-dup multiplicity
+    "q_pipeline_dedup" ->
+      """WITH RECURSIVE rep AS (
+        |  SELECT doc_id, text,
+        |    count(*) OVER (PARTITION BY md5(text)) AS group_size
+        |  FROM documents
+        |  QUALIFY row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) = 1
+        |), t AS (
+        |  SELECT doc_id, group_size, list_distinct(list_transform(
+        |    range(1, len(string_split_regex(text, '\s+'))),
+        |    i -> string_split_regex(text, '\s+')[i] || ' ' || string_split_regex(text, '\s+')[i+1])) AS sh
+        |  FROM rep
+        |), p AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        |  FROM t a, t b
+        |  WHERE a.doc_id < b.doc_id
+        |    AND CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+        |        (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.5
+        |), e AS (
+        |  SELECT id_a AS s, id_b AS d FROM p UNION ALL SELECT id_b, id_a FROM p
+        |), r AS (
+        |  SELECT doc_id AS id, doc_id AS reach FROM t
+        |  UNION
+        |  SELECT e.d AS id, r.reach FROM r JOIN e ON r.id = e.s
+        |), cl AS (SELECT id, min(reach) AS cluster_id FROM r GROUP BY id)
+        |SELECT cl.cluster_id, count(*) AS near_members,
+        |  CAST(sum(t.group_size) AS BIGINT) AS total_docs
+        |FROM cl JOIN t ON cl.id = t.doc_id
+        |GROUP BY cl.cluster_id ORDER BY cl.cluster_id""".stripMargin,
     "q_dedup_embedding" ->
       """SELECT a.vec_id AS id_a, b.vec_id AS id_b,
         |  round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])), 6) AS cosine

@@ -292,6 +292,50 @@ object Streaming {
   def loadAnnIndex(spark: org.apache.spark.sql.SparkSession, path: String): DataFrame =
     spark.read.parquet(path).drop("batch_id")
 
+  /** Streaming IVF index maintenance — the centroid-partitioned twin of
+    * [[startAnnIndexMaintenance]]: arriving vectors are assigned to their
+    * nearest centroid (the [[graft.functions.NearestCentroidExpr]] codegen
+    * argmin; the centroid matrix rides the task binary) and appended to a
+    * `list_id`-partitioned parquet index. Like the LSH bucket, the
+    * assignment is a pure per-row function of FROZEN centroids, so
+    * maintenance is stateless per batch and a probe's `IN` filter prunes to
+    * nprobe/C of all data ever ingested ([[graft.operators.IvfSearch.search]]
+    * runs unchanged on [[loadIvfIndex]]). Centroid drift is a REBUILD
+    * decision, not a streaming one — production re-trains centroids
+    * offline and cuts over to a new index path, exactly as FAISS re-trains
+    * an IVF coarse quantizer; the maintenance stream never mutates shared
+    * state. Same (list_id, batch_id) dynamic-partition-overwrite
+    * idempotence as the LSH twin.
+    */
+  def startIvfIndexMaintenance(
+      vectors: DataFrame,       // streaming (id, embedding)
+      centroids: Seq[graft.operators.IvfSearch.Centroid],
+      outPath: String,
+      checkpoint: String,
+      queryName: String = "ivf_index_maintenance"): StreamingQuery =
+    vectors.writeStream
+      .queryName(queryName)
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        graft.operators.IvfSearch.index(batch, col("embedding"), centroids)
+          .withColumn("batch_id", lit(batchId))
+          .write.mode("overwrite")
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("list_id", "batch_id")
+          .parquet(outPath)
+        ()
+      }
+      .start()
+
+  /** Read the maintained IVF index back as a search-ready indexed table.
+    * Partition-directory type inference narrows `list_id` to INT; cast back
+    * to the LONG the in-memory index contract ([[graft.operators.IvfSearch
+    * .index]]) carries.
+    */
+  def loadIvfIndex(spark: org.apache.spark.sql.SparkSession, path: String): DataFrame =
+    spark.read.parquet(path).drop("batch_id")
+      .withColumn("list_id", col("list_id").cast("long"))
+
   /** Streaming cardinality maintenance: per micro-batch, reduce arriving
     * keys to their HLL register contribution
     * ([[graft.operators.Sketches.hllRegisters]]) and persist the

@@ -293,6 +293,43 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming IVF index maintenance: lists accumulate across batches; search equals the batch twin") {
+    val sp = spark
+    import sp.implicits._
+    implicit val sqlCtx = sp.sqlContext
+    import graft.operators.IvfSearch
+    // two frozen centroids on orthogonal axes: assignment is unambiguous
+    val cents = Seq(
+      IvfSearch.Centroid(0L, Seq(1.0, 0.0, 0.0, 0.0)),
+      IvfSearch.Centroid(1L, Seq(0.0, 1.0, 0.0, 0.0)))
+    val in = MemoryStream[(String, Seq[Float])]
+    val out = tmpDir("graft_ivf_maint")
+    val q = Streaming.startIvfIndexMaintenance(
+      in.toDF().toDF("id", "embedding"), cents, s"$out/idx", s"$out/ckpt")
+    val b1 = Seq("a" -> Seq(0.9f, 0.1f, 0f, 0f), "b" -> Seq(0.1f, 0.9f, 0f, 0f))
+    val b2 = Seq("c" -> Seq(0.8f, 0.2f, 0f, 0f), "d" -> Seq(0.2f, 0.8f, 0f, 0f))
+    try {
+      in.addData(b1: _*)
+      q.processAllAvailable()
+      assert(Streaming.loadIvfIndex(sp, s"$out/idx").count() == 2)
+      in.addData(b2: _*)
+      q.processAllAvailable()
+      val idx = Streaming.loadIvfIndex(sp, s"$out/idx")
+      assert(idx.count() == 4)
+      val lists = idx.collect().map(r => r.getString(0) -> r.getAs[Long]("list_id")).toMap
+      assert(lists("a") == lists("c") && lists("b") == lists("d"),
+        "cross-batch arrivals must grow their existing inverted lists")
+      assert(lists("a") != lists("b"))
+      val qv = Seq(1f, 0f, 0f, 0f)
+      def res(df: org.apache.spark.sql.DataFrame) =
+        IvfSearch.search(df, col("id"), col("embedding"), qv, cents, k = 3, nprobe = 1)
+          .collect().map(r => (r.getString(0), r.getDouble(1))).toSeq
+      val twin = IvfSearch.index((b1 ++ b2).toDF("id", "embedding"), col("embedding"), cents)
+      assert(res(idx) == res(twin))
+      assert(res(idx).map(_._1) == Seq("a", "c"), "nprobe=1 must prune to list 0")
+    } finally q.stop()
+  }
+
   test("watermarked dedup drops cross-batch duplicates with bounded state") {
     val sp = spark
     import sp.implicits._
