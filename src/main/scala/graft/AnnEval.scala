@@ -125,6 +125,24 @@ object AnnEval {
       enc.unpersist()
     }
 
+    // IVF-PQ sweep: residual-coded lists — nprobe × rerank grid. "float
+    // rows read" = the rerank budget (the ADC stage reads codes only);
+    // recall composes the coarse-pruning miss and the code-resolution miss.
+    println("\n| IVF-PQ C=8 m=8 ks=16 | recall@10 | float rows read |\n|---|---|---|")
+    val ipCents = operators.IvfSearch.centroidsFromIds(embs, col("vec_id"), col("embedding"), c = 8)
+    val ipCb = operators.IvfPq.residualCodebooks(
+      embs, col("vec_id"), col("embedding"), ipCents, m = 8, ks = 16)
+    val ipIdx = operators.IvfPq.index(embs, col("embedding"), ipCents, ipCb).cache()
+    for (nprobe <- Seq(1, 2, 3, 4, 8); budget <- Seq(40, 100)) {
+      val hits = queries.map { case (qid, q) =>
+        qid -> operators.IvfPq.search(ipIdx, col("vec_id").cast("string"),
+            col("embedding"), q, ipCents, ipCb, k = k, nprobe = nprobe, rerank = budget)
+          .select("id").collect().map(_.getString(0)).toSet
+      }
+      evalRow(s"IVF-PQ nprobe $nprobe/8 rerank $budget", hits, budget / n)
+    }
+    ipIdx.unpersist()
+
     // semantic-dedup pair recall: cluster-blocked near-dup pairs vs the
     // exact all-pairs ground truth, across cluster counts — quantifies the
     // cross-cluster-miss trade the blocking accepts, and the compare-count

@@ -812,6 +812,18 @@ object SparkEntry {
         .orderBy("doc_id")),
     // extended PII scrub (emails/URLs/IPs/phones/digits, specificity
     // order) — md5 content parity + per-doc marker counts
+    // snapshot diff: old = head slice, new = tail slice with every 7th doc
+    // mutated — added/removed/changed/unchanged triage off one hash join
+    "q_curate_snapshot_diff" -> ((s, dir) => {
+      val docs = graft.sources.Testdata.table(s, dir, "documents")
+      val old = docs.filter(col("doc_id") < 450)
+      val nw = docs.filter(col("doc_id") >= 50)
+        .withColumn("text", when(col("doc_id") % 7 === 0,
+          concat(col("text"), lit(" v2"))).otherwise(col("text")))
+      Curation.snapshotDiff(old, nw, col("doc_id"), col("text"))
+        .orderBy("id")
+        .select("id", "status", "old_key", "new_key")
+    }),
     "q_curate_scrub_pii" -> ((s, dir) => {
       val s2 = Curation.scrubPii(col("text"))
       def marks(tag: String): org.apache.spark.sql.Column =
@@ -2937,6 +2949,22 @@ object SparkEntry {
         |  FROM documents)
         |WHERE rn <= 10 ORDER BY source, id""".stripMargin,
     // Extended-PII oracle: same six regexes in the same specificity order,
+    "q_curate_snapshot_diff" ->
+      """WITH old AS (
+        |  SELECT doc_id, md5(text) AS old_key FROM documents WHERE doc_id < 450
+        |), nw AS (
+        |  SELECT doc_id,
+        |    md5(CASE WHEN doc_id % 7 = 0 THEN text || ' v2' ELSE text END) AS new_key
+        |  FROM documents WHERE doc_id >= 50
+        |)
+        |SELECT COALESCE(o.doc_id, n.doc_id) AS id,
+        |  CASE WHEN o.doc_id IS NULL THEN 'added'
+        |       WHEN n.doc_id IS NULL THEN 'removed'
+        |       WHEN old_key = new_key THEN 'unchanged'
+        |       ELSE 'changed' END AS status,
+        |  old_key, new_key
+        |FROM old o FULL OUTER JOIN nw n ON o.doc_id = n.doc_id
+        |ORDER BY id""".stripMargin,
     // marker counts by length arithmetic (int/int division is double on
     // both engines; values exactly divisible)
     "q_curate_scrub_pii" ->

@@ -421,6 +421,33 @@ object Curation {
     * `nShards` groups; the exact distinct-source count is a second partial
     * pass over the same exchange, still `nShards`-bounded.
     */
+  /** Corpus snapshot diff — the refresh-ingest triage between two crawls /
+    * dumps of the same feed: per id, `added` (new only), `removed` (old
+    * only), `changed` (both, different content hash), `unchanged`. The
+    * pipeline decision each status drives: added/changed re-enter the
+    * curation+dedup front door, removed tombstones the derived indexes,
+    * unchanged is skipped entirely — at 100 TB the skip IS the feature
+    * (incremental reprocessing touches |Δ|, not |corpus|).
+    *
+    * Scale shape: content reduces to a 128-bit hash AT THE SCAN, so the
+    * single full-outer equi-join on id moves (id, 32-char key) rows —
+    * never text; both sides shuffle once on the same key with map-side
+    * projection pruning everything else.
+    */
+  def snapshotDiff(
+      oldDocs: DataFrame,
+      newDocs: DataFrame,
+      id: Column,
+      content: Column): DataFrame =
+    oldDocs.select(id.as("id"), md5(content).as("old_key"))
+      .join(newDocs.select(id.as("id"), md5(content).as("new_key")),
+        Seq("id"), "full_outer")
+      .withColumn("status",
+        when(col("old_key").isNull, "added")
+          .when(col("new_key").isNull, "removed")
+          .when(col("old_key") === col("new_key"), "unchanged")
+          .otherwise("changed"))
+
   def shardStats(docs: DataFrame, id: Column, text: Column, source: Column,
       nShards: Int): DataFrame =
     docs.select(shardOf(id, nShards).as("shard_id"),

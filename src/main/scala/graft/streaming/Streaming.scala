@@ -336,6 +336,41 @@ object Streaming {
     spark.read.parquet(path).drop("batch_id")
       .withColumn("list_id", col("list_id").cast("long"))
 
+  /** Streaming IVF-PQ index maintenance: per batch, coarse-assign AND
+    * residual-encode arriving vectors against frozen centroids + codebooks
+    * ([[graft.operators.IvfPq.index]]) — the full billion-scale ingest
+    * shape: a new vector is searchable from codes alone the moment its
+    * batch commits, and the ADC scan never reads floats. Same frozen-
+    * quantizer contract and (list_id, batch_id) overwrite idempotence as
+    * [[startIvfIndexMaintenance]]; quantizer re-training is an offline
+    * rebuild-and-cutover.
+    */
+  def startIvfPqIndexMaintenance(
+      vectors: DataFrame,       // streaming (id, embedding)
+      centroids: Seq[graft.operators.IvfSearch.Centroid],
+      cb: graft.operators.Pq.Codebooks,
+      outPath: String,
+      checkpoint: String,
+      queryName: String = "ivfpq_index_maintenance"): StreamingQuery =
+    vectors.writeStream
+      .queryName(queryName)
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        graft.operators.IvfPq.index(batch, col("embedding"), centroids, cb)
+          .withColumn("batch_id", lit(batchId))
+          .write.mode("overwrite")
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("list_id", "batch_id")
+          .parquet(outPath)
+        ()
+      }
+      .start()
+
+  /** Read the maintained IVF-PQ index back ([[loadIvfIndex]] typing rules). */
+  def loadIvfPqIndex(spark: org.apache.spark.sql.SparkSession, path: String): DataFrame =
+    spark.read.parquet(path).drop("batch_id")
+      .withColumn("list_id", col("list_id").cast("long"))
+
   /** Streaming cardinality maintenance: per micro-batch, reduce arriving
     * keys to their HLL register contribution
     * ([[graft.operators.Sketches.hllRegisters]]) and persist the

@@ -309,4 +309,13 @@ class CurationSpec extends SparkSpec {
       .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
     assert(strict == Map(("train", "train") -> 1L))
   }
+
+  test("snapshotDiff: added/removed/changed/unchanged off one hash join") {
+    import testImplicits._
+    val old = Seq(1L -> "alpha", 2L -> "beta", 3L -> "gamma").toDF("id", "text")
+    val nw = Seq(2L -> "beta", 3L -> "gamma CHANGED", 4L -> "delta").toDF("id", "text")
+    val out = Curation.snapshotDiff(old, nw, col("id"), col("text"))
+      .collect().map(r => r.getLong(0) -> r.getAs[String]("status")).toMap
+    assert(out == Map(1L -> "removed", 2L -> "unchanged", 3L -> "changed", 4L -> "added"))
+  }
 }

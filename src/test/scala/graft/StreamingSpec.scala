@@ -330,6 +330,45 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming IVF-PQ maintenance: codes persist per batch; search equals the batch twin") {
+    val sp = spark
+    import sp.implicits._
+    implicit val sqlCtx = sp.sqlContext
+    import graft.operators.{IvfPq, IvfSearch, Pq}
+    val cents = Seq(
+      IvfSearch.Centroid(0L, Seq(1.0, 0.0, 0.0, 0.0)),
+      IvfSearch.Centroid(1L, Seq(0.0, 1.0, 0.0, 0.0)))
+    // hand-built residual codebooks: m=2 subspaces of width 2, ks=2 codes
+    val cb = Pq.Codebooks(m = 2, ks = 2, subDim = 2, cents = Array(
+      Array(Array(-0.1, 0.1), Array(0.1, -0.1)),
+      Array(Array(0.0, 0.1), Array(0.1, 0.0))))
+    val in = MemoryStream[(String, Seq[Float])]
+    val out = tmpDir("graft_ivfpq_maint")
+    val q = Streaming.startIvfPqIndexMaintenance(
+      in.toDF().toDF("id", "embedding"), cents, cb, s"$out/idx", s"$out/ckpt")
+    val b1 = Seq("a" -> Seq(0.9f, 0.1f, 0f, 0.1f), "b" -> Seq(0.1f, 0.9f, 0.1f, 0f))
+    val b2 = Seq("c" -> Seq(0.8f, 0.2f, 0f, 0f), "d" -> Seq(0.2f, 0.8f, 0f, 0.1f))
+    try {
+      in.addData(b1: _*)
+      q.processAllAvailable()
+      in.addData(b2: _*)
+      q.processAllAvailable()
+      val idx = Streaming.loadIvfPqIndex(sp, s"$out/idx")
+      assert(idx.count() == 4)
+      assert(idx.schema("pq_codes").dataType.simpleString == "array<tinyint>",
+        "codes must survive the parquet round-trip narrow")
+      val qv = Seq(1f, 0f, 0f, 0f)
+      def res(df: org.apache.spark.sql.DataFrame) =
+        IvfPq.search(df, col("id"), col("embedding"), qv, cents, cb,
+            k = 2, nprobe = 1, rerank = 2)
+          .collect().map(r => (r.getString(0), r.getDouble(1))).toSeq
+      val twin = IvfPq.index((b1 ++ b2).toDF("id", "embedding"), col("embedding"), cents, cb)
+      assert(res(idx) == res(twin))
+      assert(res(idx).map(_._1).toSet.subsetOf(Set("a", "c")),
+        "nprobe=1 must prune to list 0")
+    } finally q.stop()
+  }
+
   test("watermarked dedup drops cross-batch duplicates with bounded state") {
     val sp = spark
     import sp.implicits._
