@@ -299,6 +299,21 @@ object SparkEntry {
        |  round(est, 6) AS est_jaccard
        |FROM pairs WHERE bands_hit > 0 ORDER BY new_id, corpus_id""".stripMargin
 
+  /** Containment-screen oracle: same banding + slot-match estimate, then
+    * C = J(A+B)/((1+J)·min(A,B)) with the exact shingle counts, capped at 1
+    * — the operator's formula verbatim.
+    */
+  private val dedupIncrementalContainmentOracle: String =
+    s"""$dedupIncrementalOraclePrefix
+       |SELECT f.new_id, f.corpus_id,
+       |  CAST(len(a.s) AS BIGINT) AS sz_a, CAST(len(b.s) AS BIGINT) AS sz_b,
+       |  round(least(f.est * (len(a.s) + len(b.s)) /
+       |    ((1.0 + f.est) * least(len(a.s), len(b.s))), 1.0), 6) AS est_containment
+       |FROM (SELECT * FROM pairs WHERE bands_hit > 0) f
+       |JOIN sh a ON a.doc_id = f.new_id
+       |JOIN sh b ON b.doc_id = f.corpus_id
+       |ORDER BY new_id, corpus_id""".stripMargin
+
   /** Verified-screen oracle: the incremental screen's flagged pairs joined
     * back to the exact shingle sets (the `sh` CTE the signature pipeline
     * already built), true Jaccard computed with the same double arithmetic
@@ -644,8 +659,13 @@ object SparkEntry {
     // sketch, broadcast thresholds back over the scored docs.
     "q_curate_ccnet_buckets" -> ((s, dir) => {
       val docs = graft.sources.Testdata.table(s, dir, "documents")
+      // lazily checkpoint the scored table: three consumers follow (the
+      // sketch's min/max pass, its bin counts, and the bucket assignment) —
+      // without the cut each re-runs the full unigram-NLL corpus scan (the
+      // histogram-sketch lineage lesson, applied one level up)
       val nll = TextAnalysis.unigramNll(docs, col("doc_id"), col("text"))
         .select(col("id"), round(col("avg_nll"), 6).as("nll"))
+        .localCheckpoint(false)
       val th = Sketches.histogramQuantilesAdaptive(nll, col("nll"),
           Seq(1.0 / 3.0, 2.0 / 3.0), bins = 256)
         .agg(min(col("est")).as("t1"), max(col("est")).as("t2"))
@@ -960,6 +980,20 @@ object SparkEntry {
     // minhash signatures against the doc_id>=50 corpus SIGNATURE table —
     // the persisted-index shape that dedups a new crawl without touching
     // corpus text; output is band collisions + the slot-match estimator
+    // Same screen, asymmetric read-out: containment estimated from the
+    // slot-match Jaccard + the exact stored shingle counts — flags a batch
+    // doc quoted inside a corpus doc from index state alone
+    "q_dedup_incremental_containment" -> ((s, dir) => {
+      val docs = graft.sources.Testdata.table(s, dir, "documents")
+      val corpus = Dedup.signatureTable(docs.filter(col("doc_id") >= 50),
+        col("doc_id"), col("text"))
+      val batch = Dedup.signatureTable(docs.filter(col("doc_id") < 50),
+        col("doc_id"), col("text"))
+      Dedup.incrementalNearDups(corpus, batch)
+        .select(col("new_id"), col("corpus_id"), col("sz_a"), col("sz_b"),
+          round(col("est_containment"), 6).as("est_containment"))
+        .orderBy("new_id", "corpus_id")
+    }),
     "q_dedup_incremental" -> ((s, dir) => {
       val docs = graft.sources.Testdata.table(s, dir, "documents")
       val corpus = Dedup.signatureTable(docs.filter(col("doc_id") >= 50),
@@ -3154,6 +3188,7 @@ object SparkEntry {
         |ORDER BY id_a, id_b""".stripMargin,
     "q_dedup_minhash" -> dedupJaccardOracle,
     "q_dedup_incremental" -> dedupIncrementalOracle,
+    "q_dedup_incremental_containment" -> dedupIncrementalContainmentOracle,
     "q_dedup_incremental_verified" -> dedupIncrementalVerifiedOracle,
     // Same pair predicate as dedupJaccardOracle, then transitive closure via
     // a recursive CTE; cluster label = min reachable id.

@@ -554,15 +554,28 @@ object Dedup {
     spread(docs.select(id.as("id"), text.as("txt")))
       .select(col("id"), shingles(col("txt"), n).as("sh"))
       .filter(size(col("sh")) > 0)
-      .select(col("id"), minhashSig(shingleFps(col("sh")), numHashes).as("sig"))
+      .select(col("id"), minhashSig(shingleFps(col("sh")), numHashes).as("sig"),
+        // exact distinct-shingle count (8 B/doc on top of the signature):
+        // turns the screen's Jaccard estimate into a containment estimate
+        // too — sizes are the only extra state asymmetry needs
+        size(col("sh")).cast("long").as("sz"))
 
   /** Incremental near-dup screening: band-join a NEW batch's signatures
     * against the EXISTING corpus signature table — the shape that dedups a
     * fresh crawl against a 100 TB corpus without touching corpus text
     * (the signature table IS the index; the batch side is small, so the
     * band join broadcasts it). Returns per candidate pair the number of
-    * colliding bands and the standard MinHash estimate of Jaccard
-    * (matching-slot fraction) — integer arithmetic, exactly reproducible.
+    * colliding bands, the standard MinHash estimate of Jaccard
+    * (matching-slot fraction — integer arithmetic, exactly reproducible),
+    * and a containment estimate derived from it plus the EXACT stored
+    * shingle counts: the screen flags asymmetric (doc-quoted-in-doc)
+    * arrivals too, from the same 8·numHashes+8 bytes/doc of index state.
+    * CAVEAT the read-out inherits the banding's JACCARD recall curve —
+    * candidate pairs only exist where a band collides, so a tiny doc quoted
+    * inside a huge one (C high, J near 0) will not surface here; that
+    * regime needs the exact [[containmentPairs]] join over batch × corpus
+    * text, or a size-stratified signature index (not built — documented
+    * trade).
     * Exact verification (where text is still available) is a join away;
     * the estimator is the screening decision at index-only scale.
     */
@@ -574,7 +587,7 @@ object Dedup {
     require(numHashes % bands == 0)
     val rows = numHashes / bands
     def banded(df: DataFrame, idOut: String): DataFrame =
-      df.select(col("id").as(idOut), col("sig"),
+      df.select(col("id").as(idOut), col("sig"), col("sz"),
           posexplode(array((0 until bands).map(b =>
             slice(col("sig"), b * rows + 1, rows)): _*)))
         .withColumnRenamed("pos", "band").withColumnRenamed("col", "bsig")
@@ -586,11 +599,21 @@ object Dedup {
         col("x.band") === col("y.band") && col("x.bsig") === col("y.bsig"))
       .groupBy(col("x.new_id").as("new_id"), col("y.corpus_id").as("corpus_id"))
       .agg(count(lit(1)).as("bands_hit"),
-        first(col("x.sig")).as("sig_a"), first(col("y.sig")).as("sig_b"))
-    cand.select(col("new_id"), col("corpus_id"), col("bands_hit"),
-      (aggregate(zip_with(col("sig_a"), col("sig_b"),
-          (x, y) => when(x === y, 1L).otherwise(0L)), lit(0L), (a, x) => a + x)
-        .cast("double") / numHashes).as("est_jaccard"))
+        first(col("x.sig")).as("sig_a"), first(col("y.sig")).as("sig_b"),
+        first(col("x.sz")).as("sz_a"), first(col("y.sz")).as("sz_b"))
+    val estJ = aggregate(zip_with(col("sig_a"), col("sig_b"),
+        (x, y) => when(x === y, 1L).otherwise(0L)), lit(0L), (a, x) => a + x)
+      .cast("double") / numHashes
+    // containment from the SAME estimate plus the exact stored sizes:
+    // J = I/(A+B−I) ⇒ I = J(A+B)/(1+J), C = I/min(A,B) — capped at 1
+    // (an overestimated Ĵ can push Î past the smaller set)
+    cand
+      .withColumn("est_jaccard", estJ)
+      .select(col("new_id"), col("corpus_id"), col("bands_hit"),
+        col("est_jaccard"), col("sz_a"), col("sz_b"),
+        least(col("est_jaccard") * (col("sz_a") + col("sz_b"))
+            / ((lit(1.0) + col("est_jaccard")) * least(col("sz_a"), col("sz_b"))),
+          lit(1.0)).as("est_containment"))
   }
 
   /** Exact-verify join-back for the incremental screen — the optional third

@@ -338,6 +338,31 @@ class DedupSpec extends SparkSpec {
     assert(!res.keySet.exists(_._1 == 2L))  // no band collision for the unrelated doc
   }
 
+  test("incremental screening: containment read-out exceeds the jaccard estimate for a banded subset pair") {
+    // batch doc 1 = a strict prefix (subset shingles) of corpus doc 10 with
+    // true J = 12/16 (high enough to band-collide — the read-out inherits
+    // the banding's jaccard recall) but true containment 1.0
+    val corpus = Dedup.signatureTable(
+      docs(10L -> "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10 w11 w12 w13 w14 w15 w16 w17"),
+      col("id"), col("text"))
+    val batch = Dedup.signatureTable(
+      docs(1L -> "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10 w11 w12 w13"),
+      col("id"), col("text"))
+    val row = Dedup.incrementalNearDups(corpus, batch)
+      .filter(col("new_id") === 1L && col("corpus_id") === 10L)
+      .select("est_jaccard", "sz_a", "sz_b", "est_containment")
+      .collect()
+    assert(row.nonEmpty, "subset pair at J=0.75 must band-collide")
+    val (estJ, szA, szB, estC) =
+      (row(0).getDouble(0), row(0).getLong(1), row(0).getLong(2), row(0).getDouble(3))
+    assert(szA == 12L && szB == 16L)
+    // formula parity with the stored sizes, cap at 1
+    val expect = math.min(estJ * (szA + szB) / ((1 + estJ) * math.min(szA, szB)), 1.0)
+    assert(math.abs(estC - expect) < 1e-12)
+    assert(estC > estJ, "containment read-out must exceed the jaccard estimate for a subset")
+    assert(estC >= 0.9, s"quoted subset should screen high, got $estC")
+  }
+
   test("incremental verify join-back: exact jaccard on flagged pairs only, semi-join-pruned corpus scan") {
     val corpusDocs = docs(
       10L -> "the quick brown fox jumps over the lazy dog",
