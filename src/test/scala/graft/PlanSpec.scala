@@ -211,4 +211,45 @@ class PlanSpec extends SparkSpec {
     // exchange of the AGGREGATED bins, never raw values
     assert(plan.contains("Window"), s"expected the cumulative-sum window:\n$plan")
   }
+
+  test("ivf-pq search: ONE scan, zero exchanges — scoring + both cuts run scan-side") {
+    import graft.operators.{IvfPq, IvfSearch}
+    val embs = spark.read.parquet(s"$dir/embeddings.parquet")
+    val cents = IvfSearch.centroidsFromIds(embs, col("vec_id"), col("embedding"), c = 8)
+    val cb = IvfPq.residualCodebooks(embs, col("vec_id"), col("embedding"), cents,
+      m = 8, ks = 16)
+    val idx = IvfPq.index(embs, col("embedding"), cents, cb)
+    val q = VectorStore.fromEmbeddingsTable(spark, dir).getVector("0").toSeq
+    val plan = IvfPq.search(idx, col("vec_id").cast("string"), col("embedding"),
+        q, cents, cb, k = 10, nprobe = 3, rerank = 40)
+      .queryExecution.executedPlan.toString
+    // list pruning is a Filter over the scan; ADC + refine are projections;
+    // both cuts are TakeOrderedAndProject — nothing wider than k rows ever
+    // needs an exchange (TOaP does partial/merge without one in this plan)
+    assert(plan.contains("TakeOrderedAndProject"), s"expected top-k cuts:\n$plan")
+    assert(!plan.contains("Exchange"),
+      s"IVF-PQ search must not shuffle — the corpus never moves:\n$plan")
+    assert(plan.split("Scan parquet").length - 1 == 1,
+      s"exactly one corpus scan expected:\n$plan")
+  }
+
+  test("snapshot diff: the full-outer join moves (id, md5) — never text") {
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val old = docs.filter(col("doc_id") < 450)
+    val nw = docs.filter(col("doc_id") >= 50)
+    val plan = graft.operators.Curation.snapshotDiff(old, nw, col("doc_id"), col("text"))
+      .queryExecution.executedPlan.toString
+    // md5 must be computed in the pre-exchange projection: the join input
+    // partitions carry 8+32 bytes per row, not document text
+    assert(plan.contains("md5"), s"hash must appear below the join:\n$plan")
+    val exchangeLines = plan.linesIterator.filter(_.contains("Exchange hashpartitioning")).toSeq
+    assert(exchangeLines.nonEmpty, s"expected a shuffled equi-join:\n$plan")
+    // the exchange keys on id alone, and no Project ABOVE an exchange
+    // carries the text column (text exists only under md5() below them)
+    assert(exchangeLines.forall(_.contains("id#")), s"join must key on id:\n$plan")
+    assert(exchangeLines.forall(!_.contains("text#")),
+      s"text must be pruned before the exchange:\n$plan")
+    val topProject = plan.linesIterator.find(_.trim.startsWith("+- Project [coalesce")).getOrElse("")
+    assert(!topProject.contains("text#"), s"post-join projection must not carry text:\n$plan")
+  }
 }
