@@ -1080,10 +1080,14 @@ object SparkEntry {
     // components → per-cluster roll-up carrying the exact-dup multiplicity
     "q_pipeline_dedup" -> ((s, dir) => {
       val docs = graft.sources.Testdata.table(s, dir, "documents")
+      // checkpoint the representative table: three consumers follow (the
+      // LSH pair machinery, the CC vertex list, the roll-up join) — without
+      // the cut each re-runs the exact-dedup window over the corpus
       val reps = Dedup.exactDedup(docs, col("doc_id"), col("text"))
         .filter(col("keep"))
         .select(col("id").as("doc_id"), col("group_size"))
         .join(docs, "doc_id")
+        .localCheckpoint(false)
       val pairs = Dedup.minhashLshPairs(reps, col("doc_id"), col("text"), n = 2, tau = 0.5)
         .select("id_a", "id_b")
       val cc = Dedup.connectedComponentsAuto(reps.select(col("doc_id").as("id")), pairs)
