@@ -418,4 +418,43 @@ class PropertySpec extends SparkSpec {
     // dims: power-of-two word count, sane k
     assert((numWords & (numWords - 1)) == 0 && k >= 1 && k <= 16)
   }
+
+  test("property: containment trio == brute-force set containment on arbitrary corpora (8 cases)") {
+    import testImplicits._
+    // small vocabularies force heavy shingle sharing (the regime where the
+    // strategies could diverge); doc lengths span empty..20 tokens so the
+    // minShingles guard and empty-shingle edge paths are exercised
+    val vocab = Vector("aa", "bb", "cc", "dd", "ee")
+    val corpusGen: Gen[List[String]] = for {
+      n <- Gen.choose(3, 10)
+      docs <- Gen.listOfN(n, for {
+        len <- Gen.choose(0, 20)
+        toks <- Gen.listOfN(len, Gen.oneOf(vocab))
+      } yield toks.mkString(" "))
+    } yield docs
+    samples(corpusGen, 8).foreach { corpus =>
+      val df = corpus.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("id", "text")
+      val tau = 0.6
+      val minSh = 2
+      // brute force: distinct word bigrams per doc, C = |A∩B|/min
+      val sets = corpus.zipWithIndex.map { case (t, i) =>
+        val toks = t.split("\\s+").filter(_.nonEmpty)
+        i.toLong -> toks.sliding(2).filter(_.length == 2).map(_.mkString(" ")).toSet
+      }.filter(_._2.size >= minSh)
+      val expect = (for {
+        (ia, sa) <- sets; (ib, sb) <- sets if ia < ib
+        c = sa.intersect(sb).size.toDouble / math.min(sa.size, sb.size)
+        if c >= tau
+      } yield (ia, ib, BigDecimal(c).setScale(6, BigDecimal.RoundingMode.HALF_UP))).toSet
+      def norm(out: org.apache.spark.sql.DataFrame) = out.collect().map(r =>
+        (r.getLong(0), r.getLong(1),
+          BigDecimal(r.getDouble(2)).setScale(6, BigDecimal.RoundingMode.HALF_UP))).toSet
+      val cj = norm(Dedup.containmentPairs(df, col("id"), col("text"),
+        tau = tau, minShingles = minSh))
+      val grid = norm(Dedup.containmentPairsBitsetHashed(df, col("id"), col("text"),
+        tau = tau, minShingles = minSh))
+      assert(cj == expect, s"count-join diverged on corpus $corpus")
+      assert(grid == expect, s"grid-bitset diverged on corpus $corpus")
+    }
+  }
 }
