@@ -1190,6 +1190,19 @@ object SparkEntry {
           Multimodal.mediaTable(graft.sources.Testdata.table(s, dir, "documents")),
           frameBytes = 100, maxFrames = 4)
         .orderBy("doc_id", "frame_idx")),
+    // Scene segmentation: a synthetic still (the first frame duplicated at
+    // the head of each payload) gives every ≥100-char doc a known 2-frame
+    // opening scene; runs of identical frame signatures collapse to scenes
+    "q_media_scenes" -> ((s, dir) => {
+      val docs = graft.sources.Testdata.table(s, dir, "documents")
+        .filter(length(col("text")) > 0)
+      val stilled = docs.select(col("doc_id"),
+        concat(substring(col("text"), 1, 100), col("text")).cast("binary").as("content"))
+      Multimodal.sceneSegments(stilled, frameBytes = 100, maxFrames = 5)
+        .select(col("doc_id"), col("scene_id"), col("n_frames"),
+          col("start_frame").cast("long").as("start_frame"), col("frame_md5"))
+        .orderBy("doc_id", "scene_id")
+    }),
     // Multimodal: stubbed batch decode via mapPartitions; the stub's byte
     // math is deterministic, so the oracle replicates it over hex(payload)
     "q_media_decode" -> ((s, dir) =>
@@ -2454,6 +2467,29 @@ object SparkEntry {
         |     unnest(range(least(CAST(ceil(length(text) / 100.0) AS BIGINT), 4))) AS t(frame_idx)
         |WHERE length(text) > 0
         |ORDER BY doc_id, frame_idx""".stripMargin,
+    "q_media_scenes" ->
+      """WITH c AS (
+        |  SELECT doc_id, substring(text, 1, 100) || text AS ct
+        |  FROM documents WHERE length(text) > 0
+        |), f AS (
+        |  SELECT doc_id, frame_idx,
+        |    md5(substring(ct, CAST(frame_idx * 100 + 1 AS INT), 100)) AS fm
+        |  FROM c,
+        |       unnest(range(least(CAST(ceil(length(ct) / 100.0) AS BIGINT), 5))) AS t(frame_idx)
+        |), b AS (
+        |  SELECT doc_id, frame_idx, fm,
+        |    CASE WHEN lag(fm) OVER (PARTITION BY doc_id ORDER BY frame_idx)
+        |         IS DISTINCT FROM fm THEN 1 ELSE 0 END AS boundary
+        |  FROM f
+        |), sc AS (
+        |  SELECT doc_id, frame_idx, fm,
+        |    CAST(sum(boundary) OVER (PARTITION BY doc_id ORDER BY frame_idx
+        |      ROWS UNBOUNDED PRECEDING) - 1 AS BIGINT) AS scene_id
+        |  FROM b
+        |)
+        |SELECT doc_id, scene_id, count(*) AS n_frames,
+        |  min(frame_idx) AS start_frame, min(fm) AS frame_md5
+        |FROM sc GROUP BY doc_id, scene_id ORDER BY doc_id, scene_id""".stripMargin,
     "q_curate_chunks" ->
       """WITH t AS (
         |  SELECT doc_id AS id, string_split_regex(text, '\s+') AS toks FROM documents

@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Multimodal column handling — beyond-reference capability for a
@@ -118,6 +119,35 @@ object Multimodal {
         expr(s"substring(content, frame_idx * $frameBytes + 1, $frameBytes)").as("frame"))
       .select(col("doc_id"), col("frame_idx"),
         octet_length(col("frame")).as("frame_len"), md5(col("frame")).as("frame_md5"))
+
+  /** Scene segmentation over the frame sequence: a scene is a maximal run
+    * of consecutive frames with identical content signature (still
+    * segments, slates, encoder-repeated frames); a boundary is any frame
+    * whose signature differs from its predecessor. The lag + conditional
+    * cumulative-sum shape is [[graft.operators.Relational.sessionize]] on
+    * frames — with a real perceptual hash in the decode stub the same plan
+    * detects soft cuts; the exact-hash signature here detects exact stills.
+    *
+    * Scale shape: the window partitions by media id and each partition is
+    * bounded by `maxFrames`, so the sort inside the window is per-key tiny;
+    * nothing corpus-wide sorts or shuffles beyond the one hash exchange on
+    * doc_id.
+    */
+  def sceneSegments(media: DataFrame, frameBytes: Int, maxFrames: Int): DataFrame = {
+    val w = Window.partitionBy("doc_id").orderBy("frame_idx")
+    sampleFrames(media, frameBytes, maxFrames)
+      .withColumn("prev_md5", lag(col("frame_md5"), 1).over(w))
+      .withColumn("boundary",
+        when(col("prev_md5").isNull || col("prev_md5") =!= col("frame_md5"), 1)
+          .otherwise(0))
+      .withColumn("scene_id",
+        sum(col("boundary")).over(
+          w.rowsBetween(Window.unboundedPreceding, Window.currentRow)) - 1)
+      .groupBy("doc_id", "scene_id")
+      .agg(count(lit(1)).as("n_frames"),
+        min(col("frame_idx")).as("start_frame"),
+        min(col("frame_md5")).as("frame_md5"))
+  }
 
   /** Near-duplicate media by frame-content overlap: Jaccard over the SET of
     * per-frame content hashes — the binary-payload analog of shingle dedup

@@ -73,4 +73,19 @@ class MultimodalSpec extends SparkSpec {
     assert(pairs.head._1 == 1L && pairs.head._2 == 2L)
     assert(math.abs(pairs.head._3 - 0.5) < 1e-9) // |∩|=2, |∪|=4
   }
+
+  test("sceneSegments: identical-frame runs collapse to scenes with exact boundaries") {
+    // payload = AA A B B C at 10 bytes/frame → scenes (0: A×2), (1: B×2), (2: C×1)
+    val v = "aaaaaaaaaa" * 2 + "bbbbbbbbbb" * 2 + "cccccccccc"
+    val single = "dddddddddd" // one frame → one scene
+    val m = Multimodal.mediaTable(docs(1L -> v, 2L -> single))
+    val scenes = Multimodal.sceneSegments(m, frameBytes = 10, maxFrames = 8)
+      .orderBy("doc_id", "scene_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(3)))
+    assert(scenes.toSeq == Seq(
+      (1L, 0L, 2L, 0), // A-still: frames 0-1
+      (1L, 1L, 2L, 2), // B-still: frames 2-3
+      (1L, 2L, 1L, 4), // C: frame 4
+      (2L, 0L, 1L, 0)))
+  }
 }
