@@ -69,6 +69,28 @@ class PlanSpec extends SparkSpec {
     info(s"scan prunes to ${probes.length} of ${1 << planes.length} bucket directories")
   }
 
+  test("IVF list_id as a PARTITION key: probe lists become partition pruning") {
+    import graft.operators.IvfSearch
+    val embs = spark.read.parquet(s"$dir/embeddings.parquet")
+    val cents = IvfSearch.centroidsFromIds(embs, col("vec_id"), col("embedding"), c = 8)
+    val tmp = java.nio.file.Files.createTempDirectory("graft_ivf_part").toString
+    IvfSearch.index(embs, col("embedding"), cents)
+      .write.mode("overwrite").partitionBy("list_id").parquet(tmp)
+    val indexed = spark.read.parquet(tmp)
+      .withColumn("list_id", col("list_id").cast("long"))
+    val q = VectorStore.fromEmbeddingsTable(spark, dir).getVector("0").toSeq
+    val df = IvfSearch.search(indexed, col("vec_id").cast("string"), col("embedding"),
+      q, cents, k = 5, nprobe = 3)
+    val scan = df.queryExecution.executedPlan.toString
+    // the nprobe IN filter must skip whole list directories — the same
+    // 100 TB read-path guarantee the LSH bucket test pins; it must survive
+    // the partition-type cast (long) the streaming loader applies
+    assert(scan.contains("PartitionFilters") && scan.contains("list_id"),
+      s"expected list_id partition pruning, got:\n$scan")
+    assert(df.count() == 5)
+    info(s"scan prunes to 3 of ${cents.length} inverted-list directories")
+  }
+
   test("pairwise dedup plans contain no BNLJ / cartesian (grid equi-join shape)") {
     // q_dedup_embedding and q_dedup_jaccard were the round-3 scale-killers;
     // both now enumerate the pair space through the 1-Bucket-Theta grid
