@@ -41,7 +41,7 @@ object Plans {
       "q_curate_quality_by_source", "q_text_zipf", "q_curate_scrub_pii",
       "q_ann_ivf_pq", "q_dedup_containment", "q_embed_abtt", "q_embed_mrl",
       "q_pipeline_dedup", "q_curate_snapshot_diff", "q_dedup_incremental_containment",
-      "q_media_scenes")
+      "q_media_scenes", "q_knn_batch_ann")
     show.foreach { name =>
       println(s"\n## $name\n")
       println("```")

@@ -380,6 +380,37 @@ object SparkEntry {
        |) ORDER BY id""".stripMargin
   }
 
+  /** Batch-ANN oracle: per-query sign-LSH bucket (the annOracle plane
+    * constants), radius-2 multiprobe set by xor mask, bucket equi-join
+    * against the bucketed corpus, per-query cosine rank.
+    */
+  private val knnBatchAnnOracle: String = {
+    val planes = AnnSearch.hyperplanes(dim = 64)
+    def bExpr(vecSql: String): String =
+      planes.zipWithIndex.map { case (p, i) =>
+        val lst = p.mkString("[", ",", "]")
+        s"(CASE WHEN list_dot_product($vecSql, $lst) >= 0 THEN ${1 << i} ELSE 0 END)"
+      }.mkString("(", " + ", ")")
+    val masks = AnnSearch.xorMasks(planes.length, 2).mkString("[", ",", "]")
+    s"""WITH qs AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+       |            FROM embeddings WHERE vec_id < 3),
+       |qb AS (SELECT query_id, qv, ${bExpr("qv")} AS b FROM qs),
+       |probes AS (SELECT query_id, qv, xor(b, m) AS pb FROM qb, unnest($masks) AS t(m)),
+       |e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb,
+       |             ${bExpr("CAST(embedding AS DOUBLE[])")} AS bucket
+       |      FROM embeddings),
+       |scored AS (
+       |  SELECT p.query_id, CAST(e.vec_id AS VARCHAR) AS id,
+       |    list_cosine_similarity(e.emb, p.qv) AS score,
+       |    row_number() OVER (PARTITION BY p.query_id
+       |      ORDER BY list_cosine_similarity(e.emb, p.qv) DESC,
+       |               CAST(e.vec_id AS VARCHAR) ASC) AS rank
+       |  FROM e JOIN probes p ON e.bucket = p.pb
+       |)
+       |SELECT query_id, CAST(rank AS INT) AS rank, id, round(score, 6) AS score
+       |FROM scored WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
+  }
+
   private val dedupJaccardOracle =
     """WITH t AS (
       |  SELECT doc_id, list_distinct(list_transform(
@@ -1509,6 +1540,20 @@ object SparkEntry {
         .select(col("query_id"), col("rank"), col("id"), round(col("score"), 6).as("score"))
         .orderBy("query_id", "rank")
     }),
+    // Batch ANN: query table -> multiprobe bucket explode -> broadcast
+    // equi-join on bucket -> GroupTopK; scored volume is the probed-bucket
+    // sizes, not n·Q
+    "q_knn_batch_ann" -> ((s, dir) => {
+      val embs = s.read.parquet(s"$dir/embeddings.parquet")
+      val planes = AnnSearch.hyperplanes(dim = 64)
+      val indexed = AnnSearch.index(embs, col("embedding"), planes)
+      val qs = embs.filter(col("vec_id") < 3)
+        .select(col("vec_id").as("query_id"), col("embedding").as("query_vec"))
+      AnnSearch.searchBatch(indexed, col("vec_id").cast("string"), col("embedding"),
+          qs, planes, k = 5, probeRadius = 2)
+        .select(col("query_id"), col("rank"), col("id"), round(col("score"), 6).as("score"))
+        .orderBy("query_id", "rank")
+    }),
     // O4 batch insert: duplicate validation + metadata padding, then scan
     "q_crud_insert_batch" -> ((s, dir) => {
       val st = VectorStore.fromEmbeddingsTable(s, dir)
@@ -2304,6 +2349,7 @@ object SparkEntry {
         |               CAST(e.vec_id AS VARCHAR) ASC) AS rank
         |  FROM embeddings e, (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 3) q
         |) WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+    "q_knn_batch_ann" -> knnBatchAnnOracle,
     "q_knn_quantized" ->
       """WITH e AS (
         |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS d FROM embeddings

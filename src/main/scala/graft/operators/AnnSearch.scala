@@ -98,4 +98,44 @@ object AnnSearch {
       .orderBy(desc("score"), asc("id"))
       .limit(k)
   }
+
+  /** Batch ANN: a query TABLE against the bucketed index — the production
+    * batch shape composing the index's pruning with
+    * [[Search.findMostSimilarBatch]]'s amortized scan. Each query explodes
+    * into its multiprobe bucket set (a Hamming-ball of xor masks, computed
+    * COLUMN-side — no driver round-trip per query) and the probe table
+    * broadcast-equi-joins the index on `bucket`: a corpus row is scored
+    * only against the queries probing its bucket, so the scored volume is
+    * Σ_q probed-bucket sizes — not n·Q as in the exact batch path. The
+    * per-query top-k then runs on the GroupTopK partial+final heaps: the
+    * exchange moves ≤ Q·k·P narrow survivor rows. On a `bucket`-partitioned
+    * persisted index, the distinct probe set additionally prunes at the
+    * directory level (dynamic partition pruning from the broadcast side).
+    */
+  def searchBatch(
+      indexed: DataFrame,       // (..., bucket) from index()
+      id: Column,
+      vec: Column,
+      queries: DataFrame,       // (query_id, query_vec ARRAY<FLOAT>)
+      planes: Seq[Seq[Double]],
+      k: Int = 5,
+      probeRadius: Int = 1): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val masks = xorMasks(planes.length, probeRadius)
+    val probeTbl = broadcast(queries
+      .select(col("query_id"), col("query_vec"),
+        sqrt(VF.normSq(col("query_vec"))).as("qnrm"),
+        bucketCol(col("query_vec"), planes).as("qb"))
+      .withColumn("m", explode(typedLit(masks)))
+      .withColumn("bucket", col("qb").bitwiseXOR(col("m")))
+      .drop("qb", "m"))
+    val scored = indexed.join(probeTbl, Seq("bucket"))
+      .withColumn("score",
+        VF.dot(vec, col("query_vec")) / (sqrt(VF.normSq(vec)) * col("qnrm")))
+      .select(col("query_id"), id.as("id"), col("score"))
+    val topk = org.apache.spark.sql.graft.GroupTopK.perGroup(
+      scored, Seq(col("query_id")), Seq(desc("score"), asc("id")), k)
+    topk.withColumn("rank",
+      row_number().over(Window.partitionBy("query_id").orderBy(desc("score"), asc("id"))))
+  }
 }

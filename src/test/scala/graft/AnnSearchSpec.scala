@@ -59,6 +59,46 @@ class AnnSearchSpec extends SparkSpec {
     assert(r2 >= 0.2)
   }
 
+  test("searchBatch: per-query results equal single-query search; full radius equals exact batch") {
+    import graft.operators.Search
+    val planes = AnnSearch.hyperplanes(dim = 64)
+    val embs = spark.read.parquet(s"$dir/embeddings.parquet")
+    val indexed = AnnSearch.index(embs, col("embedding"), planes)
+    val store = VectorStore.fromEmbeddingsTable(spark, dir)
+    val qs = embs.filter(col("vec_id") < 3)
+      .select(col("vec_id").as("query_id"), col("embedding").as("query_vec"))
+    // radius-2 batch == three single searches at radius 2
+    val batch = AnnSearch.searchBatch(indexed, col("vec_id").cast("string"),
+        col("embedding"), qs, planes, k = 5, probeRadius = 2)
+      .select(col("query_id"), col("id"), round(col("score"), 6).as("s"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).toSet
+    val singles = (0L until 3L).flatMap { qid =>
+      val q = store.getVector(qid.toString).toSeq
+      AnnSearch.search(indexed, col("vec_id").cast("string"), col("embedding"),
+          q, planes, k = 5, probeRadius = 2)
+        .select(col("id"), round(col("score"), 6).as("s"))
+        .collect().map(r => (qid, r.getString(0), r.getDouble(1)))
+    }.toSet
+    assert(batch == singles)
+    // full-radius batch degrades to the exact batch path
+    val full = AnnSearch.searchBatch(indexed, col("vec_id").cast("string"),
+        col("embedding"), qs, planes, k = 5, probeRadius = planes.length)
+      .select(col("query_id"), col("rank"), col("id"), round(col("score"), 6).as("s"))
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2), r.getDouble(3))).toSet
+    val exact = Search.findMostSimilarBatch(store, qs, k = 5)
+      .select(col("query_id"), col("rank"), col("id"), round(col("score"), 6).as("s"))
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2), r.getDouble(3))).toSet
+    assert(full == exact)
+    // plan: bucket equi-join broadcast + GroupTopK partial before the exchange
+    val plan = AnnSearch.searchBatch(indexed, col("vec_id").cast("string"),
+        col("embedding"), qs, planes, k = 5, probeRadius = 2)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), s"bucket join must broadcast:\n$plan")
+    assert(!plan.contains("BroadcastNestedLoopJoin"),
+      s"probe join must be an equi-join, not a BNLJ:\n$plan")
+    assert(plan.contains("GroupTopK"), s"per-query top-k must use the heap operator:\n$plan")
+  }
+
   test("bucket pruning actually reduces the scanned fraction") {
     val planes = AnnSearch.hyperplanes(dim = 64)
     val indexed = AnnSearch.index(
