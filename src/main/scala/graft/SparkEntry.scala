@@ -1609,6 +1609,55 @@ object SparkEntry {
           md5(col("text")).as("text_md5"))
         .orderBy("doc_id")
     }),
+    // Layout tier: Morton (Z-order) key — exact shift/mask integer algebra
+    // on two dimensions, replicated bit-for-bit by the DuckDB oracle
+    "q_layout_zorder" -> ((s, dir) => {
+      import graft.sources.Layout
+      val li = graft.sources.Testdata.table(s, dir, "lineitem")
+      val b = li.agg(min("l_partkey").cast("long"), max("l_partkey").cast("long"),
+                     min("l_suppkey").cast("long"), max("l_suppkey").cast("long")).head()
+      li.select(col("l_orderkey"), col("l_linenumber"),
+          Layout.mortonKey(
+            Layout.scaleTo16(col("l_partkey"), b.getLong(0), b.getLong(1)),
+            Layout.scaleTo16(col("l_suppkey"), b.getLong(2), b.getLong(3))).as("zkey"))
+        .orderBy("zkey", "l_orderkey", "l_linenumber")
+    }),
+    // Layout tier: Z-order write -> zone-map manifest -> planning-time file
+    // pruning -> row-level re-filter; result must equal the plain full-scan
+    // filter (the zone map may only ever skip files, never rows)
+    "q_layout_zonemap_prune" -> ((s, dir) => {
+      import graft.sources.Layout
+      val li = graft.sources.Testdata.table(s, dir, "lineitem")
+      val tmp = System.getProperty("java.io.tmpdir") + "/graft_layout_zorder"
+      Layout.zorderWrite(li, "l_partkey", "l_suppkey", tmp, numFiles = 8)
+      val manifest = Layout.zoneMap(s, tmp, Seq("l_partkey", "l_suppkey"))
+      Layout.prunedRead(s, manifest, "l_partkey", 100L, 300L)
+        .filter(col("l_partkey").between(100, 300))
+        .select("l_orderkey", "l_linenumber", "l_partkey", "l_suppkey", "l_quantity")
+        // (orderkey, linenumber) is NOT unique in the synthetic lineitem —
+        // pin a total order over all output columns
+        .orderBy("l_orderkey", "l_linenumber", "l_partkey", "l_suppkey", "l_quantity")
+    }),
+    // Layout tier: small-file compaction — 32 splinter files bin-packed by
+    // listed bytes into ~4, cluster order restored; content-preserving by md5
+    "q_layout_compact" -> ((s, dir) => {
+      import graft.sources.Layout
+      val docs = graft.sources.Testdata.table(s, dir, "documents")
+      val tmpIn = System.getProperty("java.io.tmpdir") + "/graft_compact_in"
+      val tmpOut = System.getProperty("java.io.tmpdir") + "/graft_compact_out"
+      docs.repartition(32).write.mode("overwrite").parquet(tmpIn)
+      val fs = org.apache.hadoop.fs.FileSystem.get(
+        new java.net.URI(tmpIn), s.sparkContext.hadoopConfiguration)
+      val total = fs.listStatus(new org.apache.hadoop.fs.Path(tmpIn))
+        .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
+        .map(_.getLen).sum
+      Layout.compact(s, tmpIn, tmpOut, targetBytes = math.max(1L, total / 4),
+        clusterCol = Some("doc_id"))
+      s.read.parquet(tmpOut)
+        .select(col("doc_id"), col("lang"), col("source"), col("n_chars"),
+          md5(col("text")).as("text_md5"))
+        .orderBy("doc_id")
+    }),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -3412,6 +3461,49 @@ object SparkEntry {
       """SELECT doc_id, lang, source, n_chars, md5(text) AS text_md5
         |FROM documents ORDER BY doc_id""".stripMargin,
     "q_source_csv_roundtrip" ->
+      """SELECT doc_id, lang, source, n_chars, md5(text) AS text_md5
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    // Morton key replicated in exact integer algebra: the 16-bit scale is a
+    // right shift (width derived from the binary length of the range — no
+    // float log2), the interleave the same mask-shift cascade as the engine
+    "q_layout_zorder" ->
+      """WITH b AS (
+        |  SELECT min(l_partkey) AS xlo, max(l_partkey) AS xhi,
+        |         min(l_suppkey) AS ylo, max(l_suppkey) AS yhi FROM lineitem
+        |), sh AS (
+        |  SELECT xlo, ylo,
+        |         GREATEST(0, length(printf('%b', xhi - xlo)) - 16) AS rx,
+        |         GREATEST(0, 16 - length(printf('%b', xhi - xlo))) AS lx,
+        |         GREATEST(0, length(printf('%b', yhi - ylo)) - 16) AS ry,
+        |         GREATEST(0, 16 - length(printf('%b', yhi - ylo))) AS ly FROM b
+        |), k AS (
+        |  SELECT l_orderkey, l_linenumber,
+        |         ((l_partkey - xlo) << lx) >> rx AS x,
+        |         ((l_suppkey - ylo) << ly) >> ry AS y
+        |  FROM lineitem, sh
+        |), c1 AS (
+        |  SELECT l_orderkey, l_linenumber,
+        |         ((x | (x << 8)) & 16711935) AS x, ((y | (y << 8)) & 16711935) AS y FROM k
+        |), c2 AS (
+        |  SELECT l_orderkey, l_linenumber,
+        |         ((x | (x << 4)) & 252645135) AS x, ((y | (y << 4)) & 252645135) AS y FROM c1
+        |), c3 AS (
+        |  SELECT l_orderkey, l_linenumber,
+        |         ((x | (x << 2)) & 858993459) AS x, ((y | (y << 2)) & 858993459) AS y FROM c2
+        |), c4 AS (
+        |  SELECT l_orderkey, l_linenumber,
+        |         ((x | (x << 1)) & 1431655765) AS x, ((y | (y << 1)) & 1431655765) AS y FROM c3
+        |)
+        |SELECT l_orderkey, l_linenumber, (x | (y << 1)) AS zkey FROM c4
+        |ORDER BY zkey, l_orderkey, l_linenumber""".stripMargin,
+    // Zone maps prune FILES, never rows: the pruned-and-refiltered read must
+    // equal the plain full-scan filter
+    "q_layout_zonemap_prune" ->
+      """SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey, l_quantity
+        |FROM lineitem WHERE l_partkey BETWEEN 100 AND 300
+        |ORDER BY l_orderkey, l_linenumber, l_partkey, l_suppkey, l_quantity""".stripMargin,
+    // Compaction is content-preserving iff it reproduces the original
+    "q_layout_compact" ->
       """SELECT doc_id, lang, source, n_chars, md5(text) AS text_md5
         |FROM documents ORDER BY doc_id""".stripMargin,
   )

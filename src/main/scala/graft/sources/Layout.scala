@@ -1,0 +1,170 @@
+package graft.sources
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Physical-layout operators — Z-order clustering, zone-map (per-file
+  * min/max) manifests with planning-time file pruning, and small-file
+  * compaction. Beyond-reference: the reference persists one pickle per
+  * store (/root/reference/minivectordb/vector_database.py,
+  * `persist_to_disk`) and always reads all of it; at 100 TB the dominant
+  * cost of every selective query is the bytes the scan does NOT have to
+  * read, and that is decided by how the writer laid the data out.
+  *
+  * Scale contract:
+  *  - Z-ORDER: multi-dimensional locality. Sorting by `(a, b)` clusters
+  *    `a` perfectly and scatters `b`; interleaving the bits of `a` and `b`
+  *    into one Morton key and range-partitioning + sorting on it gives
+  *    every dimension ~sqrt locality, so per-file min/max ranges are tight
+  *    on BOTH columns and predicates on EITHER prune files. The key is
+  *    pure column algebra (integer scale + shift/mask interleave —
+  *    codegen'd, no UDF), and the layout job is ONE range exchange, the
+  *    same cost as any global sort.
+  *  - ZONE MAP: per-file min/max stats collected in one column-pruned
+  *    aggregate over `_metadata.file_path` (only the stat columns are
+  *    read). Parquet footers already hold these stats, but Spark consults
+  *    them per-task AFTER scheduling; a manifest consulted at PLANNING
+  *    time schedules no task at all for a pruned file — at 100 TB /
+  *    ~100k files the difference between a 3-file job and a 100k-task
+  *    job whose tasks mostly read a footer and exit. The manifest is tiny
+  *    (one row per file) and rebuilt incrementally per written partition.
+  *  - COMPACTION: streaming ingest and fine-grained writes leave files far
+  *    below the scan's `maxPartitionBytes`, and task-scheduling overhead
+  *    then dominates reads. Compaction bin-packs by TOTAL BYTES (not file
+  *    count) into `ceil(bytes / targetBytes)` outputs in one job; with a
+  *    cluster column it re-sorts with `repartitionByRange` so the rewrite
+  *    RESTORES zone-map tightness instead of destroying it.
+  */
+object Layout {
+
+  /** Spread the low 16 bits of `c` so one zero bit separates each data bit
+    * (0b...abcd -> 0b...0a0b0c0d). Classic mask-shift cascade — five
+    * codegen'd integer ops, no UDF.
+    */
+  private def spread16(c: Column): Column = {
+    val m1 = c.bitwiseOR(shiftleft(c, 8)).bitwiseAND(lit(0x00FF00FFL))
+    val m2 = m1.bitwiseOR(shiftleft(m1, 4)).bitwiseAND(lit(0x0F0F0F0FL))
+    val m3 = m2.bitwiseOR(shiftleft(m2, 2)).bitwiseAND(lit(0x33333333L))
+    m3.bitwiseOR(shiftleft(m3, 1)).bitwiseAND(lit(0x55555555L))
+  }
+
+  /** Signed shift that maps a [lo, hi] integer range onto 16 bits:
+    * `bits(hi-lo) - 16`. Positive ⇒ right-shift wide ranges down; NEGATIVE
+    * ⇒ left-shift narrow ranges UP. The scale-up matters as much as the
+    * scale-down: a dimension left in its natural low bit-width (e.g. a
+    * 0..9 key against a 0..2000 key) contributes only low-order interleave
+    * bits, the Morton key ordering degenerates to a plain sort on the wide
+    * dimension, and its zone spans stay global. Equal bit-width per
+    * dimension is what makes the curve split files on BOTH dims.
+    *
+    * Exact integer arithmetic (no float log2) ⇒ bit-identical across
+    * engines — the DuckDB oracle derives the same width from
+    * `length(printf('%b', range))` and applies the same `<< / >>` pair.
+    */
+  def shiftFor16(lo: Long, hi: Long): Int = {
+    require(hi >= lo, s"empty bound range [$lo, $hi]")
+    val range = hi - lo
+    // clamp to >= 1 bit: printf('%b', 0) is "0" (one digit) in the oracle's
+    // derivation, and a degenerate range shifts 0 either way
+    val bits = math.max(1, 64 - java.lang.Long.numberOfLeadingZeros(range))
+    bits - 16
+  }
+
+  def scaleTo16(x: Column, lo: Long, hi: Long): Column = {
+    val s = shiftFor16(lo, hi)
+    val v = x.cast("long") - lit(lo)
+    if (s >= 0) shiftright(v, s) else shiftleft(v, -s)
+  }
+
+  /** 32-bit Morton (Z-order) key of two 16-bit-scaled columns: bits of `x`
+    * on even positions, `y` on odd. Locality: rows close in the key are
+    * close in BOTH dimensions (each key octant is a quadrant of the 2-d
+    * grid), which is what makes per-file min/max tight on both columns.
+    */
+  def mortonKey(x16: Column, y16: Column): Column =
+    spread16(x16).bitwiseOR(shiftleft(spread16(y16), 1))
+
+  /** Z-order `df` on two integer dimension columns and write it as
+    * `numFiles` parquet files. Bounds for the integer scaling come from
+    * one tiny agg (4 scalars to the driver — same cost class as any
+    * broadcast threshold). One range exchange on the Morton key +
+    * in-partition sort; file k then covers a contiguous key range, so the
+    * zone map over EITHER dimension is tight.
+    */
+  def zorderWrite(df: DataFrame, dimX: String, dimY: String,
+                  path: String, numFiles: Int): Unit = {
+    val b = df.agg(min(col(dimX)).cast("long"), max(col(dimX)).cast("long"),
+                   min(col(dimY)).cast("long"), max(col(dimY)).cast("long"))
+      .head()
+    val keyed = df.withColumn("_zkey",
+      mortonKey(scaleTo16(col(dimX), b.getLong(0), b.getLong(1)),
+                scaleTo16(col(dimY), b.getLong(2), b.getLong(3))))
+    keyed
+      .repartitionByRange(numFiles, col("_zkey"))
+      .sortWithinPartitions("_zkey")
+      .drop("_zkey")
+      .write.mode("overwrite").parquet(path)
+  }
+
+  /** Zone-map manifest: one row per data file with min/max of each stat
+    * column. One aggregate over the hidden `_metadata.file_path` column;
+    * only `statCols` are read (column pruning), and the map-side combine
+    * means one partial row per (task x file) crosses the exchange.
+    */
+  def zoneMap(spark: SparkSession, path: String, statCols: Seq[String]): DataFrame = {
+    val df = spark.read.parquet(path)
+    df.select(col("_metadata.file_path").as("file") +: statCols.map(col): _*)
+      .groupBy("file")
+      .agg(min(col(statCols.head)).as(s"${statCols.head}_min"),
+           max(col(statCols.head)).as(s"${statCols.head}_max") +:
+           statCols.tail.flatMap(c =>
+             Seq(min(col(c)).as(s"${c}_min"), max(col(c)).as(s"${c}_max"))): _*)
+  }
+
+  /** Planning-time file pruning: keep only files whose [min, max] span
+    * intersects [lo, hi] (a file may still contain no matching row — the
+    * zone map has no false negatives, like any bloom/minmax skip index),
+    * then read exactly those files. The manifest is one row per file, so
+    * the prune itself is a driver-side filter over a tiny collect; no task
+    * is ever scheduled for a skipped file. Callers re-apply the row-level
+    * predicate: zone maps prune FILES, not rows.
+    */
+  def prunedRead(spark: SparkSession, manifest: DataFrame, statCol: String,
+                 lo: Long, hi: Long): DataFrame = {
+    val files = manifest
+      .filter(col(s"${statCol}_min") <= hi && col(s"${statCol}_max") >= lo)
+      .select("file").collect().map(_.getString(0))
+    if (files.isEmpty) {
+      // every file pruned: empty result, schema taken from one file's
+      // footer (a metadata-only read — no data task runs)
+      val any = manifest.select("file").head().getString(0)
+      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        spark.read.parquet(any).schema)
+    } else spark.read.parquet(files: _*)
+  }
+
+  /** Bin-pack small files into ~`targetBytes` outputs. File count comes
+    * from actual listed bytes (ceil(total/target)), not a guess; with
+    * `clusterCol` set the rewrite is a range-partitioned re-sort that
+    * RESTORES clustering (and zone-map tightness) instead of a hash
+    * shuffle that destroys it. One read + one exchange + one write.
+    * Returns (filesBefore, filesAfter).
+    */
+  def compact(spark: SparkSession, inPath: String, outPath: String,
+              targetBytes: Long, clusterCol: Option[String] = None): (Int, Int) = {
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(inPath), spark.sparkContext.hadoopConfiguration)
+    val parts = fs.listStatus(new org.apache.hadoop.fs.Path(inPath))
+      .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
+    val nOut = math.max(1, math.ceil(parts.map(_.getLen).sum.toDouble / targetBytes).toInt)
+    val df = spark.read.parquet(inPath)
+    val packed = clusterCol match {
+      case Some(c) => df.repartitionByRange(nOut, col(c)).sortWithinPartitions(c)
+      case None    => df.repartition(nOut)
+    }
+    packed.write.mode("overwrite").parquet(outPath)
+    val after = fs.listStatus(new org.apache.hadoop.fs.Path(outPath))
+      .count(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
+    (parts.length, after)
+  }
+}

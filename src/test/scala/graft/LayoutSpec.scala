@@ -1,0 +1,129 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.sources.Layout
+
+class LayoutSpec extends SparkSpec {
+
+  private def tmp(name: String): String =
+    System.getProperty("java.io.tmpdir") + "/graft_layoutspec_" + name
+
+  test("morton key: known bit patterns and quadrant containment") {
+    import testImplicits._
+    val df = Seq(
+      (1L, 0L), (0L, 1L), (0xFFFFL, 0L), (0L, 0xFFFFL), (0xFFFFL, 0xFFFFL),
+      (3L, 5L)).toDF("x", "y")
+    val keys = df.select(Layout.mortonKey(col("x"), col("y")).as("z"))
+      .collect().map(_.getLong(0)).toSeq
+    // x on even bits, y on odd: morton(3,5) = 0b100111 = interleave(011, 101)
+    assert(keys == Seq(1L, 2L, 0x55555555L, 0xAAAAAAAAL, 0xFFFFFFFFL, 0x27L))
+    // quadrant property: both dims in the lower half <=> key below 2^30
+    val q = (0 until 200).map(i => ((i * 7919) % 65536L, (i * 104729) % 65536L))
+      .toDF("x", "y")
+      .select(col("x"), col("y"), Layout.mortonKey(col("x"), col("y")).as("z"))
+      .collect()
+    q.foreach { r =>
+      val lowQuad = r.getLong(0) < 32768 && r.getLong(1) < 32768
+      assert(lowQuad == (r.getLong(2) < (1L << 30)),
+        s"quadrant violated at ${r.toSeq}")
+    }
+  }
+
+  test("scaleTo16: shift width derived from range bits; narrow ranges scale UP") {
+    assert(Layout.shiftFor16(0, 1999) == -5)    // 11 bits -> scale up by 5
+    assert(Layout.shiftFor16(0, 65535) == 0)    // exactly 16 bits
+    assert(Layout.shiftFor16(0, 65536) == 1)    // 17 bits -> halve
+    assert(Layout.shiftFor16(5, 5) == -15)      // degenerate single value -> 0
+    assert(Layout.shiftFor16(0, (1L << 32) - 1) == 16)
+    import testImplicits._
+    val down = Seq(0L, 1L, 65535L, 65536L, 131071L).toDF("v")
+      .select(Layout.scaleTo16(col("v"), 0L, 131071L).as("s"))
+      .collect().map(_.getLong(0)).toSeq
+    assert(down == Seq(0L, 0L, 32767L, 32768L, 65535L))
+    // narrow dim occupies the HIGH bits after scale-up: 0..9 -> s = -12
+    val up = Seq(0L, 9L).toDF("v")
+      .select(Layout.scaleTo16(col("v"), 0L, 9L).as("s"))
+      .collect().map(_.getLong(0)).toSeq
+    assert(up == Seq(0L, 9L << 12))
+  }
+
+  test("zorder layout: per-file zone spans are tight on BOTH dims vs single-dim sort") {
+    val li = graft.sources.Testdata.table(spark, "/root/testdata/sf0.001", "lineitem")
+    val zdir = tmp("zorder"); val sdir = tmp("sorted")
+    Layout.zorderWrite(li, "l_partkey", "l_suppkey", zdir, numFiles = 8)
+    li.repartitionByRange(8, col("l_partkey")).sortWithinPartitions("l_partkey")
+      .write.mode("overwrite").parquet(sdir)
+    def meanSpan(path: String, c: String): Double = {
+      val m = Layout.zoneMap(spark, path, Seq(c))
+      m.agg(avg(col(s"${c}_max") - col(s"${c}_min"))).head().getDouble(0)
+    }
+    // the partkey-sorted layout leaves suppkey spans ~global (rows in a file
+    // see every suppkey); z-order must cut the suppkey span while keeping
+    // partkey spans far below global
+    val zSupp = meanSpan(zdir, "l_suppkey"); val sSupp = meanSpan(sdir, "l_suppkey")
+    val zPart = meanSpan(zdir, "l_partkey")
+    assert(zSupp < sSupp * 0.6, s"zorder suppkey span $zSupp !< 0.6 * $sSupp")
+    assert(zPart < 2000 * 0.6, s"zorder partkey span $zPart not tight")
+    // content preserved
+    assert(spark.read.parquet(zdir).count() == li.count())
+  }
+
+  test("zone-map pruned read: skips files, never rows; empty prune keeps schema") {
+    val li = graft.sources.Testdata.table(spark, "/root/testdata/sf0.001", "lineitem")
+    val zdir = tmp("zonemap")
+    Layout.zorderWrite(li, "l_partkey", "l_suppkey", zdir, numFiles = 8)
+    val manifest = Layout.zoneMap(spark, zdir, Seq("l_partkey", "l_suppkey"))
+    assert(manifest.count() == 8)
+    // a selective partkey range must actually skip files on a z-ordered layout
+    val kept = manifest
+      .filter(col("l_partkey_min") <= 120 && col("l_partkey_max") >= 100)
+      .count()
+    assert(kept < 8, s"no files pruned ($kept of 8 kept)")
+    val pruned = Layout.prunedRead(spark, manifest, "l_partkey", 100L, 120L)
+      .filter(col("l_partkey").between(100, 120))
+    val full = li.filter(col("l_partkey").between(100, 120))
+    assert(pruned.count() == full.count())
+    assert(pruned.agg(sum("l_quantity")).head().getDouble(0)
+      == full.agg(sum("l_quantity")).head().getDouble(0))
+    // range outside every file span -> empty result, schema intact
+    val empty = Layout.prunedRead(spark, manifest, "l_partkey", 1000000L, 2000000L)
+    assert(empty.count() == 0)
+    assert(empty.schema.fieldNames.toSet == li.schema.fieldNames.toSet)
+  }
+
+  test("compaction: bin-packs by bytes, preserves content, restores cluster order") {
+    val docs = graft.sources.Testdata.table(spark, "/root/testdata/sf0.001", "documents")
+    val in = tmp("compact_in"); val out = tmp("compact_out")
+    docs.repartition(32).write.mode("overwrite").parquet(in)
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(in), spark.sparkContext.hadoopConfiguration)
+    val total = fs.listStatus(new org.apache.hadoop.fs.Path(in))
+      .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
+      .map(_.getLen).sum
+    val (before, after) =
+      Layout.compact(spark, in, out, targetBytes = math.max(1L, total / 4),
+        clusterCol = Some("doc_id"))
+    assert(before == 32)
+    assert(after <= 6 && after >= 1, s"expected ~4 output files, got $after")
+    // content identical
+    val a = docs.select(md5(concat_ws("",
+      col("doc_id"), col("text"))).as("h"))
+      .agg(sum(conv(substring(col("h"), 1, 8), 16, 10).cast("decimal(38,0)")))
+      .head().getDecimal(0)
+    val b = spark.read.parquet(out).select(md5(concat_ws("",
+      col("doc_id"), col("text"))).as("h"))
+      .agg(sum(conv(substring(col("h"), 1, 8), 16, 10).cast("decimal(38,0)")))
+      .head().getDecimal(0)
+    assert(a == b)
+    // cluster order restored: doc_id zone spans disjoint across files
+    val zm = Layout.zoneMap(spark, out, Seq("doc_id"))
+      .orderBy("doc_id_min").collect()
+    zm.sliding(2).foreach {
+      case Array(lo, hi) =>
+        assert(lo.getLong(zm.head.fieldIndex("doc_id_max"))
+          < hi.getLong(zm.head.fieldIndex("doc_id_min")),
+          "doc_id zones overlap after clustered compaction")
+      case _ =>
+    }
+  }
+}
