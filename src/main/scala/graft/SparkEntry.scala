@@ -1609,6 +1609,26 @@ object SparkEntry {
           md5(col("text")).as("text_md5"))
         .orderBy("doc_id")
     }),
+    // Source-format coverage: ORC egress + ingest roundtrip (Hive/Trino
+    // interop) — self-describing schema, columnar, splittable
+    "q_source_orc_roundtrip" -> ((s, dir) => {
+      val docs = graft.sources.Testdata.table(s, dir, "documents")
+      val tmp = System.getProperty("java.io.tmpdir") + "/graft_roundtrip_orc"
+      graft.sources.ColumnarFormats.writeOrc(docs, tmp)
+      graft.sources.ColumnarFormats.readOrc(s, tmp)
+        .select(col("doc_id"), col("lang"), col("source"), col("n_chars"),
+          md5(col("text")).as("text_md5"))
+        .orderBy("doc_id")
+    }),
+    // Curation: temperature (alpha=0.5) mixture sampling — per-stratum
+    // acceptance rate sqrt(avail_min/avail_s) flattens the token
+    // distribution toward uniform (the XLM-R/mT5 multilingual shape);
+    // sqrt+division are correctly rounded, so membership is bit-identical
+    // to the oracle
+    "q_curate_temperature_mix" -> ((s, dir) =>
+      Curation.temperatureSample(graft.sources.Testdata.table(s, dir, "documents"),
+          col("doc_id"), col("lang"), col("text"))
+        .orderBy("id")),
     // Layout tier: Morton (Z-order) key — exact shift/mask integer algebra
     // on two dimensions, replicated bit-for-bit by the DuckDB oracle
     "q_layout_zorder" -> ((s, dir) => {
@@ -3463,6 +3483,27 @@ object SparkEntry {
     "q_source_csv_roundtrip" ->
       """SELECT doc_id, lang, source, n_chars, md5(text) AS text_md5
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "q_source_orc_roundtrip" ->
+      """SELECT doc_id, lang, source, n_chars, md5(text) AS text_md5
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    // Temperature sampling: rate_s = floor(1000*sqrt(min_avail/avail_s));
+    // every float op correctly rounded -> thresholds bit-identical
+    "q_curate_temperature_mix" ->
+      """WITH t AS (
+        |  SELECT doc_id AS id, lang AS stratum,
+        |    CAST(len(string_split_regex(text, '\s+')) AS BIGINT) AS n_tokens
+        |  FROM documents
+        |), a AS (SELECT stratum, sum(n_tokens) AS avail FROM t GROUP BY stratum),
+        |m AS (SELECT min(avail) AS amin FROM a),
+        |r AS (
+        |  SELECT stratum, CAST(floor(1000.0 *
+        |    sqrt(CAST(amin AS DOUBLE) / CAST(avail AS DOUBLE))) AS BIGINT) AS rate_pm
+        |  FROM a, m
+        |)
+        |SELECT t.id, t.stratum, t.n_tokens
+        |FROM t JOIN r USING (stratum)
+        |WHERE ((t.id % 1000003) * 131 + 7) % 1000 < r.rate_pm
+        |ORDER BY t.id""".stripMargin,
     // Morton key replicated in exact integer algebra: the 16-bit scale is a
     // right shift (width derived from the binary length of the range — no
     // float log2), the interleave the same mask-shift cascade as the engine

@@ -311,6 +311,42 @@ object Curation {
       .select(col("id"), col("stratum"), col("n_tokens"))
   }
 
+  /** Temperature-based mixture sampling — the multilingual pre-training
+    * shape (XLM-R / mT5: sample stratum s with probability ∝ p_s^alpha,
+    * alpha < 1 flattening the natural token distribution toward uniform so
+    * low-resource strata are not drowned out). Realized as per-doc
+    * deterministic acceptance at rate ∝ p_s^(alpha-1), normalized so the
+    * SMALLEST stratum keeps everything (rates are relative — the absolute
+    * budget is [[mixSample]]'s job).
+    *
+    * alpha is fixed at 0.5 here: the rate is then sqrt(avail_min/avail_s),
+    * and sqrt + division are IEEE-correctly-rounded in every engine, so
+    * the per-mille thresholds — and therefore the exact membership set —
+    * are bit-identical to the DuckDB oracle. A general alpha would go
+    * through pow(), which is NOT correctly rounded and may differ by an
+    * ulp across libm implementations — enough to flip a floor() at a
+    * threshold boundary. One tokenize pass + one tiny per-stratum agg
+    * (broadcast back); membership is scan-stage id arithmetic.
+    */
+  def temperatureSample(
+      docs: DataFrame,
+      id: Column,
+      stratum: Column,
+      text: Column): DataFrame = {
+    val withTok = docs.select(id.as("id"), stratum.as("stratum"),
+      TextAnalysis.wsTokenCount(text).cast("long").as("n_tokens"))
+    val totals = withTok.groupBy("stratum").agg(sum(col("n_tokens")).as("avail"))
+    val minRow = totals.agg(min(col("avail")).as("amin"))
+    val rates = totals.crossJoin(broadcast(minRow))
+      .select(col("stratum"),
+        floor(lit(1000.0) *
+          sqrt(col("amin").cast("double") / col("avail").cast("double")))
+          .cast("long").as("rate_pm"))
+    withTok.join(broadcast(rates), Seq("stratum"))
+      .filter(sampleBucket(col("id")) < col("rate_pm"))
+      .select(col("id"), col("stratum"), col("n_tokens"))
+  }
+
   def packBins(
       docs: DataFrame,
       id: Column,

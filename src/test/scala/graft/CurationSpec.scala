@@ -164,6 +164,28 @@ class CurationSpec extends SparkSpec {
     assert(none == 0L)
   }
 
+  test("temperature sampling: smallest stratum kept whole, rates flatten by sqrt") {
+    // avail: a=400 tokens, b=100, c=25 -> rates: c=1000, b=floor(1000*sqrt(25/100))=500,
+    // a=floor(1000*sqrt(25/400))=250 — each 4x availability gap halves the rate
+    def mk(src: String, n: Int, tok: Int, base: Long) =
+      (0 until n).map(i => (base + i, src, Seq.fill(tok)("w").mkString(" ")))
+    val docs = (mk("a", 40, 10, 0L) ++ mk("b", 10, 10, 1000L) ++ mk("c", 5, 5, 2000L))
+      .toDF("doc_id", "src", "text")
+    val got = Curation.temperatureSample(docs, col("doc_id"), col("src"), col("text"))
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(got.filter(_._2 == "c").map(_._1).sorted == (2000L until 2005L).toSeq)
+    def expect(ids: Seq[Long], rate: Long) =
+      ids.filter(i => ((i % 1000003L) * 131 + 7) % 1000 < rate).toSet
+    assert(got.filter(_._2 == "b").map(_._1).toSet
+      == expect((1000L until 1010L), 500L))
+    assert(got.filter(_._2 == "a").map(_._1).toSet
+      == expect((0L until 40L), 250L))
+    // deterministic across runs
+    val again = Curation.temperatureSample(docs, col("doc_id"), col("src"), col("text"))
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(got.sorted == again.sorted)
+  }
+
   test("stratified sample boundary rates: 0 drops the stratum, 1000 keeps it whole") {
     val docs = spark.range(1000).select(col("id").as("doc_id"), lit("en").as("lang"))
     val none = Curation.stratifiedSample(docs, col("doc_id"), col("lang"),

@@ -125,4 +125,18 @@ class SourcesSpec extends SparkSpec {
       .orderBy("doc_id").collect().map(r => (r.getLong(0), r.getString(1))).toSeq
     assert(gotC == want)
   }
+  test("orc roundtrip: schema and content self-describing, nulls preserved") {
+    import testImplicits._
+    val df = Seq(
+      (1L, "line1\nline2", 3.5), (2L, null: String, -0.0), (3L, "", 7.25)
+    ).toDF("id", "s", "v")
+    val d = Files.createTempDirectory("graft_orc").toString
+    graft.sources.ColumnarFormats.writeOrc(df, d)
+    val back = graft.sources.ColumnarFormats.readOrc(spark, d)
+    // file sinks store all fields nullable — compare names + types
+    assert(back.schema.map(f => (f.name, f.dataType))
+      == df.schema.map(f => (f.name, f.dataType)))
+    assert(back.orderBy("id").collect().map(_.toSeq).toSeq
+      == df.orderBy("id").collect().map(_.toSeq).toSeq)
+  }
 }
