@@ -1658,6 +1658,22 @@ object SparkEntry {
         // pin a total order over all output columns
         .orderBy("l_orderkey", "l_linenumber", "l_partkey", "l_suppkey", "l_quantity")
     }),
+    // Layout tier: targeted delete (GDPR forget) — only zone-map-affected
+    // files are rewritten; result must equal the plain anti-join
+    "q_layout_delete" -> ((s, dir) => {
+      import graft.sources.Layout
+      val docs = graft.sources.Testdata.table(s, dir, "documents")
+      val tmp = System.getProperty("java.io.tmpdir") + "/graft_layout_delete"
+      docs.repartitionByRange(8, col("doc_id")).sortWithinPartitions("doc_id")
+        .write.mode("overwrite").parquet(tmp)
+      import s.implicits._
+      val tombstones = ((50L until 60L) ++ Seq(100L, 200L)).toDF("doc_id")
+      Layout.deleteRows(s, tmp, "doc_id", tombstones)
+      s.read.parquet(tmp)
+        .select(col("doc_id"), col("lang"), col("source"), col("n_chars"),
+          md5(col("text")).as("text_md5"))
+        .orderBy("doc_id")
+    }),
     // Layout tier: small-file compaction — 32 splinter files bin-packed by
     // listed bytes into ~4, cluster order restored; content-preserving by md5
     "q_layout_compact" -> ((s, dir) => {
@@ -3543,6 +3559,12 @@ object SparkEntry {
       """SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey, l_quantity
         |FROM lineitem WHERE l_partkey BETWEEN 100 AND 300
         |ORDER BY l_orderkey, l_linenumber, l_partkey, l_suppkey, l_quantity""".stripMargin,
+    // Targeted delete must equal the plain anti-join over the whole table
+    "q_layout_delete" ->
+      """SELECT doc_id, lang, source, n_chars, md5(text) AS text_md5
+        |FROM documents
+        |WHERE doc_id NOT BETWEEN 50 AND 59 AND doc_id NOT IN (100, 200)
+        |ORDER BY doc_id""".stripMargin,
     // Compaction is content-preserving iff it reproduces the original
     "q_layout_compact" ->
       """SELECT doc_id, lang, source, n_chars, md5(text) AS text_md5

@@ -143,6 +143,58 @@ object Layout {
     } else spark.read.parquet(files: _*)
   }
 
+  /** Targeted row deletion (the GDPR/right-to-be-forgotten shape):
+    * rewrite ONLY the files whose zone-map [min, max] span can contain a
+    * tombstoned id, leave every other file physically untouched. At 100 TB
+    * a delete of a few thousand ids touches a handful of files on an
+    * id-clustered layout — the full-table rewrite (or full anti-join
+    * rewrite) this replaces is ~six orders of magnitude more IO.
+    *
+    * Mechanics: per-file id spans from [[zoneMap]] (one manifest row per
+    * file) are range-joined to the tombstone set to pick affected files
+    * (zone maps have no false negatives, so unaffected files provably hold
+    * no tombstoned row); the affected files alone are read, anti-joined
+    * against the broadcast tombstones, rewritten into a dot-prefixed (=
+    * reader-hidden) temp dir, then swapped in. The swap is rename-based —
+    * atomic-ish on HDFS/posix; on object stores renames are copies, so a
+    * production deployment would layer a manifest commit (Iceberg/Delta
+    * style) on top. Returns (filesTotal, filesRewritten, rowsDeleted).
+    */
+  def deleteRows(spark: SparkSession, path: String, idCol: String,
+                 tombstones: DataFrame): (Int, Int, Long) = {
+    import org.apache.hadoop.fs.Path
+    val tsCol = tombstones.columns.head
+    val manifest = zoneMap(spark, path, Seq(idCol))
+    val affected = manifest
+      .join(tombstones,
+        tombstones(tsCol).cast("long").between(
+          col(s"${idCol}_min").cast("long"), col(s"${idCol}_max").cast("long")),
+        "left_semi")
+      .select("file").collect().map(_.getString(0))
+    val total = manifest.count().toInt
+    if (affected.isEmpty) return (total, 0, 0L)
+
+    val before = spark.read.parquet(affected: _*)
+    val nBefore = before.count()
+    val kept = before.join(
+      broadcast(tombstones.select(tombstones(tsCol).cast("long").as(idCol)).distinct()),
+      Seq(idCol), "left_anti")
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(path), spark.sparkContext.hadoopConfiguration)
+    val tmp = s"$path/.rewrite_${java.util.UUID.randomUUID().toString.take(8)}"
+    // keep the rewrite at the affected-file granularity (no global shuffle)
+    kept.coalesce(math.max(1, affected.length)).write.parquet(tmp)
+    val nAfter = spark.read.parquet(tmp).count()
+    affected.foreach(f => fs.delete(new Path(new java.net.URI(f).getPath), false))
+    fs.listStatus(new Path(tmp))
+      .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
+      .foreach { s =>
+        fs.rename(s.getPath, new Path(path, s"deleted_${s.getPath.getName}"))
+      }
+    fs.delete(new Path(tmp), true)
+    (total, affected.length, nBefore - nAfter)
+  }
+
   /** Bin-pack small files into ~`targetBytes` outputs. File count comes
     * from actual listed bytes (ceil(total/target)), not a guess; with
     * `clusterCol` set the rewrite is a range-partitioned re-sort that

@@ -524,6 +524,53 @@ object Streaming {
       }
   }
 
+  /** Streaming zone-map maintenance — the layout-tier analog of the index
+    * maintenance screens above: each micro-batch lands in its own
+    * `batch_id` data partition AND contributes its per-file min/max rows
+    * to a manifest at the same time, so [[graft.sources.Layout.prunedRead]]
+    * keeps pruning at planning time over everything ever ingested without
+    * any manifest rebuild (the manifest for a batch is derived from that
+    * batch's files only — no rescan of history, the invariant that makes
+    * this viable at a 100 TB accumulated table).
+    *
+    * Idempotence: both writes are batch-stamped dynamic-partition
+    * overwrites — a retried batch replaces its own data partition and its
+    * own manifest rows together, so the manifest never references files a
+    * retry removed.
+    */
+  def startZoneMapMaintenance(
+      rows: DataFrame,          // streaming; must contain statCol
+      statCols: Seq[String],
+      dataPath: String,
+      manifestPath: String,
+      checkpoint: String,
+      queryName: String = "zonemap_maintenance"): StreamingQuery =
+    rows.writeStream
+      .queryName(queryName)
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        batch.withColumn("batch_id", lit(batchId))
+          .write.mode("overwrite")
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("batch_id")
+          .parquet(dataPath)
+        graft.sources.Layout
+          .zoneMap(batch.sparkSession, s"$dataPath/batch_id=$batchId", statCols)
+          .withColumn("batch_id", lit(batchId))
+          .write.mode("overwrite")
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("batch_id")
+          .parquet(manifestPath)
+        ()
+      }
+      .start()
+
+  /** The maintained manifest, ready for [[graft.sources.Layout.prunedRead]]
+    * (file paths are absolute, so the batch partitioning is transparent).
+    */
+  def loadZoneMap(spark: org.apache.spark.sql.SparkSession, path: String): DataFrame =
+    spark.read.parquet(path).drop("batch_id")
+
   /** Session-window stats per user (native session_window operator): the
     * streaming twin of [[graft.operators.Relational.sessionize]] — state is
     * per-user session windows, closed and emitted once the watermark passes

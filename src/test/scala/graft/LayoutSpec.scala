@@ -91,6 +91,43 @@ class LayoutSpec extends SparkSpec {
     assert(empty.schema.fieldNames.toSet == li.schema.fieldNames.toSet)
   }
 
+  test("targeted delete: only zone-affected files rewritten, others untouched") {
+    import testImplicits._
+    val docs = graft.sources.Testdata.table(spark, "/root/testdata/sf0.001", "documents")
+    val dir = tmp("delete")
+    docs.repartitionByRange(8, col("doc_id")).sortWithinPartitions("doc_id")
+      .write.mode("overwrite").parquet(dir)
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(dir), spark.sparkContext.hadoopConfiguration)
+    def files() = fs.listStatus(new org.apache.hadoop.fs.Path(dir))
+      .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
+      .map(s => s.getPath.getName -> s.getModificationTime).toMap
+    val before = files()
+    // ids 50..59 live in one or two range-partitioned files
+    val (total, rewritten, deleted) =
+      graft.sources.Layout.deleteRows(spark, dir, "doc_id",
+        (50L until 60L).toDF("doc_id"))
+    assert(total == 8)
+    assert(rewritten >= 1 && rewritten <= 2, s"rewrote $rewritten of 8 files")
+    assert(deleted == 10L)
+    val after = files()
+    // untouched files keep their exact name and mtime
+    val survivors = after.keySet.intersect(before.keySet)
+    assert(survivors.size == total - rewritten)
+    survivors.foreach(n => assert(after(n) == before(n), s"file $n was rewritten"))
+    // content equals the plain anti-join
+    val got = spark.read.parquet(dir).select("doc_id")
+      .orderBy("doc_id").collect().map(_.getLong(0)).toSeq
+    val want = docs.filter(!col("doc_id").between(50, 59))
+      .select("doc_id").orderBy("doc_id").collect().map(_.getLong(0)).toSeq
+    assert(got == want)
+    // deleting ids that hit no file span is a metadata-only no-op
+    val (_, rw2, d2) = graft.sources.Layout.deleteRows(spark, dir, "doc_id",
+      Seq(10000000L).toDF("doc_id"))
+    assert(rw2 == 0 && d2 == 0L)
+    assert(files() == after)
+  }
+
   test("compaction: bin-packs by bytes, preserves content, restores cluster order") {
     val docs = graft.sources.Testdata.table(spark, "/root/testdata/sf0.001", "documents")
     val in = tmp("compact_in"); val out = tmp("compact_out")

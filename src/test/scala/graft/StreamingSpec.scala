@@ -479,4 +479,40 @@ class StreamingSpec extends SparkSpec {
       assert(cells.groupBy("batch_id").count().collect().forall(_.getLong(1) <= 4 * 256))
     } finally q.stop()
   }
+
+  test("streaming zone-map maintenance: manifest grows per batch; pruned read stays exact") {
+    val sp = spark
+    import sp.implicits._
+    implicit val sqlCtx = sp.sqlContext
+    import graft.sources.Layout
+    val in = MemoryStream[(Long, Long)]
+    val out = tmpDir("graft_zm_maint")
+    val q = Streaming.startZoneMapMaintenance(
+      in.toDF().toDF("id", "k"), Seq("k"), s"$out/data", s"$out/manifest", s"$out/ckpt")
+    try {
+      in.addData((1L, 10L), (2L, 20L), (3L, 30L))
+      q.processAllAvailable()
+      val m1 = Streaming.loadZoneMap(sp, s"$out/manifest")
+      val files1 = m1.count()
+      assert(files1 >= 1)
+      in.addData((4L, 1000L), (5L, 2000L))
+      q.processAllAvailable()
+      val m2 = Streaming.loadZoneMap(sp, s"$out/manifest")
+      assert(m2.count() > files1, "second batch must add manifest rows")
+      // pruned read over the accumulated table: only first-batch spans
+      // intersect [0, 100], and the result equals the row-level filter
+      val pruned = Layout.prunedRead(sp, m2, "k", 0L, 100L)
+        .filter(col("k").between(0L, 100L))
+        .select("id").collect().map(_.getLong(0)).toSet
+      assert(pruned == Set(1L, 2L, 3L))
+      // the prune actually skipped the second batch's files
+      val kept = m2.filter(col("k_min") <= 100L && col("k_max") >= 0L).count()
+      assert(kept < m2.count(), "no files pruned")
+      // high-range probe reads only the later arrivals
+      val hi = Layout.prunedRead(sp, m2, "k", 1500L, 3000L)
+        .filter(col("k").between(1500L, 3000L))
+        .select("id").collect().map(_.getLong(0)).toSet
+      assert(hi == Set(5L))
+    } finally q.stop()
+  }
 }
