@@ -41,7 +41,9 @@ object Plans {
       "q_curate_quality_by_source", "q_text_zipf", "q_curate_scrub_pii",
       "q_ann_ivf_pq", "q_dedup_containment", "q_embed_abtt", "q_embed_mrl",
       "q_pipeline_dedup", "q_curate_snapshot_diff", "q_dedup_incremental_containment",
-      "q_media_scenes", "q_knn_batch_ann")
+      "q_media_scenes", "q_knn_batch_ann",
+      "q_layout_zorder", "q_layout_zonemap_prune", "q_layout_delete",
+      "q_curate_temperature_mix")
     show.foreach { name =>
       println(s"\n## $name\n")
       println("```")

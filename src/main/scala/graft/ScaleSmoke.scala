@@ -335,6 +335,54 @@ object ScaleSmoke {
         .head(); 4096L
     }
 
+    // ---- layout tier (IO-path ops) --------------------------------------
+    // zorder write grows ~n log n (one range exchange + write); the zone
+    // map is one column-pruned aggregate; the SELECTIVE reads must stay
+    // ~flat-per-selected-row: pruning keeps the scanned file set
+    // proportional to the slice, and a targeted user delete touches only
+    // the files whose user_id span contains a tombstone.
+    val layoutDir = System.getProperty("java.io.tmpdir") + s"/graft_smoke_layout_x$mult"
+    val evNarrow = ev.select("event_id", "user_id", "value")
+    // file COUNT scales with the data (x20 -> 32 files) so file SIZE stays
+    // constant, as in any real deployment — that constancy is what makes
+    // the targeted delete flat: it rewrites a bounded number of
+    // constant-sized files no matter how large the table grows
+    val nFiles = math.max(8, (8 * mult) / 5)
+    time(s"zorder write (user_id x event_id, $nFiles files)") {
+      graft.sources.Layout.zorderWrite(evNarrow, "user_id", "event_id", layoutDir, nFiles)
+      base * mult
+    }
+    val manifest = {
+      val m = graft.sources.Layout.zoneMap(spark, layoutDir, Seq("user_id", "event_id"))
+        .localCheckpoint()
+      m
+    }
+    time("zone-map manifest (2 cols)") { manifest.count() }
+    val maxUser = evNarrow.agg(max("user_id")).head().getLong(0)
+    time("pruned read (1% user slice)") {
+      val hi = maxUser / 100
+      graft.sources.Layout.prunedRead(spark, manifest, "user_id", 0L, hi)
+        .filter(col("user_id").between(0L, hi)).count()
+    }
+    // the delete benchmark runs on the layout deletes are FOR: clustered on
+    // the tombstone key, one user lives in one file, so the rewrite touches
+    // a bounded number of constant-sized files at any table size. (On the
+    // z-order layout above the same delete is O(sqrt(files)) — a user's
+    // rows spread across a grid row — still far from a full rewrite, but
+    // clustering on the delete key is the flat shape.)
+    val delDir = layoutDir + "_bykey"
+    time(s"cluster write (user_id range, $nFiles files)") {
+      evNarrow.repartitionByRange(nFiles, col("user_id"))
+        .sortWithinPartitions("user_id")
+        .write.mode("overwrite").parquet(delDir)
+      base * mult
+    }
+    time("targeted delete (5 users, key-clustered)") {
+      val tomb = spark.range(5).select((col("id") * mult).as("user_id"))
+      val (_, _, d) = graft.sources.Layout.deleteRows(spark, delDir, "user_id", tomb)
+      d
+    }
+
     spark.stop()
   }
 }

@@ -1295,6 +1295,17 @@ object SparkEntry {
             .cast("double"), 6).as("sum_qty"),
           count(lit(1)).as("n_items"))
         .orderBy("o_orderpriority")),
+    // asymmetric grouping sets: by region, by year, by region x returnflag
+    // in ONE Expand pass (the case rollup/cube cannot express)
+    "q_rel_grouping_sets" -> ((s, dir) =>
+      Relational.regionRevenueGroupingSets(
+          graft.sources.Testdata.lineitem(s, dir),
+          graft.sources.Testdata.orders(s, dir),
+          graft.sources.Testdata.table(s, dir, "customer"),
+          graft.sources.Testdata.table(s, dir, "nation"),
+          graft.sources.Testdata.table(s, dir, "region"))
+        .orderBy(asc_nulls_first("r_name"), asc_nulls_first("ship_year"),
+          asc_nulls_first("l_returnflag"))),
     // cube: all four grouping combinations in one aggregation pass
     "q_rel_cube" -> ((s, dir) =>
       Relational.regionRevenueCube(
@@ -1672,6 +1683,34 @@ object SparkEntry {
       s.read.parquet(tmp)
         .select(col("doc_id"), col("lang"), col("source"), col("n_chars"),
           md5(col("text")).as("text_md5"))
+        .orderBy("doc_id")
+    }),
+    // The forget CASCADE: one tombstone set propagated through a source
+    // table AND its derived chunk table, each via zone-targeted deleteRows
+    // (both clustered on the doc id, so the cascade touches a handful of
+    // files per table no matter how large either grows). The readback
+    // joins the two maintained tables to prove the cascade is consistent.
+    "q_pipeline_forget" -> ((s, dir) => {
+      import graft.sources.Layout
+      import s.implicits._
+      val docs = graft.sources.Testdata.table(s, dir, "documents")
+      val docDir = System.getProperty("java.io.tmpdir") + "/graft_forget_docs"
+      val chunkDir = System.getProperty("java.io.tmpdir") + "/graft_forget_chunks"
+      docs.repartitionByRange(8, col("doc_id")).sortWithinPartitions("doc_id")
+        .write.mode("overwrite").parquet(docDir)
+      Curation.chunkTokens(docs, col("doc_id"), col("text"), size = 64, stride = 48)
+        .repartitionByRange(8, col("id")).sortWithinPartitions("id", "chunk_idx")
+        .write.mode("overwrite").parquet(chunkDir)
+      val tomb = (30L until 40L).toDF("doc_id")
+      Layout.deleteRows(s, docDir, "doc_id", tomb)
+      Layout.deleteRows(s, chunkDir, "id", tomb)
+      val chunkStats = s.read.parquet(chunkDir).groupBy("id")
+        .agg(count(lit(1)).as("n_chunks"), sum("n_tokens").as("sum_tokens"))
+      s.read.parquet(docDir).select(col("doc_id"))
+        .join(chunkStats, col("doc_id") === col("id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("n_chunks"), lit(0L)).as("n_chunks"),
+          coalesce(col("sum_tokens"), lit(0L)).as("sum_tokens"))
         .orderBy("doc_id")
     }),
     // Layout tier: small-file compaction — 32 splinter files bin-packed by
@@ -2105,6 +2144,17 @@ object SparkEntry {
         |  count(*) AS n_items
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_rel_grouping_sets" ->
+      """SELECT r_name, CAST(year(l_shipdate) AS INT) AS ship_year, l_returnflag,
+        |  round(CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE), 6) AS revenue,
+        |  count(*) AS n_items
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY GROUPING SETS ((r_name), (ship_year), (r_name, l_returnflag))
+        |ORDER BY r_name NULLS FIRST, ship_year NULLS FIRST, l_returnflag NULLS FIRST""".stripMargin,
     "q_rel_cube" ->
       """SELECT r_name, CAST(year(l_shipdate) AS INT) AS ship_year,
         |  round(CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE), 6) AS revenue,
@@ -3565,6 +3615,26 @@ object SparkEntry {
         |FROM documents
         |WHERE doc_id NOT BETWEEN 50 AND 59 AND doc_id NOT IN (100, 200)
         |ORDER BY doc_id""".stripMargin,
+    // Forget cascade: both maintained tables must equal their tombstone
+    // anti-joins, and the doc<->chunk join must stay consistent
+    "q_pipeline_forget" ->
+      """WITH t AS (
+        |  SELECT doc_id AS id, string_split_regex(text, '\s+') AS toks
+        |  FROM documents WHERE doc_id NOT BETWEEN 30 AND 39
+        |), n AS (
+        |  SELECT id, len(toks) AS n FROM t WHERE len(toks) > 0
+        |), c AS (
+        |  SELECT id, count(*) AS n_chunks,
+        |    CAST(sum(least(64, n - k*48)) AS BIGINT) AS sum_tokens
+        |  FROM n, unnest(range(0,
+        |    CAST(ceil(CAST(greatest(n - 64, 0) AS DOUBLE) / 48) AS BIGINT) + 1)) AS u(k)
+        |  GROUP BY id
+        |)
+        |SELECT d.doc_id, coalesce(c.n_chunks, 0) AS n_chunks,
+        |       coalesce(c.sum_tokens, 0) AS sum_tokens
+        |FROM (SELECT doc_id FROM documents WHERE doc_id NOT BETWEEN 30 AND 39) d
+        |LEFT JOIN c ON d.doc_id = c.id
+        |ORDER BY d.doc_id""".stripMargin,
     // Compaction is content-preserving iff it reproduces the original
     "q_layout_compact" ->
       """SELECT doc_id, lang, source, n_chars, md5(text) AS text_md5

@@ -274,4 +274,39 @@ class PlanSpec extends SparkSpec {
     val topProject = plan.linesIterator.find(_.trim.startsWith("+- Project [coalesce")).getOrElse("")
     assert(!topProject.contains("text#"), s"post-join projection must not carry text:\n$plan")
   }
+
+  test("zorder layout: ONE range exchange; the morton key is scan-side codegen algebra") {
+    import graft.sources.Layout
+    val li = spark.read.parquet(s"$dir/lineitem.parquet")
+    val keyed = li.withColumn("_zkey",
+        Layout.mortonKey(Layout.scaleTo16(col("l_partkey"), 0L, 1999L),
+                         Layout.scaleTo16(col("l_suppkey"), 0L, 99L)))
+      .repartitionByRange(8, col("_zkey"))
+      .sortWithinPartitions("_zkey")
+    val plan = keyed.queryExecution.executedPlan.toString
+    val exchanges = plan.linesIterator.filter(_.contains("Exchange")).toSeq
+    assert(exchanges.size == 1 && exchanges.head.contains("rangepartitioning"),
+      s"layout must cost exactly the one range exchange of any global sort:\n$plan")
+    // pure column algebra: no UDF/python eval anywhere in the key
+    assert(!plan.contains("BatchEvalPython") && !plan.contains("ScalaUDF"),
+      s"morton key must be native expressions:\n$plan")
+  }
+
+  test("temperature mix: the corpus never shuffles — rates come back by broadcast") {
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val plan = graft.operators.Curation.temperatureSample(
+        docs, col("doc_id"), col("lang"), col("text"))
+      .queryExecution.executedPlan.toString
+    // the only hash exchange is the tiny per-stratum aggregate (narrow
+    // (stratum, n_tokens) partials, map-side combined); the membership
+    // filter joins the rates back as a broadcast — the tokenized corpus
+    // itself never crosses an exchange
+    val hashEx = plan.linesIterator.filter(_.contains("Exchange hashpartitioning")).toSeq
+    assert(hashEx.size <= 2, s"only the stratum aggregates may shuffle:\n$plan")
+    assert(hashEx.forall(!_.contains("text#")),
+      s"document text must never cross an exchange:\n$plan")
+    assert(plan.contains("BroadcastHashJoin"), s"rates must broadcast back:\n$plan")
+    assert(!plan.contains("SortMergeJoin"),
+      s"no sort-merge join belongs in this plan:\n$plan")
+  }
 }
