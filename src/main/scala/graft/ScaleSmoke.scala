@@ -352,12 +352,14 @@ object ScaleSmoke {
       graft.sources.Layout.zorderWrite(evNarrow, "user_id", "event_id", layoutDir, nFiles)
       base * mult
     }
-    val manifest = {
-      val m = graft.sources.Layout.zoneMap(spark, layoutDir, Seq("user_id", "event_id"))
-        .localCheckpoint()
-      m
+    var manifest: DataFrame = null
+    time("zone-map manifest (2 cols)") {
+      // the build IS the cost being measured: one column-pruned scan of the
+      // two stat columns, map-side combined to one row per (task x file)
+      manifest = graft.sources.Layout
+        .zoneMap(spark, layoutDir, Seq("user_id", "event_id")).localCheckpoint()
+      manifest.count()
     }
-    time("zone-map manifest (2 cols)") { manifest.count() }
     val maxUser = evNarrow.agg(max("user_id")).head().getLong(0)
     time("pruned read (1% user slice)") {
       val hi = maxUser / 100
