@@ -1640,6 +1640,21 @@ object SparkEntry {
       Curation.temperatureSample(graft.sources.Testdata.table(s, dir, "documents"),
           col("doc_id"), col("lang"), col("text"))
         .orderBy("id")),
+    // Data profiling: per-column completeness + exact distincts in ONE
+    // aggregation (single Expand pass — the table is read once no matter
+    // how many columns are profiled)
+    "q_profile_completeness" -> ((s, dir) =>
+      Profile.completeness(graft.sources.Testdata.events(s, dir),
+          Seq("event_type", "props", "user_id", "value"))
+        .orderBy("col_name")),
+    // Referential-integrity audit: orphan children under a deliberately
+    // truncated parent set (every 10th order withheld) — the ingest-gate
+    // shape (one-row result; reject the drop if orphan_rate > tau)
+    "q_profile_orphans" -> ((s, dir) =>
+      Profile.orphanAudit(
+        graft.sources.Testdata.lineitem(s, dir), col("l_orderkey"),
+        graft.sources.Testdata.orders(s, dir)
+          .filter(pmod(col("o_orderkey"), lit(10)) =!= 0), col("o_orderkey"))),
     // Layout tier: Morton (Z-order) key — exact shift/mask integer algebra
     // on two dimensions, replicated bit-for-bit by the DuckDB oracle
     "q_layout_zorder" -> ((s, dir) => {
@@ -3570,6 +3585,29 @@ object SparkEntry {
         |FROM t JOIN r USING (stratum)
         |WHERE ((t.id % 1000003) * 131 + 7) % 1000 < r.rate_pm
         |ORDER BY t.id""".stripMargin,
+    "q_profile_completeness" ->
+      """WITH s AS (
+        |  SELECT 'event_type' AS col_name, count(*) AS n_rows,
+        |         count(*) - count(event_type) AS n_nulls,
+        |         count(DISTINCT event_type) AS n_distinct FROM events
+        |  UNION ALL
+        |  SELECT 'props', count(*), count(*) - count(props),
+        |         count(DISTINCT props) FROM events
+        |  UNION ALL
+        |  SELECT 'user_id', count(*), count(*) - count(user_id),
+        |         count(DISTINCT user_id) FROM events
+        |  UNION ALL
+        |  SELECT 'value', count(*), count(*) - count(value),
+        |         count(DISTINCT value) FROM events
+        |)
+        |SELECT * FROM s ORDER BY col_name""".stripMargin,
+    "q_profile_orphans" ->
+      """WITH p AS (SELECT o_orderkey FROM orders WHERE o_orderkey % 10 != 0)
+        |SELECT
+        |  (SELECT count(*) FROM lineitem) AS n_children,
+        |  (SELECT count(*) FROM lineitem WHERE l_orderkey NOT IN (SELECT o_orderkey FROM p)) AS n_orphans,
+        |  round(CAST((SELECT count(*) FROM lineitem WHERE l_orderkey NOT IN (SELECT o_orderkey FROM p)) AS DOUBLE)
+        |    / (SELECT count(*) FROM lineitem), 6) AS orphan_rate""".stripMargin,
     // Morton key replicated in exact integer algebra: the 16-bit scale is a
     // right shift (width derived from the binary length of the range — no
     // float log2), the interleave the same mask-shift cascade as the engine
