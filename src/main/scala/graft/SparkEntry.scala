@@ -470,6 +470,22 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // O13: exact cosine top-k over the full corpus
     "q_knn" -> ((s, dir) => knnQuery(s, dir, k = 10)),
+    // Hybrid retrieval by reciprocal-rank fusion: dense cosine top-20 +
+    // sparse BM25 top-20, fused on rank position (no score calibration);
+    // both inputs bounded, fusion runs on <= 40 rows
+    "q_search_rrf" -> ((s, dir) => {
+      val docs = graft.sources.Testdata.table(s, dir, "documents")
+      val store = VectorStore.fromEmbeddingsTable(s, dir)
+      val dense = Search.findMostSimilar(store, queryVec(s, dir), k = 20)
+        .select(col("id"), col("score"))
+      val sparse = Bm25.rank(docs, col("doc_id"), col("text"),
+          Seq("table", "join", "query", "scan", "fast"), k = 20)
+        .select(col("id").cast("string").as("id"), col("score"))
+      Rerank.rrfFusion(Seq("dense" -> dense, "sparse" -> sparse), c = 60, k = 10)
+        .select(col("id"), col("rank_dense"), col("rank_sparse"),
+          round(col("rrf_score"), 6).as("rrf_score"))
+        .orderBy(desc("rrf_score"), asc("id"))
+    }),
     // O13 + O8: top-k under an AND metadata filter
     "q_knn_filtered" -> ((s, dir) =>
       knnQuery(s, dir, k = 10, metadataFilter = Seq(Map("label" -> Eq(MLong(3)))))),
@@ -635,6 +651,23 @@ object SparkEntry {
         graft.sources.Testdata.table(s, dir, "documents")
           .select(explode(TextAnalysis.wsTokens(col("text"))).as("t")),
         col("t"), depth = 4, width = 1024, topK = 20)),
+    // KMV theta-sketch cross-source overlap: G·k bounded state (bottom-k
+    // distinct shingle hashes per source via the GroupTopK heap), theta
+    // set-algebra estimates for every source pair, audited against the
+    // exact shared-gram matrix it replaces at scale
+    "q_sketch_kmv_overlap" -> ((s, dir) => {
+      val docs = graft.sources.Testdata.table(s, dir, "documents")
+      val grams = docs.select(col("source"),
+        explode(Dedup.shingles(col("text"), 2)).as("sh"))
+      val est = Sketches.kmvOverlap(grams, col("source"), col("sh"), k = 64)
+      val exact = Dedup.sourceOverlapMatrix(docs, col("source"), col("text"), n = 2)
+        .select(col("src_a"), col("src_b"), col("shared_grams"))
+      est.join(exact, Seq("src_a", "src_b"), "left")
+        .na.fill(0L, Seq("shared_grams"))
+        .select(col("src_a"), col("src_b"), col("shared_grams"),
+          col("d_est_a"), col("d_est_b"), col("inter_est"), col("jaccard_est"))
+        .orderBy("src_a", "src_b")
+    }),
     // per-doc TF-IDF keywords: two count aggs + vocab equi-join, then the
     // per-doc top-3 as the GroupTopK bounded heap (no window sort)
     "q_text_keywords" -> ((s, dir) =>
@@ -1752,6 +1785,53 @@ object SparkEntry {
 
   def oracleSql: Map[String, String] = Map(
     "q_knn" -> knnOracleBase.format("", 10),
+    // RRF oracle: dense/sparse top-20 CTEs with the same cut tie-breaks as
+    // the Spark plans (dense: VARCHAR id; sparse: numeric doc_id), ranks
+    // re-keyed on VARCHAR id, reciprocal sum in fixed list order
+    "q_search_rrf" -> {
+      val terms = Seq("table", "join", "query", "scan", "fast")
+      val tfs = terms.indices.map(i =>
+        s"len(list_filter(toks, x -> x = '${terms(i)}')) AS tf_$i").mkString(", ")
+      val dfs = terms.indices.map(i =>
+        s"sum(CASE WHEN tf_$i > 0 THEN 1 ELSE 0 END) AS df_$i").mkString(", ")
+      val score = terms.indices.map(i =>
+        s"ln((n - df_$i + 0.5)/(df_$i + 0.5) + 1.0) * (tf_$i * 2.2) / (tf_$i + 1.2*(1.0 - 0.75 + 0.75*dl/avgdl))")
+        .mkString("\n         |      + ")
+      s"""WITH dense AS (
+         |  SELECT CAST(e.vec_id AS VARCHAR) AS id,
+         |         list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), CAST(q.qe AS DOUBLE[])) AS score
+         |  FROM embeddings e, (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0) q
+         |  ORDER BY score DESC, id ASC LIMIT 20
+         |), dr AS (
+         |  SELECT id, row_number() OVER (ORDER BY score DESC, id ASC) AS rank_dense FROM dense
+         |), d0 AS (
+         |  SELECT doc_id, string_split_regex(text, '\\s+') AS toks FROM documents
+         |), tf AS (
+         |  SELECT doc_id, len(toks) AS dl, $tfs FROM d0
+         |), gs AS (
+         |  SELECT CAST(count(*) AS DOUBLE) AS n,
+         |    CAST(sum(dl) AS DOUBLE)/count(*) AS avgdl, $dfs
+         |  FROM tf
+         |), sparse AS (
+         |  SELECT doc_id,
+         |    $score AS score
+         |  FROM tf, gs
+         |  ORDER BY score DESC, doc_id ASC LIMIT 20
+         |), sr AS (
+         |  SELECT CAST(doc_id AS VARCHAR) AS id,
+         |    row_number() OVER (ORDER BY score DESC, CAST(doc_id AS VARCHAR) ASC) AS rank_sparse
+         |  FROM sparse
+         |), j AS (
+         |  SELECT COALESCE(dr.id, sr.id) AS id, rank_dense, rank_sparse,
+         |    (CASE WHEN rank_dense IS NOT NULL THEN 1.0/(60.0 + rank_dense) ELSE 0.0 END)
+         |      + (CASE WHEN rank_sparse IS NOT NULL THEN 1.0/(60.0 + rank_sparse) ELSE 0.0 END) AS rrf
+         |  FROM dr FULL OUTER JOIN sr ON sr.id = dr.id
+         |)
+         |SELECT id, CAST(rank_dense AS INT) AS rank_dense,
+         |  CAST(rank_sparse AS INT) AS rank_sparse, round(rrf, 6) AS rrf_score
+         |FROM (SELECT * FROM j ORDER BY rrf DESC, id ASC LIMIT 10)
+         |ORDER BY rrf_score DESC, id ASC""".stripMargin
+    },
     "q_knn_filtered" -> knnOracleBase.format("WHERE e.label = 3", 10),
     "q_filter_eq" -> filterOracle("event_type = 'click'"),
     "q_filter_gt" -> filterOracle("value > 250.0"),
@@ -2052,6 +2132,67 @@ object SparkEntry {
          |FROM probe p JOIN counters c ON c.i = p.i AND c.cell = p.cell
          |GROUP BY 1, 2 ORDER BY n_exact DESC, item ASC""".stripMargin
     },
+    // KMV theta-sketch oracle: same fingerprint + splitmix-mod-p chain as
+    // the HLL oracle, bottom-64 per source via row_number, theta set
+    // algebra in the identical double arithmetic order
+    "q_sketch_kmv_overlap" ->
+      s"""WITH sh0 AS (
+         |  SELECT source, unnest(list_distinct(list_transform(
+         |    range(1, len(string_split_regex(text, '\\s+'))),
+         |    i -> string_split_regex(text, '\\s+')[i] || ' ' || string_split_regex(text, '\\s+')[i+1]))) AS s
+         |  FROM documents
+         |), g AS (
+         |  SELECT DISTINCT source AS src, ${polySqlOf("s")} AS fp FROM sh0
+         |), h1 AS (
+         |  SELECT src, (fp * 2654435761 + 97) % 1000000007 AS t1 FROM g
+         |), h2 AS (
+         |  SELECT src, (xor(t1, t1 >> 15) * 1866763009 + 127) % 1000000007 AS t2 FROM h1
+         |), hs AS (
+         |  SELECT DISTINCT src AS grp, xor(t2, t2 >> 13) AS h FROM h2
+         |), rk AS (
+         |  SELECT grp, h, row_number() OVER (PARTITION BY grp ORDER BY h) AS rn FROM hs
+         |), sk AS (
+         |  SELECT grp, h FROM rk WHERE rn <= 64
+         |), th AS (
+         |  SELECT grp, count(*) AS cnt, max(h) AS hmax FROM sk GROUP BY grp
+         |), thetas AS (
+         |  SELECT grp, CASE WHEN cnt >= 64 THEN CAST(hmax AS DOUBLE)
+         |    ELSE CAST(1000000007 AS DOUBLE) END AS theta FROM th
+         |), ret AS (
+         |  SELECT s.grp, s.h, t.theta FROM sk s JOIN thetas t ON t.grp = s.grp
+         |  WHERE CAST(s.h AS DOUBLE) < t.theta
+         |), dest AS (
+         |  SELECT grp, count(*) * CAST(1000000007 AS DOUBLE) / any_value(theta) AS d_est
+         |  FROM ret GROUP BY grp
+         |), pairs AS (
+         |  SELECT a.grp AS src_a, b.grp AS src_b, least(a.theta, b.theta) AS theta
+         |  FROM thetas a JOIN thetas b ON a.grp < b.grp
+         |), commons AS (
+         |  SELECT ra.grp AS src_a, rb.grp AS src_b, count(*) AS c
+         |  FROM ret ra JOIN ret rb ON rb.h = ra.h AND ra.grp < rb.grp
+         |  JOIN pairs p ON p.src_a = ra.grp AND p.src_b = rb.grp
+         |  WHERE CAST(ra.h AS DOUBLE) < p.theta
+         |  GROUP BY 1, 2
+         |), est AS (
+         |  SELECT p.src_a, p.src_b,
+         |    CAST(COALESCE(c.c, 0) AS DOUBLE) * CAST(1000000007 AS DOUBLE) / p.theta AS inter_est,
+         |    da.d_est AS da, db.d_est AS db
+         |  FROM pairs p
+         |  LEFT JOIN commons c ON c.src_a = p.src_a AND c.src_b = p.src_b
+         |  JOIN dest da ON da.grp = p.src_a
+         |  JOIN dest db ON db.grp = p.src_b
+         |), shared AS (
+         |  SELECT a.src AS src_a, b.src AS src_b, count(*) AS shared_grams
+         |  FROM g a JOIN g b ON b.fp = a.fp AND a.src < b.src
+         |  GROUP BY 1, 2
+         |)
+         |SELECT e.src_a, e.src_b, COALESCE(s2.shared_grams, 0) AS shared_grams,
+         |  round(e.da, 6) AS d_est_a, round(e.db, 6) AS d_est_b,
+         |  round(e.inter_est, 6) AS inter_est,
+         |  round(CASE WHEN e.da + e.db - e.inter_est > 0
+         |    THEN e.inter_est / (e.da + e.db - e.inter_est) ELSE CAST(0.0 AS DOUBLE) END, 6) AS jaccard_est
+         |FROM est e LEFT JOIN shared s2 ON s2.src_a = e.src_a AND s2.src_b = e.src_b
+         |ORDER BY e.src_a, e.src_b""".stripMargin,
     "q_text_quality" ->
       s"""WITH t AS (
         |  SELECT doc_id, string_split_regex(text, '\\s+') AS toks,

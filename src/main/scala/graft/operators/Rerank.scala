@@ -106,4 +106,39 @@ object Rerank {
       .orderBy(desc("combined_score"), id.asc)
       .limit(k)
   }
+
+  /** Reciprocal-rank fusion of several retrieval result lists (Cormack,
+    * Clarke & Buettcher 2009): `rrf(d) = Σ_lists 1/(c + rank_list(d))`,
+    * summing only over the lists that contain `d`. The standard way to
+    * fuse dense (cosine k-NN) and sparse (BM25) retrieval without score
+    * calibration — ranks are comparable where raw scores are not.
+    *
+    * Scale contract mirrors [[hybridRerank]]: the inputs are TOP-N lists
+    * (each ≤ a few hundred rows by construction — the corpus-scale work is
+    * the upstream Search/Bm25 top-k), so the unpartitioned rank windows and
+    * the full-outer join chain all run on bounded relations. Each list df
+    * must carry (id, score); rank is dense position by (score DESC, id ASC)
+    * — fully deterministic, and the fused score is a pure function of the
+    * ranks (integer arithmetic under one double reciprocal per list, summed
+    * in the fixed list order — oracle bit-parity holds).
+    */
+  def rrfFusion(lists: Seq[(String, DataFrame)], c: Int = 60, k: Int = 10): DataFrame = {
+    require(lists.nonEmpty, "at least one ranked list")
+    import org.apache.spark.sql.expressions.Window
+    val ranked = lists.map { case (name, df) =>
+      df.select(col("id"),
+        row_number().over(Window.orderBy(desc("score"), asc("id")))
+          .as(s"rank_$name"))
+    }
+    val joined = ranked.reduce((a, b) => a.join(b, Seq("id"), "full_outer"))
+    val fused = lists.map { case (name, _) =>
+      when(col(s"rank_$name").isNotNull,
+        lit(1.0) / (lit(c.toDouble) + col(s"rank_$name")))
+        .otherwise(lit(0.0))
+    }.reduce(_ + _)
+    joined
+      .withColumn("rrf_score", fused)
+      .orderBy(desc("rrf_score"), asc("id"))
+      .limit(k)
+  }
 }

@@ -295,4 +295,93 @@ object Sketches {
           * ((col("hi") - col("lo")) / lit(bins.toDouble)), 6).as("est"))
       .orderBy("q")
   }
+
+  /** Size of the mixed-hash value space: [[hllMix]] emits values in
+    * [0, ~1e9+7) (the pmod range, with the low-17-bit xor excursion
+    * negligible at the estimator's own error scale), so the KMV/theta
+    * estimators below use 1e9+7 as the unit interval's denominator.
+    */
+  val KmvSpace: Double = 1000000007.0
+
+  /** KMV (k-minimum-values) sketch per group: the k smallest DISTINCT
+    * mixed hashes of `key` within each `grp` (Beyer et al. 2007, "On
+    * synopses for distinct value estimation"; the theta-sketch framing of
+    * Dasgupta et al. 2016). Plan shape: one distinct on (grp, hash) — a
+    * map-side-combined shuffle on a 16-byte pair, the corpus's only full
+    * pass — then the [[org.apache.spark.sql.graft.GroupTopK]] heap
+    * operator takes the bottom-k ascending, so the post-distinct exchange
+    * carries ≤ groups·k·P rows (partial heaps), never the full hash set.
+    * Output: (grp, h) — ≤ G·k rows, the constant-size mergeable summary
+    * (merge = union + re-take bottom-k).
+    */
+  def kmvSketch(df: DataFrame, grp: Column, key: Column, k: Int): DataFrame = {
+    require(k >= 2, "k >= 2: the estimator divides by the k-th minimum")
+    val hf = hllMix(TextAnalysis.fingerprint(key))
+    val hashes = df.select(grp.as("grp"), hf.as("h")).distinct()
+    org.apache.spark.sql.graft.GroupTopK.perGroup(
+      hashes, Seq(col("grp")), Seq(col("h").asc), k)
+  }
+
+  /** Theta row per group from a KMV sketch: `theta` = the k-th minimum
+    * hash when the group has ≥ k distinct hashes, else the full space
+    * (making the unified estimator `|{h < theta}| · M / theta` EXACT for
+    * small groups — retained = all, theta = M ⇒ estimate = count).
+    */
+  private def kmvThetas(sk: DataFrame, k: Int): DataFrame =
+    sk.groupBy("grp")
+      .agg(count(lit(1)).as("cnt"), max(col("h")).as("hmax"))
+      .select(col("grp"),
+        when(col("cnt") >= k, col("hmax").cast("double"))
+          .otherwise(lit(KmvSpace)).as("theta"))
+
+  /** Cross-source overlap ESTIMATION from per-source theta sketches — the
+    * bounded-state scale twin of [[Dedup.sourceOverlapMatrix]]: identical
+    * key space (distinct `key` values per source) but G·k rows of state
+    * instead of the full per-source gram sets, so the pairwise stage is
+    * sketch-sized no matter how large the corpus. Theta-sketch set
+    * algebra (Dasgupta et al.): per pair, cut both retained sets at
+    * `theta = min(theta_a, theta_b)` and scale the surviving common-hash
+    * count by `M / theta`; union estimate by inclusion–exclusion; Jaccard
+    * from the two. For row-by-row auditing against truth, join the output
+    * with [[Dedup.sourceOverlapMatrix]] on the pair key (the driver query
+    * does) — production keeps only the G·k sketch.
+    *
+    * Scale: ONE corpus pass (the distinct in [[kmvSketch]]); everything
+    * pairwise — the G² grid, the common-hash join, the estimates — runs on
+    * ≤ G·k rows and broadcasts. Estimation error is the published
+    * ~1/sqrt(k) relative band; the driver query's oracle replicates the
+    * arithmetic exactly (the estimate is a pure function of the data).
+    */
+  def kmvOverlap(df: DataFrame, grp: Column, key: Column, k: Int = 64): DataFrame = {
+    val sk = kmvSketch(df, grp, key, k).localCheckpoint(false)
+    val thetas = kmvThetas(sk, k).localCheckpoint(false)
+    // retained = strictly below own theta (k-1 rows for large groups, all
+    // rows for small ones)
+    val ret = sk.join(broadcast(thetas), Seq("grp")).filter(col("h") < col("theta"))
+    val dEst = ret.groupBy("grp")
+      .agg((count(lit(1)) * lit(KmvSpace) / first(col("theta"))).as("d_est"))
+    val pairs = thetas.select(col("grp").as("src_a"), col("theta").as("ta"))
+      .join(thetas.select(col("grp").as("src_b"), col("theta").as("tb")),
+        col("src_a") < col("src_b"))
+      .select(col("src_a"), col("src_b"), least(col("ta"), col("tb")).as("theta"))
+    val commons = ret.select(col("grp").as("src_a"), col("h"))
+      .join(ret.select(col("grp").as("src_b"), col("h")), Seq("h"))
+      .filter(col("src_a") < col("src_b"))
+      .join(broadcast(pairs), Seq("src_a", "src_b"))
+      .filter(col("h") < col("theta"))
+      .groupBy("src_a", "src_b").agg(count(lit(1)).as("c"))
+    val est = pairs
+      .join(commons, Seq("src_a", "src_b"), "left")
+      .na.fill(0L, Seq("c"))
+      .withColumn("inter_est", col("c").cast("double") * lit(KmvSpace) / col("theta"))
+      .join(dEst.select(col("grp").as("src_a"), col("d_est").as("da")), Seq("src_a"))
+      .join(dEst.select(col("grp").as("src_b"), col("d_est").as("db")), Seq("src_b"))
+      .withColumn("union_est", col("da") + col("db") - col("inter_est"))
+    est.select(col("src_a"), col("src_b"),
+      round(col("da"), 6).as("d_est_a"),
+      round(col("db"), 6).as("d_est_b"),
+      round(col("inter_est"), 6).as("inter_est"),
+      round(when(col("union_est") > 0, col("inter_est") / col("union_est"))
+        .otherwise(lit(0.0)), 6).as("jaccard_est"))
+  }
 }

@@ -126,4 +126,27 @@ class RerankSpec extends SparkSpec {
     val v = NgramPolyHashVecExpr.features(q)
     assert(math.abs(v.zip(v).map { case (a, b) => a * b }.sum - 1.0) < 1e-12)
   }
+
+  test("rrfFusion: reciprocal arithmetic, single-list docs score one term, rank tiebreak") {
+    import testImplicits._
+    val dense = Seq(("d1", 0.9), ("d2", 0.8), ("both", 0.7)).toDF("id", "score")
+    val sparse = Seq(("both", 5.0), ("s1", 4.0)).toDF("id", "score")
+    val got = Rerank.rrfFusion(Seq("dense" -> dense, "sparse" -> sparse), c = 60, k = 10)
+      .collect().map(r => r.getString(0) -> r.getAs[Double]("rrf_score")).toMap
+    // 'both' ranks 3rd dense, 1st sparse
+    assert(math.abs(got("both") - (1.0 / 63 + 1.0 / 61)) < 1e-12)
+    // docs in one list only contribute a single reciprocal term
+    assert(math.abs(got("d1") - 1.0 / 61) < 1e-12)
+    assert(math.abs(got("s1") - 1.0 / 62) < 1e-12)
+    // the doc present in both lists outranks every single-list doc here
+    val order = Rerank.rrfFusion(Seq("dense" -> dense, "sparse" -> sparse), k = 10)
+      .collect().map(_.getString(0)).toSeq
+    assert(order.head == "both")
+    // score ties within a list break on id ascending: equal-score rows rank
+    // deterministically
+    val tied = Seq(("b", 1.0), ("a", 1.0)).toDF("id", "score")
+    val r = Rerank.rrfFusion(Seq("only" -> tied), k = 2).collect()
+      .map(x => x.getString(0) -> x.getInt(1)).toMap
+    assert(r("a") == 1 && r("b") == 2)
+  }
 }

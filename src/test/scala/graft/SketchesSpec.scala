@@ -142,4 +142,52 @@ class SketchesSpec extends SparkSpec {
     // median of 5 values = 3rd ranked = 0.2's bin [0.2, 0.3)
     assert(out >= 0.2 && out < 0.3 + 1e-9)
   }
+
+  test("kmv: sketch bounded at k rows per group; small groups estimate exactly") {
+    import testImplicits._
+    val df = ((1 to 500).map(i => ("big", s"v$i")) ++
+      (1 to 20).map(i => ("small", s"v$i"))).toDF("src", "k")
+    val sk = Sketches.kmvSketch(df, col("src"), col("k"), k = 64)
+    val cnts = sk.groupBy("grp").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(cnts("big") == 64L && cnts("small") == 20L)
+    // a group below k retains everything at theta = M -> estimate is exact
+    val est = Sketches.kmvOverlap(df, col("src"), col("k"), k = 64)
+      .collect().head
+    val (da, db) = (est.getAs[Double]("d_est_a"), est.getAs[Double]("d_est_b"))
+    val small = math.min(da, db)
+    assert(small == 20.0, s"small-group estimate $small should be exact")
+  }
+
+  test("kmv: identical groups fuse to jaccard exactly 1; estimates inside the error band") {
+    import testImplicits._
+    val twin = ((1 to 2000).map(i => ("a", s"x$i")) ++
+      (1 to 2000).map(i => ("b", s"x$i"))).toDF("src", "k")
+    val t = Sketches.kmvOverlap(twin, col("src"), col("k"), k = 128).collect().head
+    assert(t.getAs[Double]("jaccard_est") == 1.0)
+    assert(t.getAs[Double]("inter_est") == t.getAs[Double]("d_est_a"))
+    // half-overlapping sets: true inter 1000, union 3000, J = 1/3;
+    // k = 256 -> sigma ~ 1/sqrt(256) ~ 6%, allow ~4 sigma
+    val ov = ((1 to 2000).map(i => ("a", s"x$i")) ++
+      (1001 to 3000).map(i => ("b", s"x$i"))).toDF("src", "k")
+    val o = Sketches.kmvOverlap(ov, col("src"), col("k"), k = 256).collect().head
+    val j = o.getAs[Double]("jaccard_est")
+    assert(j > 0.2 && j < 0.47, s"jaccard_est $j outside band around 1/3")
+    val inter = o.getAs[Double]("inter_est")
+    assert(inter > 600 && inter < 1400, s"inter_est $inter outside band around 1000")
+  }
+
+  test("kmv: sketches merge — union-then-bottom-k equals bottom-k of combined group") {
+    import testImplicits._
+    val df = ((1 to 300).map(i => ("a", s"p$i")) ++
+      (200 to 600).map(i => ("b", s"p$i"))).toDF("src", "k")
+    val per = Sketches.kmvSketch(df, col("src"), col("k"), k = 32)
+    // merge = union the two sketch hash sets, re-take the 32 smallest
+    val merged = per.select("h").distinct().orderBy("h").limit(32)
+      .collect().map(_.getLong(0)).toSeq
+    val whole = Sketches.kmvSketch(df.select(lit("all").as("src"), col("k")),
+        col("src"), col("k"), k = 32)
+      .orderBy("h").collect().map(_.getLong(1)).toSeq
+    assert(merged == whole)
+  }
 }
