@@ -411,6 +411,51 @@ object SparkEntry {
        |FROM scored WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
   }
 
+  /** Recall@10 oracle: exact batch top-10 (window rank) joined against the
+    * multiprobe sign-LSH top-10 (same plane constants as annOracle) — the
+    * SQL twin of RankEval.recallAtK over the two retrieval runs.
+    */
+  private val evalAnnRecallOracle: String = {
+    val planes = AnnSearch.hyperplanes(dim = 64)
+    def bExpr(vecSql: String): String =
+      planes.zipWithIndex.map { case (p, i) =>
+        val lst = p.mkString("[", ",", "]")
+        s"(CASE WHEN list_dot_product($vecSql, $lst) >= 0 THEN ${1 << i} ELSE 0 END)"
+      }.mkString("(", " + ", ")")
+    val masks = AnnSearch.xorMasks(planes.length, 2).mkString("[", ",", "]")
+    s"""WITH qs AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+       |            FROM embeddings WHERE vec_id < 8),
+       |ex AS (
+       |  SELECT query_id, id FROM (
+       |    SELECT q.query_id, CAST(e.vec_id AS VARCHAR) AS id,
+       |      row_number() OVER (PARTITION BY q.query_id
+       |        ORDER BY list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.qv) DESC,
+       |                 CAST(e.vec_id AS VARCHAR) ASC) AS rank
+       |    FROM embeddings e, qs q)
+       |  WHERE rank <= 10),
+       |qb AS (SELECT query_id, qv, ${bExpr("qv")} AS b FROM qs),
+       |probes AS (SELECT query_id, qv, xor(b, m) AS pb FROM qb, unnest($masks) AS t(m)),
+       |eb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb,
+       |              ${bExpr("CAST(embedding AS DOUBLE[])")} AS bucket
+       |       FROM embeddings),
+       |ann AS (
+       |  SELECT query_id, id FROM (
+       |    SELECT p.query_id, CAST(eb.vec_id AS VARCHAR) AS id,
+       |      row_number() OVER (PARTITION BY p.query_id
+       |        ORDER BY list_cosine_similarity(eb.emb, p.qv) DESC,
+       |                 CAST(eb.vec_id AS VARCHAR) ASC) AS rank
+       |    FROM eb JOIN probes p ON eb.bucket = p.pb)
+       |  WHERE rank <= 10),
+       |d AS (SELECT query_id, count(*) AS n_exact FROM ex GROUP BY 1),
+       |h AS (SELECT ex.query_id, count(*) AS n_hit
+       |      FROM ex JOIN ann ON ex.query_id = ann.query_id AND ex.id = ann.id
+       |      GROUP BY 1)
+       |SELECT d.query_id, d.n_exact, coalesce(h.n_hit, 0) AS n_hit,
+       |  round(CAST(coalesce(h.n_hit, 0) AS DOUBLE) / d.n_exact, 6) AS recall
+       |FROM d LEFT JOIN h ON d.query_id = h.query_id
+       |ORDER BY d.query_id""".stripMargin
+  }
+
   private val dedupJaccardOracle =
     """WITH t AS (
       |  SELECT doc_id, list_distinct(list_transform(
@@ -1780,6 +1825,62 @@ object SparkEntry {
         .select(col("doc_id"), col("lang"), col("source"), col("n_chars"),
           md5(col("text")).as("text_md5"))
         .orderBy("doc_id")
+    }),
+    // interval OVERLAP join: per-user event intervals [ts, ts+(id%7+1) min],
+    // dual-binned (key, bin) equi-join, pairs deduped to the overlap-start
+    // bin — the two-sided generalization of the banded range join
+    "q_join_intervals" -> ((s, dir) => {
+      val iv = graft.sources.Testdata.events(s, dir)
+        .select(col("event_id"), col("user_id"), col("ts").as("ts_start"),
+          timestamp_micros(unix_micros(col("ts")) +
+            (pmod(col("event_id"), lit(7)) + 1) * lit(60000000L)).as("ts_end"))
+      RangeJoin.overlaps(iv, iv, "user_id", "ts_start", "ts_end",
+          "ts_start", "ts_end", binSec = 420)
+        .filter(col("l_event_id") < col("r_event_id"))
+        .select(col("l_event_id").as("id_a"), col("r_event_id").as("id_b"),
+          col("l_user_id").as("user_id"), col("overlap_us"))
+        .orderBy("id_a", "id_b")
+    }),
+    // TF cosine pairs, cost-routed: postings self-join (df>=2 prune is
+    // exact) on natural vocabularies; on THIS corpus the sampled Σdf² probe
+    // detects the 31-term dense vocabulary (Σdf² ≈ 4.5e8 postings-join rows
+    // at sf0.1) and routes to the dense grid strategy — vocab-pivoted
+    // ARRAY<BIGINT> vectors through the 1-Bucket-Theta self-join, bit-equal
+    // results either way
+    "q_text_cosine_pairs" -> ((s, dir) =>
+      Dedup.tfCosinePairsAuto(
+          s.read.parquet(s"$dir/documents.parquet"),
+          col("doc_id"), col("text"), tau = 0.9)
+        .orderBy("id_a", "id_b")),
+    // key-skew audit: the measurement that decides salting — one
+    // map-combined groupBy + TakeOrderedAndProject; rank/cum-share windows
+    // run over the ≤ topN survivors only
+    "q_profile_skew" -> ((s, dir) =>
+      Profile.keySkew(graft.sources.Testdata.events(s, dir),
+          col("user_id"), topN = 20)
+        .orderBy("rnk")),
+    // gap-filled hourly resample + 3-bucket trailing mean: raw table touched
+    // once (bucketed pre-agg); the dense axis is sequence()+explode on the
+    // aggregated grid, never a calendar cross join
+    "q_ts_resample" -> ((s, dir) =>
+      Relational.resampleGapFill(graft.sources.Testdata.events(s, dir),
+          col("event_type"), col("ts"), bucketMinutes = 60)
+        .withColumnRenamed("g", "event_type")
+        .orderBy("event_type", "bucket_start")),
+    // ANN acceptance as a query: recall@10 of the multiprobe sign-LSH run
+    // against the exact batch top-10 — two Q·k-row joins, corpus scanned
+    // once per side
+    "q_eval_ann_recall" -> ((s, dir) => {
+      val embs = s.read.parquet(s"$dir/embeddings.parquet")
+      val store = VectorStore.fromEmbeddingsTable(s, dir)
+      val qs = embs.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("query_id"), col("embedding").as("query_vec"))
+      val exact = Search.findMostSimilarBatch(store, qs, k = 10)
+      val planes = AnnSearch.hyperplanes(dim = 64)
+      val indexed = AnnSearch.index(embs, col("embedding"), planes)
+      val ann = AnnSearch.searchBatch(indexed, col("vec_id").cast("string"),
+        col("embedding"), qs, planes, k = 10, probeRadius = 2)
+      RankEval.recallAtK(exact, ann, "query_id", "id").orderBy("query_id")
     }),
   )
 
@@ -3818,5 +3919,73 @@ object SparkEntry {
     "q_layout_compact" ->
       """SELECT doc_id, lang, source, n_chars, md5(text) AS text_md5
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "q_join_intervals" ->
+      """WITH iv AS (
+        |  SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS s,
+        |    CAST(ts AS TIMESTAMP)
+        |      + to_microseconds(((event_id % 7) + 1) * 60000000) AS e
+        |  FROM events)
+        |SELECT a.event_id AS id_a, b.event_id AS id_b, a.user_id,
+        |  epoch_us(least(a.e, b.e)) - epoch_us(greatest(a.s, b.s)) AS overlap_us
+        |FROM iv a JOIN iv b
+        |  ON a.user_id = b.user_id AND a.s <= b.e AND b.s <= a.e
+        | AND a.event_id < b.event_id
+        |ORDER BY id_a, id_b""".stripMargin,
+    "q_text_cosine_pairs" ->
+      """WITH tf AS (
+        |  SELECT doc_id, t AS term, count(*) AS tf FROM (
+        |    SELECT doc_id, unnest(string_split_regex(text, '\s+')) AS t
+        |    FROM documents)
+        |  GROUP BY doc_id, t
+        |), norms AS (
+        |  SELECT doc_id, sum(tf * tf) AS n2 FROM tf GROUP BY doc_id
+        |), kept AS (
+        |  SELECT term FROM (SELECT term, count(*) AS df FROM tf GROUP BY term)
+        |  WHERE df >= 2
+        |), p AS (SELECT tf.* FROM tf JOIN kept USING (term)
+        |), dots AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |    CAST(sum(a.tf * b.tf) AS BIGINT) AS dot
+        |  FROM p a JOIN p b ON a.term = b.term AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2)
+        |SELECT id_a, id_b, dot,
+        |  round(CAST(dot AS DOUBLE) /
+        |    (sqrt(CAST(na.n2 AS DOUBLE)) * sqrt(CAST(nb.n2 AS DOUBLE))), 6) AS cos
+        |FROM dots
+        |JOIN norms na ON na.doc_id = id_a
+        |JOIN norms nb ON nb.doc_id = id_b
+        |WHERE CAST(dot AS DOUBLE) /
+        |  (sqrt(CAST(na.n2 AS DOUBLE)) * sqrt(CAST(nb.n2 AS DOUBLE))) >= 0.9
+        |ORDER BY id_a, id_b""".stripMargin,
+    "q_profile_skew" ->
+      """WITH c AS (SELECT user_id AS key, count(*) AS cnt FROM events GROUP BY 1),
+        |t AS (SELECT CAST(sum(cnt) AS BIGINT) AS n_rows, count(*) AS n_keys FROM c),
+        |top AS (SELECT key, cnt FROM c ORDER BY cnt DESC, key ASC LIMIT 20)
+        |SELECT CAST(row_number() OVER (ORDER BY cnt DESC, key ASC) AS INT) AS rnk,
+        |  key, cnt,
+        |  round(CAST(cnt AS DOUBLE) / n_rows, 6) AS share,
+        |  round(CAST(sum(cnt) OVER (ORDER BY cnt DESC, key ASC
+        |          ROWS UNBOUNDED PRECEDING) AS DOUBLE) / n_rows, 6) AS cum_share,
+        |  n_keys, n_rows
+        |FROM top, t ORDER BY rnk""".stripMargin,
+    "q_ts_resample" ->
+      """WITH c AS (
+        |  SELECT event_type, epoch_us(CAST(ts AS TIMESTAMP)) // 3600000000 AS b,
+        |         count(*) AS n_events
+        |  FROM events GROUP BY 1, 2
+        |), s AS (SELECT event_type, min(b) AS b0, max(b) AS b1 FROM c GROUP BY 1
+        |), grid AS (
+        |  SELECT event_type, unnest(range(b0, b1 + 1)) AS b FROM s
+        |), d AS (
+        |  SELECT grid.event_type, grid.b, coalesce(c.n_events, 0) AS n_events
+        |  FROM grid LEFT JOIN c ON grid.event_type = c.event_type AND grid.b = c.b)
+        |SELECT event_type, make_timestamp(b * 3600000000) AS bucket_start, n_events,
+        |  round(CAST(sum(n_events) OVER w AS DOUBLE) /
+        |        CAST(count(*) OVER w AS DOUBLE), 6) AS roll_avg
+        |FROM d
+        |WINDOW w AS (PARTITION BY event_type ORDER BY b
+        |             ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+        |ORDER BY event_type, bucket_start""".stripMargin,
+    "q_eval_ann_recall" -> evalAnnRecallOracle,
   )
 }

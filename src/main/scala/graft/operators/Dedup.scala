@@ -1163,4 +1163,139 @@ object Dedup {
       .select(col("id"), coalesce(col("comp"), col("id")).as("cluster_id"))
       .withColumn("keep", col("id") === col("cluster_id"))
   }
+
+  // ------------------------------------------- sparse TF cosine pairs
+
+  /** All pairs (idA < idB) whose TERM-FREQUENCY cosine ≥ tau — the sparse
+    * lexical twin of [[cosinePairs]] (which works on dense embeddings), and
+    * the weighted refinement of [[jaccardPairs]] (which sees shingles as
+    * sets): `cos(a,b) = Σ_t tf_a(t)·tf_b(t) / (‖tf_a‖·‖tf_b‖)` over
+    * whitespace tokens. The classic postings-join shape (Elsayed et al.
+    * 2008, pairwise similarity via MapReduce): one posting list per term,
+    * self-join on the term, partial-aggregated dot products.
+    *
+    * Scale properties: terms with df = 1 are dropped from the JOIN only —
+    * they cannot contribute to any pair's dot product, and on a natural
+    * corpus they are the majority of the vocabulary (Zipf), so the join
+    * input shrinks by half or more at zero accuracy cost. Norms are
+    * computed over the FULL vector, so the result is the exact full-TF
+    * cosine. Join volume is Σ_t df(t)² — the hot-term (stopword) skew is
+    * real; `maxDf` caps it by dropping terms in more than that many docs
+    * from the similarity definition itself (documented approximation knob,
+    * None = exact; the df-ordered prefix-filter of [[jaccardPairs]] does
+    * not transfer because weighted cosine has no set-prefix bound).
+    *
+    * Determinism: tf counts and dot products are exact integers; the only
+    * floating-point is the final `dot / (sqrt(n2a)·sqrt(n2b))`, written in
+    * the same operation order as the SQL oracle (IEEE sqrt/÷ are correctly
+    * rounded, so bit-equal across engines).
+    */
+  def tfCosinePairs(
+      docs: DataFrame,
+      id: Column,
+      text: Column,
+      tau: Double,
+      maxDf: Option[Long] = None): DataFrame = {
+    val tf = docs
+      .select(id.as("id"), explode(split(text, "\\s+")).as("term"))
+      .groupBy("id", "term").agg(count(lit(1)).as("tf"))
+    // full-vector squared norm (exact integer), BEFORE any df pruning
+    val norms = tf.groupBy("id").agg(sum(col("tf") * col("tf")).as("n2"))
+    val df_ = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val kept = maxDf.foldLeft(df_.filter(col("df") >= 2)) {
+      (d, cap) => d.filter(col("df") <= cap)
+    }
+    val postings = tf.join(kept.select("term"), Seq("term"))
+    val dots = postings.as("a")
+      .join(postings.as("b"),
+        col("a.term") === col("b.term") && col("a.id") < col("b.id"))
+      .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .agg(sum(col("a.tf") * col("b.tf")).as("dot"))
+    dots
+      .join(norms.select(col("id").as("id_a"), col("n2").as("n2_a")), Seq("id_a"))
+      .join(norms.select(col("id").as("id_b"), col("n2").as("n2_b")), Seq("id_b"))
+      .withColumn("cos",
+        col("dot").cast("double") /
+          (sqrt(col("n2_a").cast("double")) * sqrt(col("n2_b").cast("double"))))
+      .filter(col("cos") >= tau)
+      .select(col("id_a"), col("id_b"), col("dot"), round(col("cos"), 6).as("cos"))
+  }
+
+  /** Dense-vocabulary strategy for [[tfCosinePairs]] — same answer, built
+    * for the corpus shape where the postings join DEGENERATES: template/log
+    * text with a tiny global vocabulary (the sf0.1 documents table has 31
+    * distinct tokens across 5000 docs, making Σ df² ≈ 4.5·10⁸ join rows —
+    * the same density failure measured for the Jaccard count-join). Each
+    * doc's tf map is pivoted onto the sorted global vocabulary as a dense
+    * ARRAY<BIGINT> and pairs run through the 1-Bucket-Theta [[gridSelfJoin]]
+    * (even reducer load, `blocks` as the parallelism dial) with a
+    * `zip_with`-fold integer dot product. O(n²·V/blocks) work per task with
+    * V small — no posting blow-up, no broadcast of the corpus.
+    *
+    * Exactness: tf values and dots are integers (exact in ANY order), norms
+    * are the full-vector sums, and the final cosine expression is written
+    * in the identical operation order as the sparse strategy — the two
+    * routes are bit-equal, pair for pair (df-singleton terms contribute 0
+    * to every dot here, matching their exact prune there).
+    *
+    * `vocab`: pass a pre-collected sorted vocabulary to skip the collect
+    * (the auto router does); must cover every term or require fails.
+    */
+  def tfCosinePairsDense(
+      docs: DataFrame,
+      id: Column,
+      text: Column,
+      tau: Double,
+      vocab: Option[Seq[String]] = None,
+      maxVocab: Int = 4096,
+      blocks: Int = 32): DataFrame = {
+    val tf = docs
+      .select(id.as("id"), explode(split(text, "\\s+")).as("term"))
+      .groupBy("id", "term").agg(count(lit(1)).as("tf"))
+    val v = vocab.getOrElse {
+      tf.select("term").distinct().orderBy("term").limit(maxVocab + 1)
+        .collect().map(_.getString(0)).toSeq
+    }
+    require(v.size <= maxVocab,
+      s"vocabulary exceeds maxVocab=$maxVocab — use tfCosinePairs (postings join)")
+    val t = tf.groupBy("id")
+      .agg(map_from_entries(collect_list(struct(col("term"), col("tf")))).as("m"))
+      .select(col("id"),
+        array(v.map(tm => coalesce(element_at(col("m"), lit(tm)), lit(0L))): _*).as("v"))
+      .withColumn("n2",
+        aggregate(transform(col("v"), x => x * x), lit(0L), (acc, x) => acc + x))
+    def dot = aggregate(zip_with(col("a.v"), col("b.v"), (x, y) => x * y),
+      lit(0L), (acc, x) => acc + x)
+    def cos = dot.cast("double") /
+      (sqrt(col("a.n2").cast("double")) * sqrt(col("b.n2").cast("double")))
+    gridSelfJoin(t, cos >= tau, blocks)
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        dot.as("dot"), round(cos, 6).as("cos"))
+  }
+
+  /** Cost-routed front door for TF-cosine pairs, mirroring
+    * [[jaccardPairsAuto]]: the same sampled Σ df² probe decides whether the
+    * postings join's candidate volume beats the grid's n²/2, and the dense
+    * route additionally requires the global vocabulary to fit `maxVocab`
+    * (a Σ df²-dense corpus with a LARGE vocabulary — natural text dominated
+    * by stopwords — stays on postings, where `maxDf` is the right lever).
+    */
+  def tfCosinePairsAuto(
+      docs: DataFrame,
+      id: Column,
+      text: Column,
+      tau: Double,
+      maxVocab: Int = 4096,
+      blocks: Int = 32,
+      sampleMod: Int = 64): DataFrame = {
+    val (nDocs, sumDf2) = pairCostProbe(docs, text, n = 1, sampleMod)
+    if (sumDf2 > nDocs.toDouble * nDocs.toDouble / 2.0) {
+      val v = docs.select(explode(split(text, "\\s+")).as("term")).distinct()
+        .orderBy("term").limit(maxVocab + 1)
+        .collect().map(_.getString(0)).toSeq
+      if (v.size <= maxVocab)
+        return tfCosinePairsDense(docs, id, text, tau, Some(v), maxVocab, blocks)
+    }
+    tfCosinePairs(docs, id, text, tau)
+  }
 }

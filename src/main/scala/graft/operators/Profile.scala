@@ -44,6 +44,39 @@ object Profile {
     * AQE); the audit result is one row, so this composes into ingest
     * gates ("reject the drop if orphan_rate > 0").
     */
+  /** Key-distribution skew audit: the top-N hottest keys with exact count,
+    * share, and cumulative share, plus the global key/row counts on every
+    * row. This is the measurement that DECIDES the engine's own skew
+    * mitigations — `Relational.saltedJoin` salts exactly the keys this
+    * audit surfaces, and AQE's skew-join threshold is this distribution's
+    * tail in disguise.
+    *
+    * Shape: one map-side-combined groupBy to per-key counts (the only pass
+    * over the data), then `TakeOrderedAndProject` for the top-N cut — the
+    * rank/cum-share window runs AFTER the limit, over ≤ N rows, so there is
+    * never a single-partition window over the full key set (the classic
+    * skew-audit-that-itself-skews mistake). Shares are integer ratios
+    * rounded at output; cum_share is an integer cumsum divided once.
+    */
+  def keySkew(df: DataFrame, key: Column, topN: Int): DataFrame = {
+    require(topN >= 1)
+    val counts = df.groupBy(key.as("key")).agg(count(lit(1)).as("cnt"))
+    val totals = counts.agg(
+      sum(col("cnt")).as("n_rows"), count(lit(1)).as("n_keys"))
+    val top = counts.orderBy(col("cnt").desc, col("key").asc).limit(topN)
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("cnt").desc, col("key").asc)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    top.crossJoin(totals)
+      .withColumn("rnk", row_number().over(
+        org.apache.spark.sql.expressions.Window.orderBy(col("cnt").desc, col("key").asc)))
+      .withColumn("cum_cnt", sum(col("cnt")).over(w))
+      .select(col("rnk"), col("key"), col("cnt"),
+        round(col("cnt").cast("double") / col("n_rows"), 6).as("share"),
+        round(col("cum_cnt").cast("double") / col("n_rows"), 6).as("cum_share"),
+        col("n_keys"), col("n_rows"))
+  }
+
   def orphanAudit(child: DataFrame, childKey: Column,
                   parent: DataFrame, parentKey: Column): DataFrame = {
     val orphans = child.select(childKey.as("__k"))

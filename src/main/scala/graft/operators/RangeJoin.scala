@@ -51,4 +51,54 @@ object RangeJoin {
     val rCols = right.columns.map(f => col("_r").getField(f).as(rPrefix + f))
     joined.select(lCols ++ rCols :+ (col("_rt") - col("_lt")).as("gap_us"): _*)
   }
+
+  /** Interval OVERLAP join — pairs with equal `key` whose closed intervals
+    * `[leftStart, leftEnd]` and `[rightStart, rightEnd]` intersect. The
+    * naive plan is the same equi-key cartesian as [[within]]; here BOTH
+    * sides are exploded to the `binSec`-sized bins their interval covers
+    * and the join adds `(key, bin)` as a real equi-key. A pair whose
+    * intervals overlap shares every bin the overlap touches, so it would
+    * be emitted once per shared bin — the dedupe condition keeps only the
+    * bin containing the overlap's START (`greatest(lStart, rStart)`), the
+    * standard report-in-first-cell trick from partition-based spatial
+    * joins. Candidate volume is bounded by interval length / binSec (pick
+    * binSec near the typical interval length), and the shuffle is a plain
+    * hash exchange on `(key, bin)` — no BNLJ at any scale.
+    */
+  def overlaps(
+      left: DataFrame,
+      right: DataFrame,
+      key: String,
+      leftStart: String,
+      leftEnd: String,
+      rightStart: String,
+      rightEnd: String,
+      binSec: Long,
+      lPrefix: String = "l_",
+      rPrefix: String = "r_"): DataFrame = {
+    require(binSec > 0)
+    val binUs = binSec * 1000000L
+    def binOf(us: Column): Column =
+      ((us - pmod(us, lit(binUs))) / lit(binUs)).cast("long")
+    def side(df: DataFrame, s: String, e: String, kOut: String,
+             sOut: String, eOut: String, rowOut: String): DataFrame =
+      df.select(df(key).as(kOut),
+          unix_micros(df(s)).as(sOut), unix_micros(df(e)).as(eOut),
+          struct(df.columns.map(df(_)): _*).as(rowOut))
+        .withColumn("_bin" + rowOut,
+          explode(sequence(binOf(col(sOut)), binOf(col(eOut)))))
+    val l = side(left, leftStart, leftEnd, "_k", "_ls", "_le", "_l")
+    val r = side(right, rightStart, rightEnd, "_k2", "_rs", "_re", "_r")
+    val joined = l.join(r,
+      col("_k") === col("_k2") && col("_bin_l") === col("_bin_r") &&
+        col("_ls") <= col("_re") && col("_rs") <= col("_le") &&
+        // emit each overlapping pair exactly once: in the bin that
+        // contains the overlap's start
+        col("_bin_l") === binOf(greatest(col("_ls"), col("_rs"))))
+    val lCols = left.columns.map(f => col("_l").getField(f).as(lPrefix + f))
+    val rCols = right.columns.map(f => col("_r").getField(f).as(rPrefix + f))
+    joined.select(lCols ++ rCols :+
+      (least(col("_le"), col("_re")) - greatest(col("_ls"), col("_rs")))
+        .as("overlap_us"): _*)
+  }
 }

@@ -474,4 +474,42 @@ object Relational {
       .groupBy("cohort_week", "week_offset")
       .agg(countDistinct(col("u")).as("n_users"))
   }
+
+  /** Time-bucket resample with GAP FILL and a trailing rolling mean — the
+    * regularization step before any time-series model or anomaly monitor
+    * (raw event streams have holes; models want a dense grid). Per group:
+    * counts per `bucketMinutes` bucket, missing buckets between the group's
+    * first and last activity materialized as explicit zeros, then a
+    * 3-bucket trailing average over the dense series.
+    *
+    * Scale shape: the RAW table is touched exactly once, by the bucketed
+    * pre-aggregation (map-side combined). Gap filling happens on the
+    * AGGREGATED grid: the per-group `[min,max]` bucket span is a tiny
+    * agg, the dense axis is `sequence()+explode` (distributed generate —
+    * never a driver loop or a cross join with a calendar table), and the
+    * fill join is bucket-grid vs bucket-grid. The rolling window sorts the
+    * dense grid per group — rows = buckets, not events. All-integer until
+    * the final mean division.
+    */
+  def resampleGapFill(
+      events: DataFrame, grp: Column, ts: Column,
+      bucketMinutes: Int, rollBuckets: Int = 3): DataFrame = {
+    require(bucketMinutes >= 1 && rollBuckets >= 1)
+    val busUs = bucketMinutes * 60L * 1000000L
+    def bucketOf(c: Column): Column =
+      ((unix_micros(c) - pmod(unix_micros(c), lit(busUs))) / lit(busUs)).cast("long")
+    val counts = events
+      .select(grp.as("g"), bucketOf(ts).as("b"))
+      .groupBy("g", "b").agg(count(lit(1)).as("n_events"))
+    val spans = counts.groupBy("g").agg(min("b").as("b0"), max("b").as("b1"))
+    val grid = spans.select(col("g"), explode(sequence(col("b0"), col("b1"))).as("b"))
+    val w = Window.partitionBy("g").orderBy("b").rowsBetween(-(rollBuckets - 1), 0)
+    grid.join(counts, Seq("g", "b"), "left")
+      .select(col("g"), col("b"), coalesce(col("n_events"), lit(0L)).as("n_events"))
+      .withColumn("roll_sum", sum(col("n_events")).over(w))
+      .withColumn("roll_n", count(lit(1)).over(w))
+      .select(col("g"), timestamp_micros(col("b") * busUs).as("bucket_start"),
+        col("n_events"),
+        round(col("roll_sum").cast("double") / col("roll_n"), 6).as("roll_avg"))
+  }
 }

@@ -178,3 +178,35 @@ object Autocut {
       .drop("_rn", "_incr", "_maxi", "_cut")
   }
 }
+
+/** Ranking-quality evaluation — recall@k of an approximate retrieval run
+  * against exact ground truth, as a QUERY (not a harness): the ANN tier's
+  * acceptance test is itself a two-join dataflow that runs at any query
+  * count. Recall measured this way is what gates an index config (planes,
+  * probe radius, nlist/nprobe) before it serves production traffic.
+  */
+object RankEval {
+  import org.apache.spark.sql.{functions => F}
+
+  /** Per-query recall@k: both inputs are (queryCol, idCol) ranked lists;
+    * `exact` is the ground truth. An inner join on (query, id) counts the
+    * hits; the exact side's per-query size is the denominator (≤ k — a
+    * bucketed ANN run can legitimately return fewer). Join keys are narrow
+    * (query_id, id) pairs — at any scale this is two small shuffles over
+    * ≤ Q·k rows each, regardless of corpus size.
+    */
+  def recallAtK(
+      exact: DataFrame, approx: DataFrame,
+      queryCol: String, idCol: String): DataFrame = {
+    val g = exact.select(F.col(queryCol).as("query_id"), F.col(idCol).as("id"))
+    val a = approx.select(F.col(queryCol).as("query_id"), F.col(idCol).as("id"))
+    val denom = g.groupBy("query_id").agg(F.count(F.lit(1)).as("n_exact"))
+    val hits = g.join(a, Seq("query_id", "id"))
+      .groupBy("query_id").agg(F.count(F.lit(1)).as("n_hit"))
+    denom.join(hits, Seq("query_id"), "left")
+      .select(F.col("query_id"), F.col("n_exact"),
+        F.coalesce(F.col("n_hit"), F.lit(0L)).as("n_hit"))
+      .withColumn("recall",
+        F.round(F.col("n_hit").cast("double") / F.col("n_exact"), 6))
+  }
+}

@@ -423,4 +423,66 @@ class DedupSpec extends SparkSpec {
     assert(m(("s1", "s2")) == ((3L, 1.0)))
     assert(!m.contains(("s1", "s3")) && !m.contains(("s2", "s3")) && m.size == 1)
   }
+
+  test("tfCosinePairs equals brute-force full-TF cosine (df=1 prune is exact)") {
+    // 'rare' appears only in doc 3 (df=1): it must not change any pair's
+    // cosine vs the full-vector definition — dropped from the join but
+    // counted in doc 3's norm
+    val d = docs(
+      (1L, "a a b c"),
+      (2L, "a b b c"),
+      (3L, "a a b c rare"),
+      (4L, "x y z"))
+    def tf(s: String): Map[String, Long] =
+      s.split("\\s+").groupBy(identity).view.mapValues(_.length.toLong).toMap
+    def cosine(x: String, y: String): Double = {
+      val (tx, ty) = (tf(x), tf(y))
+      val dot = tx.keys.toSeq.map(k => tx(k) * ty.getOrElse(k, 0L)).sum
+      dot / (math.sqrt(tx.values.map(v => v * v).sum.toDouble) *
+        math.sqrt(ty.values.map(v => v * v).sum.toDouble))
+    }
+    val texts = Map(1L -> "a a b c", 2L -> "a b b c", 3L -> "a a b c rare", 4L -> "x y z")
+    val want = (for {
+      a <- texts.keys; b <- texts.keys if a < b
+      c = cosine(texts(a), texts(b)) if c >= 0.5
+    } yield (a, b, math.rint(c * 1e6) / 1e6)).toSet
+    val got = Dedup.tfCosinePairs(d, col("id"), col("text"), tau = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(3))).toSet
+    assert(got == want)
+  }
+
+  test("tfCosinePairs: dense grid strategy is bit-equal to the postings join; auto routes by vocab density") {
+    // tiny shared vocabulary → Σdf² ≫ n²/2 → auto must take the dense grid
+    val dense = docs(
+      (1L, "a a b c"), (2L, "a b b c"), (3L, "a a b c"), (4L, "c b a"))
+    def collect(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSet
+    val sparse = collect(Dedup.tfCosinePairs(dense, col("id"), col("text"), tau = 0.5))
+    val grid = collect(Dedup.tfCosinePairsDense(dense, col("id"), col("text"), tau = 0.5))
+    assert(grid == sparse && sparse.nonEmpty)
+    val autoPlan = Dedup.tfCosinePairsAuto(dense, col("id"), col("text"), tau = 0.5)
+      .queryExecution.executedPlan.toString
+    assert(autoPlan.contains("zip_with"),
+      s"dense-vocab corpus must route to the grid strategy:\n$autoPlan")
+    assert(collect(Dedup.tfCosinePairsAuto(dense, col("id"), col("text"), tau = 0.5)) == sparse)
+    // globally-unique vocabularies (every df = 1) stay on the postings join
+    val uniq = docs((1L to 8L).map(i => (i, s"u${i}a u${i}b u${i}c")): _*)
+    val uniqPlan = Dedup.tfCosinePairsAuto(uniq, col("id"), col("text"), tau = 0.5)
+      .queryExecution.executedPlan.toString
+    assert(!uniqPlan.contains("zip_with"),
+      s"unique-vocab corpus must stay on the postings join:\n$uniqPlan")
+  }
+
+  test("tfCosinePairs maxDf drops hot terms from the similarity definition") {
+    // 'the' is in every doc (df=3); with maxDf=2 it leaves both dot AND the
+    // kept-join — docs sharing only 'the' produce no pair at all
+    val d = docs((1L, "the alpha"), (2L, "the beta"), (3L, "the alpha"))
+    val exact = Dedup.tfCosinePairs(d, col("id"), col("text"), tau = 0.1)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exact == Set((1L, 2L), (1L, 3L), (2L, 3L)))
+    val capped = Dedup.tfCosinePairs(d, col("id"), col("text"), tau = 0.1,
+        maxDf = Some(2L))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(capped == Set((1L, 3L))) // only the alpha-sharing pair survives
+  }
 }

@@ -34,4 +34,26 @@ class ProfileSpec extends SparkSpec {
     val r2 = Profile.orphanAudit(child, col("k"), full, col("pk")).head()
     assert(r2.getLong(1) == 0L && r2.getDouble(2) == 0.0)
   }
+
+  test("keySkew: exact counts/shares, count-desc-key-asc order, topN cut") {
+    import testImplicits._
+    // key 7 ×4, key 3 ×2, keys 1,9 ×1 each — 8 rows, 4 keys
+    val df = Seq(7L, 7L, 7L, 7L, 3L, 3L, 1L, 9L).toDF("k")
+    val got = Profile.keySkew(df, col("k"), topN = 3)
+      .orderBy("rnk").collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getDouble(3),
+        r.getDouble(4), r.getLong(5), r.getLong(6)))
+    assert(got.toSeq == Seq(
+      (1, 7L, 4L, 0.5, 0.5, 4L, 8L),
+      (2, 3L, 2L, 0.25, 0.75, 4L, 8L),
+      (3, 1L, 1L, 0.125, 0.875, 4L, 8L))) // ties broken key-asc: 1 before 9
+  }
+
+  test("keySkew: topN past the key count returns every key, cum_share ends at 1") {
+    import testImplicits._
+    val df = Seq("a", "a", "b").toDF("k")
+    val got = Profile.keySkew(df, col("k"), topN = 10).orderBy("rnk").collect()
+    assert(got.length == 2)
+    assert(got.last.getDouble(4) == 1.0)
+  }
 }

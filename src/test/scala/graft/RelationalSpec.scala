@@ -238,4 +238,25 @@ class RelationalSpec extends SparkSpec {
     // duplicate events (user 1's second 'a') must not inflate counts
     assert(got.head._3 == 2L)
   }
+
+  test("resampleGapFill: holes become explicit zeros, trailing mean shrinks at the head") {
+    import testImplicits._
+    import org.apache.spark.sql.functions._
+    // group "x": events in minutes 0, 0, 3 → buckets 0..3 with 1-min buckets,
+    // gap buckets 1,2 filled with 0; group "y": single event (span = 1 bucket)
+    val ev = Seq(
+      ("x", 10L), ("x", 30L), ("x", 185L), ("y", 65L))
+      .toDF("g", "sec")
+      .select(col("g"), timestamp_seconds(col("sec")).as("ts"))
+    val got = Relational.resampleGapFill(ev, col("g"), col("ts"),
+        bucketMinutes = 1, rollBuckets = 3)
+      .orderBy("g", "bucket_start").collect()
+      .map(r => (r.getString(0), r.getLong(2), r.getDouble(3)))
+    assert(got.toSeq == Seq(
+      ("x", 2L, 2.0),       // head: window of 1 bucket
+      ("x", 0L, 1.0),       // gap filled; mean over 2 buckets (2+0)/2
+      ("x", 0L, math.rint(2.0 / 3 * 1e6) / 1e6), // (2+0+0)/3
+      ("x", 1L, math.rint(1.0 / 3 * 1e6) / 1e6), // (0+0+1)/3
+      ("y", 1L, 1.0)))
+  }
 }

@@ -198,4 +198,23 @@ class SearchSpec extends SparkSpec {
       .maxBy(_.getAs[Double]("score")).getAs[Long]("id")
     assert(got == want)
   }
+
+  test("recallAtK: per-query hit counting, missing queries score zero") {
+    import testImplicits._
+    val exact = Seq(
+      (0L, "a"), (0L, "b"), (0L, "c"),
+      (1L, "d"), (1L, "e"),
+      (2L, "f")).toDF("query_id", "id")
+    val approx = Seq(
+      (0L, "a"), (0L, "c"), (0L, "x"), // 2/3
+      (1L, "d"), (1L, "e")) // 2/2; query 2 returned nothing → 0/1
+      .toDF("query_id", "id")
+    val got = RankEval.recallAtK(exact, approx, "query_id", "id")
+      .orderBy("query_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(got.toSeq == Seq(
+      (0L, 3L, 2L, math.rint(2.0 / 3 * 1e6) / 1e6),
+      (1L, 2L, 2L, 1.0),
+      (2L, 1L, 0L, 0.0)))
+  }
 }
