@@ -1258,19 +1258,25 @@ object Dedup {
     }
     require(v.size <= maxVocab,
       s"vocabulary exceeds maxVocab=$maxVocab — use tfCosinePairs (postings join)")
+    // the fused native kernel, not aggregate(zip_with(...)): the HOF form
+    // allocates an intermediate array per PAIR — on the O(n²) grid join
+    // that allocation is the whole runtime (measured 6.5 s → see kernel
+    // docstring). Double accumulation over integer tf values ≤ 2^53 is
+    // exact, so dot/n2 remain exact integers bit-equal to the long fold.
+    import graft.functions.{VectorFunctions => VF}
+    // norms materialize per ROW (n sqrts, not n² — the cosinePairs trick);
+    // sqrt is a pure function of n2, so the per-pair product a.nrm·b.nrm is
+    // bit-identical to the oracle's sqrt(n2_a)·sqrt(n2_b)
     val t = tf.groupBy("id")
       .agg(map_from_entries(collect_list(struct(col("term"), col("tf")))).as("m"))
       .select(col("id"),
         array(v.map(tm => coalesce(element_at(col("m"), lit(tm)), lit(0L))): _*).as("v"))
-      .withColumn("n2",
-        aggregate(transform(col("v"), x => x * x), lit(0L), (acc, x) => acc + x))
-    def dot = aggregate(zip_with(col("a.v"), col("b.v"), (x, y) => x * y),
-      lit(0L), (acc, x) => acc + x)
-    def cos = dot.cast("double") /
-      (sqrt(col("a.n2").cast("double")) * sqrt(col("b.n2").cast("double")))
+      .withColumn("nrm", sqrt(VF.normSq(col("v"))))
+    def dot = VF.dot(col("a.v"), col("b.v"))
+    def cos = dot / (col("a.nrm") * col("b.nrm"))
     gridSelfJoin(t, cos >= tau, blocks)
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
-        dot.as("dot"), round(cos, 6).as("cos"))
+        dot.cast("long").as("dot"), round(cos, 6).as("cos"))
   }
 
   /** Cost-routed front door for TF-cosine pairs, mirroring

@@ -462,14 +462,14 @@ class DedupSpec extends SparkSpec {
     assert(grid == sparse && sparse.nonEmpty)
     val autoPlan = Dedup.tfCosinePairsAuto(dense, col("id"), col("text"), tau = 0.5)
       .queryExecution.executedPlan.toString
-    assert(autoPlan.contains("zip_with"),
+    assert(autoPlan.contains("graft_dot"),
       s"dense-vocab corpus must route to the grid strategy:\n$autoPlan")
     assert(collect(Dedup.tfCosinePairsAuto(dense, col("id"), col("text"), tau = 0.5)) == sparse)
     // globally-unique vocabularies (every df = 1) stay on the postings join
     val uniq = docs((1L to 8L).map(i => (i, s"u${i}a u${i}b u${i}c")): _*)
     val uniqPlan = Dedup.tfCosinePairsAuto(uniq, col("id"), col("text"), tau = 0.5)
       .queryExecution.executedPlan.toString
-    assert(!uniqPlan.contains("zip_with"),
+    assert(!uniqPlan.contains("graft_dot"),
       s"unique-vocab corpus must stay on the postings join:\n$uniqPlan")
   }
 
