@@ -43,7 +43,11 @@ object Plans {
       "q_pipeline_dedup", "q_curate_snapshot_diff", "q_dedup_incremental_containment",
       "q_media_scenes", "q_knn_batch_ann",
       "q_layout_zorder", "q_layout_zonemap_prune", "q_layout_delete",
-      "q_curate_temperature_mix")
+      "q_curate_temperature_mix",
+      "q_profile_completeness", "q_profile_orphans", "q_sketch_kmv_overlap",
+      "q_search_rrf", "q_join_intervals", "q_text_cosine_pairs",
+      "q_profile_skew", "q_ts_resample", "q_ts_anomaly",
+      "q_eval_ann_recall", "q_curate_quantile_norm")
     show.foreach { name =>
       println(s"\n## $name\n")
       println("```")

@@ -73,6 +73,15 @@ object ScaleSmoke {
       val e = ev.select("event_id", "user_id", "ts")
       graft.operators.RangeJoin.within(e, e, "user_id", "ts", "ts", 300).count()
     }
+    time("interval overlap join (1-7 min intervals)") {
+      // user keys are re-keyed per replica, so per-user interval density is
+      // constant and pair volume grows linearly with mult
+      val iv = ev.select(col("event_id"), col("user_id"), col("ts").as("s0"),
+        timestamp_micros(unix_micros(col("ts")) +
+          (pmod(col("event_id"), lit(7)) + 1) * lit(60000000L)).as("s1"))
+      graft.operators.RangeJoin.overlaps(iv, iv, "user_id", "s0", "s1",
+        "s0", "s1", binSec = 420).filter(col("l_event_id") < col("r_event_id")).count()
+    }
     time("sessionize") {
       graft.operators.Relational.sessionize(ev, gapMinutes = 30).count()
     }
@@ -111,6 +120,16 @@ object ScaleSmoke {
         .join(docs, "doc_id")
       graft.operators.Dedup.containmentPairsAuto(rep, col("doc_id"), col("text"),
         tau = 0.5, minShingles = 5).count()
+    }
+    time("tf-cosine pairs (auto route, on representatives)") {
+      // identical-replica pairs would all hit cos=1.0 (the minhash collapse)
+      // — screen with exact dedup first; the screen scales with mult, the
+      // dense-grid pair stage runs on the representative set
+      val rep = graft.operators.Dedup.exactDedup(docs, col("doc_id"), col("text"))
+        .filter(col("keep")).select(col("id").as("doc_id"))
+        .join(docs, "doc_id")
+      graft.operators.Dedup.tfCosinePairsAuto(rep, col("doc_id"), col("text"),
+        tau = 0.9).count()
     }
     time("bm25 top-10") {
       graft.operators.Bm25.rank(docs, col("doc_id"), col("text"),

@@ -1882,6 +1882,23 @@ object SparkEntry {
         col("embedding"), qs, planes, k = 10, probeRadius = 2)
       RankEval.recallAtK(exact, ann, "query_id", "id").orderBy("query_id")
     }),
+    // per-source quantile calibration: quality scores become within-source
+    // percent ranks (ties share a percentile), so one global cut applies
+    // fairly across sources — one exchange on source + per-group sort
+    "q_curate_quantile_norm" -> ((s, dir) =>
+      Curation.quantileNormalize(
+          graft.sources.Testdata.table(s, dir, "documents"),
+          col("doc_id"), col("source"), TextAnalysis.qualityScore(col("text")))
+        .withColumnRenamed("id", "doc_id").withColumnRenamed("grp", "source")
+        .orderBy("doc_id")),
+    // trailing z-score volume anomalies over the gap-filled hourly series:
+    // each bucket scored against the prior 24 buckets (current excluded) —
+    // integer window sums, a fixed-order double epilogue
+    "q_ts_anomaly" -> ((s, dir) =>
+      Relational.anomalyScores(graft.sources.Testdata.events(s, dir),
+          col("event_type"), col("ts"), bucketMinutes = 60)
+        .withColumnRenamed("g", "event_type")
+        .orderBy("event_type", "bucket_start")),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -3987,5 +4004,53 @@ object SparkEntry {
         |             ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
         |ORDER BY event_type, bucket_start""".stripMargin,
     "q_eval_ann_recall" -> evalAnnRecallOracle,
+    // same score arithmetic as q_text_quality, ranked within source
+    "q_curate_quantile_norm" ->
+      s"""WITH t AS (
+        |  SELECT doc_id, source, string_split_regex(text, '\\s+') AS toks,
+        |         length(regexp_replace(text, '\\s', '', 'g')) AS nonws,
+        |         length(regexp_replace(text, '[a-z0-9\\s]', '', 'g')) AS punct
+        |  FROM documents
+        |), q AS (
+        |  SELECT doc_id, source,
+        |    0.4*least(len(toks)/100.0, 1.0)
+        |    + 0.3*(1.0 - CASE WHEN nonws > 0 THEN CAST(punct AS DOUBLE)/nonws ELSE 0.0 END)
+        |    + 0.3*least((CASE WHEN len(toks) > 0 THEN CAST(len(list_filter(toks, x -> list_contains(${profileSql("en")}, x))) AS DOUBLE)/len(toks) ELSE 0.0 END)/0.1, 1.0)
+        |      AS score
+        |  FROM t
+        |)
+        |SELECT doc_id, source, round(score, 6) AS score,
+        |  round(percent_rank() OVER (PARTITION BY source ORDER BY score), 6) AS pct
+        |FROM q ORDER BY doc_id""".stripMargin,
+    "q_ts_anomaly" ->
+      """WITH c AS (
+        |  SELECT event_type, epoch_us(CAST(ts AS TIMESTAMP)) // 3600000000 AS b,
+        |         count(*) AS n_events
+        |  FROM events GROUP BY 1, 2
+        |), s AS (SELECT event_type, min(b) AS b0, max(b) AS b1 FROM c GROUP BY 1
+        |), grid AS (
+        |  SELECT event_type, unnest(range(b0, b1 + 1)) AS b FROM s
+        |), d AS (
+        |  SELECT grid.event_type, grid.b, coalesce(c.n_events, 0) AS n_events
+        |  FROM grid LEFT JOIN c ON grid.event_type = c.event_type AND grid.b = c.b
+        |), wins AS (
+        |  SELECT event_type, b, n_events,
+        |    CAST(sum(n_events) OVER w AS BIGINT) AS s1,
+        |    CAST(sum(n_events * n_events) OVER w AS BIGINT) AS s2,
+        |    count(*) OVER w AS nh
+        |  FROM d
+        |  WINDOW w AS (PARTITION BY event_type ORDER BY b
+        |               ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING)
+        |), z AS (
+        |  SELECT event_type, b, n_events, nh,
+        |    CAST(s1 AS DOUBLE) / nh AS mean,
+        |    (CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * s1 / nh) / nh AS variance
+        |  FROM wins
+        |)
+        |SELECT event_type, make_timestamp(b * 3600000000) AS bucket_start, n_events,
+        |  round(mean, 6) AS mean,
+        |  round(CASE WHEN nh >= 6 AND variance > 0
+        |    THEN (CAST(n_events AS DOUBLE) - mean) / sqrt(variance) END, 6) AS z
+        |FROM z ORDER BY event_type, bucket_start""".stripMargin,
   )
 }

@@ -267,6 +267,32 @@ object Curation {
   private def sampleBucket(id: Column): Column =
     pmod(pmod(id.cast("long"), lit(1000003L)) * 131L + 7L, lit(1000L))
 
+  /** Per-group percentile calibration (quantile normalization): each row's
+    * raw score is replaced by its `percent_rank` WITHIN its group, so a
+    * single global threshold ("keep the top 40 %") applies fairly across
+    * heterogeneous sources — raw quality scores are not comparable between
+    * a code crawl and a news crawl, their within-source ranks are. This is
+    * the per-source calibration step the CCNet-family pipelines run before
+    * any cross-source gate.
+    *
+    * Ties share a percentile (SQL `percent_rank` semantics: (rank−1)/(n−1),
+    * rank ties equal) — deterministic with no tie-break column needed.
+    *
+    * Scale shape: ONE hash exchange on the group + a per-group sort —
+    * the canonical window. Group count is the source count (small); a
+    * single pathologically large group sorts in parallel via spill-safe
+    * external sort. When even that is too much, the constant-memory
+    * alternative is [[Sketches.histogramQuantilesByGroup]] (approximate
+    * bucket edges, no per-row rank) — this operator is the exact path.
+    */
+  def quantileNormalize(df: DataFrame, id: Column, grp: Column, score: Column): DataFrame = {
+    val w = Window.partitionBy(col("grp")).orderBy(col("score"))
+    df.select(id.as("id"), grp.as("grp"), score.as("score"))
+      .withColumn("pct", percent_rank().over(w))
+      .select(col("id"), col("grp"),
+        round(col("score"), 6).as("score"), round(col("pct"), 6).as("pct"))
+  }
+
   def stratifiedSample(
       df: DataFrame,
       id: Column,

@@ -491,11 +491,12 @@ object Relational {
     * dense grid per group — rows = buckets, not events. All-integer until
     * the final mean division.
     */
-  def resampleGapFill(
-      events: DataFrame, grp: Column, ts: Column,
-      bucketMinutes: Int, rollBuckets: Int = 3): DataFrame = {
-    require(bucketMinutes >= 1 && rollBuckets >= 1)
-    val busUs = bucketMinutes * 60L * 1000000L
+  /** The dense (g, b, n_events) bucket grid behind [[resampleGapFill]] and
+    * [[anomalyScores]]: bucketed pre-agg of the raw table (its only pass),
+    * per-group span, `sequence()+explode` dense axis, zero-filled join.
+    */
+  private def denseGrid(
+      events: DataFrame, grp: Column, ts: Column, busUs: Long): DataFrame = {
     def bucketOf(c: Column): Column =
       ((unix_micros(c) - pmod(unix_micros(c), lit(busUs))) / lit(busUs)).cast("long")
     val counts = events
@@ -503,13 +504,59 @@ object Relational {
       .groupBy("g", "b").agg(count(lit(1)).as("n_events"))
     val spans = counts.groupBy("g").agg(min("b").as("b0"), max("b").as("b1"))
     val grid = spans.select(col("g"), explode(sequence(col("b0"), col("b1"))).as("b"))
-    val w = Window.partitionBy("g").orderBy("b").rowsBetween(-(rollBuckets - 1), 0)
     grid.join(counts, Seq("g", "b"), "left")
       .select(col("g"), col("b"), coalesce(col("n_events"), lit(0L)).as("n_events"))
+  }
+
+  def resampleGapFill(
+      events: DataFrame, grp: Column, ts: Column,
+      bucketMinutes: Int, rollBuckets: Int = 3): DataFrame = {
+    require(bucketMinutes >= 1 && rollBuckets >= 1)
+    val busUs = bucketMinutes * 60L * 1000000L
+    val w = Window.partitionBy("g").orderBy("b").rowsBetween(-(rollBuckets - 1), 0)
+    denseGrid(events, grp, ts, busUs)
       .withColumn("roll_sum", sum(col("n_events")).over(w))
       .withColumn("roll_n", count(lit(1)).over(w))
       .select(col("g"), timestamp_micros(col("b") * busUs).as("bucket_start"),
         col("n_events"),
         round(col("roll_sum").cast("double") / col("roll_n"), 6).as("roll_avg"))
+  }
+
+  /** Trailing z-score anomaly detection over the gap-filled bucket series —
+    * the monitoring shape a streaming ingest runs against its own volume:
+    * each bucket's count is scored against the mean/std of the PRIOR
+    * `histBuckets` buckets (current bucket excluded, so a spike cannot mask
+    * itself). Gap filling matters: without explicit zeros, silent outage
+    * buckets are absent from the window and the baseline inflates.
+    *
+    * Determinism: the window sums are over INTEGER counts (exact in any
+    * order); mean/variance/z are a handful of double ops in a fixed
+    * written order, bit-replicable in SQL. Variance via the one-pass
+    * identity (Σx² − (Σx)²/n)/n on exact integer sums — no catastrophic
+    * cancellation concern at count magnitudes. z is null until `minHist`
+    * prior buckets exist or when the trailing variance is 0.
+    *
+    * Scale shape: [[denseGrid]]'s single pre-agg pass + one window sort per
+    * group over BUCKETS (not events).
+    */
+  def anomalyScores(
+      events: DataFrame, grp: Column, ts: Column,
+      bucketMinutes: Int, histBuckets: Int = 24, minHist: Int = 6): DataFrame = {
+    require(bucketMinutes >= 1 && histBuckets >= 2 && minHist >= 2)
+    val busUs = bucketMinutes * 60L * 1000000L
+    val w = Window.partitionBy("g").orderBy("b").rowsBetween(-histBuckets, -1)
+    denseGrid(events, grp, ts, busUs)
+      .withColumn("s1", sum(col("n_events")).over(w))
+      .withColumn("s2", sum(col("n_events") * col("n_events")).over(w))
+      .withColumn("nh", count(lit(1)).over(w))
+      .withColumn("mean", col("s1").cast("double") / col("nh"))
+      .withColumn("variance",
+        (col("s2").cast("double") - col("s1").cast("double") * col("s1") / col("nh")) / col("nh"))
+      .withColumn("z",
+        when(col("nh") >= minHist && col("variance") > 0,
+          (col("n_events").cast("double") - col("mean")) / sqrt(col("variance"))))
+      .select(col("g"), timestamp_micros(col("b") * busUs).as("bucket_start"),
+        col("n_events"), round(col("mean"), 6).as("mean"),
+        round(col("z"), 6).as("z"))
   }
 }

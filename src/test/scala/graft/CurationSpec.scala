@@ -340,4 +340,20 @@ class CurationSpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> r.getAs[String]("status")).toMap
     assert(out == Map(1L -> "removed", 2L -> "unchanged", 3L -> "changed", 4L -> "added"))
   }
+
+  test("quantileNormalize: within-group percent ranks, ties share a percentile") {
+    import testImplicits._
+    val df = Seq(
+      (1L, "a", 10.0), (2L, "a", 20.0), (3L, "a", 20.0), (4L, "a", 40.0),
+      (5L, "b", 99.0), // singleton group: percent_rank = 0
+      (6L, "c", 1.0), (7L, "c", 2.0)).toDF("id", "g", "s")
+    val got = Curation.quantileNormalize(df, col("id"), col("g"), col("s"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    // group a (n=4): ranks 1,2,2,4 → pct (rank-1)/3
+    assert(got(1L) == 0.0)
+    assert(got(2L) == math.rint(1.0 / 3 * 1e6) / 1e6 && got(3L) == got(2L))
+    assert(got(4L) == 1.0)
+    assert(got(5L) == 0.0)
+    assert(got(6L) == 0.0 && got(7L) == 1.0)
+  }
 }

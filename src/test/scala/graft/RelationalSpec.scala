@@ -259,4 +259,34 @@ class RelationalSpec extends SparkSpec {
       ("x", 1L, math.rint(1.0 / 3 * 1e6) / 1e6), // (0+0+1)/3
       ("y", 1L, 1.0)))
   }
+
+  test("anomalyScores: planted spike scores high; flat history gives null z; head is null") {
+    import testImplicits._
+    import org.apache.spark.sql.functions._
+    // minute buckets 0..6 alternate 1,2,1,2,1,2,1 events; bucket 7 spikes 10
+    val counts = Seq(1, 2, 1, 2, 1, 2, 1, 10)
+    val rows = counts.zipWithIndex.flatMap { case (n, minute) =>
+      (0 until n).map(i => ("x", minute * 60L + i)) // i<60 stays in-bucket
+    } ++ (0 until 8).map(minute => ("y", minute * 60L)) // flat: 1/bucket
+    val ev = rows.toDF("g", "sec")
+      .select(col("g"), timestamp_seconds(col("sec")).as("ts"))
+    val all = Relational.anomalyScores(ev, col("g"), col("ts"),
+        bucketMinutes = 1, histBuckets = 24, minHist = 6)
+      .orderBy("g", "bucket_start").collect()
+      .map(r => (r.getString(0), r.getLong(2),
+        if (r.isNullAt(4)) None else Some(r.getDouble(4))))
+    // flat group: variance 0 at every bucket → z stays null past minHist
+    assert(all.filter(_._1 == "y").forall(_._3.isEmpty))
+    val got = all.filter(_._1 == "x").map(t => (t._2, t._3))
+    assert(got.length == 8)
+    assert(got.take(6).forall(_._2.isEmpty), "fewer than minHist prior buckets → null z")
+    // bucket 6 (n=1): hist 1,2,1,2,1,2 → mean 1.5, var (15-81/6)/6=0.25, z=(1-1.5)/0.5=-1
+    assert(got(6) == ((1L, Some(-1.0))))
+    // spike bucket: hist 1,2,1,2,1,2,1 → s1=10,s2=16,nh=7
+    val (s1, s2, nh) = (10.0, 16.0, 7.0)
+    val mean = s1 / nh
+    val variance = (s2 - s1 * s1 / nh) / nh
+    val zExp = math.rint((10.0 - mean) / math.sqrt(variance) * 1e6) / 1e6
+    assert(got(7)._1 == 10L && got(7)._2.contains(zExp) && zExp > 3.0)
+  }
 }
