@@ -491,17 +491,26 @@ object Relational {
     * dense grid per group — rows = buckets, not events. All-integer until
     * the final mean division.
     */
-  /** The dense (g, b, n_events) bucket grid behind [[resampleGapFill]] and
-    * [[anomalyScores]]: bucketed pre-agg of the raw table (its only pass),
-    * per-group span, `sequence()+explode` dense axis, zero-filled join.
+  /** Per-(group, bucket) event counts — the bucketed pre-agg shared by the
+    * batch resample/anomaly operators and the STREAMING volume monitor
+    * (which runs it per micro-batch and sum-merges on read).
     */
-  private def denseGrid(
-      events: DataFrame, grp: Column, ts: Column, busUs: Long): DataFrame = {
+  def bucketCounts(
+      events: DataFrame, grp: Column, ts: Column, bucketMinutes: Int): DataFrame = {
+    require(bucketMinutes >= 1)
+    val busUs = bucketMinutes * 60L * 1000000L
     def bucketOf(c: Column): Column =
       ((unix_micros(c) - pmod(unix_micros(c), lit(busUs))) / lit(busUs)).cast("long")
-    val counts = events
+    events
       .select(grp.as("g"), bucketOf(ts).as("b"))
       .groupBy("g", "b").agg(count(lit(1)).as("n_events"))
+  }
+
+  /** The dense (g, b, n_events) bucket grid behind [[resampleGapFill]] and
+    * [[anomalyScores]]: [[bucketCounts]] (the raw table's only pass),
+    * per-group span, `sequence()+explode` dense axis, zero-filled join.
+    */
+  private def gapFillGrid(counts: DataFrame): DataFrame = {
     val spans = counts.groupBy("g").agg(min("b").as("b0"), max("b").as("b1"))
     val grid = spans.select(col("g"), explode(sequence(col("b0"), col("b1"))).as("b"))
     grid.join(counts, Seq("g", "b"), "left")
@@ -514,7 +523,7 @@ object Relational {
     require(bucketMinutes >= 1 && rollBuckets >= 1)
     val busUs = bucketMinutes * 60L * 1000000L
     val w = Window.partitionBy("g").orderBy("b").rowsBetween(-(rollBuckets - 1), 0)
-    denseGrid(events, grp, ts, busUs)
+    gapFillGrid(bucketCounts(events, grp, ts, bucketMinutes))
       .withColumn("roll_sum", sum(col("n_events")).over(w))
       .withColumn("roll_n", count(lit(1)).over(w))
       .select(col("g"), timestamp_micros(col("b") * busUs).as("bucket_start"),
@@ -541,11 +550,22 @@ object Relational {
     */
   def anomalyScores(
       events: DataFrame, grp: Column, ts: Column,
+      bucketMinutes: Int, histBuckets: Int = 24, minHist: Int = 6): DataFrame =
+    anomalyScoresFromCounts(bucketCounts(events, grp, ts, bucketMinutes),
+      bucketMinutes, histBuckets, minHist)
+
+  /** [[anomalyScores]] over pre-aggregated (g, b, n_events) counts — the
+    * entry the streaming volume monitor's merge-on-read path uses (its
+    * per-batch state IS bucket counts; re-bucketing raw events would
+    * require keeping them).
+    */
+  def anomalyScoresFromCounts(
+      counts: DataFrame,
       bucketMinutes: Int, histBuckets: Int = 24, minHist: Int = 6): DataFrame = {
     require(bucketMinutes >= 1 && histBuckets >= 2 && minHist >= 2)
     val busUs = bucketMinutes * 60L * 1000000L
     val w = Window.partitionBy("g").orderBy("b").rowsBetween(-histBuckets, -1)
-    denseGrid(events, grp, ts, busUs)
+    gapFillGrid(counts)
       .withColumn("s1", sum(col("n_events")).over(w))
       .withColumn("s2", sum(col("n_events") * col("n_events")).over(w))
       .withColumn("nh", count(lit(1)).over(w))

@@ -455,6 +455,55 @@ object Streaming {
     spark.read.parquet(path)
       .groupBy("i", "cell").agg(sum(col("cnt")).as("cnt"))
 
+  /** Streaming volume monitor: per micro-batch, reduce arriving events to
+    * per-(group, time-bucket) counts
+    * ([[graft.operators.Relational.bucketCounts]]) and persist the
+    * batch-stamped rows. Like the count-min counters, the merge is a SUM —
+    * so the batch-stamped dynamic-partition overwrite is what makes
+    * at-least-once foreachBatch exactly-once in the persisted bytes (a
+    * retried batch replaces its own partition). A batch whose events span
+    * a bucket boundary contributes partial counts; the sum-merge
+    * reassembles the true bucket totals, so micro-batch cadence never has
+    * to align with the bucket grid. State per batch is ≤ groups·buckets
+    * rows, regardless of batch size.
+    */
+  def startVolumeMonitor(
+      events: DataFrame,        // streaming; must contain grp/ts columns
+      grp: Column,
+      ts: Column,
+      bucketMinutes: Int,
+      outPath: String,
+      checkpoint: String,
+      queryName: String = "volume_monitor"): StreamingQuery =
+    events.writeStream
+      .queryName(queryName)
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        graft.operators.Relational.bucketCounts(batch, grp, ts, bucketMinutes)
+          .withColumn("batch_id", lit(batchId))
+          .write.mode("overwrite")
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("batch_id")
+          .parquet(outPath)
+        ()
+      }
+      .start()
+
+  /** Score the maintained volume state for anomalies: sum-merge the
+    * per-batch bucket counts (the true totals, however batches straddled
+    * buckets) and run the trailing z-score epilogue
+    * ([[graft.operators.Relational.anomalyScoresFromCounts]]) — the live
+    * ingest-health read-out, computed from bucket-count state without
+    * re-reading any raw events.
+    */
+  def loadVolumeAnomalies(
+      spark: org.apache.spark.sql.SparkSession, path: String,
+      bucketMinutes: Int, histBuckets: Int = 24, minHist: Int = 6): DataFrame =
+    graft.operators.Relational.anomalyScoresFromCounts(
+      spark.read.parquet(path)
+        .groupBy("g", "b").agg(sum(col("n_events")).as("n_events")),
+      bucketMinutes, histBuckets, minHist)
+
   /** Stream-stream interval join: attribute each purchase to every click by
     * the same user within `horizonMinutes` before it. Both sides carry
     * watermarks and the join condition bounds event-time distance, so each

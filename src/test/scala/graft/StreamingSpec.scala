@@ -515,4 +515,47 @@ class StreamingSpec extends SparkSpec {
       assert(hi == Set(5L))
     } finally q.stop()
   }
+
+  test("streaming volume monitor: bucket counts sum-merge across straddling batches; anomalies equal the batch twin") {
+    val sp = spark
+    import sp.implicits._
+    implicit val sqlCtx = sp.sqlContext
+    val in = MemoryStream[(String, Long)]
+    val out = tmpDir("graft_volmon")
+    val q = Streaming.startVolumeMonitor(
+      in.toDF().toDF("g", "sec")
+        .select(col("g"), timestamp_seconds(col("sec")).as("ts")),
+      col("g"), col("ts"), bucketMinutes = 1,
+      s"$out/counts", s"$out/ckpt")
+    // minute buckets 0..7 with counts 1,2,1,2,1,2,1,10 — but batch 2 starts
+    // MID-bucket-3, so bucket 3's total is split across both batches
+    val counts = Seq(1, 2, 1, 2, 1, 2, 1, 10)
+    val all = counts.zipWithIndex.flatMap { case (n, minute) =>
+      (0 until n).map(i => ("x", minute * 60L + i)) }
+    val (b1, b2) = all.splitAt(all.indexWhere(_._2 == 3 * 60L + 1))
+    try {
+      in.addData(b1: _*)
+      q.processAllAvailable()
+      in.addData(b2: _*)
+      q.processAllAvailable()
+      // merged anomalies == the batch twin over the union of all events
+      val twin = graft.operators.Relational.anomalyScores(
+          all.toDF("g", "sec").select(col("g"), timestamp_seconds(col("sec")).as("ts")),
+          col("g"), col("ts"), bucketMinutes = 1, histBuckets = 24, minHist = 6)
+        .orderBy("bucket_start")
+        .collect().map(r => (r.getTimestamp(1), r.getLong(2),
+          if (r.isNullAt(4)) None else Some(r.getDouble(4))))
+      val got = Streaming.loadVolumeAnomalies(sp, s"$out/counts",
+          bucketMinutes = 1, histBuckets = 24, minHist = 6)
+        .orderBy("bucket_start")
+        .collect().map(r => (r.getTimestamp(1), r.getLong(2),
+          if (r.isNullAt(4)) None else Some(r.getDouble(4))))
+      assert(got.toSeq == twin.toSeq)
+      assert(got.last._2 == 10L && got.last._3.exists(_ > 3.0), "spike must score")
+      // the straddled bucket was written by BOTH batches and re-summed
+      val perBatch = sp.read.parquet(s"$out/counts")
+        .filter(col("b") === 3L).select("batch_id").distinct().count()
+      assert(perBatch == 2L, "bucket 3 must have partial counts from two batches")
+    } finally q.stop()
+  }
 }
