@@ -1899,6 +1899,74 @@ object SparkEntry {
           col("event_type"), col("ts"), bucketMinutes = 60)
         .withColumnRenamed("g", "event_type")
         .orderBy("event_type", "bucket_start")),
+    // record linkage: a deterministically corrupted name column matched back
+    // to the clean dimension at edit distance <= 1 — symmetric-deletion
+    // (FastSS/SymSpell) blocking equi-join + exact levenshtein verify;
+    // candidates come from variant equality, never a cross join
+    "q_er_names" -> ((s, dir) => {
+      val cust = s.read.parquet(s"$dir/customer.parquet")
+      val pos = pmod(col("c_custkey"), length(col("c_name")).cast("long"))
+      val dirty = cust.select(col("c_custkey").as("dirty_id"),
+        concat(col("c_name").substr(lit(1), pos.cast("int")),
+          col("c_name").substr((pos + lit(2L)).cast("int"),
+            length(col("c_name")))).as("dirty_name"))
+      FuzzyJoin.edJoin(dirty, col("dirty_id"), col("dirty_name"),
+          cust, col("c_custkey"), col("c_name"), maxDist = 1)
+        .select(col("l_id").as("dirty_id"), col("r_id").as("c_custkey"),
+          col("dist").cast("long").as("dist"))
+        .orderBy("dirty_id", "c_custkey")
+    }),
+    // per-source token-distribution drift: KL(source || corpus) in nats —
+    // one tokenize into a (source, token) count, vocabulary-bounded joins,
+    // sorted-fold sum for bit-stable floats
+    "q_text_source_kl" -> ((s, dir) =>
+      TextAnalysis.sourceTokenKl(
+          graft.sources.Testdata.table(s, dir, "documents"),
+          col("source"), col("text"))
+        .withColumnRenamed("g", "source")
+        .orderBy("source")),
+    // robust per-source quality outliers: |v - median| > k·1.4826·MAD —
+    // exact two-pass percentiles over 6-dp-rounded scores, flat groups
+    // (MAD = 0) never flag
+    "q_profile_mad" -> ((s, dir) =>
+      Profile.madOutliers(graft.sources.Testdata.table(s, dir, "documents"),
+          col("source"), col("doc_id"),
+          TextAnalysis.qualityScore(col("text")), k = 2.0)
+        .withColumnRenamed("g", "source").withColumnRenamed("id", "doc_id")
+        .orderBy("doc_id")),
+    // sequence-length bucketing audit: per-bucket doc count / used tokens /
+    // padded capacity / waste fraction; the top boundary (96) sits below the
+    // corpus max so the truncation path is exercised
+    "q_curate_length_buckets" -> ((s, dir) =>
+      Curation.lengthBuckets(
+          graft.sources.Testdata.table(s, dir, "documents"),
+          col("doc_id"), TextAnalysis.wsTokenCount(col("text")),
+          boundaries = Seq(16, 32, 64, 96))
+        .orderBy("bucket")),
+    // exact positional phrase search: postings filtered to the phrase terms
+    // in the scan stage (one corpus pass), then narrow (id, pos) adjacency
+    // equi-joins — never a LIKE scan
+    "q_text_phrase" -> ((s, dir) =>
+      TextAnalysis.phraseSearch(
+          graft.sources.Testdata.table(s, dir, "documents"),
+          col("doc_id"), col("text"), Seq("table", "hash"))
+        .withColumnRenamed("id", "doc_id")
+        .orderBy("doc_id")),
+    // leakage-aware split: near-dup clusters (LSH pairs -> connected
+    // components) decide the split via the cluster id's hash arithmetic, so
+    // no near-dup pair ever crosses train/val/test — the fix for what
+    // q_curate_split_leakage measures
+    "q_curate_group_split" -> ((s, dir) => {
+      val docs = graft.sources.Testdata.table(s, dir, "documents")
+      val pairs = Dedup.minhashLshPairs(docs, col("doc_id"), col("text"),
+        n = 2, tau = 0.5).select("id_a", "id_b")
+      val clusters = Dedup.connectedComponentsAuto(
+        docs.select(col("doc_id").as("id")), pairs).select("id", "cluster_id")
+      Curation.groupAwareSplit(docs.select(col("doc_id")), col("doc_id"),
+          clusters)
+        .withColumnRenamed("id", "doc_id")
+        .orderBy("doc_id")
+    }),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -4052,5 +4120,122 @@ object SparkEntry {
         |  round(CASE WHEN nh >= 6 AND variance > 0
         |    THEN (CAST(n_events AS DOUBLE) - mean) / sqrt(variance) END, 6) AS z
         |FROM z ORDER BY event_type, bucket_start""".stripMargin,
+    // ER oracle: the same deterministic one-char-deletion corruption, then
+    // the brute-force cross join with exact levenshtein — the blocking-free
+    // ground truth the deletion-neighborhood join must reproduce exactly
+    "q_er_names" ->
+      """WITH dirty AS (
+        |  SELECT c_custkey AS dirty_id,
+        |    substr(c_name, 1, CAST(c_custkey % length(c_name) AS INT)) ||
+        |    substr(c_name, CAST(c_custkey % length(c_name) AS INT) + 2) AS dirty_name
+        |  FROM customer
+        |)
+        |SELECT d.dirty_id, c.c_custkey,
+        |  CAST(levenshtein(d.dirty_name, c.c_name) AS BIGINT) AS dist
+        |FROM dirty d, customer c
+        |WHERE levenshtein(d.dirty_name, c.c_name) <= 1
+        |ORDER BY dirty_id, c_custkey""".stripMargin,
+    // KL oracle: identical count tables, identical double-division term,
+    // identical sorted-list fold for the per-group sum
+    "q_text_source_kl" ->
+      """WITH tok AS (
+        |  SELECT source AS g, unnest(string_split_regex(text, '\s+')) AS t FROM documents
+        |), gt AS (SELECT g, t, count(*) AS c_gt FROM tok GROUP BY g, t),
+        |gcnt AS (SELECT t, CAST(sum(c_gt) AS BIGINT) AS c_t FROM gt GROUP BY t),
+        |gtot AS (SELECT g, CAST(sum(c_gt) AS BIGINT) AS n_g FROM gt GROUP BY g),
+        |tot AS (SELECT CAST(sum(c_t) AS BIGINT) AS n FROM gcnt),
+        |terms AS (
+        |  SELECT g, n_g,
+        |    (CAST(c_gt AS DOUBLE)/n_g) *
+        |      ln((CAST(c_gt AS DOUBLE)/n_g)/(CAST(c_t AS DOUBLE)/n)) AS term
+        |  FROM gt JOIN gcnt USING (t) JOIN gtot USING (g), tot
+        |), ag AS (
+        |  SELECT g AS source, CAST(max(n_g) AS BIGINT) AS n_tokens,
+        |    list(term ORDER BY term) AS ts
+        |  FROM terms GROUP BY g
+        |)
+        |SELECT source, n_tokens,
+        |  round(list_reduce(list_prepend(CAST(0.0 AS DOUBLE), ts), (a, x) -> a + x), 6) AS kl_nats
+        |FROM ag ORDER BY source""".stripMargin,
+    // MAD oracle: the q_text_quality score expression, 6-dp-rounded BEFORE
+    // the medians (interpolation parity), quantile_cont = Spark percentile
+    "q_profile_mad" ->
+      s"""WITH t AS (
+        |  SELECT doc_id, source, string_split_regex(text, '\\s+') AS toks,
+        |         length(regexp_replace(text, '\\s', '', 'g')) AS nonws,
+        |         length(regexp_replace(text, '[a-z0-9\\s]', '', 'g')) AS punct
+        |  FROM documents
+        |), sc AS (
+        |  SELECT doc_id, source, round(
+        |    0.4*least(len(toks)/100.0, 1.0)
+        |    + 0.3*(1.0 - CASE WHEN nonws > 0 THEN CAST(punct AS DOUBLE)/nonws ELSE 0.0 END)
+        |    + 0.3*least((CASE WHEN len(toks) > 0 THEN CAST(len(list_filter(toks, x -> list_contains(${profileSql("en")}, x))) AS DOUBLE)/len(toks) ELSE 0.0 END)/0.1, 1.0),
+        |    6) AS v
+        |  FROM t
+        |), med AS (SELECT source, quantile_cont(v, 0.5) AS med FROM sc GROUP BY source
+        |), dev AS (
+        |  SELECT doc_id, source, v, med, round(abs(v - med), 6) AS dev
+        |  FROM sc JOIN med USING (source)
+        |), mad AS (SELECT source, quantile_cont(dev, 0.5) AS mad FROM dev GROUP BY source)
+        |SELECT source, doc_id, v AS value, round(med, 6) AS med,
+        |  CASE WHEN mad > 0 THEN round(dev / (1.4826 * mad), 6) END AS robust_z,
+        |  (mad > 0 AND dev > 2.0 * 1.4826 * mad) AS is_outlier
+        |FROM dev JOIN mad USING (source) ORDER BY doc_id""".stripMargin,
+    "q_curate_length_buckets" ->
+      """WITH t AS (
+        |  SELECT doc_id, len(string_split_regex(text, '\s+')) AS n FROM documents
+        |), b AS (
+        |  SELECT doc_id, n,
+        |    CAST(CASE WHEN n <= 16 THEN 16 WHEN n <= 32 THEN 32
+        |              WHEN n <= 64 THEN 64 ELSE 96 END AS BIGINT) AS bucket
+        |  FROM t
+        |)
+        |SELECT bucket, count(*) AS n_docs,
+        |  CAST(sum(least(n, bucket)) AS BIGINT) AS used_tokens,
+        |  bucket * count(*) AS capacity,
+        |  round(1.0 - CAST(sum(least(n, bucket)) AS DOUBLE) / (bucket * count(*)), 6) AS waste
+        |FROM b GROUP BY bucket ORDER BY bucket""".stripMargin,
+    // phrase oracle: positional postings via ranged subscripts, adjacency
+    // self-join — 1-based positions vs Spark's 0-based posexplode, but only
+    // position DIFFERENCES enter the predicate
+    "q_text_phrase" ->
+      """WITH tok AS (
+        |  SELECT doc_id, string_split_regex(text, '\s+') AS ts FROM documents
+        |), p AS (
+        |  SELECT doc_id, ts[i] AS t, i
+        |  FROM tok, unnest(range(1, len(ts) + 1)) AS u(i)
+        |), m AS (
+        |  SELECT a.doc_id FROM p a JOIN p b ON a.doc_id = b.doc_id AND b.i = a.i + 1
+        |  WHERE a.t = 'table' AND b.t = 'hash'
+        |)
+        |SELECT doc_id, count(*) AS n_occurrences FROM m GROUP BY doc_id
+        |ORDER BY doc_id""".stripMargin,
+    // group-split oracle: the q_dedup_clusters recursive closure gives each
+    // doc its min-reach cluster id; the split is hashSplit's pure arithmetic
+    // applied to that cluster id
+    "q_curate_group_split" ->
+      """WITH RECURSIVE t AS (
+        |  SELECT doc_id, list_distinct(list_transform(
+        |    range(1, len(string_split_regex(text, '\s+'))),
+        |    i -> string_split_regex(text, '\s+')[i] || ' ' || string_split_regex(text, '\s+')[i+1])) AS sh
+        |  FROM documents
+        |), p AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        |  FROM t a, t b
+        |  WHERE a.doc_id < b.doc_id
+        |    AND CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+        |        (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.5
+        |), e AS (
+        |  SELECT id_a AS s, id_b AS d FROM p UNION ALL SELECT id_b, id_a FROM p
+        |), r AS (
+        |  SELECT doc_id AS id, doc_id AS reach FROM documents
+        |  UNION
+        |  SELECT e.d AS id, r.reach FROM r JOIN e ON r.id = e.s
+        |), cl AS (SELECT id, min(reach) AS cluster_id FROM r GROUP BY id)
+        |SELECT id AS doc_id, cluster_id AS group_id,
+        |  CASE WHEN ((cluster_id % 1000003) * 97 + 13) % 1000 < 800 THEN 'train'
+        |       WHEN ((cluster_id % 1000003) * 97 + 13) % 1000 < 900 THEN 'val'
+        |       ELSE 'test' END AS split
+        |FROM cl ORDER BY doc_id""".stripMargin,
   )
 }

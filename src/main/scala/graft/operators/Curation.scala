@@ -570,4 +570,52 @@ object Curation {
       .agg(count(lit(1)).as("n_pairs"))
       .orderBy("split_a", "split_b")
   }
+
+  /** Sequence-length bucketing audit: assign each doc to the smallest
+    * training-batch bucket that holds it (docs past the largest boundary
+    * are truncated into it) and report per-bucket doc count, used tokens,
+    * padded capacity, and the padding-waste fraction — the measurement that
+    * decides whether a trainer needs length-grouped batching and where to
+    * place the bucket boundaries.
+    *
+    * Pure scan-stage CASE arithmetic + one tiny groupBy (≤ |boundaries|
+    * output rows); the waste division happens once per bucket row.
+    */
+  def lengthBuckets(docs: DataFrame, id: Column, nTokens: Column,
+      boundaries: Seq[Int] = Seq(16, 32, 64, 128, 256, 512, 1024)): DataFrame = {
+    require(boundaries.nonEmpty && boundaries == boundaries.sorted,
+      "boundaries must be ascending")
+    val n = nTokens
+    val bucket = boundaries.init.reverse
+      .foldLeft(lit(boundaries.last)) { (acc, b) => when(n <= b, lit(b)).otherwise(acc) }
+    docs.select(id.as("id"), n.as("n_tok"), bucket.cast("long").as("bucket"))
+      .withColumn("used", least(col("n_tok").cast("long"), col("bucket")))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n_docs"), sum("used").as("used_tokens"))
+      .withColumn("capacity", col("bucket") * col("n_docs"))
+      .withColumn("waste",
+        round(lit(1.0) - col("used_tokens").cast("double") / col("capacity"), 6))
+  }
+
+  /** Leakage-aware (group-aware) split: documents that share a near-dup
+    * cluster always land in the same split — the GroupShuffleSplit analog
+    * for pretraining corpora, closing exactly the cross-split contamination
+    * [[splitLeakage]] measures. `clusters` is (id, cluster_id) from
+    * [[Dedup.connectedComponentsAuto]]; the split decision is
+    * [[hashSplit]]'s pure id-hash arithmetic applied to the CLUSTER id, so
+    * membership stays deterministic, resumable, and RNG-free. Docs outside
+    * any cluster are their own singleton group (cluster_id = id).
+    *
+    * Scale shape: one narrow (id, cluster_id) left join onto the corpus
+    * ids, then scan-stage arithmetic — the split itself adds no shuffle
+    * beyond the cluster table the dedup pass already produced.
+    */
+  def groupAwareSplit(ids: DataFrame, id: Column, clusters: DataFrame,
+      trainPerMille: Int = 800, valPerMille: Int = 100): DataFrame = {
+    val base = ids.select(id.as("id"))
+      .join(clusters.select(col("id"), col("cluster_id")), Seq("id"), "left")
+      .select(col("id"), coalesce(col("cluster_id"), col("id")).as("group_id"))
+    hashSplit(base, col("group_id"), trainPerMille, valPerMille)
+      .select(col("id"), col("group_id"), col("split"))
+  }
 }

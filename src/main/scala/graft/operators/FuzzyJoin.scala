@@ -1,0 +1,81 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Edit-distance similarity join — record linkage / entity resolution over
+  * dirty string keys (beyond-reference: the fuzzy machinery the reference
+  * applies per-query at rerank time, `vector_database.py:410-411`, turned
+  * into a set-at-a-time join a 100 TB ingest can run between a dirty drop
+  * and a canonical dimension).
+  *
+  * Blocking is the symmetric-deletion scheme (FastSS, Bocek et al. 2007;
+  * popularized as SymSpell): every string expands to its ≤d-deletion
+  * neighborhood, and `ed(a,b) <= d` implies the neighborhoods share a
+  * variant (delete the edited positions from either side), so the variant
+  * equi-join is a COMPLETE candidate generator — never a cross join. The
+  * exact `levenshtein` verify then keeps only true matches, so the result
+  * is exact.
+  *
+  * Scale shape: (|s| choose <=d) narrow (id, variant) rows per input row
+  * through ONE equi-join; candidate pairs are deduped on ids before the
+  * verify so levenshtein runs once per candidate pair. At d=1 a length-L
+  * string emits L+1 variants — linear blowup, shuffle-friendly; d=2 is
+  * quadratic in L and documented as the practical ceiling (the same bound
+  * SymSpell ships with).
+  */
+object FuzzyJoin {
+
+  /** All strings obtainable from `s` by deleting exactly one character
+    * (empty input yields no variants — guards the descending-`sequence`
+    * footgun when `length(s)-1 < 0`).
+    */
+  private def oneDeletions(s: Column): Column =
+    when(length(s) > 0,
+      transform(sequence(lit(0), length(s) - 1), i =>
+        concat(s.substr(lit(1), i), s.substr(i + lit(2), length(s)))))
+      .otherwise(array().cast("array<string>"))
+
+  /** The ≤`d`-deletion neighborhood of `s` (includes `s` itself),
+    * duplicates removed. Pure column algebra — codegen'd, no UDF.
+    */
+  def deletionVariants(s: Column, d: Int): Column = {
+    require(d >= 0 && d <= 2, s"deletion depth $d outside the practical 0..2 range")
+    var acc = array(s)
+    for (_ <- 1 to d)
+      acc = array_distinct(concat(acc, flatten(transform(acc, v => oneDeletions(v)))))
+    acc
+  }
+
+  /** Exact edit-distance-≤`maxDist` join of `left` and `right` on string
+    * keys. Output: (l_id, l_str, r_id, r_str, dist), one row per matching
+    * pair. Candidates come from the deletion-variant equi-join (complete by
+    * the FastSS property), are deduped to one row per (l_id, r_id), and are
+    * verified with the built-in codegen `levenshtein`.
+    */
+  def edJoin(
+      left: DataFrame, lId: Column, lStr: Column,
+      right: DataFrame, rId: Column, rStr: Column,
+      maxDist: Int): DataFrame = {
+    require(maxDist >= 1 && maxDist <= 2, "maxDist must be 1 or 2")
+    val lv = left.select(lId.as("l_id"), lStr.as("l_str"))
+      .withColumn("__v", explode(deletionVariants(col("l_str"), maxDist)))
+    val rv = right.select(rId.as("r_id"), rStr.as("r_str"))
+      .withColumn("__v", explode(deletionVariants(col("r_str"), maxDist)))
+    lv.join(rv, "__v")
+      .select("l_id", "l_str", "r_id", "r_str")
+      .dropDuplicates("l_id", "r_id")
+      .withColumn("dist", levenshtein(col("l_str"), col("r_str")))
+      .filter(col("dist") <= maxDist)
+  }
+
+  /** Self-join form: all unordered pairs at edit distance ≤ `maxDist`
+    * within one table (id_a < id_b). The near-dup-detection spelling of
+    * [[edJoin]] for dirty dimension keys.
+    */
+  def edSelfJoin(df: DataFrame, id: Column, str: Column, maxDist: Int): DataFrame =
+    edJoin(df, id, str, df, id, str, maxDist)
+      .filter(col("l_id") < col("r_id"))
+      .select(col("l_id").as("id_a"), col("l_str").as("str_a"),
+        col("r_id").as("id_b"), col("r_str").as("str_b"), col("dist"))
+}

@@ -88,4 +88,40 @@ object Profile {
         round(col("n_orphans").cast("double") / col("n_children"), 6)
           .as("orphan_rate"))
   }
+
+  /** Robust per-group outlier detection: a row is flagged when its absolute
+    * deviation from the group median exceeds `k · 1.4826 · MAD` (median
+    * absolute deviation; 1.4826 makes MAD a consistent σ estimator under
+    * normality). The mean/σ z-score alternative ([[graft.operators.EmbedQc]]
+    * uses it for embeddings) is itself dragged by the outliers it hunts;
+    * MAD has a 50 % breakdown point — the standard data-quality screen for
+    * contaminated value columns.
+    *
+    * Exact medians = two `percentile` aggregation passes over 6-dp-rounded
+    * values (rounding before the percentile keeps interpolation arithmetic
+    * oracle-parity, the q_curate_quality_filter trick). The deviation table
+    * is narrow (group, id, value, med) and checkpointed once so the second
+    * pass and the final join don't re-run the scoring lineage. At 100 TB,
+    * swap the exact percentiles for [[Sketches.histogramQuantilesByGroup]]
+    * (one pass, constant state) when bin-width precision suffices.
+    *
+    * Flat groups (MAD = 0) yield null `robust_z` and are never flagged —
+    * zero spread means no evidence of outliers, not infinite z.
+    */
+  def madOutliers(df: DataFrame, grp: Column, id: Column, value: Column,
+      k: Double = 3.0): DataFrame = {
+    val rows = df.select(grp.as("g"), id.as("id"), round(value, 6).as("v"))
+    val med = rows.groupBy("g").agg(expr("percentile(v, 0.5)").as("med"))
+    val dev = rows.join(med, "g")
+      .withColumn("dev", round(abs(col("v") - col("med")), 6))
+      .localCheckpoint(false)
+    val mad = dev.groupBy("g").agg(expr("percentile(dev, 0.5)").as("mad"))
+    dev.join(mad, "g")
+      .select(col("g"), col("id"), col("v").as("value"),
+        round(col("med"), 6).as("med"),
+        when(col("mad") > 0,
+          round(col("dev") / (lit(1.4826) * col("mad")), 6)).as("robust_z"),
+        (col("mad") > 0 && col("dev") > lit(k) * lit(1.4826) * col("mad"))
+          .as("is_outlier"))
+  }
 }

@@ -473,4 +473,65 @@ object TextAnalysis {
       .orderBy(col("score").desc, col("tok").asc)
       .limit(topK)
   }
+
+  /** Per-group token-distribution drift: `KL(P_g ‖ P_corpus)` in nats over
+    * whitespace tokens — the domain-shift audit a mixing pipeline runs per
+    * source (and a crawl pipeline per snapshot) before trusting a drop.
+    * Every group token also appears in the corpus distribution, so the log
+    * ratio needs no smoothing.
+    *
+    * Scale shape: ONE corpus tokenize into a map-side-combined (group,
+    * token) count; everything after is vocabulary-bounded — the token-key
+    * equi-join against corpus counts, the tiny per-group totals, and a
+    * single-row grand total broadcast. The per-group sum folds a sorted
+    * list of term values (the partition-invariant float-sum pattern), so
+    * results are bit-stable under any partitioning.
+    */
+  def sourceTokenKl(docs: DataFrame, grp: Column, text: Column): DataFrame = {
+    // the (group, token) count table is the fan-in point: three consumers
+    // (corpus counts, group totals, the term join) — checkpoint the
+    // vocabulary-bounded table once so the corpus tokenize runs once
+    val gt = docs.select(grp.as("g"), explode(wsTokens(text)).as("t"))
+      .groupBy("g", "t").agg(count(lit(1)).as("c_gt"))
+      .localCheckpoint(false)
+    val glob = gt.groupBy("t").agg(sum("c_gt").as("c_t"))
+    val gTot = gt.groupBy("g").agg(sum("c_gt").as("n_g"))
+    val tot = glob.agg(sum("c_t").as("n"))
+    gt.join(glob, "t").join(gTot, "g").crossJoin(broadcast(tot))
+      .select(col("g"), col("n_g"),
+        ((col("c_gt") / col("n_g")) *
+          log((col("c_gt") / col("n_g")) / (col("c_t") / col("n")))).as("term"))
+      .groupBy("g")
+      .agg(max(col("n_g")).as("n_tokens"),
+        aggregate(sort_array(collect_list(col("term"))), lit(0.0),
+          (a, x) => a + x).as("klsum"))
+      .select(col("g"), col("n_tokens"), round(col("klsum"), 6).as("kl_nats"))
+  }
+
+  /** Exact phrase search over positional postings: documents containing the
+    * consecutive token sequence `phrase`, with occurrence counts — the
+    * inverted-index capability keyword/BM25 retrieval can't express
+    * (BM25 is bag-of-words; "hash table" ≠ "table hash").
+    *
+    * Scale shape: ONE corpus tokenize producing postings restricted to the
+    * phrase's terms (the `isin` filter runs in the scan projection, so
+    * non-phrase tokens never leave the first stage), checkpointed once,
+    * then m−1 narrow (id, pos) equi-joins chain the adjacency — each join
+    * input is term-selectivity-sized, never corpus-sized. The classic
+    * positional-index phrase plan, as a DataFrame.
+    */
+  def phraseSearch(docs: DataFrame, id: Column, text: Column,
+      phrase: Seq[String]): DataFrame = {
+    require(phrase.nonEmpty, "phrase must have at least one term")
+    val post = docs
+      .select(id.as("id"), posexplode(wsTokens(text)).as(Seq("pos", "t")))
+      .filter(col("t").isin(phrase.distinct: _*))
+      .localCheckpoint(false)
+    val start = post.filter(col("t") === phrase.head).select(col("id"), col("pos"))
+    val matched = phrase.zipWithIndex.tail.foldLeft(start) { case (acc, (term, i)) =>
+      acc.join(post.filter(col("t") === term)
+        .select(col("id"), (col("pos") - i).as("pos")), Seq("id", "pos"))
+    }
+    matched.groupBy("id").agg(count(lit(1)).as("n_occurrences"))
+  }
 }

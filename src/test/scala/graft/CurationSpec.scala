@@ -356,4 +356,35 @@ class CurationSpec extends SparkSpec {
     assert(got(5L) == 0.0)
     assert(got(6L) == 0.0 && got(7L) == 1.0)
   }
+
+  test("lengthBuckets: smallest-fit assignment, truncation into the top bucket") {
+    import testImplicits._
+    val df = Seq((1L, 5), (2L, 16), (3L, 20), (4L, 40), (5L, 200))
+      .toDF("id", "n")
+    val got = Curation.lengthBuckets(df, col("id"), col("n"), Seq(16, 32, 64))
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))).toMap
+    // 5,16 → 16; 20 → 32; 40,200 → 64 (200 truncated to 64 used tokens)
+    assert(got(16L) == ((2L, 21L, 32L, math.rint((1 - 21.0 / 32) * 1e6) / 1e6)))
+    assert(got(32L) == ((1L, 20L, 32L, math.rint((1 - 20.0 / 32) * 1e6) / 1e6)))
+    assert(got(64L) == ((2L, 104L, 128L, math.rint((1 - 104.0 / 128) * 1e6) / 1e6)))
+  }
+
+  test("groupAwareSplit: cluster members share a split; singletons fall back to own id") {
+    import testImplicits._
+    val ids = Seq(1L, 2L, 3L, 4L, 5L).toDF("doc_id")
+    val clusters = Seq((1L, 1L), (2L, 1L), (4L, 4L)).toDF("id", "cluster_id")
+    val got = Curation.groupAwareSplit(ids, col("doc_id"), clusters)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getString(2)))).toMap
+    assert(got(1L)._2 == got(2L)._2)          // same cluster, same split
+    assert(got(1L)._1 == 1L && got(2L)._1 == 1L)
+    assert(got(3L)._1 == 3L && got(5L)._1 == 5L) // singleton fallback
+    // the split decision is hashSplit arithmetic on the group id
+    def bucket(g: Long) = ((g % 1000003L) * 97L + 13L) % 1000L
+    got.foreach { case (_, (g, sp)) =>
+      val b = bucket(g)
+      val exp = if (b < 800) "train" else if (b < 900) "val" else "test"
+      assert(sp == exp)
+    }
+  }
 }

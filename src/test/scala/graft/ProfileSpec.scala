@@ -56,4 +56,23 @@ class ProfileSpec extends SparkSpec {
     assert(got.length == 2)
     assert(got.last.getDouble(4) == 1.0)
   }
+
+  test("madOutliers: hand-computed medians/MAD; flat group never flags") {
+    import testImplicits._
+    val df = Seq(
+      (1L, "b", 1.0), (2L, "b", 2.0), (3L, "b", 3.0), (4L, "b", 4.0), (5L, "b", 100.0),
+      (6L, "f", 7.0), (7L, "f", 7.0), (8L, "f", 7.0) // flat: MAD = 0
+    ).toDF("id", "g", "v")
+    val got = Profile.madOutliers(df, col("g"), col("id"), col("v"), k = 3.0)
+      .collect().map(r => r.getLong(1) ->
+        ((r.getDouble(3), Option(r.get(4)).map(_.asInstanceOf[Double]), r.getBoolean(5))))
+      .toMap
+    // group b: med = 3, devs = (2,1,0,1,97), MAD = 1
+    assert(got(1L)._1 == 3.0)
+    assert(got(5L)._2.get == math.rint(97.0 / 1.4826 * 1e6) / 1e6)
+    assert(got(5L)._3)                      // 97 > 3·1.4826·1
+    assert(!got(1L)._3 && !got(4L)._3)      // 2 < 4.45
+    // flat group: MAD = 0 → null z, never an outlier
+    assert(got(6L)._2.isEmpty && !got(6L)._3)
+  }
 }

@@ -242,4 +242,49 @@ class TextAnalysisSpec extends SparkSpec {
     assert(math.abs(one("y") - (0.15 + 0.85 * 2.0)) < 1e-9)
     assert(math.abs(one("x") - (0.15 + 0.85 * 0.5)) < 1e-9)
   }
+
+  test("sourceTokenKl: hand-computed divergence; identical groups give 0") {
+    import testImplicits._
+    val docs = Seq(("g1", "a a b"), ("g2", "b b")).toDF("src", "text")
+    val got = TextAnalysis.sourceTokenKl(docs, col("src"), col("text"))
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    // corpus: a=2, b=3, n=5. g1: p=(2/3, 1/3); g2: p(b)=1
+    val kl1 = 2.0 / 3 * math.log((2.0 / 3) / (2.0 / 5)) +
+      1.0 / 3 * math.log((1.0 / 3) / (3.0 / 5))
+    val kl2 = math.log(1.0 / (3.0 / 5))
+    assert(got("g1")._1 == 3L && got("g2")._1 == 2L)
+    assert(math.abs(got("g1")._2 - kl1) < 1e-6)
+    assert(math.abs(got("g2")._2 - kl2) < 1e-6)
+    // same distribution in every group → both KL exactly 0
+    val same = Seq(("g1", "a b"), ("g2", "a b")).toDF("src", "text")
+    val z = TextAnalysis.sourceTokenKl(same, col("src"), col("text"))
+      .collect().map(_.getDouble(2))
+    assert(z.forall(_ == 0.0))
+  }
+
+  test("phraseSearch: counts equal brute-force sliding scan; overlaps counted") {
+    import testImplicits._
+    val docs = Seq(
+      (1L, "a b a b a"),      // "a b a" at starts 0 and 2 (overlapping)
+      (2L, "x a b a y"),      // one occurrence
+      (3L, "a a b b a"),      // none
+      (4L, "a b")             // too short for the trigram
+    ).toDF("id", "text")
+    val got = TextAnalysis.phraseSearch(docs, col("id"), col("text"),
+        Seq("a", "b", "a"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    def brute(s: String, ph: Seq[String]): Long = {
+      val t = s.split("\\s+").toSeq
+      (0 to t.length - ph.length).count(i => t.slice(i, i + ph.length) == ph).toLong
+    }
+    val exp = Seq((1L, "a b a b a"), (2L, "x a b a y"), (3L, "a a b b a"),
+      (4L, "a b")).map { case (i, s) => i -> brute(s, Seq("a", "b", "a")) }
+      .filter(_._2 > 0).toMap
+    assert(got == exp)
+    assert(got(1L) == 2L)     // overlapping starts both counted
+    // single-term phrase degenerates to term frequency
+    val one = TextAnalysis.phraseSearch(docs, col("id"), col("text"), Seq("a"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(one(1L) == 3L && one(3L) == 3L && one(4L) == 1L)
+  }
 }
