@@ -60,6 +60,43 @@ object SparkEntry {
       |  LIMIT %d
       |) ORDER BY score DESC, id ASC""".stripMargin
 
+  /** MMR oracle: top-12 shortlist + pairwise sims as CTEs, then the greedy
+    * steps 2..k unrolled — each step's selected-set is the UNION of prior
+    * step CTEs, the argmax an ORDER BY … LIMIT 1 with the same (mmr DESC,
+    * id ASC) tie-break, and the constants 0.75/0.25 exact in both engines.
+    */
+  private def mmrOracle(k: Int): String = {
+    val steps = (2 to k).map { r =>
+      val selUnion = (1 until r)
+        .map(i => s"SELECT id FROM s$i").mkString(" UNION ALL ")
+      s"""s$r AS (
+         |  SELECT $r AS rank, c.id, c.rel, 0.75 * c.rel - 0.25 * max(s.sim) AS mmr
+         |  FROM cand c JOIN sims s ON c.id = s.id_a AND s.id_b IN ($selUnion)
+         |  WHERE c.id NOT IN ($selUnion)
+         |  GROUP BY c.id, c.rel
+         |  ORDER BY mmr DESC, c.id ASC LIMIT 1
+         |)""".stripMargin
+    }.mkString(", ")
+    val all = ("SELECT * FROM p1" +: (2 to k).map(r => s"SELECT * FROM s$r"))
+      .mkString(" UNION ALL ")
+    s"""WITH cand AS (
+       |  SELECT id, score AS rel, v FROM (
+       |    SELECT CAST(e.vec_id AS VARCHAR) AS id,
+       |      list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), CAST(q.qe AS DOUBLE[])) AS score,
+       |      CAST(e.embedding AS DOUBLE[]) AS v
+       |    FROM embeddings e, (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0) q
+       |    ORDER BY score DESC, id ASC LIMIT 12
+       |  )
+       |), sims AS (
+       |  SELECT a.id AS id_a, b.id AS id_b, list_cosine_similarity(a.v, b.v) AS sim
+       |  FROM cand a JOIN cand b ON a.id <> b.id
+       |), s1 AS (SELECT id, rel FROM cand ORDER BY rel DESC, id ASC LIMIT 1),
+       |p1 AS (SELECT 1 AS rank, id, rel, 0.75 * rel AS mmr FROM s1),
+       |$steps
+       |SELECT CAST(rank AS INT) AS rank, id, round(rel, 6) AS rel, round(mmr, 6) AS mmr
+       |FROM ($all) ORDER BY rank""".stripMargin
+  }
+
   /** Run a compiled metadata predicate over the events-derived metadata
     * corpus, returning matching ids in numeric order.
     */
@@ -1952,6 +1989,32 @@ object SparkEntry {
           col("doc_id"), col("text"), Seq("table", "hash"))
         .withColumnRenamed("id", "doc_id")
         .orderBy("doc_id")),
+    // exact mutual k-NN graph: all-pairs cosine through the 1-Bucket-Theta
+    // grid (no corpus broadcast), GroupTopK partial heaps cut the exchange
+    // to <= n·k edges, mutual = self-semi-join on the edge list
+    "q_embed_knn_graph" -> ((s, dir) =>
+      Search.knnGraphMutual(s.read.parquet(s"$dir/embeddings.parquet"),
+          col("vec_id"), col("embedding"), k = 6)
+        .withColumnRenamed("id", "vec_id")
+        .orderBy("vec_id")),
+    // MMR diversified rerank over the exact top-12 shortlist: greedy
+    // λ·rel − (1−λ)·max-sim selection, candidate generation distributed,
+    // k−1 tiny argmax jobs over the checkpointed shortlist
+    "q_knn_mmr" -> ((s, dir) => {
+      val embs = s.read.parquet(s"$dir/embeddings.parquet")
+      val q = broadcast(embs.filter(col("vec_id") === 0)
+        .select(col("embedding").as("qv"),
+          sqrt(VF.normSq(col("embedding"))).as("qnrm")))
+      val cands = embs.crossJoin(q)
+        .withColumn("rel", VF.dot(col("embedding"), col("qv")) /
+          (sqrt(VF.normSq(col("embedding"))) * col("qnrm")))
+        .withColumn("sid", col("vec_id").cast("string"))
+        .orderBy(desc("rel"), asc("sid"))
+        .limit(12)
+      Search.mmrRerank(cands, col("sid"), col("rel"), col("embedding"),
+          k = 5, lambda = 0.75)
+        .orderBy("rank")
+    }),
     // leakage-aware split: near-dup clusters (LSH pairs -> connected
     // components) decide the split via the cluster id's hash arithmetic, so
     // no near-dup pair ever crosses train/val/test — the fix for what
@@ -4120,6 +4183,26 @@ object SparkEntry {
         |  round(CASE WHEN nh >= 6 AND variance > 0
         |    THEN (CAST(n_events AS DOUBLE) - mean) / sqrt(variance) END, 6) AS z
         |FROM z ORDER BY event_type, bucket_start""".stripMargin,
+    "q_knn_mmr" -> mmrOracle(5),
+    // mutual k-NN oracle: all-pairs cosine, per-src row_number rank <= k,
+    // mutual = reciprocated-edge join, isolates kept via the left join
+    "q_embed_knn_graph" ->
+      """WITH e AS (
+        |  SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+        |), sc AS (
+        |  SELECT a.id AS src, b.id AS dst,
+        |    row_number() OVER (PARTITION BY a.id
+        |      ORDER BY list_cosine_similarity(a.v, b.v) DESC, b.id ASC) AS rnk
+        |  FROM e a JOIN e b ON a.id <> b.id
+        |), ed AS (SELECT src, dst FROM sc WHERE rnk <= 6
+        |), m AS (
+        |  SELECT e1.src FROM ed e1 JOIN ed e2
+        |    ON e1.src = e2.dst AND e1.dst = e2.src
+        |)
+        |SELECT e.id AS vec_id, coalesce(d.c, 0) AS mutual_degree
+        |FROM e LEFT JOIN (SELECT src, count(*) AS c FROM m GROUP BY src) d
+        |  ON e.id = d.src
+        |ORDER BY vec_id""".stripMargin,
     // ER oracle: the same deterministic one-char-deletion corruption, then
     // the brute-force cross join with exact levenshtein — the blocking-free
     // ground truth the deletion-neighborhood join must reproduce exactly

@@ -123,6 +123,98 @@ object Search {
     org.apache.spark.sql.graft.GroupTopK.perGroup(
       scored, Seq(col("anchor_id")), Seq(desc("score"), asc("id")), k)
   }
+
+  /** Exact mutual k-NN graph: for every vector its top-`k` cosine
+    * neighbors, keeping an edge only when BOTH endpoints rank each other —
+    * the symmetric neighborhood graph that seeds manifold methods (UMAP,
+    * spectral clustering) and flags isolated/duplicate regions (mutual
+    * degree 0 = isolate, degree ≈ k = dense near-dup pocket). Returns
+    * `(id, mutual_degree)` for every vector.
+    *
+    * Scale shape: corpus-sized query sets break the
+    * [[findMostSimilarBatch]] broadcast, so the all-pairs scoring runs as
+    * the 1-Bucket-Theta grid instead (the [[Dedup.cosinePairs]] exchange:
+    * destinations hashed into `blocks`, sources replicated across them —
+    * n²/blocks pairs per reducer, no corpus broadcast), then GroupTopK's
+    * partial heap cuts each reducer's output to ≤ srcs·k rows before the
+    * regroup. The mutual check is a self-semi-join on the ≤ n·k edge list,
+    * and norms are materialized once per row, not per pair.
+    */
+  def knnGraphMutual(embs: DataFrame, id: Column, vec: Column, k: Int,
+      blocks: Int = 32): DataFrame = {
+    require(k >= 1 && blocks >= 1)
+    val t = embs.select(id.as("id"), vec.as("v"))
+      .withColumn("nrm", sqrt(VF.normSq(col("v"))))
+    val withBlk = t.withColumn("_blk", pmod(hash(col("id")), lit(blocks)))
+    val left = t.withColumn("_pb", explode(array((0 until blocks).map(lit(_)): _*)))
+    // shuffle_hash on the block side for the same reason as the dedup grid:
+    // the block-key exchange IS the intended parallelism dial
+    val scored = left.as("a").join(withBlk.as("b").hint("shuffle_hash"),
+        col("a._pb") === col("b._blk") && col("a.id") =!= col("b.id"))
+      .select(col("a.id").as("src"), col("b.id").as("dst"),
+        (VF.dot(col("a.v"), col("b.v")) / (col("a.nrm") * col("b.nrm"))).as("score"))
+    val edges = org.apache.spark.sql.graft.GroupTopK.perGroup(
+        scored, Seq(col("src")), Seq(desc("score"), asc("dst")), k)
+      .select("src", "dst")
+      .localCheckpoint(false) // both sides of the mutual semi-join
+    val mutual = edges.as("e1").join(edges.as("e2"),
+      col("e1.src") === col("e2.dst") && col("e1.dst") === col("e2.src"),
+      "left_semi")
+    t.select(col("id"))
+      .join(mutual.groupBy("src").agg(count(lit(1)).as("md")),
+        col("id") === col("src"), "left")
+      .select(col("id"), coalesce(col("md"), lit(0L)).as("mutual_degree"))
+  }
+
+  /** MMR (maximal marginal relevance, Carbonell & Goldstein 1998)
+    * diversified re-ranking: greedily select `k` of the candidates, each
+    * step maximizing `λ·rel − (1−λ)·max_{s∈selected} cos(c, s)` — the
+    * standard redundancy-removal pass over a retrieval shortlist (near-dup
+    * hits that q_knn happily returns adjacent get suppressed).
+    *
+    * The DISTRIBUTED part is candidate generation (a bounded top-N
+    * retrieval upstream); the greedy loop runs k−1 tiny jobs over the
+    * checkpointed candidate table and its N² pairwise-cosine table — per
+    * step only the argmax row crosses to the driver (the selection ids are
+    * the loop state, like [[IvfSearch.lloydStep]]'s centroid sync). Ties
+    * break on id ascending at every step; rank-1 is pure relevance with
+    * `mmr = λ·rel`.
+    *
+    * Output: `(rank, id, rel, mmr)`, one row per selection, rank 1..k.
+    */
+  def mmrRerank(cands: DataFrame, id: Column, rel: Column, vec: Column,
+      k: Int, lambda: Double = 0.75): DataFrame = {
+    require(k >= 1 && lambda > 0 && lambda <= 1)
+    val spark = cands.sparkSession
+    val c = cands.select(id.cast("string").as("id"), rel.as("rel"), vec.as("v"))
+      .withColumn("nrm", sqrt(VF.normSq(col("v"))))
+      .localCheckpoint(false)
+    val sims = c.as("a").join(c.as("b"), col("a.id") =!= col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        (VF.dot(col("a.v"), col("b.v")) / (col("a.nrm") * col("b.nrm"))).as("sim"))
+      .localCheckpoint(false)
+    val first = c.orderBy(col("rel").desc, col("id").asc)
+      .select(col("id"), col("rel")).head()
+    var picks = Vector((1, first.getString(0), first.getDouble(1),
+      lambda * first.getDouble(1)))
+    var sel = Vector(first.getString(0))
+    for (r <- 2 to math.min(k, c.count().toInt)) {
+      val next = c.filter(!col("id").isin(sel: _*))
+        .join(sims.filter(col("id_b").isin(sel: _*))
+          .groupBy("id_a").agg(max(col("sim")).as("maxsim")),
+          col("id") === col("id_a"))
+        .withColumn("mmr",
+          lit(lambda) * col("rel") - lit(1.0 - lambda) * col("maxsim"))
+        .orderBy(col("mmr").desc, col("id").asc)
+        .select(col("id"), col("rel"), col("mmr")).head()
+      picks :+= ((r, next.getString(0), next.getDouble(1), next.getDouble(2)))
+      sel :+= next.getString(0)
+    }
+    import spark.implicits._
+    picks.toDF("rank", "id", "rel", "mmr")
+      .select(col("rank"), col("id"), round(col("rel"), 6).as("rel"),
+        round(col("mmr"), 6).as("mmr"))
+  }
 }
 
 /** Autocut (reference `autocut_scores`, vector_database.py:443-464): over a

@@ -508,6 +508,43 @@ object TextAnalysis {
       .select(col("g"), col("n_tokens"), round(col("klsum"), 6).as("kl_nats"))
   }
 
+  /** `KL(batch ‖ reference)` of one document batch against a FROZEN
+    * reference token distribution `(t, c_t)` — the one-sided drift score an
+    * ingest monitor computes per arriving drop ([[sourceTokenKl]] is the
+    * all-groups batch audit; this is the single-group kernel the streaming
+    * monitor reuses). Tokens absent from the reference take the Laplace
+    * floor `1/(n_ref + V + 1)` (every present token gets `(c_t+1)` mass),
+    * so out-of-vocabulary text raises the score instead of crashing the
+    * log. Returns ONE row: (n_tokens, n_types, oov_types, kl_nats); empty
+    * batches return no row.
+    *
+    * Scale shape: one batch tokenize into vocabulary-bounded counts; the
+    * reference and both total rows ride as broadcasts; sorted-fold sum.
+    */
+  def klAgainstReference(docs: DataFrame, text: Column,
+      reference: DataFrame): DataFrame = {
+    val refTot = reference.agg(sum(col("c_t")).cast("long").as("n_ref"),
+      count(lit(1)).as("v_ref"))
+    val bt = docs.select(explode(wsTokens(text)).as("t"))
+      .groupBy("t").agg(count(lit(1)).as("c_bt"))
+      .localCheckpoint(false) // two consumers: batch totals + the term join
+    val bTot = bt.agg(sum(col("c_bt")).cast("long").as("n_b"),
+      count(lit(1)).as("types_b"))
+    bt.join(broadcast(reference.select(col("t"), col("c_t"))), Seq("t"), "left")
+      .crossJoin(broadcast(bTot)).crossJoin(broadcast(refTot))
+      .select(col("n_b"), col("types_b"),
+        ((col("c_bt") / col("n_b")) *
+          log((col("c_bt") / col("n_b")) /
+            ((coalesce(col("c_t"), lit(0L)) + lit(1L)) /
+              (col("n_ref") + col("v_ref") + lit(1L))))).as("term"),
+        col("c_t").isNull.cast("long").as("oov"))
+      .agg(max(col("n_b")).as("n_tokens"), max(col("types_b")).as("n_types"),
+        sum(col("oov")).as("oov_types"),
+        round(aggregate(sort_array(collect_list(col("term"))), lit(0.0),
+          (a, x) => a + x), 6).as("kl_nats"))
+      .filter(col("n_tokens").isNotNull)
+  }
+
   /** Exact phrase search over positional postings: documents containing the
     * consecutive token sequence `phrase`, with occurrence counts — the
     * inverted-index capability keyword/BM25 retrieval can't express

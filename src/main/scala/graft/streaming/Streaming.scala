@@ -489,6 +489,38 @@ object Streaming {
       }
       .start()
 
+  /** Streaming token-distribution drift monitor: per micro-batch, the
+    * Laplace-smoothed `KL(batch ‖ reference)` of the arriving documents'
+    * token distribution against a FROZEN reference table `(t, c_t)` (built
+    * once from the trusted corpus — distribution drift in the reference
+    * itself is an offline rebuild-and-cutover, never streaming mutation,
+    * the quantizer-maintenance rule). One (batch_id, n_tokens, n_types,
+    * oov_types, kl_nats) row per batch, idempotent via the batch_id
+    * dynamic-partition overwrite; an alert threshold on `kl_nats` +
+    * `oov_types` is the reader's one-filter query. State per batch is ONE
+    * row — the monitor's footprint is independent of batch size.
+    */
+  def startDriftMonitor(
+      docs: DataFrame,          // streaming; must contain the text column
+      text: Column,
+      reference: DataFrame,     // static (t, c_t)
+      outPath: String,
+      checkpoint: String,
+      queryName: String = "drift_monitor"): StreamingQuery =
+    docs.writeStream
+      .queryName(queryName)
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        graft.operators.TextAnalysis.klAgainstReference(batch, text, reference)
+          .withColumn("batch_id", lit(batchId))
+          .write.mode("overwrite")
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("batch_id")
+          .parquet(outPath)
+        ()
+      }
+      .start()
+
   /** Score the maintained volume state for anomalies: sum-merge the
     * per-batch bucket counts (the true totals, however batches straddled
     * buckets) and run the trailing z-score epilogue

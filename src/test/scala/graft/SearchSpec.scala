@@ -217,4 +217,64 @@ class SearchSpec extends SparkSpec {
       (1L, 2L, 2L, 1.0),
       (2L, 1L, 0L, 0.0)))
   }
+
+  test("knnGraphMutual: equals brute-force mutual kNN; grid plan, no broadcast NLJ") {
+    import testImplicits._
+    val rnd = new scala.util.Random(11)
+    val vecs = (0L until 40L).map(i => (i, Array.fill(8)(rnd.nextFloat() - 0.5f)))
+    val df = vecs.toDF("vid", "emb")
+    val k = 4
+    val got = Search.knnGraphMutual(df, col("vid"), col("emb"), k, blocks = 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // brute force on the driver
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0
+      for (i <- a.indices) { d += a(i).toDouble * b(i); na += a(i).toDouble * a(i); nb += b(i).toDouble * b(i) }
+      d / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val edges = vecs.flatMap { case (i, vi) =>
+      vecs.filter(_._1 != i)
+        .map { case (j, vj) => (j, cos(vi, vj)) }
+        .sortBy { case (j, s) => (-s, j) }
+        .take(k).map { case (j, _) => (i, j) }
+    }.toSet
+    val mutual = edges.filter { case (i, j) => edges.contains((j, i)) }
+    val exp = vecs.map(_._1).map(i => i -> mutual.count(_._1 == i).toLong).toMap
+    assert(got == exp)
+    assert(got.values.sum > 0)    // some reciprocated edges exist
+    assert(got.values.exists(_ < k)) // and not everything is mutual
+    // scale contract: grid equi-join + partial/final GroupTopK, no
+    // cartesian and no broadcast nested loop anywhere in the plan
+    val plan = Search.knnGraphMutual(df, col("vid"), col("emb"), k, blocks = 4)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoop"),
+      s"grid join must not plan a product:\n$plan")
+  }
+
+  test("mmrRerank: equals hand-run greedy MMR; demotes the near-duplicate hit") {
+    import testImplicits._
+    // candidate 1 and 2 are near-identical (cos ~ 1); pure top-k would
+    // rank them 1-2, MMR must push the duplicate behind the diverse 3
+    val cands = Seq(
+      ("1", 0.95, Array(1.0f, 0.0f, 0.0f)),
+      ("2", 0.94, Array(0.999f, 0.04f, 0.0f)),
+      ("3", 0.80, Array(0.0f, 1.0f, 0.0f)),
+      ("4", 0.60, Array(0.0f, 0.0f, 1.0f))
+    ).toDF("id", "rel", "v")
+    val got = Search.mmrRerank(cands, col("id"), col("rel"), col("v"),
+        k = 4, lambda = 0.75)
+      .orderBy("rank").collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getDouble(3)))
+    // step-3 hand check: "2" scores 0.75·0.94 − 0.25·cos(2,1) ≈ 0.455 vs
+    // "4" at 0.75·0.60 = 0.45 — the near-dup is demoted below "3" but
+    // narrowly beats the weakly-relevant "4"
+    assert(got.map(_._2).toSeq == Seq("1", "3", "2", "4"))
+    // hand values: rank1 mmr = 0.75·0.95; rank2 ("3"): 0.75·0.8 − 0.25·0
+    assert(got(0)._3 == math.rint(0.75 * 0.95 * 1e6) / 1e6)
+    assert(got(1)._3 == math.rint(0.75 * 0.80 * 1e6) / 1e6)
+    // k past the candidate count returns every candidate once
+    val all = Search.mmrRerank(cands, col("id"), col("rel"), col("v"),
+      k = 10, lambda = 0.75).collect()
+    assert(all.length == 4 && all.map(_.getString(1)).distinct.length == 4)
+  }
 }

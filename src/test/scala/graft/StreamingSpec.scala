@@ -558,4 +558,41 @@ class StreamingSpec extends SparkSpec {
       assert(perBatch == 2L, "bucket 3 must have partial counts from two batches")
     } finally q.stop()
   }
+
+  test("streaming drift monitor: per-batch KL rows equal the batch twin; drifted batch scores higher") {
+    val sp = spark
+    import sp.implicits._
+    implicit val sqlCtx = sp.sqlContext
+    import graft.operators.TextAnalysis
+    val in = MemoryStream[String]
+    val out = tmpDir("graft_drift")
+    // frozen reference: uniform-ish a/b/c corpus
+    val ref = Seq.fill(40)("a") ++ Seq.fill(30)("b") ++ Seq.fill(30)("c")
+    val reference = ref.toDF("t").groupBy("t").agg(count(lit(1)).as("c_t"))
+      .localCheckpoint(false)
+    val q = Streaming.startDriftMonitor(in.toDF().toDF("text"), col("text"),
+      reference, s"$out/kl", s"$out/ckpt")
+    val b1 = Seq("a b c a", "b c a a")          // in-distribution
+    val b2 = Seq("zz zz qq zz", "qq zz a zz")   // heavy OOV drift
+    try {
+      in.addData(b1: _*)
+      q.processAllAvailable()
+      in.addData(b2: _*)
+      q.processAllAvailable()
+      val rows = sp.read.parquet(s"$out/kl")
+        .collect().map(r => r.getAs[Long]("batch_id") ->
+          ((r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+      assert(rows.keySet == Set(0L, 1L))
+      // each batch row equals the batch-kernel twin run directly
+      for ((bid, docs) <- Seq(0L -> b1, 1L -> b2)) {
+        val t = TextAnalysis.klAgainstReference(docs.toDF("text"), col("text"),
+          reference).head()
+        assert(rows(bid) == ((t.getLong(0), t.getLong(1), t.getLong(2),
+          t.getDouble(3))))
+      }
+      // drifted batch scores far above the in-distribution one, with OOV
+      assert(rows(1L)._4 > rows(0L)._4 + 1.0)
+      assert(rows(0L)._3 == 0L && rows(1L)._3 == 2L) // zz, qq unseen
+    } finally q.stop()
+  }
 }

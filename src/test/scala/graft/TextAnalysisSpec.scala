@@ -262,6 +262,26 @@ class TextAnalysisSpec extends SparkSpec {
     assert(z.forall(_ == 0.0))
   }
 
+  test("klAgainstReference: hand-computed smoothed KL; OOV takes the Laplace floor") {
+    import testImplicits._
+    val reference = (Seq.fill(40)("a") ++ Seq.fill(30)("b") ++ Seq.fill(30)("c"))
+      .toDF("t").groupBy("t").agg(count(lit(1)).as("c_t"))
+    // n_ref=100, V=3 → smoothing denominator 104
+    val r1 = TextAnalysis.klAgainstReference(Seq("a b").toDF("text"),
+      col("text"), reference).head()
+    val exp1 = 0.5 * math.log(0.5 / (41.0 / 104)) + 0.5 * math.log(0.5 / (31.0 / 104))
+    assert(r1.getLong(0) == 2L && r1.getLong(1) == 2L && r1.getLong(2) == 0L)
+    assert(math.abs(r1.getDouble(3) - exp1) < 1e-6)
+    // pure OOV: p=1 against the floor 1/104 → KL = ln(104)
+    val r2 = TextAnalysis.klAgainstReference(Seq("zz").toDF("text"),
+      col("text"), reference).head()
+    assert(r2.getLong(2) == 1L)
+    assert(math.abs(r2.getDouble(3) - math.log(104.0)) < 1e-6)
+    // empty batch → no row
+    assert(TextAnalysis.klAgainstReference(
+      Seq.empty[String].toDF("text"), col("text"), reference).count() == 0L)
+  }
+
   test("phraseSearch: counts equal brute-force sliding scan; overlaps counted") {
     import testImplicits._
     val docs = Seq(
