@@ -97,6 +97,49 @@ object SparkEntry {
        |FROM ($all) ORDER BY rank""".stripMargin
   }
 
+  /** BPE oracle: the merge rounds unrolled as CTE triples — p_r picks the
+    * top pair over w_{r-1}'s adjacent-symbol counts (cnt DESC, pair ASC),
+    * m_r splits it, w_r rewrites every state with the same greedy
+    * left-to-right `list_reduce` fold the Spark `aggregate` runs (a merged
+    * symbol can never equal its own left side, so compare-with-last IS the
+    * classic non-overlapping scan).
+    */
+  private def bpeOracle(n: Int): String = {
+    val rounds = (1 to n).map { r =>
+      val prev = s"w${r - 1}"
+      s"""p$r AS (
+         |  SELECT pr, cnt FROM (
+         |    SELECT u.pr AS pr, sum(n_w) AS cnt
+         |    FROM $prev, unnest(CASE WHEN len(string_split(state, ' ')) >= 2
+         |      THEN list_transform(range(1, len(string_split(state, ' '))),
+         |        i -> string_split(state, ' ')[i] || ' ' || string_split(state, ' ')[i+1])
+         |      ELSE CAST([] AS VARCHAR[]) END) AS u(pr)
+         |    GROUP BY u.pr
+         |  ) ORDER BY cnt DESC, pr ASC LIMIT 1
+         |), m$r AS (
+         |  SELECT string_split(pr, ' ')[1] AS x, string_split(pr, ' ')[2] AS y, pr, cnt FROM p$r
+         |), w$r AS (
+         |  SELECT list_reduce(list_prepend('', string_split(state, ' ')), (acc, t) ->
+         |    CASE WHEN acc = '' THEN t
+         |         WHEN string_split(acc, ' ')[-1] = m$r.x AND t = m$r.y THEN
+         |           CASE WHEN acc = m$r.x THEN m$r.x || m$r.y
+         |                ELSE substr(acc, 1, length(acc) - length(m$r.x) - 1) || ' ' || m$r.x || m$r.y END
+         |         ELSE acc || ' ' || t END) AS state, n_w
+         |  FROM $prev, m$r
+         |)""".stripMargin
+    }.mkString(", ")
+    val all = (1 to n)
+      .map(r => s"SELECT $r AS step, pr AS pair, cnt FROM m$r")
+      .mkString(" UNION ALL ")
+    s"""WITH w0 AS (
+       |  SELECT array_to_string(string_split(w, ''), ' ') AS state, count(*) AS n_w
+       |  FROM (SELECT unnest(string_split_regex(text, '\\s+')) AS w FROM documents)
+       |  GROUP BY 1
+       |), $rounds
+       |SELECT CAST(step AS INT) AS step, pair, CAST(cnt AS BIGINT) AS cnt
+       |FROM ($all) ORDER BY step""".stripMargin
+  }
+
   /** Run a compiled metadata predicate over the events-derived metadata
     * corpus, returning matching ids in numeric order.
     */
@@ -1989,6 +2032,14 @@ object SparkEntry {
           col("doc_id"), col("text"), Seq("table", "hash"))
         .withColumnRenamed("id", "doc_id")
         .orderBy("doc_id")),
+    // BPE vocabulary induction: first 4 merges learned from word-frequency
+    // states — one corpus tokenize, then vocabulary-sized rounds (the
+    // production BPE-trainer shape)
+    "q_text_bpe" -> ((s, dir) =>
+      TextAnalysis.bpeMerges(
+          graft.sources.Testdata.table(s, dir, "documents"),
+          col("text"), nMerges = 4)
+        .orderBy("step")),
     // exact mutual k-NN graph: all-pairs cosine through the 1-Bucket-Theta
     // grid (no corpus broadcast), GroupTopK partial heaps cut the exchange
     // to <= n·k edges, mutual = self-semi-join on the edge list
@@ -4184,6 +4235,7 @@ object SparkEntry {
         |    THEN (CAST(n_events AS DOUBLE) - mean) / sqrt(variance) END, 6) AS z
         |FROM z ORDER BY event_type, bucket_start""".stripMargin,
     "q_knn_mmr" -> mmrOracle(5),
+    "q_text_bpe" -> bpeOracle(4),
     // mutual k-NN oracle: all-pairs cosine, per-src row_number rank <= k,
     // mutual = reciprocated-edge join, isolates kept via the left join
     "q_embed_knn_graph" ->

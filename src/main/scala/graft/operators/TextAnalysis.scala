@@ -508,6 +508,69 @@ object TextAnalysis {
       .select(col("g"), col("n_tokens"), round(col("klsum"), 6).as("kl_nats"))
   }
 
+  /** BPE merge induction (Sennrich et al. 2016 — public paper): learn the
+    * first `nMerges` byte-pair merges from the corpus. Each round counts
+    * adjacent symbol pairs (weighted by word frequency), picks the most
+    * frequent (count desc, pair asc tie-break), and rewrites every word
+    * state by the standard greedy left-to-right merge. Returns the merge
+    * table `(step, pair, cnt)` — the vocabulary-induction artifact a
+    * tokenizer trainer ships.
+    *
+    * Scale shape: the corpus is read ONCE (tokenize + word-count); every
+    * merge round runs on the VOCABULARY-sized word-state table (exactly how
+    * production BPE trainers scale — they train on word counts, never raw
+    * text), checkpointed per round so the driver loop's lineage stays flat.
+    * The greedy rewrite is a codegen'd `aggregate` fold: merging pair (x,y)
+    * appends each symbol unless the previous appended symbol is `x` and the
+    * current is `y` — equivalent to the classic non-overlapping
+    * left-to-right scan because a merged symbol `x||y` can never equal `x`.
+    */
+  def bpeMerges(docs: DataFrame, text: Column, nMerges: Int): DataFrame = {
+    require(nMerges >= 1)
+    val spark = docs.sparkSession
+    // word states: space-joined character symbols, frequency-weighted —
+    // "(?!^)" splits between characters; Spark's split keeps a TRAILING
+    // empty token (Java split with limit -1, the lookahead also matches at
+    // end-of-string), so empties are stripped before joining
+    var states = docs.select(explode(wsTokens(text)).as("w"))
+      .filter(col("w") =!= "")
+      .groupBy("w").agg(count(lit(1)).as("n_w"))
+      .select(concat_ws(" ",
+        array_remove(split(col("w"), "(?!^)"), "")).as("state"), col("n_w"))
+      .localCheckpoint(false)
+    var merges = Vector.empty[(Int, String, Long)]
+    var done = false
+    for (m <- 1 to nMerges if !done) {
+      val toks = split(col("state"), " ")
+      val prs = when(size(toks) >= 2,
+        transform(sequence(lit(1), size(toks) - 1),
+          i => concat(element_at(toks, i), lit(" "), element_at(toks, i + 1))))
+        .otherwise(array().cast("array<string>"))
+      val top = states.select(explode(prs).as("pr"), col("n_w"))
+        .groupBy("pr").agg(sum(col("n_w")).as("cnt"))
+        .orderBy(desc("cnt"), asc("pr"))
+        .head(1)
+      if (top.isEmpty) done = true
+      else {
+        val pr = top(0).getString(0)
+        merges :+= ((m, pr, top(0).getLong(1)))
+        val Array(x, y) = pr.split(" ", 2)
+        val merged = x + y
+        val fold = aggregate(split(col("state"), " "), lit(""),
+          (acc, t) => when(acc === "", t)
+            .when(substring_index(acc, " ", -1) === x && t === y,
+              when(acc === x, lit(merged))
+                .otherwise(concat(
+                  acc.substr(lit(1), length(acc) - lit(x.length + 1)),
+                  lit(" " + merged))))
+            .otherwise(concat(acc, lit(" "), t)))
+        states = states.withColumn("state", fold).localCheckpoint(false)
+      }
+    }
+    import spark.implicits._
+    merges.toDF("step", "pair", "cnt")
+  }
+
   /** `KL(batch ‖ reference)` of one document batch against a FROZEN
     * reference token distribution `(t, c_t)` — the one-sided drift score an
     * ingest monitor computes per arriving drop ([[sourceTokenKl]] is the

@@ -262,6 +262,24 @@ class TextAnalysisSpec extends SparkSpec {
     assert(z.forall(_ == 0.0))
   }
 
+  test("bpeMerges: hand-run merge sequence on the classic tiny corpus; early stop") {
+    import testImplicits._
+    val docs = Seq("ab ab abc", "ab").toDF("text")
+    // words: "ab"×3, "abc"×1 → pairs: (a b)=4, (b c)=1 → merge1 = "a b"/4
+    // states: "ab"×3, "ab c" → merge2 = "ab c"/1 → all single symbols → stop
+    val got = TextAnalysis.bpeMerges(docs, col("text"), nMerges = 4)
+      .orderBy("step").collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getLong(2)))
+    assert(got.toSeq == Seq((1, "a b", 4L), (2, "ab c", 1L)))
+    // greedy non-overlap: "aaaa" merges (a a) to two "aa" symbols, so round
+    // 2's top pair is (aa aa)
+    val rep = Seq("aaaa aaaa").toDF("text")
+    val g2 = TextAnalysis.bpeMerges(rep, col("text"), nMerges = 2)
+      .orderBy("step").collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getLong(2)))
+    assert(g2.toSeq == Seq((1, "a a", 6L), (2, "aa aa", 2L)))
+  }
+
   test("klAgainstReference: hand-computed smoothed KL; OOV takes the Laplace floor") {
     import testImplicits._
     val reference = (Seq.fill(40)("a") ++ Seq.fill(30)("b") ++ Seq.fill(30)("c"))
