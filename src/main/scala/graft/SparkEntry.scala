@@ -2032,6 +2032,39 @@ object SparkEntry {
           col("doc_id"), col("text"), Seq("table", "hash"))
         .withColumnRenamed("id", "doc_id")
         .orderBy("doc_id")),
+    // cross-snapshot content novelty: new-drop grams left-joined against
+    // the broadcast reference fingerprint set — one tokenize per side, the
+    // acquisition-value measure for an arriving crawl
+    "q_curate_drop_novelty" -> ((s, dir) => {
+      val docs = graft.sources.Testdata.table(s, dir, "documents")
+      Curation.dropNovelty(
+          docs.filter(col("doc_id") >= 400), col("doc_id"), col("text"),
+          docs.filter(col("doc_id") < 400), col("text"), n = 3)
+        .withColumnRenamed("id", "doc_id")
+        .orderBy("doc_id")
+    }),
+    // exactly-5-per-source deterministic sample: id-hash rank through the
+    // GroupTopK bounded heap — no RNG, no window sort, same rows every run
+    "q_curate_exact_stratified" -> ((s, dir) =>
+      Curation.stratifiedExact(
+          graft.sources.Testdata.table(s, dir, "documents"),
+          col("doc_id"), col("source"), nPerGroup = 5)
+        .withColumnRenamed("grp", "source").withColumnRenamed("id", "doc_id")
+        .orderBy("source", "doc_id")),
+    // Luhn-validated card redaction: deterministic card/decoy planting on
+    // the corpus, then checksum-gated replace — the valid PAN is redacted,
+    // the one-digit-off decoy survives
+    "q_curate_scrub_cards" -> ((s, dir) =>
+      graft.sources.Testdata.table(s, dir, "documents")
+        .withColumn("text2", concat(col("text"),
+          when(pmod(col("doc_id"), lit(7)) === 0,
+            lit(" card 4532015112830366 ok")).otherwise(lit("")),
+          when(pmod(col("doc_id"), lit(11)) === 0,
+            lit(" bogus 4532015112830367 no")).otherwise(lit(""))))
+        .select(col("doc_id"),
+          Curation.cardCount(col("text2")).cast("long").as("n_cards"),
+          md5(Curation.scrubCards(col("text2"))).as("scrubbed_md5"))
+        .orderBy("doc_id")),
     // BPE vocabulary induction: first 4 merges learned from word-frequency
     // states — one corpus tokenize, then vocabulary-sized rounds (the
     // production BPE-trainer shape)
@@ -4236,6 +4269,54 @@ object SparkEntry {
         |FROM z ORDER BY event_type, bucket_start""".stripMargin,
     "q_knn_mmr" -> mmrOracle(5),
     "q_text_bpe" -> bpeOracle(4),
+    // drop-novelty oracle: 3-gram fingerprints per doc (the decontam
+    // spelling), reference = flattened distinct set over doc_id < 400
+    "q_curate_drop_novelty" ->
+      s"""WITH tok AS (
+         |  SELECT doc_id, string_split_regex(text, '\\s+') AS w FROM documents
+         |), gr AS (
+         |  SELECT doc_id, list_distinct(list_transform(
+         |    list_transform(range(1, len(w)-1), i -> w[i]||' '||w[i+1]||' '||w[i+2]),
+         |    g -> $polyhashSql)) AS fps
+         |  FROM tok
+         |), ref AS (SELECT list_distinct(flatten(list(fps))) AS rfps FROM gr WHERE doc_id < 400)
+         |SELECT gr.doc_id,
+         |  CAST(len(gr.fps) AS BIGINT) AS n_grams,
+         |  CAST(len(gr.fps) - len(list_intersect(gr.fps, ref.rfps)) AS BIGINT) AS n_new,
+         |  round(CAST(len(gr.fps) - len(list_intersect(gr.fps, ref.rfps)) AS DOUBLE) / len(gr.fps), 6) AS novelty
+         |FROM gr, ref WHERE gr.doc_id >= 400 AND len(gr.fps) > 0
+         |ORDER BY gr.doc_id""".stripMargin,
+    // exact-stratified oracle: the sampleBucket arithmetic as a window rank
+    "q_curate_exact_stratified" ->
+      """SELECT source, doc_id FROM (
+        |  SELECT source, doc_id, row_number() OVER (
+        |    PARTITION BY source
+        |    ORDER BY ((doc_id % 1000003) * 131 + 7) % 1000, doc_id) AS rn
+        |  FROM documents
+        |) WHERE rn <= 5 ORDER BY source, doc_id""".stripMargin,
+    // card-scrub oracle: identical planting, identical Luhn fold, identical
+    // distinct-then-filter-then-replace pipeline
+    "q_curate_scrub_cards" ->
+      """WITH t AS (
+        |  SELECT doc_id, text ||
+        |    CASE WHEN doc_id % 7 = 0 THEN ' card 4532015112830366 ok' ELSE '' END ||
+        |    CASE WHEN doc_id % 11 = 0 THEN ' bogus 4532015112830367 no' ELSE '' END AS text2
+        |  FROM documents
+        |), c AS (
+        |  SELECT doc_id, text2,
+        |    list_filter(list_distinct(regexp_extract_all(text2, '[0-9]{13,19}')), c ->
+        |      list_reduce(list_prepend(CAST(0 AS BIGINT), range(1, length(c)+1)), (acc, i) ->
+        |        acc + CASE WHEN i % 2 = 0 THEN
+        |          CASE WHEN CAST(substr(reverse(c), CAST(i AS INT), 1) AS INT) * 2 > 9
+        |               THEN CAST(substr(reverse(c), CAST(i AS INT), 1) AS INT) * 2 - 9
+        |               ELSE CAST(substr(reverse(c), CAST(i AS INT), 1) AS INT) * 2 END
+        |          ELSE CAST(substr(reverse(c), CAST(i AS INT), 1) AS INT) END
+        |      ) % 10 = 0) AS valid
+        |  FROM t
+        |)
+        |SELECT doc_id, CAST(len(valid) AS BIGINT) AS n_cards,
+        |  md5(list_reduce(list_prepend(text2, valid), (acc, v) -> replace(acc, v, '<card>'))) AS scrubbed_md5
+        |FROM c ORDER BY doc_id""".stripMargin,
     // mutual k-NN oracle: all-pairs cosine, per-src row_number rank <= k,
     // mutual = reciprocated-edge join, isolates kept via the left join
     "q_embed_knn_graph" ->

@@ -571,6 +571,85 @@ object Curation {
       .orderBy("split_a", "split_b")
   }
 
+  /** Cross-snapshot content novelty: for every document of a NEW drop, the
+    * share of its distinct word-n-gram fingerprints absent from the
+    * reference corpus — "how much genuinely new text does this crawl
+    * bring", the acquisition-value measure that decides whether a snapshot
+    * is worth full processing ([[snapshotDiff]] answers the same question
+    * at id granularity; this answers it at content granularity, catching
+    * re-hosted boilerplate under fresh ids).
+    *
+    * One tokenize pass over each side: the reference collapses to a
+    * distinct 8-byte fingerprint set (broadcast; at blocklist scale swap in
+    * the [[decontaminateBloom]] Bloom screen — same key), and the new
+    * drop's grams take ONE left join + ONE aggregation. Docs with fewer
+    * than `n` tokens have no grams and emit no row.
+    */
+  def dropNovelty(newDocs: DataFrame, id: Column, text: Column,
+      refDocs: DataFrame, refText: Column, n: Int = 3): DataFrame = {
+    val refFps = refDocs.select(explode(gramFps(refText, n)).as("fp")).distinct()
+      .withColumn("__hit", lit(1))
+    newDocs.select(id.as("id"), explode(gramFps(text, n)).as("fp"))
+      .join(broadcast(refFps), Seq("fp"), "left")
+      .groupBy("id")
+      .agg(count(lit(1)).as("n_grams"), count(col("__hit")).as("n_seen"))
+      .select(col("id"), col("n_grams"),
+        (col("n_grams") - col("n_seen")).as("n_new"))
+      .withColumn("novelty",
+        round(col("n_new").cast("double") / col("n_grams"), 6))
+  }
+
+  /** Exactly-`nPerGroup` deterministic sample per stratum: rows ranked by
+    * the id-hash bucket (ties by id) and cut with the GroupTopK bounded
+    * heap — the "give me exactly 1000 docs from every source, same ones
+    * every run" shape [[stratifiedSample]]'s per-mille rates cannot
+    * promise. No RNG state, no window sort; the exchange carries
+    * ≤ groups·n survivors (GroupTopK partial).
+    */
+  def stratifiedExact(df: DataFrame, id: Column, grp: Column,
+      nPerGroup: Int): DataFrame = {
+    require(nPerGroup >= 1)
+    val rows = df.select(grp.as("grp"), id.as("id"))
+      .withColumn("bkt", sampleBucket(col("id")))
+    org.apache.spark.sql.graft.GroupTopK.perGroup(
+        rows, Seq(col("grp")), Seq(asc("bkt"), asc("id")), nPerGroup)
+      .select("grp", "id")
+  }
+
+  /** Luhn checksum (ISO/IEC 7812) over a digit string, as a codegen'd
+    * fold: from the rightmost digit, double every second one (subtract 9
+    * past 9), valid iff the total ≡ 0 (mod 10).
+    */
+  def luhnValid(digits: Column): Column = {
+    val rev = reverse(digits)
+    val total = aggregate(sequence(lit(1), length(rev)), lit(0),
+      (acc, i) => {
+        val d = rev.substr(i, lit(1)).cast("int")
+        acc + when(pmod(i, lit(2)) === 0,
+          when(d * 2 > 9, d * 2 - 9).otherwise(d * 2)).otherwise(d)
+      })
+    pmod(total, lit(10)) === 0
+  }
+
+  private def validCards(text: Column): Column =
+    filter(array_distinct(regexp_extract_all(text, lit("[0-9]{13,19}"), lit(0))),
+      c => luhnValid(c))
+
+  /** Checksum-validated payment-card redaction: digit runs of plausible
+    * PAN length (13–19) are replaced by `<card>` ONLY when they pass the
+    * Luhn check — the validation step that separates card PII from
+    * order/tracking numbers the blunt [[scrubPii]] digit rule would
+    * over-redact. Pure scan-stage column algebra: extract candidates once,
+    * filter by the Luhn fold, fold `replace` over the validated values.
+    */
+  def scrubCards(text: Column): Column =
+    aggregate(validCards(text), text, (acc, c) => replace(acc, c, lit("<card>")))
+
+  /** Count of distinct Luhn-valid card numbers in the text — the audit
+    * column [[scrubCards]] pipelines emit next to the redacted text.
+    */
+  def cardCount(text: Column): Column = size(validCards(text))
+
   /** Sequence-length bucketing audit: assign each doc to the smallest
     * training-batch bucket that holds it (docs past the largest boundary
     * are truncated into it) and report per-bucket doc count, used tokens,

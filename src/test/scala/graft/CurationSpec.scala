@@ -370,6 +370,64 @@ class CurationSpec extends SparkSpec {
     assert(got(64L) == ((2L, 104L, 128L, math.rint((1 - 104.0 / 128) * 1e6) / 1e6)))
   }
 
+  test("dropNovelty: hand-computed new-gram shares; all-new and all-seen docs") {
+    import testImplicits._
+    val ref = Seq((1L, "a b c d")).toDF("id", "text") // 2-grams: "a b","b c","c d"
+    val drop = Seq(
+      (10L, "a b c"),     // grams "a b","b c" — all seen
+      (11L, "x y z"),     // all new
+      (12L, "a b x y"),   // "a b" seen, "b x","x y" new
+      (13L, "solo")       // no 2-grams → no row
+    ).toDF("id", "text")
+    val got = Curation.dropNovelty(drop, col("id"), col("text"),
+        ref, col("text"), n = 2)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(got == Map(
+      10L -> ((2L, 0L, 0.0)),
+      11L -> ((2L, 2L, 1.0)),
+      12L -> ((3L, 2L, math.rint(2.0 / 3 * 1e6) / 1e6))))
+  }
+
+  test("stratifiedExact: exactly n per group, deterministic, GroupTopK plan") {
+    import testImplicits._
+    val df = (1L to 50L).map(i => (i, s"g${i % 3}")).toDF("id", "g")
+    val got = Curation.stratifiedExact(df, col("id"), col("g"), nPerGroup = 4)
+    val rows = got.collect().map(r => (r.getString(0), r.getLong(1)))
+    assert(rows.groupBy(_._1).forall(_._2.length == 4))
+    // deterministic: re-evaluation returns the same rows
+    val again = Curation.stratifiedExact(df, col("id"), col("g"), nPerGroup = 4)
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    assert(rows.sorted.toSeq == again.sorted.toSeq)
+    // the selection is the hash-bucket rank, not the id order
+    def bkt(i: Long) = ((i % 1000003L) * 131L + 7L) % 1000L
+    val expG0 = (1L to 50L).filter(_ % 3 == 0).sortBy(i => (bkt(i), i)).take(4).toSet
+    assert(rows.filter(_._1 == "g0").map(_._2).toSet == expG0)
+    // bounded-heap contract: GroupTopK in the plan, no Window sort
+    val plan = got.queryExecution.executedPlan.toString
+    assert(plan.contains("GroupTopK") && !plan.contains("WindowExec"))
+  }
+
+  test("luhnValid and scrubCards: checksum gates redaction; decoys survive") {
+    import testImplicits._
+    val df = Seq(
+      (1L, "pay 4532015112830366 now"),          // valid visa test PAN
+      (2L, "ref 4532015112830367 attached"),     // checksum-off decoy
+      (3L, "a 4532015112830366 b 4111111111111111 c"), // two valid
+      (4L, "short 123456789012 run"),            // 12 digits: not a PAN
+      (5L, "no digits at all")
+    ).toDF("id", "text")
+    val got = df.select(col("id"),
+        Curation.cardCount(col("text")).as("n"),
+        Curation.scrubCards(col("text")).as("s"))
+      .collect().map(r => r.getLong(0) -> ((r.getInt(1), r.getString(2)))).toMap
+    assert(got(1L) == ((1, "pay <card> now")))
+    assert(got(2L) == ((0, "ref 4532015112830367 attached")))
+    assert(got(3L) == ((2, "a <card> b <card> c")))
+    assert(got(4L) == ((0, "short 123456789012 run")))
+    assert(got(5L) == ((0, "no digits at all")))
+  }
+
   test("groupAwareSplit: cluster members share a split; singletons fall back to own id") {
     import testImplicits._
     val ids = Seq(1L, 2L, 3L, 4L, 5L).toDF("doc_id")
