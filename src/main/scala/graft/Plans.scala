@@ -47,7 +47,11 @@ object Plans {
       "q_profile_completeness", "q_profile_orphans", "q_sketch_kmv_overlap",
       "q_search_rrf", "q_join_intervals", "q_text_cosine_pairs",
       "q_profile_skew", "q_ts_resample", "q_ts_anomaly",
-      "q_eval_ann_recall", "q_curate_quantile_norm")
+      "q_eval_ann_recall", "q_curate_quantile_norm",
+      "q_er_names", "q_text_source_kl", "q_profile_mad", "q_text_phrase",
+      "q_curate_length_buckets", "q_curate_group_split", "q_embed_knn_graph",
+      "q_curate_drop_novelty", "q_curate_exact_stratified",
+      "q_curate_scrub_cards")
     show.foreach { name =>
       println(s"\n## $name\n")
       println("```")
