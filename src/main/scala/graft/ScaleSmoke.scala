@@ -195,6 +195,62 @@ object ScaleSmoke {
       graft.operators.TextAnalysis.hashedClassifier(docs, col("doc_id"), col("text"))
         .filter(col("score") >= 0).count()
     }
+    time("source KL drift (20 groups)") {
+      graft.operators.TextAnalysis.sourceTokenKl(docs, col("source"), col("text"))
+        .filter(col("kl_nats") >= 0).count()
+    }
+    time("phrase search (2-term)") {
+      graft.operators.TextAnalysis.phraseSearch(docs, col("doc_id"), col("text"),
+        Seq("table", "hash")).count()
+    }
+    time("MAD quality outliers (per source)") {
+      graft.operators.Profile.madOutliers(docs, col("source"), col("doc_id"),
+        graft.operators.TextAnalysis.qualityScore(col("text")), k = 2.0)
+        .filter(col("is_outlier")).count()
+    }
+    time("length buckets (padding-waste audit)") {
+      graft.operators.Curation.lengthBuckets(docs, col("doc_id"),
+        graft.operators.TextAnalysis.wsTokenCount(col("text"))).count()
+    }
+    // merge rounds run on the word-frequency table: corpus growth feeds the
+    // first tokenize+count only, the 4 rounds are vocabulary-sized
+    time("bpe merges (4 rounds)") {
+      graft.operators.TextAnalysis.bpeMerges(docs, col("text"), nMerges = 4)
+        .count()
+    }
+    time("drop novelty (20% new vs 80% ref, 3-grams)") {
+      graft.operators.Curation.dropNovelty(
+        docs.filter(pmod(col("doc_id"), lit(5)) === 0), col("doc_id"), col("text"),
+        docs.filter(pmod(col("doc_id"), lit(5)) =!= 0), col("text"), n = 3)
+        .filter(col("novelty") >= 0).count()
+    }
+    time("exact stratified sample (5/source)") {
+      graft.operators.Curation.stratifiedExact(docs, col("doc_id"),
+        col("source"), nPerGroup = 5).count()
+    }
+    time("luhn card scrub") {
+      docs.select(md5(graft.operators.Curation.scrubCards(col("text"))).as("m"))
+        .filter(col("m").isNotNull).count()
+    }
+    // names made replica-disjoint by a 4-hex-char md5 prefix (shared
+    // deletion variants would otherwise cross replicas and grow candidate
+    // volume mult² for what is logically the same dirty drop)
+    val custU = spark.read.parquet(s"$sfDir/customer.parquet")
+      .crossJoin(broadcast(reps))
+      .withColumn("__id", col("c_custkey") * mult + col("_rep"))
+      .withColumn("c_name", concat(
+        substring(md5(concat(col("c_name"), col("_rep"))), 1, 4), col("c_name")))
+      .drop("c_custkey").withColumnRenamed("__id", "c_custkey").drop("_rep")
+      .localCheckpoint()
+    time("edit-distance ER join (d=1, corrupted names)") {
+      val pos = pmod(col("c_custkey"), length(col("c_name")).cast("long"))
+      val dirty = custU.select(col("c_custkey").as("did"),
+        concat(col("c_name").substr(lit(1), pos.cast("int")),
+          col("c_name").substr((pos + lit(2L)).cast("int"),
+            length(col("c_name")))).as("dn"))
+      graft.operators.FuzzyJoin.edJoin(dirty, col("did"), col("dn"),
+        custU, col("c_custkey"), col("c_name"), maxDist = 1).count()
+    }
 
     // ---- sketch tier (constant-state summaries) -------------------------
     // the filters reference the computed estimates so Catalyst cannot prune

@@ -2032,6 +2032,60 @@ object SparkEntry {
           col("doc_id"), col("text"), Seq("table", "hash"))
         .withColumnRenamed("id", "doc_id")
         .orderBy("doc_id")),
+    // the full ingest decision for an arriving drop, ONE composed plan:
+    // exact-dup (md5 vs reference) + near-dup (signature-index screen at
+    // est_jaccard >= 0.5) + quality gate + content novelty + shard
+    // assignment for the accepted docs — what an ingest pipeline runs
+    // before admitting a batch to the corpus
+    "q_pipeline_ingest" -> ((s, dir) => {
+      val docs = graft.sources.Testdata.table(s, dir, "documents")
+      val newB = docs.filter(col("doc_id") < 50)
+      val ref = docs.filter(col("doc_id") >= 50)
+      val refMd5 = ref.select(md5(col("text")).as("h")).distinct()
+        .withColumn("dup_exact", lit(true))
+      val nd = Dedup.incrementalNearDups(
+          Dedup.signatureTable(ref, col("doc_id"), col("text")),
+          Dedup.signatureTable(newB, col("doc_id"), col("text")))
+        .filter(col("est_jaccard") >= 0.5)
+        .select(col("new_id").as("doc_id")).distinct()
+        .withColumn("near_dup", lit(true))
+      val nov = Curation.dropNovelty(newB, col("doc_id"), col("text"),
+          ref, col("text"), n = 3)
+        .select(col("id").as("doc_id"), col("novelty"))
+      newB.select(col("doc_id"), md5(col("text")).as("h"),
+          round(TextAnalysis.qualityScore(col("text")), 6).as("quality"))
+        .join(refMd5, Seq("h"), "left")
+        .join(nd, Seq("doc_id"), "left")
+        .join(nov, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("dup_exact"), lit(false)).as("dup_exact"),
+          coalesce(col("near_dup"), lit(false)).as("near_dup"),
+          col("quality"), col("novelty"))
+        .withColumn("accept",
+          !col("dup_exact") && !col("near_dup") && col("quality") >= 0.5)
+        .withColumn("shard", when(col("accept"), Curation.shardOf(col("doc_id"), 8)))
+        .orderBy("doc_id")
+    }),
+    // LSH-blocked mutual k-NN graph: the sub-quadratic companion of
+    // q_embed_knn_graph — candidates from radius-2 multiprobe bucket
+    // collisions (each pair collides in exactly one probe bucket), same
+    // GroupTopK + mutual epilogue
+    "q_embed_knn_graph_lsh" -> ((s, dir) =>
+      Search.knnGraphMutualLsh(s.read.parquet(s"$dir/embeddings.parquet"),
+          col("vec_id"), col("embedding"),
+          AnnSearch.hyperplanes(dim = 64), k = 6, probeRadius = 2)
+        .withColumnRenamed("id", "vec_id")
+        .orderBy("vec_id")),
+    // Efraimidis-Spirakis weighted sample without replacement: ln(u)/w keys
+    // from id-hash uniforms, global top-25 via TakeOrderedAndProject —
+    // quality-weighted subsampling with hashSplit determinism
+    "q_curate_weighted_sample" -> ((s, dir) =>
+      Curation.weightedSample(
+          graft.sources.Testdata.table(s, dir, "documents"),
+          col("doc_id"),
+          round(TextAnalysis.qualityScore(col("text")), 6), k = 25)
+        .withColumnRenamed("id", "doc_id")
+        .orderBy(desc("key"), asc("doc_id"))),
     // cross-snapshot content novelty: new-drop grams left-joined against
     // the broadcast reference fingerprint set — one tokenize per side, the
     // acquisition-value measure for an arriving crawl
@@ -4269,6 +4323,101 @@ object SparkEntry {
         |FROM z ORDER BY event_type, bucket_start""".stripMargin,
     "q_knn_mmr" -> mmrOracle(5),
     "q_text_bpe" -> bpeOracle(4),
+    // ingest-pipeline oracle: the incremental-screen prefix (same split,
+    // new = doc_id < 50) + md5 exact-dup + quality + 3-gram novelty +
+    // shard arithmetic, composed
+    "q_pipeline_ingest" ->
+      s"""$dedupIncrementalOraclePrefix,
+         |nd AS (SELECT DISTINCT new_id AS doc_id FROM pairs
+         |       WHERE bands_hit > 0 AND est >= 0.5),
+         |refh AS (SELECT DISTINCT md5(text) AS h FROM documents WHERE doc_id >= 50),
+         |qv AS (
+         |  SELECT doc_id, round(
+         |    0.4*least(len(w)/100.0, 1.0)
+         |    + 0.3*(1.0 - CASE WHEN nonws > 0 THEN CAST(punct AS DOUBLE)/nonws ELSE 0.0 END)
+         |    + 0.3*least((CASE WHEN len(w) > 0 THEN CAST(len(list_filter(w, x -> list_contains(${profileSql("en")}, x))) AS DOUBLE)/len(w) ELSE 0.0 END)/0.1, 1.0),
+         |    6) AS quality, md5(text) AS h
+         |  FROM (SELECT doc_id, text, string_split_regex(text, '\\s+') AS w,
+         |          length(regexp_replace(text, '\\s', '', 'g')) AS nonws,
+         |          length(regexp_replace(text, '[a-z0-9\\s]', '', 'g')) AS punct
+         |        FROM documents WHERE doc_id < 50)
+         |), g3 AS (
+         |  SELECT doc_id, list_distinct(list_transform(
+         |    list_transform(range(1, len(w)-1), i -> w[i]||' '||w[i+1]||' '||w[i+2]),
+         |    g -> $polyhashSql)) AS fps
+         |  FROM t
+         |), ref3 AS (SELECT list_distinct(flatten(list(fps))) AS rfps FROM g3 WHERE doc_id >= 50
+         |), nov AS (
+         |  SELECT g3.doc_id,
+         |    round(CAST(len(g3.fps) - len(list_intersect(g3.fps, ref3.rfps)) AS DOUBLE) / len(g3.fps), 6) AS novelty
+         |  FROM g3, ref3 WHERE g3.doc_id < 50 AND len(g3.fps) > 0
+         |), dec AS (
+         |  SELECT qv.doc_id,
+         |    (qv.h IN (SELECT h FROM refh)) AS dup_exact,
+         |    (qv.doc_id IN (SELECT doc_id FROM nd)) AS near_dup,
+         |    qv.quality, nov.novelty
+         |  FROM qv LEFT JOIN nov ON qv.doc_id = nov.doc_id
+         |)
+         |SELECT doc_id, dup_exact, near_dup, quality, novelty,
+         |  (NOT dup_exact AND NOT near_dup AND quality >= 0.5) AS accept,
+         |  CASE WHEN NOT dup_exact AND NOT near_dup AND quality >= 0.5
+         |       THEN (((doc_id % 1000003) * 131 + 7) % 1000) % 8 END AS shard
+         |FROM dec ORDER BY doc_id""".stripMargin,
+    // LSH-graph oracle: same plane constants, candidate = hamming(bucket)
+    // <= radius (the closed form of "collides in some probe bucket"),
+    // same rank/mutual epilogue as the exact graph
+    "q_embed_knn_graph_lsh" -> {
+      val planes = AnnSearch.hyperplanes(dim = 64)
+      def bExpr(vecSql: String): String =
+        planes.zipWithIndex.map { case (p, i) =>
+          val lst = p.mkString("[", ",", "]")
+          s"(CASE WHEN list_dot_product($vecSql, $lst) >= 0 THEN ${1 << i} ELSE 0 END)"
+        }.mkString("(", " + ", ")")
+      s"""WITH e AS (
+         |  SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v,
+         |         ${bExpr("CAST(embedding AS DOUBLE[])")} AS b
+         |  FROM embeddings
+         |), sc AS (
+         |  SELECT a.id AS src, b.id AS dst,
+         |    row_number() OVER (PARTITION BY a.id
+         |      ORDER BY list_cosine_similarity(a.v, b.v) DESC, b.id ASC) AS rnk
+         |  FROM e a JOIN e b ON a.id <> b.id AND bit_count(xor(a.b, b.b)) <= 2
+         |), ed AS (SELECT src, dst FROM sc WHERE rnk <= 6
+         |), m AS (
+         |  SELECT e1.src FROM ed e1 JOIN ed e2
+         |    ON e1.src = e2.dst AND e1.dst = e2.src
+         |)
+         |SELECT e.id AS vec_id, coalesce(d.c, 0) AS mutual_degree
+         |FROM e LEFT JOIN (SELECT src, count(*) AS c FROM m GROUP BY src) d
+         |  ON e.id = d.src
+         |ORDER BY vec_id""".stripMargin
+    },
+    // weighted-sample oracle: identical quality weight (6-dp), identical
+    // id-hash uniform, identical ln(u)/w key; selection on the raw key,
+    // rounding after
+    "q_curate_weighted_sample" ->
+      s"""WITH t AS (
+         |  SELECT doc_id, string_split_regex(text, '\\s+') AS toks,
+         |         length(regexp_replace(text, '\\s', '', 'g')) AS nonws,
+         |         length(regexp_replace(text, '[a-z0-9\\s]', '', 'g')) AS punct
+         |  FROM documents
+         |), sc AS (
+         |  SELECT doc_id, round(
+         |    0.4*least(len(toks)/100.0, 1.0)
+         |    + 0.3*(1.0 - CASE WHEN nonws > 0 THEN CAST(punct AS DOUBLE)/nonws ELSE 0.0 END)
+         |    + 0.3*least((CASE WHEN len(toks) > 0 THEN CAST(len(list_filter(toks, x -> list_contains(${profileSql("en")}, x))) AS DOUBLE)/len(toks) ELSE 0.0 END)/0.1, 1.0),
+         |    6) AS q
+         |  FROM t
+         |), u AS (
+         |  SELECT doc_id, q,
+         |    CAST((((doc_id % 1000003) * 131 + 7) % 1000003) + 1 AS DOUBLE) / 1000003.0 AS u
+         |  FROM sc WHERE q > 0
+         |), top AS (
+         |  SELECT doc_id, q, ln(u) / q AS rawkey FROM u
+         |  ORDER BY rawkey DESC, doc_id ASC LIMIT 25
+         |)
+         |SELECT doc_id, round(q, 6) AS w, round(rawkey, 6) AS key
+         |FROM top ORDER BY key DESC, doc_id ASC""".stripMargin,
     // drop-novelty oracle: 3-gram fingerprints per doc (the decontam
     // spelling), reference = flattened distinct set over doc_id < 400
     "q_curate_drop_novelty" ->

@@ -616,6 +616,33 @@ object Curation {
       .select("grp", "id")
   }
 
+  /** Deterministic weighted sample WITHOUT replacement (Efraimidis &
+    * Spirakis 2006, exponential-race formulation): each row draws a
+    * pseudo-uniform `u` from its id hash and ranks by `ln(u)/w` descending
+    * (≡ the classic `u^(1/w)` key — higher weight ⇒ stochastically higher
+    * key), and the global top-`k` is the sample. Quality-weighted
+    * subsampling with every [[hashSplit]] guarantee: no RNG state, re-runs
+    * and backfills agree, membership is a pure function of (id, weight).
+    *
+    * One scan computing the key + a TakeOrderedAndProject top-k — the
+    * exchange carries k·P candidate rows, never the corpus. Weights must
+    * be strictly positive (rows with w ≤ 0 are dropped, never sampled).
+    */
+  def weightedSample(df: DataFrame, id: Column, weight: Column,
+      k: Int): DataFrame = {
+    require(k >= 1)
+    // u in (0,1]: bucket 0 maps to 1/1000003 to keep ln finite
+    val u = (pmod(pmod(col("id").cast("long"), lit(1000003L)) * 131L + 7L,
+      lit(1000003L)) + 1L).cast("double") / lit(1000003.0)
+    df.select(id.as("id"), weight.cast("double").as("w"))
+      .filter(col("w") > 0)
+      .withColumn("key", log(u) / col("w"))
+      .orderBy(desc("key"), asc("id"))
+      .limit(k)
+      .select(col("id"), round(col("w"), 6).as("w"),
+        round(col("key"), 6).as("key"))
+  }
+
   /** Luhn checksum (ISO/IEC 7812) over a digit string, as a codegen'd
     * fold: from the rightmost digit, double every second one (subtract 9
     * past 9), valid iff the total ≡ 0 (mod 10).

@@ -156,14 +156,54 @@ object Search {
     val edges = org.apache.spark.sql.graft.GroupTopK.perGroup(
         scored, Seq(col("src")), Seq(desc("score"), asc("dst")), k)
       .select("src", "dst")
-      .localCheckpoint(false) // both sides of the mutual semi-join
+    mutualDegrees(t.select(col("id")), edges)
+  }
+
+  /** Reciprocated-edge degree per node over a directed edge list: the
+    * shared epilogue of the exact and LSH-blocked k-NN graphs. Edge list is
+    * checkpointed once (both sides of the mutual semi-join); isolates kept
+    * via the left join.
+    */
+  private def mutualDegrees(ids: DataFrame, edgesIn: DataFrame): DataFrame = {
+    val edges = edgesIn.localCheckpoint(false)
     val mutual = edges.as("e1").join(edges.as("e2"),
       col("e1.src") === col("e2.dst") && col("e1.dst") === col("e2.src"),
       "left_semi")
-    t.select(col("id"))
-      .join(mutual.groupBy("src").agg(count(lit(1)).as("md")),
+    ids.join(mutual.groupBy("src").agg(count(lit(1)).as("md")),
         col("id") === col("src"), "left")
       .select(col("id"), coalesce(col("md"), lit(0L)).as("mutual_degree"))
+  }
+
+  /** Approximate mutual k-NN graph via sign-LSH bucket blocking — the
+    * sub-quadratic companion of [[knnGraphMutual]] (the
+    * cosinePairs/cosinePairsLsh pairing, applied to graphs): candidate
+    * pairs come from bucket collisions within multiprobe radius `r` (a
+    * pair collides in EXACTLY one probe bucket — the xor mask is determined
+    * by the two buckets — so no dedup pass is needed), scored rows are cut
+    * by the GroupTopK partial heap, and the mutual check runs on ≤ n·k
+    * edges. Candidate volume is Σ bucket-size² scaled by the probe count
+    * instead of n²; recall follows the banding curve (measured in
+    * ANN_EVAL.md for the same planes/radius dials).
+    */
+  def knnGraphMutualLsh(embs: DataFrame, id: Column, vec: Column,
+      planes: Seq[Seq[Double]], k: Int, probeRadius: Int = 1): DataFrame = {
+    require(k >= 1)
+    val masks = AnnSearch.xorMasks(planes.length, probeRadius)
+    val idx = AnnSearch.index(
+        embs.select(id.as("id"), vec.as("v")), col("v"), planes)
+      .withColumn("nrm", sqrt(VF.normSq(col("v"))))
+      .localCheckpoint(false) // probe side and build side of the self-join
+    val probes = idx
+      .withColumn("m", explode(typedLit(masks)))
+      .withColumn("pb", col("bucket").bitwiseXOR(col("m")))
+    val scored = probes.as("a").join(idx.as("b"),
+        col("a.pb") === col("b.bucket") && col("a.id") =!= col("b.id"))
+      .select(col("a.id").as("src"), col("b.id").as("dst"),
+        (VF.dot(col("a.v"), col("b.v")) / (col("a.nrm") * col("b.nrm"))).as("score"))
+    val edges = org.apache.spark.sql.graft.GroupTopK.perGroup(
+        scored, Seq(col("src")), Seq(desc("score"), asc("dst")), k)
+      .select("src", "dst")
+    mutualDegrees(idx.select(col("id")), edges)
   }
 
   /** MMR (maximal marginal relevance, Carbonell & Goldstein 1998)

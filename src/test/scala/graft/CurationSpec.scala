@@ -408,6 +408,28 @@ class CurationSpec extends SparkSpec {
     assert(plan.contains("GroupTopK") && !plan.contains("WindowExec"))
   }
 
+  test("weightedSample: Efraimidis-Spirakis keys match hand arithmetic; w<=0 never sampled") {
+    import testImplicits._
+    val df = Seq((1L, 2.0), (2L, 0.5), (3L, 1.0), (4L, 0.0), (5L, -1.0), (6L, 4.0))
+      .toDF("id", "w")
+    val got = Curation.weightedSample(df, col("id"), col("w"), k = 3)
+      .collect().map(r => (r.getLong(0), r.getDouble(2)))
+    def key(id: Long, w: Double): Double = {
+      val u = ((((id % 1000003L) * 131L + 7L) % 1000003L) + 1L).toDouble / 1000003.0
+      math.log(u) / w
+    }
+    val exp = Seq((1L, 2.0), (2L, 0.5), (3L, 1.0), (6L, 4.0))
+      .map { case (i, w) => (i, key(i, w)) }
+      .sortBy { case (i, k0) => (-k0, i) }.take(3)
+      .map { case (i, k0) => (i, math.rint(k0 * 1e6) / 1e6) }
+    assert(got.toSeq == exp)
+    assert(!got.exists(r => r._1 == 4L || r._1 == 5L)) // non-positive weights out
+    // determinism: same rows on re-evaluation
+    val again = Curation.weightedSample(df, col("id"), col("w"), k = 3)
+      .collect().map(r => (r.getLong(0), r.getDouble(2)))
+    assert(got.toSeq == again.toSeq)
+  }
+
   test("luhnValid and scrubCards: checksum gates redaction; decoys survive") {
     import testImplicits._
     val df = Seq(

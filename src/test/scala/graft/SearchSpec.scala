@@ -251,6 +251,27 @@ class SearchSpec extends SparkSpec {
       s"grid join must not plan a product:\n$plan")
   }
 
+  test("knnGraphMutualLsh: full-probe radius equals the exact graph; bounded otherwise") {
+    import testImplicits._
+    val rnd = new scala.util.Random(23)
+    val vecs = (0L until 30L).map(i => (i, Array.fill(8)(rnd.nextFloat() - 0.5f)))
+    val df = vecs.toDF("vid", "emb")
+    val planes = graft.operators.AnnSearch.hyperplanes(dim = 8, numPlanes = 4)
+    // probeRadius = numPlanes → every bucket is a candidate → exact
+    val full = Search.knnGraphMutualLsh(df, col("vid"), col("emb"), planes,
+        k = 3, probeRadius = 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val exact = Search.knnGraphMutual(df, col("vid"), col("emb"), k = 3, blocks = 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(full == exact)
+    // tight radius: still every node reported, degrees bounded by k
+    val tight = Search.knnGraphMutualLsh(df, col("vid"), col("emb"), planes,
+        k = 3, probeRadius = 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(tight.keySet == vecs.map(_._1).toSet)
+    assert(tight.values.forall(d => d >= 0 && d <= 3))
+  }
+
   test("mmrRerank: equals hand-run greedy MMR; demotes the near-duplicate hit") {
     import testImplicits._
     // candidate 1 and 2 are near-identical (cos ~ 1); pure top-k would
