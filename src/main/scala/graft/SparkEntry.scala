@@ -2032,6 +2032,33 @@ object SparkEntry {
           col("doc_id"), col("text"), Seq("table", "hash"))
         .withColumnRenamed("id", "doc_id")
         .orderBy("doc_id")),
+    // numeric column profile: count/nulls/min/max/mean/stddev for three
+    // measures in ONE aggregation job — decimal-cast sums keep the moments
+    // partition-order-invariant (the pricing-summary pattern)
+    "q_profile_numeric" -> ((s, dir) =>
+      Profile.numericProfile(graft.sources.Testdata.lineitem(s, dir),
+          Seq("l_quantity", "l_extendedprice", "l_discount"))
+        .orderBy("col_name")),
+    // first-order Markov transitions over per-user event sequences: one
+    // user-key exchange + lead window, then event-type^2-bounded counts
+    "q_rel_transitions" -> ((s, dir) =>
+      Relational.transitions(graft.sources.Testdata.events(s, dir),
+          col("user_id"), col("ts"), col("event_type"), col("event_id"))
+        .orderBy("from_e", "to_e")),
+    // soft dedup: per-doc training weight 1/|near-dup cluster| — the
+    // down-weighting alternative to dropping; composes the same LSH->CC
+    // clusters as q_curate_group_split
+    "q_curate_softdedup" -> ((s, dir) => {
+      val docs = graft.sources.Testdata.table(s, dir, "documents")
+      val pairs = Dedup.minhashLshPairs(docs, col("doc_id"), col("text"),
+        n = 2, tau = 0.5).select("id_a", "id_b")
+      val clusters = Dedup.connectedComponentsAuto(
+        docs.select(col("doc_id").as("id")), pairs).select("id", "cluster_id")
+      Curation.softDedupWeights(docs.select(col("doc_id")), col("doc_id"),
+          clusters)
+        .withColumnRenamed("id", "doc_id")
+        .orderBy("doc_id")
+    }),
     // the full ingest decision for an arriving drop, ONE composed plan:
     // exact-dup (md5 vs reference) + near-dup (signature-index screen at
     // est_jaccard >= 0.5) + quality gate + content novelty + shard
@@ -4323,6 +4350,58 @@ object SparkEntry {
         |FROM z ORDER BY event_type, bucket_start""".stripMargin,
     "q_knn_mmr" -> mmrOracle(5),
     "q_text_bpe" -> bpeOracle(4),
+    // numeric-profile oracle: same decimal-cast sums, same E[x^2]-E[x]^2
+    // epilogue in double
+    "q_profile_numeric" -> {
+      def block(c: String): String =
+        s"""SELECT '$c' AS col_name, count(*) AS n_rows,
+           |  count(*) - count($c) AS n_nulls,
+           |  round(min(CAST($c AS DOUBLE)), 6) AS min_v,
+           |  round(max(CAST($c AS DOUBLE)), 6) AS max_v,
+           |  round(CAST(sum(CAST($c AS DECIMAL(18,6))) AS DOUBLE) / count($c), 6) AS mean,
+           |  round(sqrt(greatest(0.0,
+           |    CAST(sum(CAST(CAST($c AS DOUBLE) * CAST($c AS DOUBLE) AS DECIMAL(18,6))) AS DOUBLE) / count($c)
+           |    - (CAST(sum(CAST($c AS DECIMAL(18,6))) AS DOUBLE) / count($c))
+           |      * (CAST(sum(CAST($c AS DECIMAL(18,6))) AS DOUBLE) / count($c)))), 6) AS stddev
+           |FROM lineitem""".stripMargin
+      Seq("l_discount", "l_extendedprice", "l_quantity").map(block)
+        .mkString("", "\nUNION ALL\n", "\nORDER BY col_name")
+    },
+    "q_rel_transitions" ->
+      """WITH p AS (
+        |  SELECT event_type AS e,
+        |    lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS ne
+        |  FROM events
+        |), c AS (
+        |  SELECT e AS from_e, ne AS to_e, count(*) AS cnt
+        |  FROM p WHERE ne IS NOT NULL GROUP BY 1, 2
+        |), t2 AS (SELECT from_e, CAST(sum(cnt) AS BIGINT) AS tot FROM c GROUP BY 1)
+        |SELECT from_e, to_e, cnt, round(CAST(cnt AS DOUBLE) / tot, 6) AS p
+        |FROM c JOIN t2 USING (from_e) ORDER BY from_e, to_e""".stripMargin,
+    // soft-dedup oracle: the cluster closure + a per-cluster count window
+    "q_curate_softdedup" ->
+      """WITH RECURSIVE t AS (
+        |  SELECT doc_id, list_distinct(list_transform(
+        |    range(1, len(string_split_regex(text, '\s+'))),
+        |    i -> string_split_regex(text, '\s+')[i] || ' ' || string_split_regex(text, '\s+')[i+1])) AS sh
+        |  FROM documents
+        |), p AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        |  FROM t a, t b
+        |  WHERE a.doc_id < b.doc_id
+        |    AND CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+        |        (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.5
+        |), e AS (
+        |  SELECT id_a AS s, id_b AS d FROM p UNION ALL SELECT id_b, id_a FROM p
+        |), r AS (
+        |  SELECT doc_id AS id, doc_id AS reach FROM documents
+        |  UNION
+        |  SELECT e.d AS id, r.reach FROM r JOIN e ON r.id = e.s
+        |), cl AS (SELECT id, min(reach) AS group_id FROM r GROUP BY id)
+        |SELECT id AS doc_id, group_id,
+        |  count(*) OVER (PARTITION BY group_id) AS group_size,
+        |  round(1.0 / count(*) OVER (PARTITION BY group_id), 6) AS weight
+        |FROM cl ORDER BY doc_id""".stripMargin,
     // ingest-pipeline oracle: the incremental-screen prefix (same split,
     // new = doc_id < 50) + md5 exact-dup + quality + 3-gram novelty +
     // shard arithmetic, composed

@@ -616,6 +616,30 @@ object Curation {
       .select("grp", "id")
   }
 
+  /** Soft dedup: instead of DROPPING near-duplicates, every document gets
+    * training weight `1/|its near-dup cluster|`, so each distinct content
+    * group contributes one unit of probability mass however many copies
+    * the crawl collected — the down-weighting alternative hard dedup
+    * pipelines move to when exact provenance must be preserved.
+    * Singletons (no cluster row) weigh 1. Composes with
+    * [[Dedup.connectedComponentsAuto]] exactly like [[groupAwareSplit]].
+    *
+    * Scale shape: one narrow left join onto the cluster table, one
+    * group-size aggregation on cluster ids, one join back — all keyed on
+    * ids, text never read.
+    */
+  def softDedupWeights(ids: DataFrame, id: Column,
+      clusters: DataFrame): DataFrame = {
+    val base = ids.select(id.as("id"))
+      .join(clusters.select(col("id"), col("cluster_id")), Seq("id"), "left")
+      .select(col("id"), coalesce(col("cluster_id"), col("id")).as("group_id"))
+      .localCheckpoint(false) // sizes + the final join
+    val sizes = base.groupBy("group_id").agg(count(lit(1)).as("group_size"))
+    base.join(sizes, "group_id")
+      .select(col("id"), col("group_id"), col("group_size"),
+        round(lit(1.0) / col("group_size"), 6).as("weight"))
+  }
+
   /** Deterministic weighted sample WITHOUT replacement (Efraimidis &
     * Spirakis 2006, exponential-race formulation): each row draws a
     * pseudo-uniform `u` from its id hash and ranks by `ln(u)/w` descending

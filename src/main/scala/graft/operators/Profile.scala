@@ -89,6 +89,43 @@ object Profile {
           .as("orphan_rate"))
   }
 
+  /** Numeric column profile: per column its non-null count, min/max, mean,
+    * and population stddev — the moments half of the audit
+    * ([[completeness]] covers null/distinct). ONE aggregation job over all
+    * profiled columns; the long-form output is a `stack` over the single
+    * aggregate row.
+    *
+    * Sums accumulate as DECIMAL(18,6)-cast rows (the pricing-summary
+    * pattern): decimal addition is exact and associative, so the mean and
+    * the E[x²]−E[x]² stddev epilogue are partition-order-invariant —
+    * a raw double sum over a 100 TB column drifts in the low digits with
+    * every re-partition and is unauditable.
+    */
+  def numericProfile(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.nonEmpty)
+    val dec = "decimal(18,6)"
+    val aggs = cols.flatMap(c => Seq(
+      count(col(c)).as(s"__n_$c"),
+      min(col(c).cast("double")).as(s"__mn_$c"),
+      max(col(c).cast("double")).as(s"__mx_$c"),
+      sum(col(c).cast(dec)).as(s"__s_$c"),
+      sum((col(c).cast("double") * col(c).cast("double")).cast(dec))
+        .as(s"__s2_$c"))) :+ count(lit(1)).as("__rows")
+    val one = df.agg(aggs.head, aggs.tail: _*)
+    val stackArgs = cols.map(c =>
+      s"'$c', __n_$c, __mn_$c, __mx_$c, CAST(__s_$c AS DOUBLE), CAST(__s2_$c AS DOUBLE)")
+      .mkString(", ")
+    val mean = col("s") / col("n_non_null")
+    one.select(col("__rows").as("n_rows"),
+        expr(s"stack(${cols.size}, $stackArgs) AS (col_name, n_non_null, mn, mx, s, s2)"))
+      .select(col("col_name"), col("n_rows"),
+        (col("n_rows") - col("n_non_null")).as("n_nulls"),
+        round(col("mn"), 6).as("min_v"), round(col("mx"), 6).as("max_v"),
+        round(mean, 6).as("mean"),
+        round(sqrt(greatest(lit(0.0),
+          col("s2") / col("n_non_null") - mean * mean)), 6).as("stddev"))
+  }
+
   /** Robust per-group outlier detection: a row is flagged when its absolute
     * deviation from the group median exceeds `k · 1.4826 · MAD` (median
     * absolute deviation; 1.4826 makes MAD a consistent σ estimator under

@@ -579,4 +579,28 @@ object Relational {
         col("n_events"), round(col("mean"), 6).as("mean"),
         round(col("z"), 6).as("z"))
   }
+
+  /** First-order Markov transition matrix over per-user event sequences:
+    * `P(next | current)` with exact pair counts — the behavioral model
+    * behind next-action prediction, funnel-anomaly alerts ("users suddenly
+    * skip checkout"), and session simulation. One exchange on the user key
+    * feeds the ordered `lead` window; the pair table after the count
+    * aggregation is event-type²-bounded (checkpointed once for its two
+    * consumers), so the normalizing join never touches event volume.
+    * Ordering ties break on `tie` (event id) for determinism.
+    */
+  def transitions(events: DataFrame, user: Column, ts: Column,
+      typ: Column, tie: Column): DataFrame = {
+    val w = Window.partitionBy("u").orderBy(col("t"), col("tb"))
+    val pairs = events.select(user.as("u"), ts.as("t"), tie.as("tb"), typ.as("e"))
+      .withColumn("next_e", lead(col("e"), 1).over(w))
+      .filter(col("next_e").isNotNull)
+      .groupBy(col("e").as("from_e"), col("next_e").as("to_e"))
+      .agg(count(lit(1)).as("cnt"))
+      .localCheckpoint(false)
+    val tot = pairs.groupBy("from_e").agg(sum(col("cnt")).cast("long").as("tot"))
+    pairs.join(tot, "from_e")
+      .select(col("from_e"), col("to_e"), col("cnt"),
+        round(col("cnt") / col("tot"), 6).as("p"))
+  }
 }

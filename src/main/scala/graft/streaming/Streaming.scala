@@ -489,6 +489,44 @@ object Streaming {
       }
       .start()
 
+  /** Streaming entity-resolution screen: per micro-batch, match arriving
+    * dirty records against a FROZEN canonical dimension at edit distance ≤
+    * `maxDist` ([[graft.operators.FuzzyJoin.edJoin]] — symmetric-deletion
+    * blocking, exact levenshtein verify) and persist the match pairs
+    * batch-stamped. The streaming face of the q_er_names linkage: arriving
+    * CRM/vendor records resolve against the master dimension as they land,
+    * idempotent under micro-batch replay via the batch_id overwrite.
+    * Dimension drift is an offline rebuild-and-cutover, as with every
+    * frozen-static-side stream here.
+    */
+  def startErScreen(
+      records: DataFrame,       // streaming; must contain id/name columns
+      id: Column,
+      name: Column,
+      dimension: DataFrame,     // static canonical (dimId, dimName)
+      dimId: Column,
+      dimName: Column,
+      maxDist: Int,
+      outPath: String,
+      checkpoint: String,
+      queryName: String = "er_screen"): StreamingQuery =
+    records.writeStream
+      .queryName(queryName)
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        graft.operators.FuzzyJoin.edJoin(batch, id, name,
+            dimension, dimId, dimName, maxDist)
+          .select(col("l_id").as("record_id"), col("r_id").as("matched_id"),
+            col("dist"))
+          .withColumn("batch_id", lit(batchId))
+          .write.mode("overwrite")
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("batch_id")
+          .parquet(outPath)
+        ()
+      }
+      .start()
+
   /** Streaming token-distribution drift monitor: per micro-batch, the
     * Laplace-smoothed `KL(batch ‖ reference)` of the arriving documents'
     * token distribution against a FROZEN reference table `(t, c_t)` (built

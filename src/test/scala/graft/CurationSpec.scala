@@ -467,4 +467,19 @@ class CurationSpec extends SparkSpec {
       assert(sp == exp)
     }
   }
+
+  test("softDedupWeights: cluster mass sums to 1 per group; singleton fallback") {
+    import testImplicits._
+    val ids = Seq(1L, 2L, 3L, 4L).toDF("doc_id")
+    val clusters = Seq((1L, 1L), (2L, 1L), (3L, 3L)).toDF("id", "cluster_id")
+    val got = Curation.softDedupWeights(ids, col("doc_id"), clusters)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3))))
+      .toMap
+    assert(got(1L) == ((1L, 2L, 0.5)) && got(2L) == ((1L, 2L, 0.5)))
+    assert(got(3L) == ((3L, 1L, 1.0)))
+    assert(got(4L) == ((4L, 1L, 1.0))) // no cluster row -> own group
+    // each content group contributes exactly one unit of mass
+    val mass = got.values.groupBy(_._1).map { case (_, v) => v.map(_._3).sum }
+    assert(mass.forall(m => math.abs(m - 1.0) < 1e-9))
+  }
 }

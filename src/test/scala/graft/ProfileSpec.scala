@@ -57,6 +57,24 @@ class ProfileSpec extends SparkSpec {
     assert(got.last.getDouble(4) == 1.0)
   }
 
+  test("numericProfile: hand moments with nulls; one aggregation job") {
+    import testImplicits._
+    val df = Seq((Some(1.0), Some(10.0)), (Some(3.0), None), (None, Some(30.0)))
+      .toDF("a", "b")
+    val got = Profile.numericProfile(df, Seq("a", "b"))
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4),
+          r.getDouble(5), r.getDouble(6)))).toMap
+    // a: [1,3] → mean 2, var (1+9)/2 − 4 = 1 → stddev 1
+    assert(got("a") == ((3L, 1L, 1.0, 3.0, 2.0, 1.0)))
+    // b: [10,30] → mean 20, var (100+900)/2 − 400 = 100 → stddev 10
+    assert(got("b") == ((3L, 1L, 10.0, 30.0, 20.0, 10.0)))
+    // single job: one Expand-backed aggregate, one scan
+    val plan = Profile.numericProfile(df, Seq("a", "b"))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Union"), s"profile must be ONE aggregation:\n$plan")
+  }
+
   test("madOutliers: hand-computed medians/MAD; flat group never flags") {
     import testImplicits._
     val df = Seq(

@@ -289,4 +289,25 @@ class RelationalSpec extends SparkSpec {
     val zExp = math.rint((10.0 - mean) / math.sqrt(variance) * 1e6) / 1e6
     assert(got(7)._1 == 10L && got(7)._2.contains(zExp) && zExp > 3.0)
   }
+
+  test("transitions: exact pair counts and conditional probabilities; ties break on id") {
+    import testImplicits._
+    import java.sql.Timestamp
+    def ts(s: Long) = new Timestamp(s * 1000L)
+    // user 1: x->y->x->z; user 2: x->y  (tie at t=1 broken by event id)
+    val ev = Seq(
+      (1L, 1L, ts(1), "x"), (2L, 1L, ts(2), "y"), (3L, 1L, ts(3), "x"),
+      (4L, 1L, ts(4), "z"), (5L, 2L, ts(1), "x"), (6L, 2L, ts(1), "y")
+    ).toDF("event_id", "user_id", "ts", "e")
+    import org.apache.spark.sql.functions.col
+    val got = Relational.transitions(ev, col("user_id"), col("ts"),
+        col("e"), col("event_id"))
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getDouble(3)))).toMap
+    // from x: ->y twice (users 1,2), ->z once; from y: ->x once
+    assert(got(("x", "y")) == ((2L, math.rint(2.0 / 3 * 1e6) / 1e6)))
+    assert(got(("x", "z")) == ((1L, math.rint(1.0 / 3 * 1e6) / 1e6)))
+    assert(got(("y", "x")) == ((1L, 1.0)))
+    assert(got.size == 3)
+  }
 }

@@ -595,4 +595,39 @@ class StreamingSpec extends SparkSpec {
       assert(rows(0L)._3 == 0L && rows(1L)._3 == 2L) // zz, qq unseen
     } finally q.stop()
   }
+
+  test("streaming ER screen: per-batch matches equal the batch twin edJoin") {
+    val sp = spark
+    import sp.implicits._
+    implicit val sqlCtx = sp.sqlContext
+    import graft.operators.FuzzyJoin
+    val in = MemoryStream[(Long, String)]
+    val out = tmpDir("graft_er_screen")
+    val dim = Seq((100L, "spark"), (101L, "hello"), (102L, "kitten"))
+      .toDF("dim_id", "dim_name").localCheckpoint(false)
+    val q = Streaming.startErScreen(in.toDF().toDF("rid", "rname"),
+      col("rid"), col("rname"), dim, col("dim_id"), col("dim_name"),
+      maxDist = 1, s"$out/matches", s"$out/ckpt")
+    val b1 = Seq((1L, "spak"), (2L, "helo"))      // del variants
+    val b2 = Seq((3L, "mitten"), (4L, "unrelated"))
+    try {
+      in.addData(b1: _*)
+      q.processAllAvailable()
+      in.addData(b2: _*)
+      q.processAllAvailable()
+      val rows = sp.read.parquet(s"$out/matches")
+        .withColumn("batch_id", col("batch_id").cast("long"))
+        .collect().map(r => (r.getAs[Long]("batch_id"), r.getAs[Long]("record_id"),
+          r.getAs[Long]("matched_id"), r.getAs[Int]("dist"))).toSet
+      for ((bid, data) <- Seq(0L -> b1, 1L -> b2)) {
+        val twin = FuzzyJoin.edJoin(data.toDF("rid", "rname"), col("rid"),
+            col("rname"), dim, col("dim_id"), col("dim_name"), 1)
+          .collect().map(r => (bid, r.getAs[Long]("l_id"), r.getAs[Long]("r_id"),
+            r.getAs[Int]("dist"))).toSet
+        assert(rows.filter(_._1 == bid) == twin)
+      }
+      assert(rows.map(t => (t._2, t._3)) ==
+        Set((1L, 100L), (2L, 101L), (3L, 102L))) // 4 matches nothing
+    } finally q.stop()
+  }
 }
