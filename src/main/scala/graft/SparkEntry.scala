@@ -2032,6 +2032,15 @@ object SparkEntry {
           col("doc_id"), col("text"), Seq("table", "hash"))
         .withColumnRenamed("id", "doc_id")
         .orderBy("doc_id")),
+    // perceptual-hash media near-dup: 60-bit average hash over
+    // stride-sampled payload bytes, simhash pigeonhole banding, exact
+    // Hamming verify in the join projection
+    "q_media_phash" -> ((s, dir) =>
+      Multimodal.phashNearDupPairs(
+          Multimodal.mediaTable(graft.sources.Testdata.table(s, dir, "documents")),
+          maxHamming = 3)
+        .select(col("id_a"), col("id_b"), col("hamming").cast("long").as("hamming"))
+        .orderBy("id_a", "id_b")),
     // numeric column profile: count/nulls/min/max/mean/stddev for three
     // measures in ONE aggregation job — decimal-cast sums keep the moments
     // partition-order-invariant (the pricing-summary pattern)
@@ -4350,6 +4359,29 @@ object SparkEntry {
         |FROM z ORDER BY event_type, bucket_start""".stripMargin,
     "q_knn_mmr" -> mmrOracle(5),
     "q_text_bpe" -> bpeOracle(4),
+    // phash oracle: same stride sampling via hex nibbles, same integer
+    // 60·x > Σ mean test, exact shifts; pairs = brute-force Hamming <= 3
+    // (the pigeonhole banding is complete at this radius)
+    "q_media_phash" ->
+      """WITH t AS (
+        |  SELECT doc_id, hex(encode(text)) AS hx, octet_length(encode(text)) AS n
+        |  FROM documents
+        |), v AS (
+        |  SELECT doc_id,
+        |    list_transform(range(0, 60), j ->
+        |      (strpos('123456789ABCDEF', substring(hx, CAST(2*least(j*greatest(1, n//60), n-1)+1 AS INT), 1)))*16
+        |      + strpos('123456789ABCDEF', substring(hx, CAST(2*least(j*greatest(1, n//60), n-1)+2 AS INT), 1))) AS vals
+        |  FROM t WHERE n > 0
+        |), s AS (SELECT doc_id, vals, CAST(list_sum(vals) AS BIGINT) AS tot FROM v
+        |), ph AS (
+        |  SELECT doc_id, CAST(list_sum(list_transform(vals, (x, i) ->
+        |    CASE WHEN x * 60 > tot THEN (CAST(1 AS BIGINT) << CAST(i - 1 AS INT)) ELSE CAST(0 AS BIGINT) END)) AS BIGINT) AS ph
+        |  FROM s
+        |)
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |  CAST(bit_count(xor(a.ph, b.ph)) AS BIGINT) AS hamming
+        |FROM ph a JOIN ph b ON a.doc_id < b.doc_id AND bit_count(xor(a.ph, b.ph)) <= 3
+        |ORDER BY id_a, id_b""".stripMargin,
     // numeric-profile oracle: same decimal-cast sums, same E[x^2]-E[x]^2
     // epilogue in double
     "q_profile_numeric" -> {

@@ -180,4 +180,56 @@ object Multimodal {
       .filter(col("jaccard") >= tau)
       .select(col("id_a"), col("id_b"), col("jaccard"))
   }
+
+  /** 60-bit perceptual (average) hash over the payload: 60 stride-sampled
+    * bytes form the "decoded grid" (the aHash shape — a real pipeline
+    * hashes the downscaled luminance plane; the byte-sampling stub keeps
+    * the arithmetic honest end to end), each bit = sample above the grid
+    * mean. Identical payloads hash equal; small payload edits flip few
+    * bits, so Hamming distance is the near-dup measure — the media analog
+    * of [[Dedup.simhash]], and 60 bits exactly reuses its 4×15-bit
+    * pigeonhole banding.
+    *
+    * Pure codegen column algebra: one hex pass, integer sampling, exact
+    * integer mean test (sum·1 vs value·60 — no float in the bit decision),
+    * powers-of-two lookup instead of a variable shift.
+    */
+  def perceptualHash(content: Column): Column = {
+    val powers = typedLit((0 until 60).map(j => 1L << j))
+    val n = octet_length(content)
+    val hx = hex(content)
+    val stride = greatest(lit(1L), floor(n.cast("double") / 60.0).cast("long"))
+    val vals = transform(sequence(lit(0L), lit(59L)), j => {
+      val pos = least(j * stride, (n - 1).cast("long"))
+      conv(hx.substr((pos * 2 + 1).cast("int"), lit(2)), 16, 10).cast("long")
+    })
+    val total = aggregate(vals, lit(0L), (a, x) => a + x)
+    // bit j set iff 60·sample_j > Σ samples (integer-exact mean test)
+    val hash = aggregate(
+      transform(vals, (x, i) => when(x * 60L > total,
+        element_at(powers, (i + 1).cast("int"))).otherwise(0L)),
+      lit(0L), (a, x) => a + x)
+    when(n > 0, hash).otherwise(lit(0L))
+  }
+
+  /** Near-dup media pairs at perceptual-hash Hamming ≤ `maxHamming`,
+    * blocked on the simhash 4×15-bit pigeonhole bands (complete for radius
+    * ≤ 3). Hamming is computed in the join projection before the distinct
+    * exchange, so only qualifying pairs shuffle.
+    */
+  def phashNearDupPairs(media: DataFrame, maxHamming: Int = 3): DataFrame = {
+    val h = media.select(col("doc_id").as("id"),
+      perceptualHash(col("content")).as("ph"))
+    val banded = h.select(col("id"), col("ph"),
+      posexplode(array((0 until 4).map(b =>
+        shiftright(col("ph"), b * 15).bitwiseAND(lit(0x7fffL))): _*)))
+      .withColumnRenamed("pos", "band").withColumnRenamed("col", "bval")
+    banded.as("a").join(banded.as("b"),
+        col("a.band") === col("b.band") && col("a.bval") === col("b.bval") &&
+          col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        bit_count(col("a.ph").bitwiseXOR(col("b.ph"))).as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+      .distinct()
+  }
 }

@@ -88,4 +88,31 @@ class MultimodalSpec extends SparkSpec {
       (1L, 2L, 1L, 4), // C: frame 4
       (2L, 0L, 1L, 0)))
   }
+
+  test("perceptual hash: identical payloads collide; small edits stay within radius; banding equals brute force") {
+    import testImplicits._
+    import graft.operators.Multimodal
+    val base = "the quick brown fox jumps over the lazy dog and keeps running far away" * 3
+    val docs = Seq(
+      (1L, base), (2L, base),                      // exact copy → hamming 0
+      (3L, base.replace("quick", "quack")),        // small edit
+      (4L, "completely different payload with other bytes entirely " * 4)
+    ).toDF("doc_id", "text")
+    val media = Multimodal.mediaTable(docs)
+    val hashes = media.select(col("doc_id"),
+        Multimodal.perceptualHash(col("content")).as("ph"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(hashes(1L) == hashes(2L))
+    assert(java.lang.Long.bitCount(hashes(1L) ^ hashes(3L)) <= 3)
+    assert(java.lang.Long.bitCount(hashes(1L) ^ hashes(4L)) > 3)
+    val pairs = Multimodal.phashNearDupPairs(media, maxHamming = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // brute-force twin from the collected hashes
+    val ids = hashes.keys.toSeq.sorted
+    val brute = (for {
+      a <- ids; b <- ids if a < b
+      if java.lang.Long.bitCount(hashes(a) ^ hashes(b)) <= 3
+    } yield (a, b)).toSet
+    assert(pairs == brute && pairs.contains((1L, 2L)))
+  }
 }
