@@ -460,6 +460,58 @@ object SparkEntry {
        |) ORDER BY id""".stripMargin
   }
 
+  /** PCA-2 oracle: the abtt loop twice — it* converges to the top
+    * direction over the centered data, c2 Hotelling-deflates with the
+    * ROUNDED v₁ (both engines re-enter with identical floats), jt* runs
+    * the same loop over c2, and the epilogue projects on both directions.
+    */
+  private def pca2Oracle(iters: Int, dim: Int): String = {
+    val d1 = dim + 1
+    val sub = s"(SELECT CAST(j AS INT) AS j FROM range(1, $d1) t(j))"
+    def loop(prefix: String, src: String, init: String): String =
+      (1 to iters).map { k =>
+        val prev = if (k == 1) init else s"$prefix${k - 1}"
+        s"""$prefix$k AS MATERIALIZED (
+           |  SELECT list(vj ORDER BY j) AS v FROM (
+           |    SELECT j, round(wx / sqrt(sum(wx*wx) OVER ()), 6) AS vj FROM (
+           |      SELECT s.j AS j, avg(list_dot_product(c.xc, p.v) * c.xc[s.j]) AS wx
+           |      FROM $src c, $prev p, $sub s
+           |      GROUP BY s.j))
+           |)""".stripMargin
+      }.mkString(",\n")
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ev FROM embeddings),
+       |m AS (
+       |  SELECT list(round(mx, 6) ORDER BY j) AS mv FROM (
+       |    SELECT s.j AS j, avg(e.ev[s.j]) AS mx FROM e, $sub s GROUP BY s.j)
+       |),
+       |c AS MATERIALIZED (
+       |  SELECT e.vec_id, list_transform(range(1, $d1), i -> e.ev[i] - m.mv[i]) AS xc
+       |  FROM e, m
+       |),
+       |v0 AS (SELECT list_transform(range(1, $d1),
+       |  i -> CASE WHEN i = 1 THEN 1.0 ELSE 0.0 END) AS v),
+       |w0 AS (SELECT list_transform(range(1, $d1),
+       |  i -> CASE WHEN i = 2 THEN 1.0 ELSE 0.0 END) AS v),
+       |${loop("it", "c", "v0")},
+       |c2 AS MATERIALIZED (
+       |  SELECT c.vec_id, list_transform(range(1, $d1),
+       |    i -> c.xc[i] - f.v[i] * list_dot_product(c.xc, f.v)) AS xc
+       |  FROM c, it$iters f
+       |),
+       |${loop("jt", "c2", "w0")}
+       |SELECT vec_id, round(p1, 6) AS p1, round(p2, 6) AS p2,
+       |  round(sqrt(list_dot_product(r, r)), 6) AS resid_norm
+       |FROM (
+       |  SELECT c.vec_id,
+       |    list_dot_product(c.xc, f1.v) AS p1,
+       |    list_dot_product(c.xc, f2.v) AS p2,
+       |    list_transform(range(1, $d1), i ->
+       |      c.xc[i] - list_dot_product(c.xc, f1.v) * f1.v[i]
+       |              - list_dot_product(c.xc, f2.v) * f2.v[i]) AS r
+       |  FROM c, it$iters f1, jt$iters f2
+       |) ORDER BY vec_id""".stripMargin
+  }
+
   /** Batch-ANN oracle: per-query sign-LSH bucket (the annOracle plane
     * constants), radius-2 multiprobe set by xor mask, bucket equi-join
     * against the bucketed corpus, per-query cosine rank.
@@ -2032,6 +2084,14 @@ object SparkEntry {
           col("doc_id"), col("text"), Seq("table", "hash"))
         .withColumnRenamed("id", "doc_id")
         .orderBy("doc_id")),
+    // 2-component PCA map: deflated power iteration (2·iters+1 map-side
+    // aggregation scans, dim-length driver vectors, per-iteration 6-dp
+    // rounding) — per-vector (p1, p2) scatter coordinates + abtt-2 residual
+    "q_embed_pca2" -> ((s, dir) =>
+      EmbedQc.pcaTop2(s.read.parquet(s"$dir/embeddings.parquet"),
+          col("vec_id"), col("embedding"), iters = 8)
+        .withColumnRenamed("id", "vec_id")
+        .orderBy("vec_id")),
     // perceptual-hash media near-dup: 60-bit average hash over
     // stride-sampled payload bytes, simhash pigeonhole banding, exact
     // Hamming verify in the join projection
@@ -3604,6 +3664,7 @@ object SparkEntry {
     // re-rounded to 6 dp (the driver sync points), then per-vector
     // projection + residual norm
     "q_embed_abtt" -> abttOracle(iters = 8, dim = 64),
+    "q_embed_pca2" -> pca2Oracle(iters = 8, dim = 64),
     // Matryoshka truncation oracle: per-width prefix-cosine top-10 vs the
     // full-width top-10, recall by id-set intersection
     "q_embed_mrl" ->

@@ -90,15 +90,29 @@ object EmbedQc {
       embs: DataFrame,
       vec: Column,
       iters: Int = 8): (Seq[Double], Seq[Double]) = {
-    def r6(x: Double): Double =
-      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
-    val mean = embs.select(vec.as("xv"))
-      .agg(graft.functions.VectorAggs.vectorMean(col("xv")).as("m"))
-      .head().getSeq[Double](0).map(r6)
-    val dim = mean.length
+    val mean = corpusMean(embs, vec)
     val centered = embs
       .select(zip_with(VF.toDoubleArray(vec), typedLit(mean), (a, b) => a - b).as("xc"))
-    var v: Seq[Double] = 1.0 +: Seq.fill(dim - 1)(0.0)
+    (mean, powerIterate(centered, mean.length, iters))
+  }
+
+  private def r6(x: Double): Double =
+    BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+
+  private def corpusMean(embs: DataFrame, vec: Column): Seq[Double] =
+    embs.select(vec.as("xv"))
+      .agg(graft.functions.VectorAggs.vectorMean(col("xv")).as("m"))
+      .head().getSeq[Double](0).map(r6).toSeq
+
+  /** The power-iteration loop over a (pre-centered / pre-deflated) `xc`
+    * column: each round is one map-side-combined aggregation; the iterate
+    * is 6-dp-rounded at the driver sync so shuffle-order float drift
+    * cannot compound (the [[zScored]] boundary pattern, per iteration).
+    */
+  private def powerIterate(centered: DataFrame, dim: Int, iters: Int,
+      start: Int = 0): Seq[Double] = {
+    var v: Seq[Double] =
+      Seq.tabulate(dim)(i => if (i == start) 1.0 else 0.0)
     for (_ <- 0 until iters) {
       // one map-side-combined pass: dim scalar sums of the scaled vector
       // (normalization absorbs the sum-vs-mean 1/n, so plain sums suffice)
@@ -108,9 +122,55 @@ object EmbedQc {
         .agg(sums.head, sums.tail: _*).head()
       val w = (0 until dim).map(row.getDouble)
       val norm = math.sqrt(w.foldLeft(0.0)((acc, x) => acc + x * x))
-      v = w.map(x => r6(x / norm)).toSeq
+      // degenerate start (v exactly orthogonal to the data subspace) keeps
+      // the previous iterate instead of poisoning the loop with 0/0
+      if (norm > 0) v = w.map(x => r6(x / norm)).toSeq
     }
-    (mean, v)
+    v
+  }
+
+  /** Two-component PCA scatter via DEFLATED power iteration: the top
+    * direction comes from [[topComponent]]'s loop, the second from the same
+    * loop run on the deflated data `x'' = x' − (x'·v₁)v₁` (Hotelling
+    * deflation — the covariance of the deflated data is the original minus
+    * the top eigenpair, so the loop's fixed point is the second component).
+    * Output per vector: the two projection coordinates — the 2-D PCA map
+    * every embedding-QC dashboard plots — plus the residual norm after
+    * removing mean and both components (abtt-2, Mu & Viswanath's D > 1
+    * case).
+    *
+    * Scale shape: `2·iters + 1` map-side-combined aggregation scans, a
+    * dim-length driver vector each — corpus rows never leave their
+    * partitions; determinism from the per-iteration 6-dp driver rounding.
+    */
+  def pcaTop2(
+      embs: DataFrame,
+      id: Column,
+      vec: Column,
+      iters: Int = 8): DataFrame = {
+    val mean = corpusMean(embs, vec)
+    val dim = mean.length
+    val xcExpr = zip_with(VF.toDoubleArray(vec), typedLit(mean), (a, b) => a - b)
+    val centered = embs.select(xcExpr.as("xc"))
+    val v1 = powerIterate(centered, dim, iters)
+    val deflated = centered
+      .select(col("xc"), VF.dot(col("xc"), typedLit(v1)).as("d1"))
+      .select(zip_with(col("xc"),
+        transform(typedLit(v1), e => e * col("d1")), (a, b) => a - b).as("xc"))
+    // the second loop starts at e2: e1's image under the DEFLATED operator
+    // can vanish exactly (v1 = e1 on axis-aligned data), and both engines
+    // must iterate from the identical non-degenerate seed
+    val v2 = powerIterate(deflated, dim, iters, start = 1)
+    val resid = transform(sequence(lit(1), lit(dim)), i =>
+      element_at(col("xc"), i)
+        - col("p1") * element_at(typedLit(v1), i)
+        - col("p2") * element_at(typedLit(v2), i))
+    embs.select(id.as("id"), xcExpr.as("xc"))
+      .withColumn("p1", VF.dot(col("xc"), typedLit(v1)))
+      .withColumn("p2", VF.dot(col("xc"), typedLit(v2)))
+      .select(col("id"), round(col("p1"), 6).as("p1"),
+        round(col("p2"), 6).as("p2"),
+        round(sqrt(VF.normSq(resid)), 6).as("resid_norm"))
   }
 
   /** All-but-the-top decomposition per vector: the projection coefficient

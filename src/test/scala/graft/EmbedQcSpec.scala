@@ -125,4 +125,25 @@ class EmbedQcSpec extends SparkSpec {
     val d16 = out.find(_.getInt(0) == 16).get
     assert(d16.getLong(1) >= 0 && d16.getLong(1) <= 10)
   }
+
+  test("pcaTop2: axis-aligned data recovers both components; residual zero in-plane") {
+    import testImplicits._
+    import org.apache.spark.sql.functions.col
+    // variance 9 along e1, 1 along e2, nothing along e3; mean is 0
+    val df = Seq(
+      (1L, Array(3f, 0f, 0f)), (2L, Array(-3f, 0f, 0f)),
+      (3L, Array(0f, 1f, 0f)), (4L, Array(0f, -1f, 0f))
+    ).toDF("vid", "emb")
+    val got = EmbedQc.pcaTop2(df, col("vid"), col("emb"), iters = 12)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getDouble(1), r.getDouble(2), r.getDouble(3)))).toMap
+    // top direction = ±e1: |p1| = 3 for the e1 points, 0 for the e2 points
+    assert(math.abs(math.abs(got(1L)._1) - 3.0) < 1e-4)
+    assert(math.abs(got(3L)._1) < 1e-4)
+    // second direction = ±e2 after deflation
+    assert(math.abs(math.abs(got(3L)._2) - 1.0) < 1e-4)
+    assert(math.abs(got(1L)._2) < 1e-4)
+    // all points live in the e1-e2 plane: residual vanishes
+    assert(got.values.forall(_._3 < 1e-4))
+  }
 }
