@@ -51,7 +51,10 @@ object Plans {
       "q_er_names", "q_text_source_kl", "q_profile_mad", "q_text_phrase",
       "q_curate_length_buckets", "q_curate_group_split", "q_embed_knn_graph",
       "q_curate_drop_novelty", "q_curate_exact_stratified",
-      "q_curate_scrub_cards")
+      "q_curate_scrub_cards",
+      "q_embed_knn_graph_lsh", "q_curate_weighted_sample", "q_pipeline_ingest",
+      "q_profile_numeric", "q_rel_transitions", "q_curate_softdedup",
+      "q_media_phash", "q_embed_pca2")
     show.foreach { name =>
       println(s"\n## $name\n")
       println("```")

@@ -2084,6 +2084,23 @@ object SparkEntry {
           col("doc_id"), col("text"), Seq("table", "hash"))
         .withColumnRenamed("id", "doc_id")
         .orderBy("doc_id")),
+    // classifier eval as a query: langId predictions vs the ground-truth
+    // lang column — exact confusion counts + per-truth-row shares (the
+    // documents table carries zh, which the stopword profiles cannot
+    // predict, so the off-diagonal mass is real)
+    "q_eval_langid_confusion" -> ((s, dir) =>
+      RankEval.confusion(
+          graft.sources.Testdata.table(s, dir, "documents")
+            .select(col("lang"), TextAnalysis.langId(col("text")).as("pred")),
+          col("lang"), col("pred"))
+        .orderBy("truth", "pred")),
+    // join fan-out audit: orders-per-customer histogram including
+    // zero-order customers — the distribution behind join-explosion risk
+    "q_profile_fanout" -> ((s, dir) =>
+      Profile.fanoutHistogram(
+          graft.sources.Testdata.orders(s, dir), col("o_custkey"),
+          s.read.parquet(s"$dir/customer.parquet"), col("c_custkey"))
+        .orderBy("n_children")),
     // 2-component PCA map: deflated power iteration (2·iters+1 map-side
     // aggregation scans, dim-length driver vectors, per-iteration 6-dp
     // rounding) — per-vector (p1, p2) scatter coordinates + abtt-2 residual
@@ -4420,6 +4437,38 @@ object SparkEntry {
         |FROM z ORDER BY event_type, bucket_start""".stripMargin,
     "q_knn_mmr" -> mmrOracle(5),
     "q_text_bpe" -> bpeOracle(4),
+    // confusion oracle: the q_text_langid CASE ladder as the prediction,
+    // count matrix + per-truth shares
+    "q_eval_langid_confusion" ->
+      s"""WITH t AS (
+         |  SELECT lang, string_split_regex(text, '\\s+') AS toks FROM documents
+         |), s AS (
+         |  SELECT lang,
+         |    len(list_filter(toks, x -> list_contains(${profileSql("en")}, x))) AS s_en,
+         |    len(list_filter(toks, x -> list_contains(${profileSql("de")}, x))) AS s_de,
+         |    len(list_filter(toks, x -> list_contains(${profileSql("es")}, x))) AS s_es,
+         |    len(list_filter(toks, x -> list_contains(${profileSql("fr")}, x))) AS s_fr
+         |  FROM t
+         |), pr AS (
+         |  SELECT lang AS truth, CASE
+         |    WHEN s_en >= s_de AND s_en >= s_es AND s_en >= s_fr AND s_en > 0 THEN 'en'
+         |    WHEN s_de >= s_es AND s_de >= s_fr AND s_de > 0 THEN 'de'
+         |    WHEN s_es >= s_fr AND s_es > 0 THEN 'es'
+         |    WHEN s_fr > 0 THEN 'fr' ELSE 'und' END AS pred
+         |  FROM s
+         |), m AS (SELECT truth, pred, count(*) AS n FROM pr GROUP BY 1, 2
+         |), tt AS (SELECT truth, CAST(sum(n) AS BIGINT) AS tot FROM m GROUP BY 1)
+         |SELECT truth, pred, n, round(CAST(n AS DOUBLE) / tot, 6) AS row_share
+         |FROM m JOIN tt USING (truth) ORDER BY truth, pred""".stripMargin,
+    "q_profile_fanout" ->
+      """WITH oc AS (
+        |  SELECT o_custkey AS k, count(*) AS c FROM orders GROUP BY 1
+        |), pc AS (
+        |  SELECT coalesce(oc.c, 0) AS n_children
+        |  FROM customer LEFT JOIN oc ON c_custkey = oc.k
+        |)
+        |SELECT n_children, count(*) AS n_parents FROM pc
+        |GROUP BY 1 ORDER BY n_children""".stripMargin,
     // phash oracle: same stride sampling via hex nibbles, same integer
     // 60·x > Σ mean test, exact shifts; pairs = brute-force Hamming <= 3
     // (the pigeonhole banding is complete at this radius)

@@ -89,6 +89,23 @@ object Profile {
           .as("orphan_rate"))
   }
 
+  /** Join fan-out histogram: for every parent key, how many child rows
+    * reference it — aggregated into (n_children → n_parents) — including
+    * the zero-child parents the bare child-side groupBy would miss. The
+    * join-risk audit run before trusting a fact/dimension join: a long
+    * tail here is exactly where a merge explodes or a broadcast skews
+    * ([[keySkew]] names the hot keys; this shows the distribution).
+    * Two narrow key-only aggregations + one left join; child payload
+    * columns are never read.
+    */
+  def fanoutHistogram(child: DataFrame, childKey: Column,
+      parent: DataFrame, parentKey: Column): DataFrame =
+    parent.select(parentKey.as("__k"))
+      .join(child.select(childKey.as("__k"))
+        .groupBy("__k").agg(count(lit(1)).as("c")), Seq("__k"), "left")
+      .select(coalesce(col("c"), lit(0L)).as("n_children"))
+      .groupBy("n_children").agg(count(lit(1)).as("n_parents"))
+
   /** Numeric column profile: per column its non-null count, min/max, mean,
     * and population stddev — the moments half of the audit
     * ([[completeness]] covers null/distinct). ONE aggregation job over all

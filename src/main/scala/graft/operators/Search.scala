@@ -327,6 +327,23 @@ object RankEval {
     * (query_id, id) pairs — at any scale this is two small shuffles over
     * ≤ Q·k rows each, regardless of corpus size.
     */
+  /** Confusion matrix of a predicted label column against ground truth:
+    * exact (truth, pred) counts plus each cell's share of its truth row —
+    * the per-class recall diagonal and the confusion mass off it. The
+    * classifier-eval-as-a-query shape: two label-cardinality-bounded
+    * aggregations (the count table is checkpointed for its two consumers);
+    * corpus rows shuffle only into the first count.
+    */
+  def confusion(df: DataFrame, truth: Column, pred: Column): DataFrame = {
+    val m = df.select(truth.as("truth"), pred.as("pred"))
+      .groupBy("truth", "pred").agg(F.count(F.lit(1)).as("n"))
+      .localCheckpoint(false)
+    val tot = m.groupBy("truth").agg(F.sum(F.col("n")).cast("long").as("tot"))
+    m.join(tot, "truth")
+      .select(F.col("truth"), F.col("pred"), F.col("n"),
+        F.round(F.col("n") / F.col("tot"), 6).as("row_share"))
+  }
+
   def recallAtK(
       exact: DataFrame, approx: DataFrame,
       queryCol: String, idCol: String): DataFrame = {

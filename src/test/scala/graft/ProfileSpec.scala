@@ -93,4 +93,13 @@ class ProfileSpec extends SparkSpec {
     // flat group: MAD = 0 → null z, never an outlier
     assert(got(6L)._2.isEmpty && !got(6L)._3)
   }
+
+  test("fanoutHistogram: zero-child parents counted; exact histogram") {
+    import testImplicits._
+    val parent = Seq(1L, 2L, 3L, 4L).toDF("pk")
+    val child = Seq(1L, 1L, 1L, 2L, 3L).toDF("fk")
+    val got = Profile.fanoutHistogram(child, col("fk"), parent, col("pk"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(0L -> 1L, 1L -> 2L, 3L -> 1L))
+  }
 }

@@ -298,4 +298,18 @@ class SearchSpec extends SparkSpec {
       k = 10, lambda = 0.75).collect()
     assert(all.length == 4 && all.map(_.getString(1)).distinct.length == 4)
   }
+
+  test("confusion: exact matrix counts and truth-row shares") {
+    import testImplicits._
+    val df = Seq(("a", "a"), ("a", "a"), ("a", "b"), ("b", "b"), ("c", "a"))
+      .toDF("t", "p")
+    val got = RankEval.confusion(df, col("t"), col("p"))
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getDouble(3)))).toMap
+    assert(got(("a", "a")) == ((2L, math.rint(2.0 / 3 * 1e6) / 1e6)))
+    assert(got(("a", "b")) == ((1L, math.rint(1.0 / 3 * 1e6) / 1e6)))
+    assert(got(("b", "b")) == ((1L, 1.0)))
+    assert(got(("c", "a")) == ((1L, 1.0)))
+    assert(got.size == 4)
+  }
 }
