@@ -360,11 +360,11 @@ object SparkEntry {
     }.mkString("(", " + ", ")")
     s"""WITH t AS (
        |  SELECT doc_id, string_split_regex(text, '\\s+') AS w FROM documents
-       |), sh AS (
+       |), sh AS MATERIALIZED (
        |  SELECT doc_id, list_distinct(list_transform(range(1, len(w)), i -> w[i] || ' ' || w[i+1])) AS s FROM t
        |), fp AS (
        |  SELECT doc_id, list_transform(s, g -> $polyhashSql) AS fps FROM sh WHERE len(s) > 0
-       |), sg AS (SELECT doc_id, $sigExprs AS sig FROM fp),
+       |), sg AS MATERIALIZED (SELECT doc_id, $sigExprs AS sig FROM fp),
        |pairs AS (
        |  SELECT n.doc_id AS new_id, c.doc_id AS corpus_id,
        |    $bandsHit AS bands_hit,
@@ -589,7 +589,7 @@ object SparkEntry {
   }
 
   private val dedupJaccardOracle =
-    """WITH t AS (
+    """WITH t AS MATERIALIZED (
       |  SELECT doc_id, list_distinct(list_transform(
       |    range(1, len(string_split_regex(text, '\s+'))),
       |    i -> string_split_regex(text, '\s+')[i] || ' ' || string_split_regex(text, '\s+')[i+1])) AS sh
@@ -3348,12 +3348,12 @@ object SparkEntry {
     // Leakage-audit oracle: exact pairwise-Jaccard near-dup pairs (the
     // q_dedup_jaccard ground truth) bucketed by the hash-split matrix
     "q_curate_split_leakage" ->
-      """WITH t AS (
+      """WITH t AS MATERIALIZED (
         |  SELECT doc_id, list_distinct(list_transform(
         |    range(1, len(string_split_regex(text, '\s+'))),
         |    i -> string_split_regex(text, '\s+')[i] || ' ' || string_split_regex(text, '\s+')[i+1])) AS sh
         |  FROM documents
-        |), p AS (
+        |), p AS MATERIALIZED (
         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
         |  FROM t a, t b
         |  WHERE a.doc_id < b.doc_id
@@ -4049,7 +4049,7 @@ object SparkEntry {
         |FROM s ORDER BY doc_id""".stripMargin,
     "q_dedup_jaccard" -> dedupJaccardOracle,
     "q_dedup_containment" ->
-      """WITH t AS (
+      """WITH t AS MATERIALIZED (
         |  SELECT doc_id, list_distinct(list_transform(
         |    range(1, len(string_split_regex(text, '\s+'))),
         |    i -> string_split_regex(text, '\s+')[i] || ' ' || string_split_regex(text, '\s+')[i+1])) AS sh
@@ -4071,12 +4071,12 @@ object SparkEntry {
     // Same pair predicate as dedupJaccardOracle, then transitive closure via
     // a recursive CTE; cluster label = min reachable id.
     "q_dedup_clusters" ->
-      """WITH RECURSIVE t AS (
+      """WITH RECURSIVE t AS MATERIALIZED (
         |  SELECT doc_id, list_distinct(list_transform(
         |    range(1, len(string_split_regex(text, '\s+'))),
         |    i -> string_split_regex(text, '\s+')[i] || ' ' || string_split_regex(text, '\s+')[i+1])) AS sh
         |  FROM documents
-        |), p AS (
+        |), p AS MATERIALIZED (
         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
         |  FROM t a, t b
         |  WHERE a.doc_id < b.doc_id
@@ -4096,17 +4096,17 @@ object SparkEntry {
     // (LSH recall 1.0 on this corpus, as q_dedup_clusters), recursive
     // closure, then the per-cluster roll-up with exact-dup multiplicity
     "q_pipeline_dedup" ->
-      """WITH RECURSIVE rep AS (
+      """WITH RECURSIVE rep AS MATERIALIZED (
         |  SELECT doc_id, text,
         |    count(*) OVER (PARTITION BY md5(text)) AS group_size
         |  FROM documents
         |  QUALIFY row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) = 1
-        |), t AS (
+        |), t AS MATERIALIZED (
         |  SELECT doc_id, group_size, list_distinct(list_transform(
         |    range(1, len(string_split_regex(text, '\s+'))),
         |    i -> string_split_regex(text, '\s+')[i] || ' ' || string_split_regex(text, '\s+')[i+1])) AS sh
         |  FROM rep
-        |), p AS (
+        |), p AS MATERIALIZED (
         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
         |  FROM t a, t b
         |  WHERE a.doc_id < b.doc_id
@@ -4332,7 +4332,7 @@ object SparkEntry {
         | AND a.event_id < b.event_id
         |ORDER BY id_a, id_b""".stripMargin,
     "q_text_cosine_pairs" ->
-      """WITH tf AS (
+      """WITH tf AS MATERIALIZED (
         |  SELECT doc_id, t AS term, count(*) AS tf FROM (
         |    SELECT doc_id, unnest(string_split_regex(text, '\s+')) AS t
         |    FROM documents)
@@ -4342,7 +4342,7 @@ object SparkEntry {
         |), kept AS (
         |  SELECT term FROM (SELECT term, count(*) AS df FROM tf GROUP BY term)
         |  WHERE df >= 2
-        |), p AS (SELECT tf.* FROM tf JOIN kept USING (term)
+        |), p AS MATERIALIZED (SELECT tf.* FROM tf JOIN kept USING (term)
         |), dots AS (
         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
         |    CAST(sum(a.tf * b.tf) AS BIGINT) AS dot
@@ -4483,7 +4483,7 @@ object SparkEntry {
         |      + strpos('123456789ABCDEF', substring(hx, CAST(2*least(j*greatest(1, n//60), n-1)+2 AS INT), 1))) AS vals
         |  FROM t WHERE n > 0
         |), s AS (SELECT doc_id, vals, CAST(list_sum(vals) AS BIGINT) AS tot FROM v
-        |), ph AS (
+        |), ph AS MATERIALIZED (
         |  SELECT doc_id, CAST(list_sum(list_transform(vals, (x, i) ->
         |    CASE WHEN x * 60 > tot THEN (CAST(1 AS BIGINT) << CAST(i - 1 AS INT)) ELSE CAST(0 AS BIGINT) END)) AS BIGINT) AS ph
         |  FROM s
@@ -4522,12 +4522,12 @@ object SparkEntry {
         |FROM c JOIN t2 USING (from_e) ORDER BY from_e, to_e""".stripMargin,
     // soft-dedup oracle: the cluster closure + a per-cluster count window
     "q_curate_softdedup" ->
-      """WITH RECURSIVE t AS (
+      """WITH RECURSIVE t AS MATERIALIZED (
         |  SELECT doc_id, list_distinct(list_transform(
         |    range(1, len(string_split_regex(text, '\s+'))),
         |    i -> string_split_regex(text, '\s+')[i] || ' ' || string_split_regex(text, '\s+')[i+1])) AS sh
         |  FROM documents
-        |), p AS (
+        |), p AS MATERIALIZED (
         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
         |  FROM t a, t b
         |  WHERE a.doc_id < b.doc_id
@@ -4594,7 +4594,7 @@ object SparkEntry {
           val lst = p.mkString("[", ",", "]")
           s"(CASE WHEN list_dot_product($vecSql, $lst) >= 0 THEN ${1 << i} ELSE 0 END)"
         }.mkString("(", " + ", ")")
-      s"""WITH e AS (
+      s"""WITH e AS MATERIALIZED (
          |  SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v,
          |         ${bExpr("CAST(embedding AS DOUBLE[])")} AS b
          |  FROM embeddings
@@ -4690,7 +4690,7 @@ object SparkEntry {
     // mutual k-NN oracle: all-pairs cosine, per-src row_number rank <= k,
     // mutual = reciprocated-edge join, isolates kept via the left join
     "q_embed_knn_graph" ->
-      """WITH e AS (
+      """WITH e AS MATERIALIZED (
         |  SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
         |), sc AS (
         |  SELECT a.id AS src, b.id AS dst,
@@ -4787,7 +4787,7 @@ object SparkEntry {
     "q_text_phrase" ->
       """WITH tok AS (
         |  SELECT doc_id, string_split_regex(text, '\s+') AS ts FROM documents
-        |), p AS (
+        |), p AS MATERIALIZED (
         |  SELECT doc_id, ts[i] AS t, i
         |  FROM tok, unnest(range(1, len(ts) + 1)) AS u(i)
         |), m AS (
@@ -4800,12 +4800,12 @@ object SparkEntry {
     // doc its min-reach cluster id; the split is hashSplit's pure arithmetic
     // applied to that cluster id
     "q_curate_group_split" ->
-      """WITH RECURSIVE t AS (
+      """WITH RECURSIVE t AS MATERIALIZED (
         |  SELECT doc_id, list_distinct(list_transform(
         |    range(1, len(string_split_regex(text, '\s+'))),
         |    i -> string_split_regex(text, '\s+')[i] || ' ' || string_split_regex(text, '\s+')[i+1])) AS sh
         |  FROM documents
-        |), p AS (
+        |), p AS MATERIALIZED (
         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
         |  FROM t a, t b
         |  WHERE a.doc_id < b.doc_id
