@@ -79,7 +79,10 @@ object Plans {
       // round-5 sketch/audit wave: the iterative textrank DAG, the
       // auto-routed leakage audit, and the sketch-gated quality filter
       "q_text_textrank", "q_curate_split_leakage",
-      "q_curate_quality_filter_sketch")
+      "q_curate_quality_filter_sketch",
+      // linkage/composition wave: the composed ingest decision (five
+      // screens in one plan) and the deletion-variant ER join
+      "q_pipeline_ingest", "q_er_names")
     println(s"\n# Appendix: FINAL adaptive plans (post-execution, AQE on)\n")
     aqeShow.foreach { name =>
       println(s"\n## $name (final adaptive plan)\n")

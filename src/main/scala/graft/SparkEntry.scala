@@ -4758,14 +4758,21 @@ object SparkEntry {
         |    + 0.3*least((CASE WHEN len(toks) > 0 THEN CAST(len(list_filter(toks, x -> list_contains(${profileSql("en")}, x))) AS DOUBLE)/len(toks) ELSE 0.0 END)/0.1, 1.0),
         |    6) AS v
         |  FROM t
-        |), med AS (SELECT source, quantile_cont(v, 0.5) AS med FROM sc GROUP BY source
+        |), sc6 AS (
+        |  SELECT doc_id, source, CAST(round(v * 1e6) AS BIGINT) AS v6 FROM sc
+        |), med AS (
+        |  SELECT source, CAST(quantile_cont(v6, 0.5) * 2 AS BIGINT) AS m2
+        |  FROM sc6 GROUP BY source
         |), dev AS (
-        |  SELECT doc_id, source, v, med, round(abs(v - med), 6) AS dev
-        |  FROM sc JOIN med USING (source)
-        |), mad AS (SELECT source, quantile_cont(dev, 0.5) AS mad FROM dev GROUP BY source)
-        |SELECT source, doc_id, v AS value, round(med, 6) AS med,
-        |  CASE WHEN mad > 0 THEN round(dev / (1.4826 * mad), 6) END AS robust_z,
-        |  (mad > 0 AND dev > 2.0 * 1.4826 * mad) AS is_outlier
+        |  SELECT doc_id, source, v6, m2, abs(v6 * 2 - m2) AS dev2
+        |  FROM sc6 JOIN med USING (source)
+        |), mad AS (
+        |  SELECT source, CAST(quantile_cont(dev2, 0.5) * 2 AS BIGINT) AS mad4
+        |  FROM dev GROUP BY source
+        |)
+        |SELECT source, doc_id, round(v6 / 1e6, 6) AS value, round(m2 / 2e6, 6) AS med,
+        |  CASE WHEN mad4 > 0 THEN round(CAST(dev2 * 2 AS DOUBLE) / (1.4826 * mad4), 6) END AS robust_z,
+        |  (mad4 > 0 AND dev2 * 2 > 2.0 * 1.4826 * mad4) AS is_outlier
         |FROM dev JOIN mad USING (source) ORDER BY doc_id""".stripMargin,
     "q_curate_length_buckets" ->
       """WITH t AS (

@@ -164,18 +164,29 @@ object Profile {
     */
   def madOutliers(df: DataFrame, grp: Column, id: Column, value: Column,
       k: Double = 3.0): DataFrame = {
-    val rows = df.select(grp.as("g"), id.as("id"), round(value, 6).as("v"))
-    val med = rows.groupBy("g").agg(expr("percentile(v, 0.5)").as("med"))
+    // integer micro-unit pipeline: v6 = round(v·1e6) is an exact LONG, the
+    // interpolated median of longs is an integer or a half (doubling both
+    // sides keeps everything integral), so med/dev/MAD carry NO decimal
+    // rounding boundaries between engines — at sf0.1 the float spelling
+    // put ~half the deviations exactly on .5e-6 ties, where round()
+    // implementations legitimately disagree. One double division at the
+    // very end.
+    val rows = df.select(grp.as("g"), id.as("id"),
+      round(round(value, 6) * 1e6).cast("long").as("v6"))
+    val med = rows.groupBy("g")
+      .agg((expr("percentile(v6, 0.5)") * 2).cast("long").as("m2"))
     val dev = rows.join(med, "g")
-      .withColumn("dev", round(abs(col("v") - col("med")), 6))
+      .withColumn("dev2", abs(col("v6") * 2 - col("m2")))
       .localCheckpoint(false)
-    val mad = dev.groupBy("g").agg(expr("percentile(dev, 0.5)").as("mad"))
+    val mad = dev.groupBy("g")
+      .agg((expr("percentile(dev2, 0.5)") * 2).cast("long").as("mad4"))
     dev.join(mad, "g")
-      .select(col("g"), col("id"), col("v").as("value"),
-        round(col("med"), 6).as("med"),
-        when(col("mad") > 0,
-          round(col("dev") / (lit(1.4826) * col("mad")), 6)).as("robust_z"),
-        (col("mad") > 0 && col("dev") > lit(k) * lit(1.4826) * col("mad"))
-          .as("is_outlier"))
+      .select(col("g"), col("id"),
+        round(col("v6") / 1e6, 6).as("value"),
+        round(col("m2") / 2e6, 6).as("med"),
+        when(col("mad4") > 0,
+          round(col("dev2") * 2 / (lit(1.4826) * col("mad4")), 6)).as("robust_z"),
+        (col("mad4") > 0 &&
+          col("dev2") * 2 > lit(k) * lit(1.4826) * col("mad4")).as("is_outlier"))
   }
 }
