@@ -4478,15 +4478,15 @@ object SparkEntry {
         |  FROM documents
         |), v AS (
         |  SELECT doc_id,
-        |    list_transform(range(0, 60), j ->
-        |      (strpos('123456789ABCDEF', substring(hx, CAST(2*least(j*greatest(1, n//60), n-1)+1 AS INT), 1)))*16
-        |      + strpos('123456789ABCDEF', substring(hx, CAST(2*least(j*greatest(1, n//60), n-1)+2 AS INT), 1))) AS vals
+        |    list_transform(range(0, 61), j ->
+        |      (strpos('123456789ABCDEF', substring(hx, CAST(2*least(j*greatest(1, n//61), n-1)+1 AS INT), 1)))*16
+        |      + strpos('123456789ABCDEF', substring(hx, CAST(2*least(j*greatest(1, n//61), n-1)+2 AS INT), 1))) AS vals
         |  FROM t WHERE n > 0
-        |), s AS (SELECT doc_id, vals, CAST(list_sum(vals) AS BIGINT) AS tot FROM v
         |), ph AS MATERIALIZED (
-        |  SELECT doc_id, CAST(list_sum(list_transform(vals, (x, i) ->
-        |    CASE WHEN x * 60 > tot THEN (CAST(1 AS BIGINT) << CAST(i - 1 AS INT)) ELSE CAST(0 AS BIGINT) END)) AS BIGINT) AS ph
-        |  FROM s
+        |  SELECT doc_id, CAST(list_sum(list_transform(range(1, 61), j ->
+        |    CASE WHEN vals[CAST(j+1 AS INT)] > vals[CAST(j AS INT)]
+        |         THEN (CAST(1 AS BIGINT) << CAST(j - 1 AS INT)) ELSE CAST(0 AS BIGINT) END)) AS BIGINT) AS ph
+        |  FROM v
         |)
         |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
         |  CAST(bit_count(xor(a.ph, b.ph)) AS BIGINT) AS hamming
