@@ -219,8 +219,15 @@ object Multimodal {
     * exchange, so only qualifying pairs shuffle.
     */
   def phashNearDupPairs(media: DataFrame, maxHamming: Int = 3): DataFrame = {
+    // materialize (id, ph) BEFORE banding: projection collapse otherwise
+    // inlines the 61-sample hash expression into all four band values, the
+    // join keys, AND the per-pair Hamming projection — the hash ends up
+    // recomputed per CANDIDATE PAIR instead of per row (measured 340 s vs
+    // ~1 s at sf0.1). After the cut the join sees ph as a stored 8-byte
+    // column.
     val h = media.select(col("doc_id").as("id"),
-      perceptualHash(col("content")).as("ph"))
+        perceptualHash(col("content")).as("ph"))
+      .localCheckpoint(false)
     val banded = h.select(col("id"), col("ph"),
       posexplode(array((0 until 4).map(b =>
         shiftright(col("ph"), b * 15).bitwiseAND(lit(0x7fffL))): _*)))
