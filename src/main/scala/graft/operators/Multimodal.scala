@@ -185,16 +185,19 @@ object Multimodal {
     * stride-sampled bytes form the "decoded scanline" (the dHash shape — a
     * real pipeline hashes the downscaled luminance gradient; the
     * byte-sampling stub keeps the arithmetic honest end to end), bit j =
-    * sample j+1 > sample j. The GRADIENT formulation matters at scale: the
-    * average-hash variant sets almost every bit on letter-heavy payloads
-    * (text bytes all exceed the space-dragged mean), band values cluster,
-    * and the banded self-join degenerates toward n² — measured 173 s at
-    * sf0.1 vs ~1 s for dHash's balanced bits. Identical payloads hash
+    * sample j+1 > sample j — the gradient bits are balanced by
+    * construction regardless of global byte levels, unlike the mean-test
+    * aHash variant on letter-heavy payloads. Identical payloads hash
     * equal; small edits flip few bits; 60 bits reuses [[Dedup.simhash]]'s
     * 4×15-bit pigeonhole banding.
     *
-    * Pure codegen column algebra: one hex pass, integer sampling, integer
-    * comparisons only, powers-of-two lookup instead of a variable shift.
+    * Evaluation-shape warning learned the hard way: the samples are folded
+    * in ONE `aggregate` pass with a (hash, prev, idx) struct accumulator.
+    * Referencing the sample array via `element_at(vals, j)` inside a
+    * lambda re-evaluates the WHOLE 61-sample transform per access (no CSE
+    * inside HOF lambdas) — ~7,000 substr+radix conversions per row, which
+    * measured 89 s for 5,000 rows. The single-pass fold computes each
+    * sample exactly once.
     */
   def perceptualHash(content: Column): Column = {
     val powers = typedLit((0 until 60).map(j => 1L << j))
@@ -205,11 +208,14 @@ object Multimodal {
       val pos = least(j * stride, (n - 1).cast("long"))
       conv(hx.substr((pos * 2 + 1).cast("int"), lit(2)), 16, 10).cast("long")
     })
-    val hash = aggregate(
-      transform(sequence(lit(1), lit(60)), j =>
-        when(element_at(vals, j + 1) > element_at(vals, j),
-          element_at(powers, j)).otherwise(0L)),
-      lit(0L), (a, x) => a + x)
+    val zero = struct(lit(0L).as("h"), lit(-1L).as("p"), lit(0).as("i"))
+    val hash = aggregate(vals, zero,
+      (acc, x) => struct(
+        (acc.getField("h") + when(acc.getField("i") >= 1 && x > acc.getField("p"),
+          element_at(powers, acc.getField("i"))).otherwise(0L)).as("h"),
+        x.as("p"),
+        (acc.getField("i") + 1).as("i")),
+      acc => acc.getField("h"))
     when(n > 0, hash).otherwise(lit(0L))
   }
 
