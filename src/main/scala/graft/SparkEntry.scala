@@ -180,6 +180,31 @@ object SparkEntry {
        |) ORDER BY score DESC, id ASC""".stripMargin
   }
 
+  /** The annOracle with the metadata predicate composed in — the filtered
+    * ANN twin (same planes, same radius-2 probe set, label = 3 on the
+    * corpus side).
+    */
+  private val annOracleFiltered: String = {
+    val planes = AnnSearch.hyperplanes(dim = 64)
+    def bex(vecSql: String): String =
+      planes.zipWithIndex.map { case (p, i) =>
+        val lst = p.mkString("[", ",", "]")
+        s"(CASE WHEN list_dot_product($vecSql, $lst) >= 0 THEN ${1 << i} ELSE 0 END)"
+      }.mkString("(", " + ", ")")
+    val masks = AnnSearch.xorMasks(planes.length, 2).mkString("[", ",", "]")
+    s"""WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qe FROM embeddings WHERE vec_id = 0),
+       |qb AS (SELECT ${bex("qe")} AS b FROM q),
+       |probes AS (SELECT xor(qb.b, m) AS pb FROM qb, unnest($masks) AS t(m)),
+       |e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb,
+       |             ${bex("CAST(embedding AS DOUBLE[])")} AS bucket
+       |      FROM embeddings WHERE label = 3)
+       |SELECT id, round(score, 6) AS score FROM (
+       |  SELECT CAST(e.vec_id AS VARCHAR) AS id, list_cosine_similarity(e.emb, q.qe) AS score
+       |  FROM e, q WHERE e.bucket IN (SELECT pb FROM probes)
+       |  ORDER BY score DESC, id ASC LIMIT 10
+       |) ORDER BY score DESC, id ASC""".stripMargin
+  }
+
   /** LSH-blocked embedding near-dup oracle: replicates the sign-LSH bucket
     * math in SQL from the same plane constants the Spark plan uses (the
     * q_ann_topk pattern), then applies the EXACT blocking definition —
@@ -2084,6 +2109,28 @@ object SparkEntry {
           col("doc_id"), col("text"), Seq("table", "hash"))
         .withColumnRenamed("id", "doc_id")
         .orderBy("doc_id")),
+    // windowed event dedup: first event per (user, type, hour bucket) via
+    // the GroupTopK heap — idempotent at-least-once ingestion, no window
+    // sort
+    "q_rel_window_dedup" -> ((s, dir) =>
+      Relational.firstEventPerWindow(graft.sources.Testdata.events(s, dir),
+          Seq(col("user_id"), col("event_type")), col("ts"), col("event_id"),
+          bucketMinutes = 60)
+        .select(col("k0").as("user_id"), col("k1").as("event_type"),
+          col("bucket"), col("tb").as("event_id"))
+        .orderBy("user_id", "event_type", "bucket")),
+    // filtered ANN: metadata predicate composed with the multiprobe bucket
+    // probe — BOTH reach the scan (PushedFilters carries label + bucket IN)
+    "q_ann_topk_filtered" -> ((s, dir) => {
+      val planes = AnnSearch.hyperplanes(dim = 64)
+      val indexed = AnnSearch.index(s.read.parquet(s"$dir/embeddings.parquet"),
+        col("embedding"), planes)
+      AnnSearch.search(indexed.filter(col("label") === 3),
+          col("vec_id").cast("string"), col("embedding"),
+          queryVec(s, dir), planes, k = 10, probeRadius = 2)
+        .withColumn("score", round(col("score"), 6))
+        .orderBy(desc("score"), asc("id"))
+    }),
     // classifier eval as a query: langId predictions vs the ground-truth
     // lang column — exact confusion counts + per-truth-row shares (the
     // documents table carries zh, which the stopword profiles cannot
@@ -4437,6 +4484,17 @@ object SparkEntry {
         |FROM z ORDER BY event_type, bucket_start""".stripMargin,
     "q_knn_mmr" -> mmrOracle(5),
     "q_text_bpe" -> bpeOracle(4),
+    "q_rel_window_dedup" ->
+      """SELECT user_id, event_type, bucket, event_id FROM (
+        |  SELECT user_id, event_type,
+        |    CAST(floor(epoch_us(ts) / 3600000000) AS BIGINT) AS bucket,
+        |    event_id,
+        |    row_number() OVER (
+        |      PARTITION BY user_id, event_type, floor(epoch_us(ts) / 3600000000)
+        |      ORDER BY ts, event_id) AS rn
+        |  FROM events
+        |) WHERE rn = 1 ORDER BY user_id, event_type, bucket""".stripMargin,
+    "q_ann_topk_filtered" -> annOracleFiltered,
     // confusion oracle: the q_text_langid CASE ladder as the prediction,
     // count matrix + per-truth shares
     "q_eval_langid_confusion" ->

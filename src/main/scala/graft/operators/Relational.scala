@@ -580,6 +580,27 @@ object Relational {
         round(col("z"), 6).as("z"))
   }
 
+  /** Windowed event dedup: keep the FIRST event per (keys…, time-bucket) —
+    * the batch twin of `dropDuplicatesWithinWatermark` (idempotent
+    * ingestion of at-least-once event feeds: a retried click within the
+    * window is the same click). The per-window representative comes from
+    * the GroupTopK bounded heap, not a WindowExec sort — the exchange
+    * carries one survivor per (key, bucket) out of each partition; ties on
+    * equal timestamps break on `tie`.
+    */
+  def firstEventPerWindow(events: DataFrame, keys: Seq[Column], ts: Column,
+      tie: Column, bucketMinutes: Int): DataFrame = {
+    require(keys.nonEmpty && bucketMinutes >= 1)
+    val busUs = bucketMinutes * 60000000L
+    val rows = events.select(
+      keys.zipWithIndex.map { case (k, i) => k.as(s"k$i") } ++
+        Seq(ts.as("t"), tie.as("tb")): _*)
+      .withColumn("bucket", floor(unix_micros(col("t")) / busUs))
+    org.apache.spark.sql.graft.GroupTopK.perGroup(rows,
+      keys.indices.map(i => col(s"k$i")) :+ col("bucket"),
+      Seq(asc("t"), asc("tb")), 1)
+  }
+
   /** First-order Markov transition matrix over per-user event sequences:
     * `P(next | current)` with exact pair counts — the behavioral model
     * behind next-action prediction, funnel-anomaly alerts ("users suddenly

@@ -310,4 +310,26 @@ class RelationalSpec extends SparkSpec {
     assert(got(("y", "x")) == ((1L, 1.0)))
     assert(got.size == 3)
   }
+
+  test("firstEventPerWindow: one survivor per key-bucket, earliest wins, tie on id") {
+    import testImplicits._
+    import java.sql.Timestamp
+    import org.apache.spark.sql.functions.col
+    def ts(m: Int) = Timestamp.valueOf(f"2024-01-01 10:$m%02d:00")
+    val ev = Seq(
+      (1L, 1L, "c", ts(5)), (2L, 1L, "c", ts(10)),   // same hour: keep 1
+      (3L, 1L, "c", ts(59)),                          // still same hour
+      (4L, 1L, "v", ts(5)),                           // other type: kept
+      (5L, 2L, "c", ts(5)), (6L, 2L, "c", ts(5))      // exact tie: lower id
+    ).toDF("event_id", "user_id", "e", "ts")
+    val got = Relational.firstEventPerWindow(ev,
+        Seq(col("user_id"), col("e")), col("ts"), col("event_id"), 60)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(3))).toSet
+    assert(got == Set((1L, "c", 1L), (1L, "v", 4L), (2L, "c", 5L)))
+    // bounded-heap contract: GroupTopK, no WindowExec
+    val plan = Relational.firstEventPerWindow(ev,
+        Seq(col("user_id"), col("e")), col("ts"), col("event_id"), 60)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("GroupTopK") && !plan.contains("WindowExec"))
+  }
 }
