@@ -232,14 +232,16 @@ object ScaleSmoke {
       docs.select(md5(graft.operators.Curation.scrubCards(col("text"))).as("m"))
         .filter(col("m").isNotNull).count()
     }
-    // names made replica-disjoint by a 4-hex-char md5 prefix (shared
+    // names made replica-disjoint by an 8-hex-char md5 prefix (shared
     // deletion variants would otherwise cross replicas and grow candidate
-    // volume mult² for what is logically the same dirty drop)
+    // volume mult² for what is logically the same dirty drop; 4 hex chars
+    // collide between replicas of one name often enough to leak
+    // cross-replica matches back in)
     val custU = spark.read.parquet(s"$sfDir/customer.parquet")
       .crossJoin(broadcast(reps))
       .withColumn("__id", col("c_custkey") * mult + col("_rep"))
       .withColumn("c_name", concat(
-        substring(md5(concat(col("c_name"), col("_rep"))), 1, 4), col("c_name")))
+        substring(md5(concat(col("c_name"), col("_rep"))), 1, 8), col("c_name")))
       .drop("c_custkey").withColumnRenamed("__id", "c_custkey").drop("_rep")
       .localCheckpoint()
     time("edit-distance ER join (d=1, corrupted names)") {

@@ -4545,6 +4545,7 @@ object SparkEntry {
         |    CASE WHEN vals[CAST(j+1 AS INT)] > vals[CAST(j AS INT)]
         |         THEN (CAST(1 AS BIGINT) << CAST(j - 1 AS INT)) ELSE CAST(0 AS BIGINT) END)) AS BIGINT) AS ph
         |  FROM v
+        |  UNION ALL SELECT doc_id, CAST(0 AS BIGINT) AS ph FROM t WHERE n = 0
         |)
         |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
         |  CAST(bit_count(xor(a.ph, b.ph)) AS BIGINT) AS hamming
@@ -4558,11 +4559,11 @@ object SparkEntry {
            |  count(*) - count($c) AS n_nulls,
            |  round(min(CAST($c AS DOUBLE)), 6) AS min_v,
            |  round(max(CAST($c AS DOUBLE)), 6) AS max_v,
-           |  round(CAST(sum(CAST($c AS DECIMAL(18,6))) AS DOUBLE) / count($c), 6) AS mean,
+           |  round(CAST(sum(CAST($c AS DECIMAL(30,6))) AS DOUBLE) / count($c), 6) AS mean,
            |  round(sqrt(greatest(0.0,
-           |    CAST(sum(CAST(CAST($c AS DOUBLE) * CAST($c AS DOUBLE) AS DECIMAL(18,6))) AS DOUBLE) / count($c)
-           |    - (CAST(sum(CAST($c AS DECIMAL(18,6))) AS DOUBLE) / count($c))
-           |      * (CAST(sum(CAST($c AS DECIMAL(18,6))) AS DOUBLE) / count($c)))), 6) AS stddev
+           |    CAST(sum(CAST(CAST($c AS DOUBLE) * CAST($c AS DOUBLE) AS DECIMAL(30,6))) AS DOUBLE) / count($c)
+           |    - (CAST(sum(CAST($c AS DECIMAL(30,6))) AS DOUBLE) / count($c))
+           |      * (CAST(sum(CAST($c AS DECIMAL(30,6))) AS DOUBLE) / count($c)))), 6) AS stddev
            |FROM lineitem""".stripMargin
       Seq("l_discount", "l_extendedprice", "l_quantity").map(block)
         .mkString("", "\nUNION ALL\n", "\nORDER BY col_name")
@@ -4743,7 +4744,7 @@ object SparkEntry {
         |  FROM t
         |)
         |SELECT doc_id, CAST(len(valid) AS BIGINT) AS n_cards,
-        |  md5(list_reduce(list_prepend(text2, valid), (acc, v) -> replace(acc, v, '<card>'))) AS scrubbed_md5
+        |  md5(list_reduce(list_prepend(text2, list_sort(valid)), (acc, v) -> replace(acc, v, '<card>'))) AS scrubbed_md5
         |FROM c ORDER BY doc_id""".stripMargin,
     // mutual k-NN oracle: all-pairs cosine, per-src row_number rank <= k,
     // mutual = reciprocated-edge join, isolates kept via the left join

@@ -691,10 +691,14 @@ object Curation {
     * Luhn check — the validation step that separates card PII from
     * order/tracking numbers the blunt [[scrubPii]] digit rule would
     * over-redact. Pure scan-stage column algebra: extract candidates once,
-    * filter by the Luhn fold, fold `replace` over the validated values.
+    * filter by the Luhn fold, fold `replace` over the validated values in
+    * SORTED order — extraction order is engine-dependent after distinct,
+    * and replace order matters when one matched run is a substring of
+    * another.
     */
   def scrubCards(text: Column): Column =
-    aggregate(validCards(text), text, (acc, c) => replace(acc, c, lit("<card>")))
+    aggregate(array_sort(validCards(text)), text,
+      (acc, c) => replace(acc, c, lit("<card>")))
 
   /** Count of distinct Luhn-valid card numbers in the text — the audit
     * column [[scrubCards]] pipelines emit next to the redacted text.

@@ -58,11 +58,30 @@ object FuzzyJoin {
       right: DataFrame, rId: Column, rStr: Column,
       maxDist: Int): DataFrame = {
     require(maxDist >= 1 && maxDist <= 2, "maxDist must be 1 or 2")
+    edJoinProbe(left, lId, lStr,
+      variantTable(right, rId, rStr, maxDist), maxDist)
+  }
+
+  /** The exploded (r_id, r_str, __v) deletion-variant table of the right
+    * side — precompute (and persist/checkpoint) this ONCE when the right
+    * side is a frozen dimension probed repeatedly (the streaming ER screen:
+    * re-exploding a 150k-row dimension to millions of variant rows per
+    * micro-batch is pure waste).
+    */
+  def variantTable(right: DataFrame, rId: Column, rStr: Column,
+      maxDist: Int): DataFrame = {
+    require(maxDist >= 1 && maxDist <= 2, "maxDist must be 1 or 2")
+    right.select(rId.as("r_id"), rStr.as("r_str"))
+      .withColumn("__v", explode(deletionVariants(col("r_str"), maxDist)))
+  }
+
+  /** [[edJoin]] against a prebuilt [[variantTable]]. */
+  def edJoinProbe(
+      left: DataFrame, lId: Column, lStr: Column,
+      rightVariants: DataFrame, maxDist: Int): DataFrame = {
     val lv = left.select(lId.as("l_id"), lStr.as("l_str"))
       .withColumn("__v", explode(deletionVariants(col("l_str"), maxDist)))
-    val rv = right.select(rId.as("r_id"), rStr.as("r_str"))
-      .withColumn("__v", explode(deletionVariants(col("r_str"), maxDist)))
-    lv.join(rv, "__v")
+    lv.join(rightVariants, "__v")
       .select("l_id", "l_str", "r_id", "r_str")
       .dropDuplicates("l_id", "r_id")
       .withColumn("dist", levenshtein(col("l_str"), col("r_str")))

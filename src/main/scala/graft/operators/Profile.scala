@@ -112,15 +112,18 @@ object Profile {
     * profiled columns; the long-form output is a `stack` over the single
     * aggregate row.
     *
-    * Sums accumulate as DECIMAL(18,6)-cast rows (the pricing-summary
-    * pattern): decimal addition is exact and associative, so the mean and
-    * the E[x²]−E[x]² stddev epilogue are partition-order-invariant —
-    * a raw double sum over a 100 TB column drifts in the low digits with
-    * every re-partition and is unauditable.
+    * Sums accumulate as DECIMAL(30,6)-cast rows (the pricing-summary
+    * pattern, widened so x² up to 1e24 — i.e. |x| ≤ 1e12 — fits; the
+    * narrower money scale would NULL-overflow silently under non-ANSI
+    * casts and drop rows from the sums while still counting them):
+    * decimal addition is exact and associative, so the mean and the
+    * E[x²]−E[x]² stddev epilogue are partition-order-invariant — a raw
+    * double sum over a 100 TB column drifts in the low digits with every
+    * re-partition and is unauditable.
     */
   def numericProfile(df: DataFrame, cols: Seq[String]): DataFrame = {
     require(cols.nonEmpty)
-    val dec = "decimal(18,6)"
+    val dec = "decimal(30,6)"
     val aggs = cols.flatMap(c => Seq(
       count(col(c)).as(s"__n_$c"),
       min(col(c).cast("double")).as(s"__mn_$c"),

@@ -233,12 +233,20 @@ object Search {
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
         (VF.dot(col("a.v"), col("b.v")) / (col("a.nrm") * col("b.nrm"))).as("sim"))
       .localCheckpoint(false)
+    val nCands = c.count().toInt
+    if (nCands == 0) {
+      // empty shortlist (an upstream filter ate every candidate) returns an
+      // empty result with the contract schema, not a head() crash
+      import spark.implicits._
+      return Vector.empty[(Int, String, Double, Double)]
+        .toDF("rank", "id", "rel", "mmr")
+    }
     val first = c.orderBy(col("rel").desc, col("id").asc)
       .select(col("id"), col("rel")).head()
     var picks = Vector((1, first.getString(0), first.getDouble(1),
       lambda * first.getDouble(1)))
     var sel = Vector(first.getString(0))
-    for (r <- 2 to math.min(k, c.count().toInt)) {
+    for (r <- 2 to math.min(k, nCands)) {
       val next = c.filter(!col("id").isin(sel: _*))
         .join(sims.filter(col("id_b").isin(sel: _*))
           .groupBy("id_a").agg(max(col("sim")).as("maxsim")),
@@ -327,6 +335,21 @@ object RankEval {
     * (query_id, id) pairs — at any scale this is two small shuffles over
     * ≤ Q·k rows each, regardless of corpus size.
     */
+  def recallAtK(
+      exact: DataFrame, approx: DataFrame,
+      queryCol: String, idCol: String): DataFrame = {
+    val g = exact.select(F.col(queryCol).as("query_id"), F.col(idCol).as("id"))
+    val a = approx.select(F.col(queryCol).as("query_id"), F.col(idCol).as("id"))
+    val denom = g.groupBy("query_id").agg(F.count(F.lit(1)).as("n_exact"))
+    val hits = g.join(a, Seq("query_id", "id"))
+      .groupBy("query_id").agg(F.count(F.lit(1)).as("n_hit"))
+    denom.join(hits, Seq("query_id"), "left")
+      .select(F.col("query_id"), F.col("n_exact"),
+        F.coalesce(F.col("n_hit"), F.lit(0L)).as("n_hit"))
+      .withColumn("recall",
+        F.round(F.col("n_hit").cast("double") / F.col("n_exact"), 6))
+  }
+
   /** Confusion matrix of a predicted label column against ground truth:
     * exact (truth, pred) counts plus each cell's share of its truth row —
     * the per-class recall diagonal and the confusion mass off it. The
@@ -342,20 +365,5 @@ object RankEval {
     m.join(tot, "truth")
       .select(F.col("truth"), F.col("pred"), F.col("n"),
         F.round(F.col("n") / F.col("tot"), 6).as("row_share"))
-  }
-
-  def recallAtK(
-      exact: DataFrame, approx: DataFrame,
-      queryCol: String, idCol: String): DataFrame = {
-    val g = exact.select(F.col(queryCol).as("query_id"), F.col(idCol).as("id"))
-    val a = approx.select(F.col(queryCol).as("query_id"), F.col(idCol).as("id"))
-    val denom = g.groupBy("query_id").agg(F.count(F.lit(1)).as("n_exact"))
-    val hits = g.join(a, Seq("query_id", "id"))
-      .groupBy("query_id").agg(F.count(F.lit(1)).as("n_hit"))
-    denom.join(hits, Seq("query_id"), "left")
-      .select(F.col("query_id"), F.col("n_exact"),
-        F.coalesce(F.col("n_hit"), F.lit(0L)).as("n_hit"))
-      .withColumn("recall",
-        F.round(F.col("n_hit").cast("double") / F.col("n_exact"), 6))
   }
 }

@@ -509,13 +509,19 @@ object Streaming {
       maxDist: Int,
       outPath: String,
       checkpoint: String,
-      queryName: String = "er_screen"): StreamingQuery =
+      queryName: String = "er_screen"): StreamingQuery = {
+    // the frozen dimension's deletion-variant table is built ONCE here and
+    // checkpointed — inside foreachBatch it would re-explode |dim|·(L+1)
+    // variant rows on every micro-batch
+    val dimVariants = graft.operators.FuzzyJoin
+      .variantTable(dimension, dimId, dimName, maxDist)
+      .localCheckpoint(false)
     records.writeStream
       .queryName(queryName)
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        graft.operators.FuzzyJoin.edJoin(batch, id, name,
-            dimension, dimId, dimName, maxDist)
+        graft.operators.FuzzyJoin.edJoinProbe(batch, id, name,
+            dimVariants, maxDist)
           .select(col("l_id").as("record_id"), col("r_id").as("matched_id"),
             col("dist"))
           .withColumn("batch_id", lit(batchId))
@@ -526,6 +532,7 @@ object Streaming {
         ()
       }
       .start()
+  }
 
   /** Streaming token-distribution drift monitor: per micro-batch, the
     * Laplace-smoothed `KL(batch ‖ reference)` of the arriving documents'
