@@ -259,6 +259,13 @@ object SparkEntry {
       s"list_transform(range(1, length($v)+1), i -> CAST(unicode(substring($v, CAST(i AS INT), 1)) AS BIGINT))), " +
       "(acc, x) -> (acc*31 + x) % 1000000007)"
 
+  // the second, independent fingerprint (base 131 mod 1e9+9) — the wide
+  // sketch tier's other 30-bit lane (TextAnalysis.fingerprint2)
+  private def polySql2Of(v: String): String =
+    s"list_reduce(list_prepend(CAST(0 AS BIGINT), " +
+      s"list_transform(range(1, length($v)+1), i -> CAST(unicode(substring($v, CAST(i AS INT), 1)) AS BIGINT))), " +
+      "(acc, x) -> (acc*131 + x) % 1000000009)"
+
   /** Shared CTE chain of the repeated-span oracles: positioned 5-gram
     * fingerprints, cross-doc duplicated positions, islands merged to
     * maximal spans keyed by md5 of the actual span text (the SQL twin of
@@ -846,6 +853,15 @@ object SparkEntry {
         col("event_type"),
         concat(col("user_id").cast("string"), lit(":"),
           col("ts").cast("date").cast("string")), p = 10)),
+    // WIDE HLL tier (round-5 verdict #2): ~2^60 two-lane hash instead of
+    // the 30-bit fingerprint, so register saturation moves from ~10^7 to
+    // past 10^11 distinct keys — the 100 TB cardinality path. Identical
+    // estimator; only the hash and the rho stream width change.
+    "q_events_dau_hll_wide" -> ((s, dir) =>
+      Sketches.hllCardinality(graft.sources.Testdata.events(s, dir),
+        col("event_type"),
+        concat(col("user_id").cast("string"), lit(":"),
+          col("ts").cast("date").cast("string")), p = 10, wide = true)),
     // count-min heavy hitters: d x w counter matrix in one aggregation,
     // exact top-20 tokens estimated as min over their d cells
     "q_text_heavy_hitters" -> ((s, dir) =>
@@ -2637,6 +2653,58 @@ object SparkEntry {
          |    CAST(0.7213 AS DOUBLE) / (CAST(1.0 AS DOUBLE) + CAST(1.079 AS DOUBLE) / CAST(1024.0 AS DOUBLE))
          |      * CAST(1048576.0 AS DOUBLE)
          |      / (CAST((1024 - present) * 2097152 + si AS DOUBLE) / CAST(2097152.0 AS DOUBLE)) AS e_raw
+         |  FROM agg
+         |), fin AS (
+         |  SELECT grp, CASE WHEN e_raw <= CAST(2560.0 AS DOUBLE) AND v > 0
+         |    THEN CAST(1024.0 AS DOUBLE) * ln(CAST(1024.0 AS DOUBLE) / CAST(v AS DOUBLE))
+         |    ELSE e_raw END AS est
+         |  FROM e
+         |), ex AS (
+         |  SELECT event_type AS grp, count(DISTINCT kk) AS n_exact FROM k GROUP BY 1
+         |  UNION ALL SELECT 'ALL', count(DISTINCT kk) FROM k
+         |)
+         |SELECT ex.grp, ex.n_exact, round(fin.est, 6) AS hll_est,
+         |  round((fin.est - ex.n_exact) / ex.n_exact, 6) AS rel_err
+         |FROM ex JOIN fin ON fin.grp = ex.grp
+         |ORDER BY ex.grp""".stripMargin,
+    // Wide-HLL oracle: two independent poly fingerprints, each through its
+    // own splitmix-mod-p chain, packed h1*2^30+h2 into a ~2^60 space;
+    // rho stream widens to 50 bits (p=10), scale constant to 2^51
+    "q_events_dau_hll_wide" ->
+      s"""WITH k AS (
+         |  SELECT event_type,
+         |    CAST(user_id AS VARCHAR) || ':' || CAST(CAST(ts AS DATE) AS VARCHAR) AS kk
+         |  FROM events
+         |), h0 AS (
+         |  SELECT event_type, kk, ${polySqlOf("kk")} AS h, ${polySql2Of("kk")} AS g FROM k
+         |), ha AS (
+         |  SELECT event_type, kk, (h * 2654435761 + 97) % 1000000007 AS t1,
+         |         (g * 3266489917 + 113) % 1000000009 AS s1 FROM h0
+         |), hb AS (
+         |  SELECT event_type, kk,
+         |    (xor(t1, t1 >> 15) * 1866763009 + 127) % 1000000007 AS t2,
+         |    (xor(s1, s1 >> 16) * 2246822519 + 151) % 1000000009 AS s2 FROM ha
+         |), hm AS (
+         |  SELECT event_type, kk,
+         |    xor(t2, t2 >> 13) * 1073741824 + xor(s2, s2 >> 12) AS hf FROM hb
+         |), r0 AS (
+         |  SELECT event_type, hf % 1024 AS bucket,
+         |    1 + len(list_filter(list_transform(range(1, 51), j -> (CAST(1 AS BIGINT) << j)),
+         |      pk -> (hf // 1024) % pk = 0)) AS rho
+         |  FROM hm
+         |), regs AS (
+         |  SELECT event_type AS grp, bucket, max(rho) AS rho FROM r0 GROUP BY 1, 2
+         |  UNION ALL
+         |  SELECT 'ALL' AS grp, bucket, max(rho) AS rho FROM r0 GROUP BY 1, 2
+         |), agg AS (
+         |  SELECT grp, count(*) AS present,
+         |    CAST(sum(CAST(1 AS BIGINT) << (51 - rho)) AS BIGINT) AS si
+         |  FROM regs GROUP BY grp
+         |), e AS (
+         |  SELECT grp, 1024 - present AS v,
+         |    CAST(0.7213 AS DOUBLE) / (CAST(1.0 AS DOUBLE) + CAST(1.079 AS DOUBLE) / CAST(1024.0 AS DOUBLE))
+         |      * CAST(1048576.0 AS DOUBLE)
+         |      / (CAST((1024 - present) * 2251799813685248 + si AS DOUBLE) / CAST(2251799813685248.0 AS DOUBLE)) AS e_raw
          |  FROM agg
          |), fin AS (
          |  SELECT grp, CASE WHEN e_raw <= CAST(2560.0 AS DOUBLE) AND v > 0

@@ -44,21 +44,56 @@ object Sketches {
       t.bitwiseXOR(shiftright(t, s))
     }
 
+  /** Second mix-round table for the WIDE hash's independent half — same
+    * splitmix-mod-p shape, different multipliers/addends/shifts and the
+    * twin modulus 1e9+9, so the two 30-bit halves decorrelate even on
+    * keys whose two polynomial fingerprints are arithmetically related.
+    * Overflow-safe: max product 3.27e18 < 2^63.
+    */
+  val HllMixRounds2: Seq[(Long, Long, Int)] =
+    Seq((3266489917L, 113L, 16), (2246822519L, 151L, 12))
+
+  private def hllMix2(h: Column): Column =
+    HllMixRounds2.foldLeft(h) { case (acc, (a, b, s)) =>
+      val t = pmod(acc * lit(a) + lit(b), lit(1000000009L))
+      t.bitwiseXOR(shiftright(t, s))
+    }
+
+  /** ~60-bit avalanche hash of `key`: two independent polynomial
+    * fingerprints (bases 31/131, moduli 1e9+7/1e9+9), each scrambled by
+    * its own mix chain, packed as `h1·2^30 + h2` — both halves are
+    * < 2^30, so the pack is a bijection on pairs and the whole value fits
+    * int64 with no overflowing multiply (the reason this is two 30-bit
+    * lanes rather than one 64-bit multiply chain: Spark 4 runs ANSI mode,
+    * where a wrapping 64-bit splitmix step would throw, and the DuckDB
+    * oracle's BIGINT lane must follow the identical arithmetic).
+    *
+    * This is the 100 TB cardinality tier (round-5 verdict: the 30-bit
+    * hash saturates registers past ~10^7 distinct keys and biases HLL
+    * low). With ~2^60 distinct hash values, fingerprint collisions stop
+    * mattering until ~10^9 KEYS (birthday on two independent 30-bit
+    * polys) and the rho stream supports cardinalities past 10^11.
+    */
+  def hllWideHash(key: Column): Column =
+    hllMix(TextAnalysis.fingerprint(key)) * lit(1073741824L) +
+      hllMix2(TextAnalysis.fingerprint2(key))
+
   /** HLL registers for the values of `key` within each `grp`: the mixed
-    * 30-bit hash splits into bucket (low p bits) and rho stream (the
+    * hash splits into bucket (low p bits) and rho stream (the
     * rest); rho = 1 + trailing zeros, register = max rho per
     * (grp, bucket). Trailing zeros are counted with pure integer
     * divisibility tests (no float log2), so the register table is
-    * bit-identical on any engine. The ~2^30 hash space serves estimates
-    * up to ~10^7 distinct values comfortably; beyond that, widen the
-    * fingerprint modulus.
+    * bit-identical on any engine. The default ~2^30 hash space serves
+    * estimates up to ~10^7 distinct values; `wide = true` switches to the
+    * ~2^60 [[hllWideHash]] for real 100 TB cardinalities (10^9–10^11).
     */
-  def hllRegisters(df: DataFrame, grp: Column, key: Column, p: Int): DataFrame = {
+  def hllRegisters(df: DataFrame, grp: Column, key: Column, p: Int,
+      wide: Boolean = false): DataFrame = {
     require(p >= 7 && p <= 16, "p in [7,16]: the bias constant below assumes m >= 128")
     val m = 1 << p
-    val wBits = 30 - p
+    val wBits = (if (wide) 60 else 30) - p
     val pows = array((1 to wBits).map(k => lit(1L << k)): _*)
-    val hf = hllMix(TextAnalysis.fingerprint(key))
+    val hf = if (wide) hllWideHash(key) else hllMix(TextAnalysis.fingerprint(key))
     df.select(grp.as("grp"), hf.as("hf"))
       .select(col("grp"),
         pmod(col("hf"), lit(m.toLong)).as("bucket"),
@@ -76,9 +111,9 @@ object Sketches {
     * the only float-library call on the whole path is the single `ln`
     * in the small-range branch (covered by the 6-dp rounding margin).
     */
-  def hllEstimate(regs: DataFrame, p: Int): DataFrame = {
+  def hllEstimate(regs: DataFrame, p: Int, wide: Boolean = false): DataFrame = {
     val m = 1 << p
-    val maxRho = 31 - p
+    val maxRho = (if (wide) 61 else 31) - p
     val scale = 1L << maxRho
     val powsInv = array((1 to maxRho).map(k => lit(1L << (maxRho - k))): _*)
     regs.groupBy("grp")
@@ -105,12 +140,13 @@ object Sketches {
     * and only the register table (G·m rows, ~KB) persists; it exists
     * here so the estimate is auditable row by row.
     */
-  def hllCardinality(df: DataFrame, grp: Column, key: Column, p: Int = 7): DataFrame = {
-    val regs = hllRegisters(df, grp, key, p).localCheckpoint(false)
+  def hllCardinality(df: DataFrame, grp: Column, key: Column, p: Int = 7,
+      wide: Boolean = false): DataFrame = {
+    val regs = hllRegisters(df, grp, key, p, wide).localCheckpoint(false)
     val merged = regs.groupBy("bucket").agg(max(col("rho")).as("rho"))
       .withColumn("grp", lit("ALL"))
       .select("grp", "bucket", "rho")
-    val est = hllEstimate(regs.unionByName(merged), p)
+    val est = hllEstimate(regs.unionByName(merged), p, wide)
     val keys = df.select(grp.as("grp"), key.as("k"))
     val exact = keys.distinct().groupBy("grp").agg(count(lit(1)).as("n_exact"))
       .unionByName(keys.select("k").distinct()

@@ -108,6 +108,19 @@ object TextAnalysis {
       graft.functions.PolyHashExpr(
         org.apache.spark.sql.graft.Bridge.expression(text), 31L, FingerprintMod))
 
+  /** Second, independent polynomial fingerprint (base 131, mod 1e9+9) —
+    * paired with [[fingerprint]] to widen the hash space to ~2^60 for the
+    * wide sketch tier ([[Sketches.hllWideHash]]): two keys collide only if
+    * BOTH polynomials collide, pushing the birthday bound from ~10^4.5
+    * keys (one 30-bit hash) past 10^9. Same codegen kernel, different
+    * (base, mod) pair, so the cost is one more rolling pass per key.
+    */
+  val FingerprintMod2 = 1000000009L
+  def fingerprint2(text: Column): Column =
+    org.apache.spark.sql.graft.Bridge.column(
+      graft.functions.PolyHashExpr(
+        org.apache.spark.sql.graft.Bridge.expression(text), 131L, FingerprintMod2))
+
   /** CCNet-style language-model quality scoring (Wenzek et al. 2020 filter
     * by LM perplexity — public paper), with the corpus's own unigram
     * distribution as the LM: per-document average negative log-likelihood

@@ -37,6 +37,49 @@ class SketchesSpec extends SparkSpec {
     assert(rows.map(_.toSeq).toSeq == again.map(_.toSeq).toSeq)
   }
 
+  test("hll wide: matches narrow semantics on small data; deterministic; mergeable") {
+    import testImplicits._
+    val df = (1 to 3000).map(i => (if (i % 2 == 0) "a" else "b", s"key$i"))
+      .toDF("src", "k")
+    val out = Sketches.hllCardinality(df, col("src"), col("k"), p = 7, wide = true)
+      .collect()
+    val byGrp = out.map(r => r.getString(0) -> r.getDouble(3)).toMap
+    assert(byGrp.keySet == Set("a", "b", "ALL"))
+    byGrp.values.foreach(e => assert(math.abs(e) < 0.4, s"rel_err $e"))
+    val again = Sketches.hllCardinality(df, col("src"), col("k"), p = 7, wide = true)
+      .collect()
+    assert(out.map(_.toSeq).toSeq == again.map(_.toSeq).toSeq)
+    // merged-ALL == single-group relabel (register-wise max mergeability)
+    val single = Sketches.hllCardinality(df, lit("one"), col("k"), p = 7, wide = true)
+      .collect().map(r => r.getString(0) -> r.getDouble(2)).toMap
+    val all = out.map(r => r.getString(0) -> r.getDouble(2)).toMap
+    assert(all("ALL") == single("one"))
+  }
+
+  test("hll wide: 1e8 distinct keys estimate within the published band") {
+    // Round-5 verdict #2 gate: the 30-bit tier saturates past ~1e7 distinct
+    // keys (hash space ~1.07e9 -> birthday loss n/2M ~ 4.7% at n=1e8 and
+    // ~40% at n=1e9); the ~2^60 wide hash keeps the full HLL band. All
+    // hashes are deterministic, so these numbers are FIXED run to run.
+    val n = 100000000L
+    val df = spark.range(n)
+      .select(lit("g").as("grp"), concat(lit("user:"), col("id")).as("k"))
+    def est(wide: Boolean): Double =
+      Sketches.hllEstimate(
+        Sketches.hllRegisters(df, col("grp"), col("k"), p = 10, wide = wide),
+        p = 10, wide = wide)
+        .collect().head.getDouble(1)
+    val wideEst = est(wide = true)
+    val relWide = (wideEst - n) / n.toDouble
+    // m=1024 -> sigma ~ 3.25%; allow 4 sigma
+    assert(math.abs(relWide) < 0.13, s"wide rel_err $relWide out of band")
+    val narrowEst = est(wide = false)
+    // the narrow tier cannot report more than its hash space (~1.07e9) and
+    // at n=1e8 already sits below the wide estimate by the birthday loss
+    assert(narrowEst < 1.1e9)
+    assert(narrowEst < wideEst, s"narrow $narrowEst >= wide $wideEst")
+  }
+
   test("hll: small cardinality routes to linear counting and is near-exact") {
     import testImplicits._
     val df = (1 to 40).map(i => ("g", s"k$i")).toDF("src", "k")
