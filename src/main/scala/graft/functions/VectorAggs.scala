@@ -125,4 +125,43 @@ object VectorAggs {
       org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Float]]()
     udaf(GramAgg).apply(v)
   }
+
+  /** [[GramAgg]] over an ARRAY<DOUBLE> column — the centered-data variant
+    * the Gram-routed PCA/ABTT path feeds (centering produces doubles; a
+    * float-input Gram would quantize xc at ~1e-7 relative and break 6-dp
+    * parity with the distributed double-sum iteration it replaces).
+    */
+  object GramAggD extends Aggregator[Seq[Double], GramBuf, Seq[Double]] {
+    override def zero: GramBuf = GramBuf(Array.emptyDoubleArray, 0)
+
+    override def reduce(b: GramBuf, v: Seq[Double]): GramBuf = {
+      if (v == null) b
+      else {
+        val d = v.length
+        val g = if (b.d == 0) new Array[Double](d * d) else b.g
+        require(b.d == 0 || b.d == d, s"vector length mismatch: ${b.d} vs $d")
+        val arr = v.toArray
+        var i = 0
+        while (i < d) {
+          var j = i
+          while (j < d) { g(i * d + j) += arr(i) * arr(j); j += 1 }
+          i += 1
+        }
+        GramBuf(g, d)
+      }
+    }
+
+    override def merge(a: GramBuf, b: GramBuf): GramBuf = GramAgg.merge(a, b)
+    override def finish(r: GramBuf): Seq[Double] = GramAgg.finish(r)
+    override def bufferEncoder: Encoder[GramBuf] = Encoders.product[GramBuf]
+    override def outputEncoder: Encoder[Seq[Double]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Double]]()
+  }
+
+  /** Column form of [[GramAggD]]. */
+  def gramMatrixD(v: Column): Column = {
+    implicit val enc: Encoder[Seq[Double]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Double]]()
+    udaf(GramAggD).apply(v)
+  }
 }

@@ -91,13 +91,82 @@ object EmbedQc {
       vec: Column,
       iters: Int = 8): (Seq[Double], Seq[Double]) = {
     val mean = corpusMean(embs, vec)
+    val dim = mean.length
     val centered = embs
       .select(zip_with(VF.toDoubleArray(vec), typedLit(mean), (a, b) => a - b).as("xc"))
-    (mean, powerIterate(centered, mean.length, iters))
+    val v1 =
+      if (dim <= GramRouteMaxDim) localIterate(gramOf(centered, dim), iters)
+      else powerIterate(centered, dim, iters)
+    (mean, v1)
   }
 
   private def r6(x: Double): Double =
     BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+
+  /** Route boundary for the PCA/ABTT front door: at d ≤ 512 the d² Gram
+    * buffer (≤ 2 MB of doubles) fits an aggregation buffer comfortably, so
+    * the corpus is scanned ONCE for Σxc·xcᵀ and the power iterations run on
+    * the DRIVER against that matrix — `w = Σᵣ(xcᵣ·v)·xcᵣ = G·v` is the same
+    * operator in exact arithmetic, with the identical per-iteration 6-dp
+    * rounding, so the iterates agree with the distributed loop's (round-5
+    * verdict #3: pcaTop2 at d=64 ran 17 corpus scans where one carries all
+    * the information). Above 512 the d² buffer is the wrong trade
+    * (d=4096 → 134 MB per partial) and the scan-per-iteration distributed
+    * loop remains the shape that survives 100 TB.
+    */
+  val GramRouteMaxDim = 512
+
+  /** One-scan Gram matrix Σ xc·xcᵀ of the centered column, as a d×d driver
+    * array — map-side-combined d²-double buffers, corpus rows never move.
+    */
+  private def gramOf(centered: DataFrame, dim: Int): Array[Array[Double]] = {
+    val flat = centered
+      .agg(graft.functions.VectorAggs.gramMatrixD(col("xc")).as("g"))
+      .head().getSeq[Double](0)
+    Array.tabulate(dim, dim)((i, j) => flat(i * dim + j))
+  }
+
+  /** Driver-local twin of [[powerIterate]] against a precomputed Gram
+    * matrix — identical seed, identical per-iteration r6 rounding,
+    * identical degenerate-norm guard, so the routed and distributed paths
+    * produce the same 6-dp iterates.
+    */
+  private def localIterate(g: Array[Array[Double]], iters: Int,
+      start: Int = 0): Seq[Double] = {
+    val dim = g.length
+    var v: Seq[Double] = Seq.tabulate(dim)(i => if (i == start) 1.0 else 0.0)
+    for (_ <- 0 until iters) {
+      val w = (0 until dim).map { i =>
+        var acc = 0.0
+        var j = 0
+        while (j < dim) { acc += g(i)(j) * v(j); j += 1 }
+        acc
+      }
+      val norm = math.sqrt(w.foldLeft(0.0)((acc, x) => acc + x * x))
+      if (norm > 0) v = w.map(x => r6(x / norm))
+    }
+    v
+  }
+
+  /** Hotelling deflation applied to the GRAM matrix instead of the rows:
+    * with P = I − v₁v₁ᵀ, the deflated data's Gram Σ(P·xc)(P·xc)ᵀ equals
+    * P·G·P = G − u·v₁ᵀ − v₁·uᵀ + s·v₁·v₁ᵀ for u = G·v₁, s = v₁ᵀ·u — all
+    * driver arithmetic, no second corpus pass.
+    */
+  private def deflateGram(g: Array[Array[Double]], v1: Seq[Double]): Array[Array[Double]] = {
+    val dim = g.length
+    val u = Array.tabulate(dim) { i =>
+      var acc = 0.0
+      var j = 0
+      while (j < dim) { acc += g(i)(j) * v1(j); j += 1 }
+      acc
+    }
+    var s = 0.0
+    var i = 0
+    while (i < dim) { s += v1(i) * u(i); i += 1 }
+    Array.tabulate(dim, dim)((i, j) =>
+      g(i)(j) - u(i) * v1(j) - v1(i) * u(j) + s * v1(i) * v1(j))
+  }
 
   private def corpusMean(embs: DataFrame, vec: Column): Seq[Double] =
     embs.select(vec.as("xv"))
@@ -139,9 +208,13 @@ object EmbedQc {
     * removing mean and both components (abtt-2, Mu & Viswanath's D > 1
     * case).
     *
-    * Scale shape: `2·iters + 1` map-side-combined aggregation scans, a
-    * dim-length driver vector each — corpus rows never leave their
-    * partitions; determinism from the per-iteration 6-dp driver rounding.
+    * Scale shape, routed on d (round-5 verdict #3): for d ≤
+    * [[GramRouteMaxDim]] the corpus is scanned ONCE for the Gram matrix and
+    * both components come from driver-side iteration against it (mean +
+    * Gram + projection = 3 scans total); above that, `2·iters + 1`
+    * map-side-combined aggregation scans, a dim-length driver vector each —
+    * corpus rows never leave their partitions in either mode; determinism
+    * from the per-iteration 6-dp driver rounding on both routes.
     */
   def pcaTop2(
       embs: DataFrame,
@@ -152,15 +225,24 @@ object EmbedQc {
     val dim = mean.length
     val xcExpr = zip_with(VF.toDoubleArray(vec), typedLit(mean), (a, b) => a - b)
     val centered = embs.select(xcExpr.as("xc"))
-    val v1 = powerIterate(centered, dim, iters)
-    val deflated = centered
-      .select(col("xc"), VF.dot(col("xc"), typedLit(v1)).as("d1"))
-      .select(zip_with(col("xc"),
-        transform(typedLit(v1), e => e * col("d1")), (a, b) => a - b).as("xc"))
     // the second loop starts at e2: e1's image under the DEFLATED operator
     // can vanish exactly (v1 = e1 on axis-aligned data), and both engines
     // must iterate from the identical non-degenerate seed
-    val v2 = powerIterate(deflated, dim, iters, start = 1)
+    val (v1, v2) =
+      if (dim <= GramRouteMaxDim) {
+        // ONE corpus scan for the Gram matrix; both components + the
+        // deflation are driver arithmetic against it
+        val g = gramOf(centered, dim)
+        val v1g = localIterate(g, iters)
+        (v1g, localIterate(deflateGram(g, v1g), iters, start = 1))
+      } else {
+        val v1p = powerIterate(centered, dim, iters)
+        val deflated = centered
+          .select(col("xc"), VF.dot(col("xc"), typedLit(v1p)).as("d1"))
+          .select(zip_with(col("xc"),
+            transform(typedLit(v1p), e => e * col("d1")), (a, b) => a - b).as("xc"))
+        (v1p, powerIterate(deflated, dim, iters, start = 1))
+      }
     val resid = transform(sequence(lit(1), lit(dim)), i =>
       element_at(col("xc"), i)
         - col("p1") * element_at(typedLit(v1), i)
