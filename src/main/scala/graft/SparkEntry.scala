@@ -1,5 +1,6 @@
 package graft
 
+import graft.Checkpoint.CheckpointOps
 import graft.functions.{VectorFunctions => VF}
 import graft.operators._
 import graft.sources.VectorStore
@@ -424,6 +425,35 @@ object SparkEntry {
        |FROM (SELECT * FROM pairs WHERE bands_hit > 0) f
        |JOIN sh a ON a.doc_id = f.new_id
        |JOIN sh b ON b.doc_id = f.corpus_id
+       |ORDER BY new_id, corpus_id""".stripMargin
+
+  /** Postings-screen oracle: distinct bigram-shingle fingerprints per doc
+    * (same polynomial hash as the engine), batch (< 50) joined against
+    * corpus (≥ 50) per shared fingerprint, exact intersection count and
+    * containment = inter / min(sz) at the same thresholds.
+    */
+  private val dedupIncrementalPostingsOracle: String =
+    s"""WITH sh AS (
+       |  SELECT doc_id, list_distinct(list_transform(
+       |    range(1, len(string_split_regex(text, '\\s+'))),
+       |    i -> string_split_regex(text, '\\s+')[i] || ' ' || string_split_regex(text, '\\s+')[i+1])) AS s
+       |  FROM documents
+       |), f AS MATERIALIZED (
+       |  SELECT DISTINCT doc_id, sz, ${polySqlOf("g")} AS fp FROM (
+       |    SELECT doc_id, CAST(len(s) AS BIGINT) AS sz, unnest(s) AS g
+       |    FROM sh WHERE len(s) > 0)
+       |), j AS (
+       |  SELECT b.doc_id AS new_id, c.doc_id AS corpus_id,
+       |    count(*) AS inter, min(b.sz) AS sz_a, min(c.sz) AS sz_b
+       |  FROM f b JOIN f c ON b.fp = c.fp
+       |  WHERE b.doc_id < 50 AND c.doc_id >= 50
+       |  GROUP BY 1, 2
+       |)
+       |SELECT new_id, corpus_id, inter, sz_a, sz_b,
+       |  round(CAST(inter AS DOUBLE) / least(sz_a, sz_b), 6) AS containment
+       |FROM j
+       |WHERE inter >= 2
+       |  AND round(CAST(inter AS DOUBLE) / least(sz_a, sz_b), 6) >= 0.8
        |ORDER BY new_id, corpus_id""".stripMargin
 
   /** Verified-screen oracle: the incremental screen's flagged pairs joined
@@ -947,7 +977,7 @@ object SparkEntry {
       // histogram-sketch lineage lesson, applied one level up)
       val nll = TextAnalysis.unigramNll(docs, col("doc_id"), col("text"))
         .select(col("id"), round(col("avg_nll"), 6).as("nll"))
-        .localCheckpoint(false)
+        .cut(eager = false)
       val th = Sketches.histogramQuantilesAdaptive(nll, col("nll"),
           Seq(1.0 / 3.0, 2.0 / 3.0), bins = 256)
         .agg(min(col("est")).as("t1"), max(col("est")).as("t2"))
@@ -1307,6 +1337,19 @@ object SparkEntry {
           round(col("jaccard"), 6).as("jaccard"))
         .orderBy("new_id", "corpus_id")
     }),
+    // Postings-index containment screen: candidates per shared shingle
+    // fingerprint (no Jaccard banding blind spot), exact fp-set
+    // intersection, containment = inter/min(sz) — the C-high/J≈0 ingest
+    // path (a short doc wholly quoted inside a long one)
+    "q_dedup_incremental_postings" -> ((s, dir) => {
+      val docs = graft.sources.Testdata.table(s, dir, "documents")
+      val postings = Dedup.shinglePostings(docs.filter(col("doc_id") >= 50),
+        col("doc_id"), col("text"))
+      Dedup.incrementalContainmentExact(postings,
+          docs.filter(col("doc_id") < 50), col("doc_id"), col("text"),
+          n = 2, tau = 0.8, minOverlap = 2)
+        .orderBy("new_id", "corpus_id")
+    }),
     // MinHash+LSH banded near-dup with exact-Jaccard verification: same
     // oracle as q_dedup_jaccard — the LSH only bounds which pairs are
     // verified, and at this tau its recall is exhaustive on the corpus
@@ -1369,7 +1412,7 @@ object SparkEntry {
         .filter(col("keep"))
         .select(col("id").as("doc_id"), col("group_size"))
         .join(docs, "doc_id")
-        .localCheckpoint(false)
+        .cut(eager = false)
       val pairs = Dedup.minhashLshPairs(reps, col("doc_id"), col("text"), n = 2, tau = 0.5)
         .select("id_a", "id_b")
       val cc = Dedup.connectedComponentsAuto(reps.select(col("doc_id").as("id")), pairs)
@@ -4182,6 +4225,7 @@ object SparkEntry {
     "q_dedup_minhash" -> dedupJaccardOracle,
     "q_dedup_incremental" -> dedupIncrementalOracle,
     "q_dedup_incremental_containment" -> dedupIncrementalContainmentOracle,
+    "q_dedup_incremental_postings" -> dedupIncrementalPostingsOracle,
     "q_dedup_incremental_verified" -> dedupIncrementalVerifiedOracle,
     // Same pair predicate as dedupJaccardOracle, then transitive closure via
     // a recursive CTE; cluster label = min reachable id.
@@ -4629,7 +4673,7 @@ object SparkEntry {
            |  round(max(CAST($c AS DOUBLE)), 6) AS max_v,
            |  round(CAST(sum(CAST($c AS DECIMAL(30,6))) AS DOUBLE) / count($c), 6) AS mean,
            |  round(sqrt(greatest(0.0,
-           |    CAST(sum(CAST(CAST($c AS DOUBLE) * CAST($c AS DOUBLE) AS DECIMAL(30,6))) AS DOUBLE) / count($c)
+           |    CAST(sum(CAST(CAST($c AS DOUBLE) * CAST($c AS DOUBLE) AS DECIMAL(38,12))) AS DOUBLE) / count($c)
            |    - (CAST(sum(CAST($c AS DECIMAL(30,6))) AS DOUBLE) / count($c))
            |      * (CAST(sum(CAST($c AS DECIMAL(30,6))) AS DOUBLE) / count($c)))), 6) AS stddev
            |FROM lineitem""".stripMargin
@@ -4756,10 +4800,25 @@ object SparkEntry {
          |    + 0.3*least((CASE WHEN len(toks) > 0 THEN CAST(len(list_filter(toks, x -> list_contains(${profileSql("en")}, x))) AS DOUBLE)/len(toks) ELSE 0.0 END)/0.1, 1.0),
          |    6) AS q
          |  FROM t
+         |), uh AS (
+         |  SELECT doc_id, q, ${polySqlOf("CAST(doc_id AS VARCHAR)")} AS h,
+         |         ${polySql2Of("CAST(doc_id AS VARCHAR)")} AS g
+         |  FROM sc WHERE q > 0
+         |), um AS (
+         |  SELECT doc_id, q,
+         |    (h * 2654435761 + 97) % 1000000007 AS t1,
+         |    (g * 3266489917 + 113) % 1000000009 AS s1
+         |  FROM uh
+         |), un AS (
+         |  SELECT doc_id, q,
+         |    (xor(t1, t1 >> 15) * 1866763009 + 127) % 1000000007 AS t2,
+         |    (xor(s1, s1 >> 16) * 2246822519 + 151) % 1000000009 AS s2
+         |  FROM um
          |), u AS (
          |  SELECT doc_id, q,
-         |    CAST((((doc_id % 1000003) * 131 + 7) % 1000003) + 1 AS DOUBLE) / 1000003.0 AS u
-         |  FROM sc WHERE q > 0
+         |    CAST(xor(t2, t2 >> 13) * 1073741824 + xor(s2, s2 >> 12) + 1 AS DOUBLE)
+         |      / 1152921504606846976.0 AS u
+         |  FROM un
          |), top AS (
          |  SELECT doc_id, q, ln(u) / q AS rawkey FROM u
          |  ORDER BY rawkey DESC, doc_id ASC LIMIT 25
@@ -4812,7 +4871,11 @@ object SparkEntry {
         |  FROM t
         |)
         |SELECT doc_id, CAST(len(valid) AS BIGINT) AS n_cards,
-        |  md5(list_reduce(list_prepend(text2, list_sort(valid)), (acc, v) -> replace(acc, v, '<card>'))) AS scrubbed_md5
+        |  md5(list_reduce(list_prepend(text2,
+        |    list_transform(
+        |      list_sort(list_transform(valid, v -> CAST(99 - length(v) AS VARCHAR) || v)),
+        |      s -> substr(s, 3))),
+        |    (acc, v) -> replace(acc, v, '<card>'))) AS scrubbed_md5
         |FROM c ORDER BY doc_id""".stripMargin,
     // mutual k-NN oracle: all-pairs cosine, per-src row_number rank <= k,
     // mutual = reciprocated-edge join, isolates kept via the left join

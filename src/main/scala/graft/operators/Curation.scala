@@ -1,5 +1,6 @@
 package graft.operators
 
+import graft.Checkpoint.CheckpointOps
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -633,7 +634,7 @@ object Curation {
     val base = ids.select(id.as("id"))
       .join(clusters.select(col("id"), col("cluster_id")), Seq("id"), "left")
       .select(col("id"), coalesce(col("cluster_id"), col("id")).as("group_id"))
-      .localCheckpoint(false) // sizes + the final join
+      .cut(eager = false) // sizes + the final join
     val sizes = base.groupBy("group_id").agg(count(lit(1)).as("group_size"))
     base.join(sizes, "group_id")
       .select(col("id"), col("group_id"), col("group_size"),
@@ -655,9 +656,14 @@ object Curation {
   def weightedSample(df: DataFrame, id: Column, weight: Column,
       k: Int): DataFrame = {
     require(k >= 1)
-    // u in (0,1]: bucket 0 maps to 1/1000003 to keep ln finite
-    val u = (pmod(pmod(col("id").cast("long"), lit(1000003L)) * 131L + 7L,
-      lit(1000003L)) + 1L).cast("double") / lit(1000003.0)
+    // u in (0,1] from the engine's ~2^60 two-lane hash of the id
+    // ([[Sketches.hllWideHash]]) — the previous id-mod-1000003 LCG tied
+    // every pair of ids 1000003 apart to the SAME u, so past ~1M rows the
+    // sample keys collided systematically and the ascending-id tie-break
+    // biased selection toward low ids. The wide hash is period-free and
+    // avalanche; +1 keeps ln(u) finite at hash 0.
+    val u = (Sketches.hllWideHash(col("id").cast("string")) + lit(1L))
+      .cast("double") / lit(1152921504606846976.0) // 2^60
     df.select(id.as("id"), weight.cast("double").as("w"))
       .filter(col("w") > 0)
       .withColumn("key", log(u) / col("w"))
@@ -692,12 +698,20 @@ object Curation {
     * order/tracking numbers the blunt [[scrubPii]] digit rule would
     * over-redact. Pure scan-stage column algebra: extract candidates once,
     * filter by the Luhn fold, fold `replace` over the validated values in
-    * SORTED order — extraction order is engine-dependent after distinct,
-    * and replace order matters when one matched run is a substring of
-    * another.
+    * LENGTH-DESCENDING (then lexicographic) order — extraction order is
+    * engine-dependent after distinct, and when one valid PAN is a
+    * substring of another (a 16-digit card whose 13-digit prefix also
+    * passes Luhn), replacing the shorter first would corrupt the longer
+    * run and leak its residual digits; longest-first replacement redacts
+    * the superstring before its substrings can touch it.
     */
   def scrubCards(text: Column): Column =
-    aggregate(array_sort(validCards(text)), text,
+    aggregate(
+      array_sort(validCards(text), (l, r) =>
+        when(length(l) > length(r), lit(-1))
+          .when(length(l) < length(r), lit(1))
+          .when(l < r, lit(-1)).when(l > r, lit(1)).otherwise(lit(0))),
+      text,
       (acc, c) => replace(acc, c, lit("<card>")))
 
   /** Count of distinct Luhn-valid card numbers in the text — the audit

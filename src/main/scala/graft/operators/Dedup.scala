@@ -1,5 +1,6 @@
 package graft.operators
 
+import graft.Checkpoint.CheckpointOps
 import graft.operators.TextAnalysis.{fingerprint, FingerprintMod}
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
@@ -573,9 +574,10 @@ object Dedup {
     * CAVEAT the read-out inherits the banding's JACCARD recall curve —
     * candidate pairs only exist where a band collides, so a tiny doc quoted
     * inside a huge one (C high, J near 0) will not surface here; that
-    * regime needs the exact [[containmentPairs]] join over batch × corpus
-    * text, or a size-stratified signature index (not built — documented
-    * trade).
+    * regime is covered by the postings-index companion path
+    * ([[shinglePostings]] + [[incrementalContainmentExact]]), which
+    * generates candidates per shared SHINGLE instead of per banded
+    * signature and therefore has no Jaccard blind spot.
     * Exact verification (where text is still available) is a join away;
     * the estimator is the screening decision at index-only scale.
     */
@@ -637,7 +639,7 @@ object Dedup {
     // full for the final join; the pruned branch is not canonically
     // identical, so exchange reuse cannot collapse them and WITHOUT a
     // lineage cut the dominant index-scan aggregation would run twice
-    val scr = screened.localCheckpoint(false)
+    val scr = screened.cut(eager = false)
     val flagged = scr.select(col("corpus_id")).distinct()
     // semi-join BEFORE the shingle projection so the per-doc shingling work
     // is bounded by the flag count, not the corpus size
@@ -654,6 +656,82 @@ object Dedup {
       .filter(col("jaccard") >= tau)
       .select(col("new_id"), col("corpus_id"), col("bands_hit"),
         col("est_jaccard"), col("jaccard"))
+  }
+
+  /** Persistable inverted shingle-fingerprint index `(fp, id, sz, df)` —
+    * one row per (distinct shingle fingerprint, doc): the asymmetric
+    * companion to [[signatureTable]]. The MinHash screen's banding draws
+    * candidates from JACCARD collisions, so a short doc wholly quoted
+    * inside a long one (containment 1.0, Jaccard ≈ 0) can evade it; the
+    * postings index generates a candidate for every SHARED shingle, which
+    * has no such blind spot. Cost: ~12 B per (doc, distinct shingle) —
+    * token-scale rather than doc-scale state, the price of asymmetric
+    * recall (this IS the inverted-index shape; build it once at ingest).
+    * `df` (document frequency per fingerprint) is precomputed so screens
+    * can drop stop-shingle postings without a second pass.
+    */
+  def shinglePostings(
+      docs: DataFrame,
+      id: Column,
+      text: Column,
+      n: Int = 2): DataFrame = {
+    val posts = spread(docs.select(id.as("id"), text.as("txt")))
+      .select(col("id"), shingles(col("txt"), n).as("sh"))
+      .filter(size(col("sh")) > 0)
+      .select(col("id"), size(col("sh")).cast("long").as("sz"),
+        explode(array_distinct(shingleFps(col("sh")))).as("fp"))
+    // df rides on the index so screen-time stop-shingle capping is a
+    // filter, not an aggregation (build-time shuffle on fp, once)
+    posts.join(posts.groupBy("fp").agg(count(lit(1)).as("df")), Seq("fp"))
+  }
+
+  /** EXACT containment screen of a new batch against a corpus postings
+    * index — the C-high/J≈0 ingest path the banded
+    * [[incrementalNearDups]] screen cannot see. Every corpus doc sharing
+    * ≥ `minOverlap` shingle fingerprints with a batch doc surfaces with
+    * its exact fingerprint-set intersection and
+    * `containment = |A∩B| / min(|A|,|B|)` (both orientations at once:
+    * batch-quoted-in-corpus AND corpus-quoted-in-batch — min picks the
+    * contained side).
+    *
+    * Plan shape: the batch fingerprint table BROADCASTS (batch small by
+    * contract), so the postings index is scanned once with the join
+    * filter applied scan-side and never shuffles; the only exchange is
+    * the candidate-pair aggregation, whose size is bounded by
+    * Σ_fp∈batch df(fp). That bound is the operator's cost dial:
+    * `dfCap` drops postings of stop-shingles (df > cap) at scan time,
+    * making the reported intersection a LOWER bound — pairs whose overlap
+    * is entirely df-capped common shingles can be missed, which is the
+    * documented trade for bounding fanout on web-scale corpora (capped
+    * shingles are exactly the ones shared by millions of docs, i.e. the
+    * least identifying evidence of quotation).
+    */
+  def incrementalContainmentExact(
+      postings: DataFrame,
+      batchDocs: DataFrame,
+      batchId: Column,
+      batchText: Column,
+      n: Int = 2,
+      tau: Double = 0.8,
+      minOverlap: Int = 2,
+      dfCap: Option[Long] = None): DataFrame = {
+    val batch = batchDocs.select(batchId.as("new_id"), batchText.as("txt"))
+      .select(col("new_id"), shingles(col("txt"), n).as("sh"))
+      .filter(size(col("sh")) > 0)
+      .select(col("new_id"), size(col("sh")).cast("long").as("sz_a"),
+        explode(array_distinct(shingleFps(col("sh")))).as("fp"))
+    val posts = dfCap.map(c => postings.filter(col("df") <= c)).getOrElse(postings)
+    posts.select(col("fp"), col("id").as("corpus_id"), col("sz").as("sz_b"))
+      .join(broadcast(batch), Seq("fp"))
+      .groupBy("new_id", "corpus_id")
+      .agg(count(lit(1)).as("inter"),
+        first(col("sz_a")).as("sz_a"), first(col("sz_b")).as("sz_b"))
+      .filter(col("inter") >= minOverlap)
+      .withColumn("containment",
+        round(col("inter").cast("double") / least(col("sz_a"), col("sz_b")).cast("double"), 6))
+      .filter(col("containment") >= tau)
+      .select(col("new_id"), col("corpus_id"), col("inter"),
+        col("sz_a"), col("sz_b"), col("containment"))
   }
 
   /** Approximate near-dup pairs via banded MinHash-LSH with exact-Jaccard
@@ -1032,7 +1110,7 @@ object Dedup {
       // sum).
       var labels = edges.groupBy(col("s").as("id"))
         .agg(least(min(col("d")), col("s")).as("comp"))
-        .localCheckpoint()
+        .cut()
       var prevSum = Option.empty[Long]
       var it = 0
       var converged = false
@@ -1046,7 +1124,7 @@ object Dedup {
         // un-checkpointed rounds from the last cut (duplicated joins)
         labels = labels.union(prop)
           .groupBy("id").agg(min("comp").as("comp"))
-          .localCheckpoint(eager = false)
+          .cut(eager = false)
         val sum = labels.agg(org.apache.spark.sql.functions.sum("comp")).head().getLong(0)
         converged = prevSum.contains(sum)
         prevSum = Some(sum)
@@ -1138,12 +1216,12 @@ object Dedup {
       .select(least(col("id_a"), col("id_b")).as("s"),
         greatest(col("id_a"), col("id_b")).as("d"))
       .filter(col("s") =!= col("d")).distinct()
-      .localCheckpoint()
+      .cut()
     var prevSig = Option.empty[(Long, Long)]
     var it = 0
     var converged = false
     while (it < maxIters && !converged) {
-      edges = star(star(edges, large = true), large = false).localCheckpoint()
+      edges = star(star(edges, large = true), large = false).cut()
       // (count, weighted endpoint sum) — a positional checksum, not a bare
       // endpoint sum, so distinct edge sets don't silently collide
       val row = edges.agg(

@@ -1,5 +1,6 @@
 package graft.operators
 
+import graft.Checkpoint.CheckpointOps
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -233,7 +234,7 @@ object Multimodal {
     // column.
     val h = media.select(col("doc_id").as("id"),
         perceptualHash(col("content")).as("ph"))
-      .localCheckpoint(false)
+      .cut(eager = false)
     val banded = h.select(col("id"), col("ph"),
       posexplode(array((0 until 4).map(b =>
         shiftright(col("ph"), b * 15).bitwiseAND(lit(0x7fffL))): _*)))

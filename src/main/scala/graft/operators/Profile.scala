@@ -1,5 +1,6 @@
 package graft.operators
 
+import graft.Checkpoint.CheckpointOps
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
@@ -112,24 +113,29 @@ object Profile {
     * profiled columns; the long-form output is a `stack` over the single
     * aggregate row.
     *
-    * Sums accumulate as DECIMAL(30,6)-cast rows (the pricing-summary
-    * pattern, widened so x² up to 1e24 — i.e. |x| ≤ 1e12 — fits; the
-    * narrower money scale would NULL-overflow silently under non-ANSI
-    * casts and drop rows from the sums while still counting them):
+    * Sums accumulate as DECIMAL-cast rows (the pricing-summary pattern,
+    * widened so overflow can't NULL rows silently under non-ANSI casts):
     * decimal addition is exact and associative, so the mean and the
     * E[x²]−E[x]² stddev epilogue are partition-order-invariant — a raw
     * double sum over a 100 TB column drifts in the low digits with every
-    * re-partition and is unauditable.
+    * re-partition and is unauditable. The FIRST moment uses
+    * DECIMAL(30,6); the SECOND uses DECIMAL(38,12) — a 1e-6 quantization
+    * of x² keeps only ~2 significant digits per row for small-magnitude
+    * columns (l_discount ~0.01 → x² ~1e-4), which corrupted the reported
+    * stddev well above its 6-dp presentation; 1e-12 granularity restores
+    * ≥8 digits there while ALSO widening integer headroom (26 vs 24
+    * digits, |x| ≤ 1e12 with 100-row-sum margin intact).
     */
   def numericProfile(df: DataFrame, cols: Seq[String]): DataFrame = {
     require(cols.nonEmpty)
     val dec = "decimal(30,6)"
+    val dec2 = "decimal(38,12)"
     val aggs = cols.flatMap(c => Seq(
       count(col(c)).as(s"__n_$c"),
       min(col(c).cast("double")).as(s"__mn_$c"),
       max(col(c).cast("double")).as(s"__mx_$c"),
       sum(col(c).cast(dec)).as(s"__s_$c"),
-      sum((col(c).cast("double") * col(c).cast("double")).cast(dec))
+      sum((col(c).cast("double") * col(c).cast("double")).cast(dec2))
         .as(s"__s2_$c"))) :+ count(lit(1)).as("__rows")
     val one = df.agg(aggs.head, aggs.tail: _*)
     val stackArgs = cols.map(c =>
@@ -180,7 +186,7 @@ object Profile {
       .agg((expr("percentile(v6, 0.5)") * 2).cast("long").as("m2"))
     val dev = rows.join(med, "g")
       .withColumn("dev2", abs(col("v6") * 2 - col("m2")))
-      .localCheckpoint(false)
+      .cut(eager = false)
     val mad = dev.groupBy("g")
       .agg((expr("percentile(dev2, 0.5)") * 2).cast("long").as("mad4"))
     dev.join(mad, "g")

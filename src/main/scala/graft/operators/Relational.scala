@@ -1,5 +1,6 @@
 package graft.operators
 
+import graft.Checkpoint.CheckpointOps
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -618,7 +619,7 @@ object Relational {
       .filter(col("next_e").isNotNull)
       .groupBy(col("e").as("from_e"), col("next_e").as("to_e"))
       .agg(count(lit(1)).as("cnt"))
-      .localCheckpoint(false)
+      .cut(eager = false)
     val tot = pairs.groupBy("from_e").agg(sum(col("cnt")).cast("long").as("tot"))
     pairs.join(tot, "from_e")
       .select(col("from_e"), col("to_e"), col("cnt"),

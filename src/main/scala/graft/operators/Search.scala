@@ -1,5 +1,6 @@
 package graft.operators
 
+import graft.Checkpoint.CheckpointOps
 import graft.functions.{VectorFunctions => VF}
 import graft.sources.VectorStore
 import org.apache.spark.sql.{Column, DataFrame}
@@ -165,7 +166,7 @@ object Search {
     * via the left join.
     */
   private def mutualDegrees(ids: DataFrame, edgesIn: DataFrame): DataFrame = {
-    val edges = edgesIn.localCheckpoint(false)
+    val edges = edgesIn.cut(eager = false)
     val mutual = edges.as("e1").join(edges.as("e2"),
       col("e1.src") === col("e2.dst") && col("e1.dst") === col("e2.src"),
       "left_semi")
@@ -192,7 +193,7 @@ object Search {
     val idx = AnnSearch.index(
         embs.select(id.as("id"), vec.as("v")), col("v"), planes)
       .withColumn("nrm", sqrt(VF.normSq(col("v"))))
-      .localCheckpoint(false) // probe side and build side of the self-join
+      .cut(eager = false) // probe side and build side of the self-join
     val probes = idx
       .withColumn("m", explode(typedLit(masks)))
       .withColumn("pb", col("bucket").bitwiseXOR(col("m")))
@@ -228,11 +229,11 @@ object Search {
     val spark = cands.sparkSession
     val c = cands.select(id.cast("string").as("id"), rel.as("rel"), vec.as("v"))
       .withColumn("nrm", sqrt(VF.normSq(col("v"))))
-      .localCheckpoint(false)
+      .cut(eager = false)
     val sims = c.as("a").join(c.as("b"), col("a.id") =!= col("b.id"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
         (VF.dot(col("a.v"), col("b.v")) / (col("a.nrm") * col("b.nrm"))).as("sim"))
-      .localCheckpoint(false)
+      .cut(eager = false)
     val nCands = c.count().toInt
     if (nCands == 0) {
       // empty shortlist (an upstream filter ate every candidate) returns an
@@ -360,7 +361,7 @@ object RankEval {
   def confusion(df: DataFrame, truth: Column, pred: Column): DataFrame = {
     val m = df.select(truth.as("truth"), pred.as("pred"))
       .groupBy("truth", "pred").agg(F.count(F.lit(1)).as("n"))
-      .localCheckpoint(false)
+      .cut(eager = false)
     val tot = m.groupBy("truth").agg(F.sum(F.col("n")).cast("long").as("tot"))
     m.join(tot, "truth")
       .select(F.col("truth"), F.col("pred"), F.col("n"),

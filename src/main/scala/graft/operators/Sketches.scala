@@ -1,5 +1,6 @@
 package graft.operators
 
+import graft.Checkpoint.CheckpointOps
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -142,7 +143,7 @@ object Sketches {
     */
   def hllCardinality(df: DataFrame, grp: Column, key: Column, p: Int = 7,
       wide: Boolean = false): DataFrame = {
-    val regs = hllRegisters(df, grp, key, p, wide).localCheckpoint(false)
+    val regs = hllRegisters(df, grp, key, p, wide).cut(eager = false)
     val merged = regs.groupBy("bucket").agg(max(col("rho")).as("rho"))
       .withColumn("grp", lit("ALL"))
       .select("grp", "bucket", "rho")
@@ -235,7 +236,7 @@ object Sketches {
     // into the join/filter branches de-canonicalize the subtrees and
     // defeat exchange reuse)
     val counts = df.select(binCol.as("bin")).groupBy("bin").agg(count(lit(1)).as("cnt"))
-      .localCheckpoint(false)
+      .cut(eager = false)
     val cum = counts.withColumn("cum",
       sum(col("cnt")).over(Window.orderBy("bin")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
@@ -272,7 +273,7 @@ object Sketches {
       lit((bins - 1).toDouble)).cast("int")
     val counts = df.select(grp.as("grp"), binCol.as("bin"))
       .groupBy("grp", "bin").agg(count(lit(1)).as("cnt"))
-      .localCheckpoint(false)
+      .cut(eager = false)
     val cum = counts.withColumn("cum",
       sum(col("cnt")).over(Window.partitionBy("grp").orderBy("bin")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
@@ -305,7 +306,7 @@ object Sketches {
       bins: Int = 256): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
-    val ext = df.agg(min(value).as("lo"), max(value).as("hi")).localCheckpoint(false)
+    val ext = df.agg(min(value).as("lo"), max(value).as("hi")).cut(eager = false)
     val binCol = when(col("hi") === col("lo"), lit(0))
       .otherwise(least(greatest(
           floor((value - col("lo")) / (col("hi") - col("lo")) * lit(bins.toDouble)),
@@ -313,7 +314,7 @@ object Sketches {
         lit((bins - 1).toDouble)).cast("int"))
     val counts = df.crossJoin(broadcast(ext))
       .select(binCol.as("bin")).groupBy("bin").agg(count(lit(1)).as("cnt"))
-      .localCheckpoint(false)
+      .cut(eager = false)
     val cum = counts.withColumn("cum",
       sum(col("cnt")).over(Window.orderBy("bin")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
@@ -389,8 +390,8 @@ object Sketches {
     * arithmetic exactly (the estimate is a pure function of the data).
     */
   def kmvOverlap(df: DataFrame, grp: Column, key: Column, k: Int = 64): DataFrame = {
-    val sk = kmvSketch(df, grp, key, k).localCheckpoint(false)
-    val thetas = kmvThetas(sk, k).localCheckpoint(false)
+    val sk = kmvSketch(df, grp, key, k).cut(eager = false)
+    val thetas = kmvThetas(sk, k).cut(eager = false)
     // retained = strictly below own theta (k-1 rows for large groups, all
     // rows for small ones)
     val ret = sk.join(broadcast(thetas), Seq("grp")).filter(col("h") < col("theta"))

@@ -1,5 +1,6 @@
 package graft.operators
 
+import graft.Checkpoint.CheckpointOps
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
@@ -469,8 +470,8 @@ object TextAnalysis {
       .groupBy("src", "dst").agg(count(lit(1)).cast("double").as("w"))
     val ew = edges
       .join(edges.groupBy("src").agg(sum(col("w")).as("ow")), Seq("src"))
-      .localCheckpoint(false)
-    val nodes = ew.select(col("src").as("tok")).distinct().localCheckpoint(false)
+      .cut(eager = false)
+    val nodes = ew.select(col("src").as("tok")).distinct().cut(eager = false)
     var score = nodes.select(col("tok"), lit(1.0).as("sc"))
     for (_ <- 1 to iters) {
       val summed = ew.join(score.withColumnRenamed("tok", "src"), Seq("src"))
@@ -506,7 +507,7 @@ object TextAnalysis {
     // vocabulary-bounded table once so the corpus tokenize runs once
     val gt = docs.select(grp.as("g"), explode(wsTokens(text)).as("t"))
       .groupBy("g", "t").agg(count(lit(1)).as("c_gt"))
-      .localCheckpoint(false)
+      .cut(eager = false)
     val glob = gt.groupBy("t").agg(sum("c_gt").as("c_t"))
     val gTot = gt.groupBy("g").agg(sum("c_gt").as("n_g"))
     val tot = glob.agg(sum("c_t").as("n"))
@@ -541,16 +542,18 @@ object TextAnalysis {
   def bpeMerges(docs: DataFrame, text: Column, nMerges: Int): DataFrame = {
     require(nMerges >= 1)
     val spark = docs.sparkSession
-    // word states: space-joined character symbols, frequency-weighted —
-    // "(?!^)" splits between characters; Spark's split keeps a TRAILING
-    // empty token (Java split with limit -1, the lookahead also matches at
-    // end-of-string), so empties are stripped before joining
+    // word states: space-joined character symbols, frequency-weighted.
+    // The split is per CODEPOINT (regex "." matches one code point): the
+    // earlier between-chars lookahead split cut words at UTF-16 unit
+    // boundaries, and a lone surrogate half does not survive the
+    // String→UTF8String round trip — every non-BMP char (emoji, rare CJK)
+    // was silently mangled to '?' before the first merge round
     var states = docs.select(explode(wsTokens(text)).as("w"))
       .filter(col("w") =!= "")
       .groupBy("w").agg(count(lit(1)).as("n_w"))
       .select(concat_ws(" ",
-        array_remove(split(col("w"), "(?!^)"), "")).as("state"), col("n_w"))
-      .localCheckpoint(false)
+        regexp_extract_all(col("w"), lit("(?s)."), lit(0))).as("state"), col("n_w"))
+      .cut(eager = false)
     var merges = Vector.empty[(Int, String, Long)]
     var done = false
     for (m <- 1 to nMerges if !done) {
@@ -574,10 +577,16 @@ object TextAnalysis {
             .when(substring_index(acc, " ", -1) === x && t === y,
               when(acc === x, lit(merged))
                 .otherwise(concat(
-                  acc.substr(lit(1), length(acc) - lit(x.length + 1)),
+                  // trim width in CODEPOINTS: Spark length() counts
+                  // codepoints while String.length counts UTF-16 units —
+                  // for a merge symbol containing non-BMP chars (emoji,
+                  // rare CJK) the unit count would over-trim and corrupt
+                  // the rewritten word state
+                  acc.substr(lit(1),
+                    length(acc) - lit(x.codePointCount(0, x.length) + 1)),
                   lit(" " + merged))))
             .otherwise(concat(acc, lit(" "), t)))
-        states = states.withColumn("state", fold).localCheckpoint(false)
+        states = states.withColumn("state", fold).cut(eager = false)
       }
     }
     import spark.implicits._
@@ -603,7 +612,7 @@ object TextAnalysis {
       count(lit(1)).as("v_ref"))
     val bt = docs.select(explode(wsTokens(text)).as("t"))
       .groupBy("t").agg(count(lit(1)).as("c_bt"))
-      .localCheckpoint(false) // two consumers: batch totals + the term join
+      .cut(eager = false) // two consumers: batch totals + the term join
     val bTot = bt.agg(sum(col("c_bt")).cast("long").as("n_b"),
       count(lit(1)).as("types_b"))
     bt.join(broadcast(reference.select(col("t"), col("c_t"))), Seq("t"), "left")
@@ -639,7 +648,7 @@ object TextAnalysis {
     val post = docs
       .select(id.as("id"), posexplode(wsTokens(text)).as(Seq("pos", "t")))
       .filter(col("t").isin(phrase.distinct: _*))
-      .localCheckpoint(false)
+      .cut(eager = false)
     val start = post.filter(col("t") === phrase.head).select(col("id"), col("pos"))
     val matched = phrase.zipWithIndex.tail.foldLeft(start) { case (acc, (term, i)) =>
       acc.join(post.filter(col("t") === term)

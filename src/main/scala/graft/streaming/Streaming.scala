@@ -1,5 +1,6 @@
 package graft.streaming
 
+import graft.Checkpoint.CheckpointOps
 import graft.sources.VectorStore
 import org.apache.spark.sql.{Column, DataFrame, Dataset}
 import org.apache.spark.sql.functions._
@@ -511,11 +512,16 @@ object Streaming {
       checkpoint: String,
       queryName: String = "er_screen"): StreamingQuery = {
     // the frozen dimension's deletion-variant table is built ONCE here and
-    // checkpointed — inside foreachBatch it would re-explode |dim|·(L+1)
-    // variant rows on every micro-batch
+    // PERSISTED (not checkpointed) — inside foreachBatch it would
+    // re-explode |dim|·(L+1) variant rows on every micro-batch, but a
+    // lineage-truncating localCheckpoint would pin blocks to executors:
+    // on a long-running stream, losing one executor (spot node, dynamic
+    // allocation) would fail every later micro-batch with missing-block
+    // errors. persist keeps the lineage, so a lost block silently
+    // recomputes from the static dimension instead.
     val dimVariants = graft.operators.FuzzyJoin
       .variantTable(dimension, dimId, dimName, maxDist)
-      .localCheckpoint(false)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     records.writeStream
       .queryName(queryName)
       .option("checkpointLocation", checkpoint)

@@ -414,8 +414,21 @@ class CurationSpec extends SparkSpec {
       .toDF("id", "w")
     val got = Curation.weightedSample(df, col("id"), col("w"), k = 3)
       .collect().map(r => (r.getLong(0), r.getDouble(2)))
+    // hand replica of the wide-hash u: two poly fingerprints of the id
+    // string through their mix chains, packed, +1, /2^60
+    def poly(s: String, base: Long, mod: Long): Long =
+      s.foldLeft(0L)((a, c) => (a * base + c) % mod)
+    def mix(h: Long, rounds: Seq[(Long, Long, Int)], mod: Long): Long =
+      rounds.foldLeft(h) { case (acc, (a, b, sh)) =>
+        val t = java.lang.Math.floorMod(acc * a + b, mod); t ^ (t >> sh)
+      }
     def key(id: Long, w: Double): Double = {
-      val u = ((((id % 1000003L) * 131L + 7L) % 1000003L) + 1L).toDouble / 1000003.0
+      val s = id.toString
+      val h1 = mix(poly(s, 31L, 1000000007L),
+        graft.operators.Sketches.HllMixRounds, 1000000007L)
+      val h2 = mix(poly(s, 131L, 1000000009L),
+        graft.operators.Sketches.HllMixRounds2, 1000000009L)
+      val u = (h1 * 1073741824L + h2 + 1L).toDouble / 1152921504606846976.0
       math.log(u) / w
     }
     val exp = Seq((1L, 2.0), (2L, 0.5), (3L, 1.0), (6L, 4.0))
@@ -448,6 +461,22 @@ class CurationSpec extends SparkSpec {
     assert(got(3L) == ((2, "a <card> b <card> c")))
     assert(got(4L) == ((0, "short 123456789012 run")))
     assert(got(5L) == ((0, "no digits at all")))
+  }
+
+  test("scrubCards: a valid PAN that prefixes a longer valid PAN leaks nothing") {
+    import testImplicits._
+    // 4532015112830 (13 digits) and 4532015112830002 (16 digits) are BOTH
+    // Luhn-valid and the former prefixes the latter. Lexicographic-ascending
+    // replacement would redact the 13-digit value first, corrupting the
+    // 16-digit run into "<card>002" and leaking its residual digits;
+    // length-descending replacement redacts the superstring first.
+    val df = Seq(
+      (1L, "short 4532015112830 long 4532015112830002 end")
+    ).toDF("id", "text")
+    val got = df.select(Curation.scrubCards(col("text")).as("s"))
+      .head().getString(0)
+    assert(got == "short <card> long <card> end", got)
+    assert(!got.exists(_.isDigit), s"residual digits leaked: $got")
   }
 
   test("groupAwareSplit: cluster members share a split; singletons fall back to own id") {

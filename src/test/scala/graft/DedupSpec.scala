@@ -363,6 +363,38 @@ class DedupSpec extends SparkSpec {
     assert(estC >= 0.9, s"quoted subset should screen high, got $estC")
   }
 
+  test("postings screen: a containment-1.0 / J~0.05 planted pair is flagged; banding misses it") {
+    // corpus doc 100 has 200 distinct words (199 bigram shingles); batch
+    // doc 1 is an 11-word contiguous quote of it: J = 10/199 ~ 0.05 but
+    // containment = 10/10 = 1.0 — the banded screen's documented blind
+    // spot (round-5 verdict #6), closed by the postings path.
+    val longText = (0 until 200).map(i => s"w$i").mkString(" ")
+    val quote = (50 to 60).map(i => s"w$i").mkString(" ")
+    val corpusDocs = docs(100L -> longText, 101L -> "x1 w55 w56 x2")
+    val batchDocs = docs(1L -> quote)
+    // banded screen: no candidate at J ~ 0.05 (no band of 4 slots collides)
+    val banded = Dedup.incrementalNearDups(
+      Dedup.signatureTable(corpusDocs, col("id"), col("text")),
+      Dedup.signatureTable(batchDocs, col("id"), col("text")))
+    assert(banded.filter(col("corpus_id") === 100L).isEmpty,
+      "banding unexpectedly caught the J~0.05 pair — weaken the planted J")
+    // postings screen: exact intersection, containment 1.0
+    val postings = Dedup.shinglePostings(corpusDocs, col("id"), col("text"))
+    val got = Dedup.incrementalContainmentExact(postings,
+        batchDocs, col("id"), col("text"), tau = 0.9, minOverlap = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4), r.getDouble(5)))).toMap
+    assert(got.keySet == Set((1L, 100L)))
+    assert(got((1L, 100L)) == ((10L, 10L, 199L, 1.0)))
+    // dfCap drops the df-2 stop shingle "w55 w56" (shared with doc 101):
+    // the intersection becomes a documented lower bound (9/10)
+    val capped = Dedup.incrementalContainmentExact(postings,
+        batchDocs, col("id"), col("text"), tau = 0.85, minOverlap = 2,
+        dfCap = Some(1L))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(5)).toMap
+    assert(capped == Map((1L, 100L) -> 0.9))
+  }
+
   test("incremental verify join-back: exact jaccard on flagged pairs only, semi-join-pruned corpus scan") {
     val corpusDocs = docs(
       10L -> "the quick brown fox jumps over the lazy dog",

@@ -75,6 +75,22 @@ class ProfileSpec extends SparkSpec {
     assert(!plan.contains("Union"), s"profile must be ONE aggregation:\n$plan")
   }
 
+  test("numericProfile: small-magnitude columns keep stddev precision (x2 at 1e-12)") {
+    import testImplicits._
+    // discount-scale values: x^2 ~ 1e-4, so a 1e-6-quantized second moment
+    // keeps only ~2 significant digits per row and the stddev came out
+    // 0.027184 instead of 0.027189 — visible INSIDE the 6-dp presentation.
+    // The DECIMAL(38,12) accumulator holds these x^2 exactly.
+    val df = Seq(0.0123, 0.0456, 0.0789).map(Tuple1(_)).toDF("d")
+    val got = Profile.numericProfile(df, Seq("d")).head()
+    val vals = Seq(0.0123, 0.0456, 0.0789)
+    val m = vals.sum / 3
+    val expStd = math.sqrt(vals.map(v => v * v).sum / 3 - m * m)
+    assert(got.getDouble(6) ==
+      BigDecimal(expStd).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble,
+      s"stddev ${got.getDouble(6)} != $expStd")
+  }
+
   test("madOutliers: hand-computed medians/MAD; flat group never flags") {
     import testImplicits._
     val df = Seq(

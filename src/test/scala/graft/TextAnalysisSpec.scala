@@ -280,6 +280,26 @@ class TextAnalysisSpec extends SparkSpec {
     assert(g2.toSeq == Seq((1, "a a", 6L), (2, "aa aa", 2L)))
   }
 
+  test("bpeMerges: non-BMP merge symbols (emoji) trim in codepoints, not UTF-16 units") {
+    import testImplicits._
+    // The pizza emoji U+1F355 is 2 UTF-16 units but ONE codepoint, and it
+    // must survive as ONE symbol: the old between-chars split cut it into
+    // lone surrogate halves that the UTF8String round trip mangled to '?',
+    // and the old rewrite trimmed the accumulator by UTF-16 units, eating
+    // the preceding symbol. With the codepoint split + codepoint trim,
+    // round 1 merges the mid-word pair (🍕 a) and round 2's rewrite of
+    // "c 🍕 a" keeps the leading "c" intact.
+    val pizza = "\uD83C\uDF55"
+    val docs = Seq(s"c${pizza}a c${pizza}a c${pizza}a " +
+      s"x${pizza}a x${pizza}a").toDF("text")
+    val got = TextAnalysis.bpeMerges(docs, col("text"), nMerges = 2)
+      .orderBy("step").collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getLong(2)))
+    assert(got.toSeq == Seq(
+      (1, s"$pizza a", 5L),
+      (2, s"c ${pizza}a", 3L)), got.toSeq)
+  }
+
   test("klAgainstReference: hand-computed smoothed KL; OOV takes the Laplace floor") {
     import testImplicits._
     val reference = (Seq.fill(40)("a") ++ Seq.fill(30)("b") ++ Seq.fill(30)("c"))
