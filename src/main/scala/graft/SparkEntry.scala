@@ -892,6 +892,19 @@ object SparkEntry {
         col("event_type"),
         concat(col("user_id").cast("string"), lit(":"),
           col("ts").cast("date").cast("string")), p = 10, wide = true)),
+    // Bulk batch-inference e2e (the reference's O22 batch-index half):
+    // per-partition sessions, batched token matrices, padding, store
+    // ingest — the Spark plumbing runs for real; only the model call is
+    // the deterministic zero-egress stand-in (StubInferenceProvider),
+    // with OnnxSessionProvider as the drop-in for a real model
+    "q_embed_bulk_inference" -> ((s, dir) =>
+      graft.functions.Embedder.embedDocumentsBulk(
+          () => new graft.functions.SessionEmbedder(
+            graft.functions.StubInferenceProvider(), dim = 4),
+          graft.sources.Testdata.table(s, dir, "documents"),
+          col("doc_id"), col("text"))
+        .select(col("id"), col("embedding"))
+        .orderBy(col("id"))),
     // count-min heavy hitters: d x w counter matrix in one aggregation,
     // exact top-20 tokens estimated as min over their d cells
     "q_text_heavy_hitters" -> ((s, dir) =>
@@ -2762,6 +2775,28 @@ object SparkEntry {
          |  round((fin.est - ex.n_exact) / ex.n_exact, 6) AS rel_err
          |FROM ex JOIN fin ON fin.grp = ex.grp
          |ORDER BY ex.grp""".stripMargin,
+    // Bulk-inference oracle: Java-hashCode token ids (32-bit wrap then the
+    // 31-bit mask, +1), truncated at maxLen 128, stub vector
+    // [sum, n, first, last] mod 97 — every lane an exact small integer
+    "q_embed_bulk_inference" ->
+      """WITH toks AS (
+        |  SELECT doc_id, list_filter(string_split_regex(text, '\s+'), t -> t <> '') AS ws
+        |  FROM documents
+        |), ids0 AS (
+        |  SELECT doc_id, list_transform(ws, t ->
+        |    (list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |       list_transform(range(1, length(t)+1), i -> CAST(unicode(substring(t, CAST(i AS INT), 1)) AS BIGINT))),
+        |      (acc, c) -> (acc*31 + c) % 4294967296) % 2147483648) + 1) AS tid
+        |  FROM toks
+        |), ids AS (
+        |  SELECT doc_id, tid[1:128] AS tid FROM ids0
+        |)
+        |SELECT CAST(doc_id AS VARCHAR) AS id,
+        |  [CAST(coalesce(list_sum(tid), 0) % 97 AS FLOAT),
+        |   CAST(len(tid) % 97 AS FLOAT),
+        |   CAST(coalesce(tid[1], 0) % 97 AS FLOAT),
+        |   CAST(coalesce(tid[-1], 0) % 97 AS FLOAT)] AS embedding
+        |FROM ids ORDER BY id""".stripMargin,
     // Count-min oracle: one UNION ALL branch per hash row for both the
     // counter matrix and the probe side; min over the d cells
     "q_text_heavy_hitters" -> {
