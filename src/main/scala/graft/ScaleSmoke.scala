@@ -468,6 +468,66 @@ object ScaleSmoke {
       d
     }
 
+    // ---- skew stress (round-6: hot key = 20% of rows) -------------------
+    // Everything above replicates UNIFORMLY; real corpora are Zipf. One
+    // synthetic hot user takes 20% of ALL events (a hotter head than most
+    // real Zipf tails) and the skew-sensitive shapes run under
+    // spark.sql.adaptive.skewJoin.enabled=true, with the plain shuffle
+    // join kept as the honest CONTRAST row — on local[N] every "executor"
+    // shares one JVM, so the contrast understates the straggler a real
+    // cluster sees, but the salted/partial rows must stay in its
+    // neighborhood or better.
+    spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+    val evSkew = ev.withColumn("user_id",
+        when(pmod(col("event_id"), lit(5)) === 0, lit(-1L)).otherwise(col("user_id")))
+      .localCheckpoint()
+    val userDim = evSkew.select("user_id").distinct()
+      .withColumn("segment", pmod(col("user_id"), lit(7)))
+      .localCheckpoint()
+    time("CONTRAST plain shuffle join, 20% hot key (AQE skew-join on)") {
+      evSkew.join(userDim, Seq("user_id")).count()
+    }
+    time("salted join, 20% hot key (sampled hot list, 8 salts)") {
+      graft.operators.Relational.saltedJoin(evSkew, userDim,
+        "user_id", "user_id", saltBy = col("event_id"), salts = 8,
+        hotRowThreshold = math.max(1000L, base * mult / 100),
+        sampleFraction = 0.05).count()
+    }
+    time("two-phase skew-aware aggregation, hot key") {
+      graft.operators.Relational.skewAwareAgg(evSkew,
+        col("user_id"), pmod(col("event_id"), lit(1000)).cast("double")).count()
+    }
+    time("per-group top-10 under the hot group (GroupTopK partial+final)") {
+      org.apache.spark.sql.graft.GroupTopK.perGroup(
+        evSkew.select("user_id", "ts", "event_id"),
+        Seq(col("user_id")), Seq(col("ts").desc, col("event_id").asc), 10).count()
+    }
+    // hot-SHINGLE skew for the pair tier: 20% of docs share a boilerplate
+    // prefix, so those shingles' df is 0.2·n and a naive shared-shingle
+    // candidate join would emit (0.2n)² pairs from them. Two defenses are
+    // exercised: the prefix filter orders each doc's shingles by ASCENDING
+    // df, so boilerplate shingles sit past the prefix cut and never
+    // generate candidates (this row must track the uniform front-door row,
+    // not square), and the probe's document sampling measures head-shingle
+    // df at rate 1/m instead of missing it 63/64 of the time (round-6 fix)
+    val docsSkew = docsU.withColumn("text",
+        when(pmod(col("doc_id"), lit(5)) === 0,
+          concat(lit("hot0 hot1 hot2 hot3 "), col("text"))).otherwise(col("text")))
+      .localCheckpoint()
+    time("jaccard front door under hot-shingle skew (df-ordered prefix holds FLAT)") {
+      graft.operators.Dedup.jaccardPairsAuto(
+        docsSkew, col("doc_id"), col("text"), n = 2, tau = 0.5).count()
+    }
+    // the postings screen's own skew dial: dfCap drops the hot shingles at
+    // scan time, bounding fanout to rare-shingle evidence only
+    val postSkew = graft.operators.Dedup.shinglePostings(
+      docsSkew, col("doc_id"), col("text")).localCheckpoint()
+    time(s"postings containment screen (1x batch vs ${mult}x skewed index, dfCap 64)") {
+      graft.operators.Dedup.incrementalContainmentExact(postSkew,
+        batch0, col("doc_id"), col("text"),
+        tau = 0.8, minOverlap = 2, dfCap = Some(64L)).count()
+    }
+
     spark.stop()
   }
 }

@@ -190,20 +190,34 @@ object Dedup {
   }
 
   /** The shared routing statistic for pair-join strategy choice: (n docs,
-    * estimated Σ_s df(s)² from a deterministic 1/sampleMod vocabulary
-    * hash-sample — unbiased, exact per sampled shingle, filtered BEFORE the
-    * exchange). Small corpora probe exhaustively.
+    * estimated Σ_s df(s)²) from a deterministic 1/sampleMod DOCUMENT
+    * hash-sample. Small corpora probe exhaustively.
+    *
+    * Why documents and not vocabulary (round-6 skew lesson): the earlier
+    * probe sampled the SHINGLE vocabulary at 1/m, which is exact per
+    * sampled shingle but misses any given shingle with probability
+    * (m−1)/m — and under a Zipf head the entire Σdf² mass can sit in a
+    * handful of boilerplate shingles (df = 0.2·n ⇒ df² = n²/25 EACH), so
+    * the probe read low 63/64 of the time exactly when the prefix filter
+    * was about to explode. Sampling documents instead measures every
+    * shingle's df at rate 1/m — a head shingle is present in every sample
+    * by construction (df/m ≫ 1) — and the Binomial moment identity
+    * E[df_s²] = df²/m² + df·(1/m)(1−1/m) gives the unbiased read-out
+    * `m²·Σdf_s² − m(m−1)·Σdf_s` (clamped at 0 for tiny samples).
     */
   private def pairCostProbe(
-      docs: DataFrame, text: Column, n: Int, sampleMod: Int): (Long, Long) = {
+      docs: DataFrame, text: Column, n: Int, sampleMod: Int): (Long, Double) = {
     val nDocs = docs.count()
     val m = if (nDocs < 10L * sampleMod) 1 else sampleMod
-    val sumDf2 = m * docs.select(explode(shingles(text, n)).as("s"))
-      .filter(pmod(fingerprint(col("s")), lit(m)) === 0)
+    val row = docs
+      .filter(pmod(fingerprint(text), lit(m.toLong)) === 0)
+      .select(explode(shingles(text, n)).as("s"))
       .groupBy("s").agg(count(lit(1)).as("df"))
-      .agg(coalesce(sum(col("df") * col("df")), lit(0L)))
-      .head().getLong(0)
-    (nDocs, sumDf2)
+      .agg(coalesce(sum(col("df") * col("df")), lit(0L)).as("s2"),
+        coalesce(sum(col("df")), lit(0L)).as("s1"))
+      .head()
+    val est = m.toDouble * m * row.getLong(0) - m.toDouble * (m - 1) * row.getLong(1)
+    (nDocs, math.max(0.0, est))
   }
 
   /** Source-overlap matrix — corpus forensics: for every pair of sources,
