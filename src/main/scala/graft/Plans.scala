@@ -54,7 +54,9 @@ object Plans {
       "q_curate_scrub_cards",
       "q_embed_knn_graph_lsh", "q_curate_weighted_sample", "q_pipeline_ingest",
       "q_profile_numeric", "q_rel_transitions", "q_curate_softdedup",
-      "q_media_phash", "q_embed_pca2")
+      "q_media_phash", "q_embed_pca2",
+      "q_events_dau_hll_wide", "q_dedup_incremental_postings",
+      "q_embed_bulk_inference")
     show.foreach { name =>
       println(s"\n## $name\n")
       println("```")

@@ -141,6 +141,56 @@ object SparkEntry {
        |FROM ($all) ORDER BY step""".stripMargin
   }
 
+  /** BPE ENCODE oracle: the same unrolled learn chain as [[bpeOracle]]
+    * but with the word carried through every rewrite (w ↔ state is a
+    * bijection, so grouping by both leaves the learned merges
+    * unchanged), then the per-word token counts joined back over the
+    * per-document word list — the vocabulary-bounded apply shape the
+    * Spark operator runs.
+    */
+  private def bpeEncodeOracle(n: Int): String = {
+    val rounds = (1 to n).map { r =>
+      val prev = s"w${r - 1}"
+      s"""p$r AS (
+         |  SELECT pr, cnt FROM (
+         |    SELECT u.pr AS pr, sum(n_w) AS cnt
+         |    FROM $prev, unnest(CASE WHEN len(string_split(state, ' ')) >= 2
+         |      THEN list_transform(range(1, len(string_split(state, ' '))),
+         |        i -> string_split(state, ' ')[i] || ' ' || string_split(state, ' ')[i+1])
+         |      ELSE CAST([] AS VARCHAR[]) END) AS u(pr)
+         |    GROUP BY u.pr
+         |  ) ORDER BY cnt DESC, pr ASC LIMIT 1
+         |), m$r AS (
+         |  SELECT string_split(pr, ' ')[1] AS x, string_split(pr, ' ')[2] AS y FROM p$r
+         |), w$r AS (
+         |  SELECT w, list_reduce(list_prepend('', string_split(state, ' ')), (acc, t) ->
+         |    CASE WHEN acc = '' THEN t
+         |         WHEN string_split(acc, ' ')[-1] = m$r.x AND t = m$r.y THEN
+         |           CASE WHEN acc = m$r.x THEN m$r.x || m$r.y
+         |                ELSE substr(acc, 1, length(acc) - length(m$r.x) - 1) || ' ' || m$r.x || m$r.y END
+         |         ELSE acc || ' ' || t END) AS state, n_w
+         |  FROM $prev, m$r
+         |)""".stripMargin
+    }.mkString(", ")
+    s"""WITH w0 AS (
+       |  SELECT w, array_to_string(string_split(w, ''), ' ') AS state, count(*) AS n_w
+       |  FROM (SELECT unnest(string_split_regex(text, '\\s+')) AS w FROM documents) t
+       |  WHERE w <> ''
+       |  GROUP BY 1, 2
+       |), $rounds, wt AS (
+       |  SELECT w, len(string_split(state, ' ')) AS n_tok, length(w) AS n_chars FROM w$n
+       |), dw AS (
+       |  SELECT doc_id, u.w AS w
+       |  FROM documents, unnest(string_split_regex(text, '\\s+')) AS u(w)
+       |  WHERE u.w <> ''
+       |)
+       |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_words,
+       |  CAST(sum(n_tok) AS BIGINT) AS n_tokens,
+       |  round(CAST(sum(n_chars) AS DOUBLE) / sum(n_tok), 6) AS chars_per_token
+       |FROM dw JOIN wt USING (w)
+       |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+  }
+
   /** Run a compiled metadata predicate over the events-derived metadata
     * corpus, returning matching ids in numeric order.
     */
@@ -892,6 +942,14 @@ object SparkEntry {
         col("event_type"),
         concat(col("user_id").cast("string"), lit(":"),
           col("ts").cast("date").cast("string")), p = 10, wide = true)),
+    // rolling 7-day actives from MERGED daily registers (wide tier): the
+    // corpus is hashed once into per-day registers; WAU is a register-wise
+    // max over the trailing window — a ×7 fanout of a KB-scale register
+    // table, never of events. Exact twins ride along for the audit.
+    "q_events_wau_rolling_hll" -> ((s, dir) =>
+      Sketches.hllRolling(graft.sources.Testdata.events(s, dir),
+        col("ts"), col("user_id").cast("string"), windowDays = 7,
+        p = 10, wide = true)),
     // Bulk batch-inference e2e (the reference's O22 batch-index half):
     // per-partition sessions, batched token matrices, padding, store
     // ingest — the Spark plumbing runs for real; only the model call is
@@ -927,6 +985,17 @@ object SparkEntry {
         .na.fill(0L, Seq("shared_grams"))
         .select(col("src_a"), col("src_b"), col("shared_grams"),
           col("d_est_a"), col("d_est_b"), col("inter_est"), col("jaccard_est"))
+        .orderBy("src_a", "src_b")
+    }),
+    // WIDE-hash KMV tier: same theta set algebra over the ~2^60 two-lane
+    // hash — at 10^9+ distinct keys the narrow theta is an integer near k
+    // (quantization alone biases percent-level, then the space saturates);
+    // the wide space pushes the quantization floor past 10^12 keys
+    "q_sketch_kmv_overlap_wide" -> ((s, dir) => {
+      val docs = graft.sources.Testdata.table(s, dir, "documents")
+      val grams = docs.select(col("source"),
+        explode(Dedup.shingles(col("text"), 2)).as("sh"))
+      Sketches.kmvOverlap(grams, col("source"), col("sh"), k = 64, wide = true)
         .orderBy("src_a", "src_b")
     }),
     // per-doc TF-IDF keywords: two count aggs + vocab equi-join, then the
@@ -2359,6 +2428,18 @@ object SparkEntry {
           graft.sources.Testdata.table(s, dir, "documents"),
           col("text"), nMerges = 4)
         .orderBy("step")),
+    // BPE APPLY: per-doc token budgets under the learned 4-merge
+    // tokenizer — the merge table is the bounded model artifact (driver
+    // collect, like centroids); rewrites run on the DISTINCT-word
+    // vocabulary and the word→count map broadcasts back, so the corpus
+    // is read once and never shuffled for the encode
+    "q_text_bpe_encode" -> ((s, dir) => {
+      val docs = graft.sources.Testdata.table(s, dir, "documents")
+      val merges = TextAnalysis.bpeMerges(docs, col("text"), nMerges = 4)
+        .orderBy("step").collect().map(_.getString(1)).toSeq
+      TextAnalysis.bpeEncode(docs, col("doc_id"), col("text"), merges)
+        .orderBy("doc_id")
+    }),
     // exact mutual k-NN graph: all-pairs cosine through the 1-Bucket-Theta
     // grid (no corpus broadcast), GroupTopK partial heaps cut the exchange
     // to <= n·k edges, mutual = self-semi-join on the edge list
@@ -2775,6 +2856,75 @@ object SparkEntry {
          |  round((fin.est - ex.n_exact) / ex.n_exact, 6) AS rel_err
          |FROM ex JOIN fin ON fin.grp = ex.grp
          |ORDER BY ex.grp""".stripMargin,
+    // Rolling-HLL oracle: the wide register chain keyed by day, then the
+    // ×7 register fanout (d + j, target days semi-joined to active days),
+    // daily + rolling estimates from the same estimator CTE shape, exact
+    // twins from the distinct (day, user) pairs
+    "q_events_wau_rolling_hll" ->
+      s"""WITH k AS (
+         |  SELECT CAST(ts AS DATE) AS d, CAST(user_id AS VARCHAR) AS kk FROM events
+         |), h0 AS (
+         |  SELECT d, kk, ${polySqlOf("kk")} AS h, ${polySql2Of("kk")} AS g FROM k
+         |), ha AS (
+         |  SELECT d, kk, (h * 2654435761 + 97) % 1000000007 AS t1,
+         |         (g * 3266489917 + 113) % 1000000009 AS s1 FROM h0
+         |), hb AS (
+         |  SELECT d, kk,
+         |    (xor(t1, t1 >> 15) * 1866763009 + 127) % 1000000007 AS t2,
+         |    (xor(s1, s1 >> 16) * 2246822519 + 151) % 1000000009 AS s2 FROM ha
+         |), hm AS (
+         |  SELECT d, kk, xor(t2, t2 >> 13) * 1073741824 + xor(s2, s2 >> 12) AS hf FROM hb
+         |), r0 AS (
+         |  SELECT d, hf % 1024 AS bucket,
+         |    1 + len(list_filter(list_transform(range(1, 51), j -> (CAST(1 AS BIGINT) << j)),
+         |      pk -> (hf // 1024) % pk = 0)) AS rho
+         |  FROM hm
+         |), regs AS (
+         |  SELECT d, bucket, max(rho) AS rho FROM r0 GROUP BY 1, 2
+         |), days AS (SELECT DISTINCT d FROM k
+         |), fan AS (
+         |  SELECT r.d + CAST(j AS INT) AS day_t, r.bucket, max(r.rho) AS rho
+         |  FROM regs r, unnest(range(0, 7)) AS t(j)
+         |  WHERE r.d + CAST(j AS INT) IN (SELECT d FROM days)
+         |  GROUP BY 1, 2
+         |), u AS (
+         |  SELECT d AS day_t, 1 AS w, bucket, rho FROM regs
+         |  UNION ALL SELECT day_t, 7 AS w, bucket, rho FROM fan
+         |), agg AS (
+         |  SELECT day_t, w, count(*) AS present,
+         |    CAST(sum(CAST(1 AS BIGINT) << (51 - rho)) AS BIGINT) AS si
+         |  FROM u GROUP BY 1, 2
+         |), e AS (
+         |  SELECT day_t, w, 1024 - present AS v,
+         |    CAST(0.7213 AS DOUBLE) / (CAST(1.0 AS DOUBLE) + CAST(1.079 AS DOUBLE) / CAST(1024.0 AS DOUBLE))
+         |      * CAST(1048576.0 AS DOUBLE)
+         |      / (CAST((1024 - present) * 2251799813685248 + si AS DOUBLE) / CAST(2251799813685248.0 AS DOUBLE)) AS e_raw
+         |  FROM agg
+         |), fin AS (
+         |  SELECT day_t, w, CASE WHEN e_raw <= CAST(2560.0 AS DOUBLE) AND v > 0
+         |    THEN CAST(1024.0 AS DOUBLE) * ln(CAST(1024.0 AS DOUBLE) / CAST(v AS DOUBLE))
+         |    ELSE e_raw END AS est
+         |  FROM e
+         |), pr AS (SELECT DISTINCT d, kk FROM k
+         |), ex1 AS (
+         |  SELECT d AS day_t, count(*) AS n_exact_1d FROM pr GROUP BY 1
+         |), exw AS (
+         |  SELECT day_t, count(*) AS n_exact_wd FROM (
+         |    SELECT DISTINCT p.d + CAST(j AS INT) AS day_t, p.kk
+         |    FROM pr p, unnest(range(0, 7)) AS t(j)
+         |    WHERE p.d + CAST(j AS INT) IN (SELECT d FROM days)
+         |  ) GROUP BY 1
+         |)
+         |SELECT CAST(ex1.day_t AS VARCHAR) AS day,
+         |  CAST(ex1.n_exact_1d AS BIGINT) AS n_exact_1d,
+         |  round(f1.est, 6) AS dau_est,
+         |  CAST(exw.n_exact_wd AS BIGINT) AS n_exact_wd,
+         |  round(f7.est, 6) AS wau_est
+         |FROM ex1
+         |JOIN fin f1 ON f1.day_t = ex1.day_t AND f1.w = 1
+         |JOIN exw ON exw.day_t = ex1.day_t
+         |JOIN fin f7 ON f7.day_t = ex1.day_t AND f7.w = 7
+         |ORDER BY day""".stripMargin,
     // Bulk-inference oracle: Java-hashCode token ids (32-bit wrap then the
     // 31-bit mask, +1), truncated at maxLen 128, stub vector
     // [sum, n, first, last] mod 97 — every lane an exact small integer
@@ -2885,6 +3035,68 @@ object SparkEntry {
          |  round(CASE WHEN e.da + e.db - e.inter_est > 0
          |    THEN e.inter_est / (e.da + e.db - e.inter_est) ELSE CAST(0.0 AS DOUBLE) END, 6) AS jaccard_est
          |FROM est e LEFT JOIN shared s2 ON s2.src_a = e.src_a AND s2.src_b = e.src_b
+         |ORDER BY e.src_a, e.src_b""".stripMargin,
+    // Wide-KMV oracle: dual fingerprint+mix chains packed h1*2^30+h2, the
+    // same theta algebra with the wide space constant (identical IEEE
+    // product of two exact doubles on both engines)
+    "q_sketch_kmv_overlap_wide" ->
+      s"""WITH sh0 AS (
+         |  SELECT source, unnest(list_distinct(list_transform(
+         |    range(1, len(string_split_regex(text, '\\s+'))),
+         |    i -> string_split_regex(text, '\\s+')[i] || ' ' || string_split_regex(text, '\\s+')[i+1]))) AS s
+         |  FROM documents
+         |), g AS (
+         |  SELECT DISTINCT source AS src, ${polySqlOf("s")} AS fp, ${polySql2Of("s")} AS fq FROM sh0
+         |), m1 AS (
+         |  SELECT src, (fp * 2654435761 + 97) % 1000000007 AS t1,
+         |         (fq * 3266489917 + 113) % 1000000009 AS s1 FROM g
+         |), m2 AS (
+         |  SELECT src, (xor(t1, t1 >> 15) * 1866763009 + 127) % 1000000007 AS t2,
+         |         (xor(s1, s1 >> 16) * 2246822519 + 151) % 1000000009 AS s2 FROM m1
+         |), hs AS (
+         |  SELECT DISTINCT src AS grp,
+         |    xor(t2, t2 >> 13) * 1073741824 + xor(s2, s2 >> 12) AS h FROM m2
+         |), rk AS (
+         |  SELECT grp, h, row_number() OVER (PARTITION BY grp ORDER BY h) AS rn FROM hs
+         |), sk AS (
+         |  SELECT grp, h FROM rk WHERE rn <= 64
+         |), th AS (
+         |  SELECT grp, count(*) AS cnt, max(h) AS hmax FROM sk GROUP BY grp
+         |), spc AS (
+         |  SELECT CAST(1073741824 AS DOUBLE) * CAST(1000000007 AS DOUBLE) AS sp
+         |), thetas AS (
+         |  SELECT grp, CASE WHEN cnt >= 64 THEN CAST(hmax AS DOUBLE)
+         |    ELSE (SELECT sp FROM spc) END AS theta FROM th
+         |), ret AS (
+         |  SELECT s.grp, s.h, t.theta FROM sk s JOIN thetas t ON t.grp = s.grp
+         |  WHERE CAST(s.h AS DOUBLE) < t.theta
+         |), dest AS (
+         |  SELECT grp, count(*) * (SELECT sp FROM spc) / any_value(theta) AS d_est
+         |  FROM ret GROUP BY grp
+         |), pairs AS (
+         |  SELECT a.grp AS src_a, b.grp AS src_b, least(a.theta, b.theta) AS theta
+         |  FROM thetas a JOIN thetas b ON a.grp < b.grp
+         |), commons AS (
+         |  SELECT ra.grp AS src_a, rb.grp AS src_b, count(*) AS c
+         |  FROM ret ra JOIN ret rb ON rb.h = ra.h AND ra.grp < rb.grp
+         |  JOIN pairs p ON p.src_a = ra.grp AND p.src_b = rb.grp
+         |  WHERE CAST(ra.h AS DOUBLE) < p.theta
+         |  GROUP BY 1, 2
+         |), est AS (
+         |  SELECT p.src_a, p.src_b,
+         |    CAST(COALESCE(c.c, 0) AS DOUBLE) * (SELECT sp FROM spc) / p.theta AS inter_est,
+         |    da.d_est AS da, db.d_est AS db
+         |  FROM pairs p
+         |  LEFT JOIN commons c ON c.src_a = p.src_a AND c.src_b = p.src_b
+         |  JOIN dest da ON da.grp = p.src_a
+         |  JOIN dest db ON db.grp = p.src_b
+         |)
+         |SELECT e.src_a, e.src_b,
+         |  round(e.da, 6) AS d_est_a, round(e.db, 6) AS d_est_b,
+         |  round(e.inter_est, 6) AS inter_est,
+         |  round(CASE WHEN e.da + e.db - e.inter_est > 0
+         |    THEN e.inter_est / (e.da + e.db - e.inter_est) ELSE CAST(0.0 AS DOUBLE) END, 6) AS jaccard_est
+         |FROM est e
          |ORDER BY e.src_a, e.src_b""".stripMargin,
     "q_text_quality" ->
       s"""WITH t AS (
@@ -4631,6 +4843,7 @@ object SparkEntry {
         |FROM z ORDER BY event_type, bucket_start""".stripMargin,
     "q_knn_mmr" -> mmrOracle(5),
     "q_text_bpe" -> bpeOracle(4),
+    "q_text_bpe_encode" -> bpeEncodeOracle(4),
     "q_rel_window_dedup" ->
       """SELECT user_id, event_type, bucket, event_id FROM (
         |  SELECT user_id, event_type,

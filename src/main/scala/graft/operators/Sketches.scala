@@ -160,6 +160,54 @@ object Sketches {
       .orderBy("grp")
   }
 
+  /** Rolling-window distinct counts from MERGED daily registers — the
+    * mergeability property doing real work: one register table `(day,
+    * bucket, rho)` serves every window width without re-reading events
+    * (DAU is the per-day estimate; WAU/MAU are register-wise maxima over
+    * the trailing window). Returns one row per active day:
+    * `(day, n_exact_1d, dau_est, n_exact_wd, wau_est)` — exact twins ride
+    * alongside for the audit (production persists only the G·m-row
+    * register table and drops both exact scans).
+    *
+    * Scale shape: the corpus is hashed ONCE into per-day registers
+    * (m = 2^p rows/day); the window merge fans each REGISTER row out to
+    * its ≤ `windowDays` target days (a ×W blow-up of a KB-scale table,
+    * never of events), then max-merges per (target day, bucket). Target
+    * days are semi-joined to days that actually have events, so silent
+    * calendar gaps produce no phantom rows.
+    */
+  def hllRolling(df: DataFrame, day: Column, key: Column, windowDays: Int,
+      p: Int = 10, wide: Boolean = false): DataFrame = {
+    require(windowDays >= 2, "windowDays >= 2: width 1 is the plain daily estimate")
+    val regs = hllRegisters(df, day.cast("date"), key, p, wide).cut(eager = false)
+    val days = regs.select(col("grp").as("day_t")).distinct().cut(eager = false)
+    val fan = regs.select(
+        explode(sequence(col("grp"), date_add(col("grp"), windowDays - 1)))
+          .as("day_t"),
+        col("bucket"), col("rho"))
+      .join(broadcast(days), Seq("day_t"), "left_semi")
+      .groupBy("day_t", "bucket").agg(max(col("rho")).as("rho"))
+    val dau = hllEstimate(regs, p, wide)
+      .select(col("grp").as("day_t"), col("est").as("dau_est"))
+    val wau = hllEstimate(fan.withColumnRenamed("day_t", "grp"), p, wide)
+      .select(col("grp").as("day_t"), col("est").as("wau_est"))
+    val pairs = df.select(day.cast("date").as("d"), key.as("k")).distinct()
+      .cut(eager = false)
+    val ex1 = pairs.groupBy(col("d").as("day_t"))
+      .agg(count(lit(1)).as("n_exact_1d"))
+    val exw = pairs.select(
+        explode(sequence(col("d"), date_add(col("d"), windowDays - 1))).as("day_t"),
+        col("k"))
+      .join(broadcast(days), Seq("day_t"), "left_semi")
+      .distinct()
+      .groupBy("day_t").agg(count(lit(1)).as("n_exact_wd"))
+    ex1.join(dau, "day_t").join(exw, "day_t").join(wau, "day_t")
+      .select(col("day_t").cast("string").as("day"),
+        col("n_exact_1d"), round(col("dau_est"), 6).as("dau_est"),
+        col("n_exact_wd"), round(col("wau_est"), 6).as("wau_est"))
+      .orderBy("day")
+  }
+
   /** Fixed (a, b) salt rows for the count-min hash family
     * h_i(x) = ((fp(x)·a_i + b_i) mod 1e9+7) mod width. */
   val CmSalts: Seq[(Long, Long)] = Seq((31L, 7L), (131L, 101L), (1009L, 997L), (10007L, 9973L))
@@ -340,6 +388,19 @@ object Sketches {
     */
   val KmvSpace: Double = 1000000007.0
 
+  /** Value space of the WIDE packed hash for the theta estimators:
+    * P(hWide ≤ x) ≈ (x/2^30)/(1e9+7) near the bottom of the range (small
+    * packed values need h1 = 0 AND h2 small), so the effective uniform
+    * denominator is 2^30·(1e9+7). Why the wide tier matters for KMV
+    * specifically: theta is the k-th SMALLEST hash ≈ k·M/n, so at
+    * n = 10^9 distinct keys the narrow theta is an integer near 64 —
+    * ±1 of hash-collision quantization is a 1.5 % bias on its own, and
+    * past n ≈ M the sketch saturates entirely. The wide space pushes the
+    * quantization floor past n = 10^12. Both engines compute the
+    * constant as the same two-exact-double IEEE product.
+    */
+  val KmvSpaceWide: Double = 1073741824.0 * 1000000007.0
+
   /** KMV (k-minimum-values) sketch per group: the k smallest DISTINCT
     * mixed hashes of `key` within each `grp` (Beyer et al. 2007, "On
     * synopses for distinct value estimation"; the theta-sketch framing of
@@ -351,9 +412,10 @@ object Sketches {
     * Output: (grp, h) — ≤ G·k rows, the constant-size mergeable summary
     * (merge = union + re-take bottom-k).
     */
-  def kmvSketch(df: DataFrame, grp: Column, key: Column, k: Int): DataFrame = {
+  def kmvSketch(df: DataFrame, grp: Column, key: Column, k: Int,
+      wide: Boolean = false): DataFrame = {
     require(k >= 2, "k >= 2: the estimator divides by the k-th minimum")
-    val hf = hllMix(TextAnalysis.fingerprint(key))
+    val hf = if (wide) hllWideHash(key) else hllMix(TextAnalysis.fingerprint(key))
     val hashes = df.select(grp.as("grp"), hf.as("h")).distinct()
     org.apache.spark.sql.graft.GroupTopK.perGroup(
       hashes, Seq(col("grp")), Seq(col("h").asc), k)
@@ -364,12 +426,12 @@ object Sketches {
     * (making the unified estimator `|{h < theta}| · M / theta` EXACT for
     * small groups — retained = all, theta = M ⇒ estimate = count).
     */
-  private def kmvThetas(sk: DataFrame, k: Int): DataFrame =
+  private def kmvThetas(sk: DataFrame, k: Int, space: Double): DataFrame =
     sk.groupBy("grp")
       .agg(count(lit(1)).as("cnt"), max(col("h")).as("hmax"))
       .select(col("grp"),
         when(col("cnt") >= k, col("hmax").cast("double"))
-          .otherwise(lit(KmvSpace)).as("theta"))
+          .otherwise(lit(space)).as("theta"))
 
   /** Cross-source overlap ESTIMATION from per-source theta sketches — the
     * bounded-state scale twin of [[Dedup.sourceOverlapMatrix]]: identical
@@ -389,14 +451,16 @@ object Sketches {
     * ~1/sqrt(k) relative band; the driver query's oracle replicates the
     * arithmetic exactly (the estimate is a pure function of the data).
     */
-  def kmvOverlap(df: DataFrame, grp: Column, key: Column, k: Int = 64): DataFrame = {
-    val sk = kmvSketch(df, grp, key, k).cut(eager = false)
-    val thetas = kmvThetas(sk, k).cut(eager = false)
+  def kmvOverlap(df: DataFrame, grp: Column, key: Column, k: Int = 64,
+      wide: Boolean = false): DataFrame = {
+    val space = if (wide) KmvSpaceWide else KmvSpace
+    val sk = kmvSketch(df, grp, key, k, wide).cut(eager = false)
+    val thetas = kmvThetas(sk, k, space).cut(eager = false)
     // retained = strictly below own theta (k-1 rows for large groups, all
     // rows for small ones)
     val ret = sk.join(broadcast(thetas), Seq("grp")).filter(col("h") < col("theta"))
     val dEst = ret.groupBy("grp")
-      .agg((count(lit(1)) * lit(KmvSpace) / first(col("theta"))).as("d_est"))
+      .agg((count(lit(1)) * lit(space) / first(col("theta"))).as("d_est"))
     val pairs = thetas.select(col("grp").as("src_a"), col("theta").as("ta"))
       .join(thetas.select(col("grp").as("src_b"), col("theta").as("tb")),
         col("src_a") < col("src_b"))
@@ -410,7 +474,7 @@ object Sketches {
     val est = pairs
       .join(commons, Seq("src_a", "src_b"), "left")
       .na.fill(0L, Seq("c"))
-      .withColumn("inter_est", col("c").cast("double") * lit(KmvSpace) / col("theta"))
+      .withColumn("inter_est", col("c").cast("double") * lit(space) / col("theta"))
       .join(dEst.select(col("grp").as("src_a"), col("d_est").as("da")), Seq("src_a"))
       .join(dEst.select(col("grp").as("src_b"), col("d_est").as("db")), Seq("src_b"))
       .withColumn("union_est", col("da") + col("db") - col("inter_est"))

@@ -571,26 +571,78 @@ object TextAnalysis {
         val pr = top(0).getString(0)
         merges :+= ((m, pr, top(0).getLong(1)))
         val Array(x, y) = pr.split(" ", 2)
-        val merged = x + y
-        val fold = aggregate(split(col("state"), " "), lit(""),
-          (acc, t) => when(acc === "", t)
-            .when(substring_index(acc, " ", -1) === x && t === y,
-              when(acc === x, lit(merged))
-                .otherwise(concat(
-                  // trim width in CODEPOINTS: Spark length() counts
-                  // codepoints while String.length counts UTF-16 units —
-                  // for a merge symbol containing non-BMP chars (emoji,
-                  // rare CJK) the unit count would over-trim and corrupt
-                  // the rewritten word state
-                  acc.substr(lit(1),
-                    length(acc) - lit(x.codePointCount(0, x.length) + 1)),
-                  lit(" " + merged))))
-            .otherwise(concat(acc, lit(" "), t)))
-        states = states.withColumn("state", fold).cut(eager = false)
+        states = states.withColumn("state", mergeFold(col("state"), x, y))
+          .cut(eager = false)
       }
     }
     import spark.implicits._
     merges.toDF("step", "pair", "cnt")
+  }
+
+  /** One greedy left-to-right rewrite of a space-joined symbol state for
+    * merge pair (x, y) — the shared apply step of BPE training
+    * ([[bpeMerges]], once per learned round) and encoding ([[bpeEncode]],
+    * once per SHIPPED merge in rank order). Equivalent to the classic
+    * non-overlapping scan because a merged symbol `x||y` can never equal
+    * its own left side `x`.
+    */
+  private def mergeFold(state: Column, x: String, y: String): Column = {
+    val merged = x + y
+    aggregate(split(state, " "), lit(""),
+      (acc, t) => when(acc === "", t)
+        .when(substring_index(acc, " ", -1) === x && t === y,
+          when(acc === x, lit(merged))
+            .otherwise(concat(
+              // trim width in CODEPOINTS: Spark length() counts
+              // codepoints while String.length counts UTF-16 units —
+              // for a merge symbol containing non-BMP chars (emoji,
+              // rare CJK) the unit count would over-trim and corrupt
+              // the rewritten word state
+              acc.substr(lit(1),
+                length(acc) - lit(x.codePointCount(0, x.length) + 1)),
+              lit(" " + merged))))
+        .otherwise(concat(acc, lit(" "), t)))
+  }
+
+  /** BPE ENCODE — apply a learned merge table (rank-ordered `pair`
+    * strings from [[bpeMerges]], i.e. the artifact a tokenizer trainer
+    * ships) to the corpus, and return per-document token accounting:
+    * `(doc id, n_words, n_tokens, chars_per_token)`. This is the apply
+    * side of Sennrich et al. 2016: token BUDGETS under the real
+    * tokenizer are what mixing/packing/pricing decisions consume —
+    * whitespace token counts ([[wsTokens]]) systematically undercount
+    * long-tail text.
+    *
+    * Scale shape: the corpus is tokenized ONCE into a DISTINCT-word
+    * vocabulary; every merge rewrite runs on that vocabulary-bounded
+    * table (exactly how production tokenizers batch-encode — per word
+    * type, never per occurrence), with a lineage cut every 8 rounds to
+    * bound codegen depth; the word→token-count map then broadcasts back
+    * over the corpus words, so the big side never shuffles. Rewrites
+    * apply sequentially in rank order — the reference apply-BPE
+    * semantics this engine pins (and the oracle replicates).
+    */
+  def bpeEncode(docs: DataFrame, id: Column, text: Column,
+      merges: Seq[String]): DataFrame = {
+    val vocab = docs.select(explode(wsTokens(text)).as("w"))
+      .filter(col("w") =!= "").distinct()
+    var st = vocab.withColumn("state", concat_ws(" ",
+      regexp_extract_all(col("w"), lit("(?s)."), lit(0))))
+    merges.zipWithIndex.foreach { case (pr, i) =>
+      val Array(x, y) = pr.split(" ", 2)
+      st = st.withColumn("state", mergeFold(col("state"), x, y))
+      if ((i + 1) % 8 == 0) st = st.cut(eager = false)
+    }
+    val wtok = st.select(col("w"),
+      size(split(col("state"), " ")).cast("long").as("n_tok"),
+      length(col("w")).cast("long").as("n_chars"))
+    docs.select(id.as("doc_id"), explode(wsTokens(text)).as("w"))
+      .filter(col("w") =!= "")
+      .join(broadcast(wtok), Seq("w"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_words"), sum("n_tok").as("n_tokens"),
+        round(sum(col("n_chars")).cast("double") / sum(col("n_tok")), 6)
+          .as("chars_per_token"))
   }
 
   /** `KL(batch ‖ reference)` of one document batch against a FROZEN

@@ -80,6 +80,28 @@ class SketchesSpec extends SparkSpec {
     assert(narrowEst < wideEst, s"narrow $narrowEst >= wide $wideEst")
   }
 
+  test("kmv wide: 1e6-key overlap estimates inside the k=64 band; deterministic") {
+    // A = [0, 1e6), B = [5e5, 1.5e6): |A| = |B| = 1e6, J = 1/3. The wide
+    // space keeps theta quantization negligible at any realistic n (the
+    // narrow theta at n = 1e9 would be an integer near k). Deterministic
+    // hashes -> fixed values; the bands document the estimator contract.
+    val n = 1000000L
+    val a = spark.range(n).select(lit("A").as("grp"),
+      concat(lit("key:"), col("id")).as("k"))
+    val b = spark.range(n / 2, 3 * n / 2).select(lit("B").as("grp"),
+      concat(lit("key:"), col("id")).as("k"))
+    val out = Sketches.kmvOverlap(a.unionByName(b), col("grp"), col("k"),
+        k = 64, wide = true)
+      .collect().head
+    val (da, db, j) = (out.getDouble(2), out.getDouble(3), out.getDouble(5))
+    assert(math.abs(da - n) / n < 0.35, s"d_est_a $da")
+    assert(math.abs(db - n) / n < 0.35, s"d_est_b $db")
+    assert(math.abs(j - 1.0 / 3) < 0.2, s"jaccard_est $j")
+    val again = Sketches.kmvOverlap(a.unionByName(b), col("grp"), col("k"),
+      k = 64, wide = true).collect().head
+    assert(out.toSeq == again.toSeq)
+  }
+
   test("hll: small cardinality routes to linear counting and is near-exact") {
     import testImplicits._
     val df = (1 to 40).map(i => ("g", s"k$i")).toDF("src", "k")
@@ -218,6 +240,35 @@ class SketchesSpec extends SparkSpec {
     assert(j > 0.2 && j < 0.47, s"jaccard_est $j outside band around 1/3")
     val inter = o.getAs[Double]("inter_est")
     assert(inter > 600 && inter < 1400, s"inter_est $inter outside band around 1000")
+  }
+
+  test("hllRolling: window merge equals the sketch of the union; exact twins exact; gaps skipped") {
+    import testImplicits._
+    val rows = Seq(("2024-01-01", 1L), ("2024-01-01", 2L),
+      ("2024-01-02", 2L), ("2024-01-02", 3L), ("2024-01-04", 9L))
+    val df = rows.toDF("d", "u").select(to_date(col("d")).as("d"), col("u"))
+    val out = Sketches.hllRolling(df, col("d"), col("u").cast("string"),
+      windowDays = 2, p = 7).collect()
+    // rows only for ACTIVE days (Jan 3 has no events -> no phantom row);
+    // trailing-2-day windows: 01 = {1,2}; 02 = {1,2,3}; 04 = {9} (the gap
+    // day contributes nothing)
+    assert(out.map(_.getString(0)).toSeq ==
+      Seq("2024-01-01", "2024-01-02", "2024-01-04"))
+    assert(out.map(r => (r.getLong(1), r.getLong(3))).toSeq ==
+      Seq((2L, 2L), (2L, 3L), (1L, 1L)))
+    // mergeability, the property the operator exists for: the rolling
+    // estimate of Jan 2 IS the estimate of the unioned key set — register
+    // max-merge is exact, not approximate
+    val union = Seq(1L, 2L, 3L).toDF("u").select(lit("g").as("g"), col("u"))
+    val uEst = Sketches.hllEstimate(
+      Sketches.hllRegisters(union, col("g"), col("u").cast("string"), p = 7),
+      p = 7).collect().head.getDouble(1)
+    assert(out(1).getDouble(4) == math.rint(uEst * 1e6) / 1e6 ||
+      math.abs(out(1).getDouble(4) - uEst) < 1e-6)
+    // deterministic
+    val again = Sketches.hllRolling(df, col("d"), col("u").cast("string"),
+      windowDays = 2, p = 7).collect()
+    assert(out.map(_.toSeq).toSeq == again.map(_.toSeq).toSeq)
   }
 
   test("kmv: sketches merge — union-then-bottom-k equals bottom-k of combined group") {

@@ -300,6 +300,33 @@ class TextAnalysisSpec extends SparkSpec {
       (2, s"c ${pizza}a", 3L)), got.toSeq)
   }
 
+  test("bpeEncode: hand-run apply of learned merges; OOV words part-merge; emoji counts codepoints") {
+    import testImplicits._
+    val docs = Seq((1L, "ab ab abc"), (2L, "ab")).toDF("doc_id", "text")
+    val merges = TextAnalysis.bpeMerges(docs, col("text"), nMerges = 4)
+      .orderBy("step").collect().map(_.getString(1)).toSeq
+    assert(merges == Seq("a b", "ab c"))
+    // "ab" → 1 token/2 chars; "abc" → "ab c" → "abc" → 1 token/3 chars
+    val got = TextAnalysis.bpeEncode(docs, col("doc_id"), col("text"), merges)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(got.toSeq == Seq((1L, 3L, 3L, 2.333333), (2L, 1L, 1L, 2.0)))
+    // apply to a DIFFERENT corpus: "abd" part-merges to "ab d" (2 tokens),
+    // "zz" has no learned pair (2 tokens) — OOV text degrades gracefully
+    // to more tokens, never errors
+    val other = Seq((7L, "abd zz")).toDF("doc_id", "text")
+    val o = TextAnalysis.bpeEncode(other, col("doc_id"), col("text"), merges)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(o.toSeq == Seq((7L, 2L, 4L, 1.25)))
+    // non-BMP chars are single symbols AND single chars: 🍕x = 2 tokens,
+    // 2 codepoints under an empty applicable-merge set
+    val pizza = "🍕"
+    val em = TextAnalysis.bpeEncode(Seq((9L, s"${pizza}x")).toDF("doc_id", "text"),
+      col("doc_id"), col("text"), merges)
+      .collect().map(r => (r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(em.toSeq == Seq((1L, 2L, 1.0)))
+  }
+
   test("klAgainstReference: hand-computed smoothed KL; OOV takes the Laplace floor") {
     import testImplicits._
     val reference = (Seq.fill(40)("a") ++ Seq.fill(30)("b") ++ Seq.fill(30)("c"))
