@@ -56,7 +56,10 @@ object Plans {
       "q_profile_numeric", "q_rel_transitions", "q_curate_softdedup",
       "q_media_phash", "q_embed_pca2",
       "q_events_dau_hll_wide", "q_dedup_incremental_postings",
-      "q_embed_bulk_inference")
+      "q_embed_bulk_inference",
+      "q_sketch_kmv_overlap_wide", "q_text_bpe_encode",
+      "q_events_wau_rolling_hll", "q_embed_label_prop",
+      "q_pipeline_tokenize", "q_profile_psi")
     show.foreach { name =>
       println(s"\n## $name\n")
       println("```")

@@ -13,14 +13,18 @@ import org.apache.spark.sql.functions._
   * because by-name resolution after a join can silently bind to the hidden
   * original attribute (burned once in round 1).
   *
-  * Run: `sbt "runMain graft.ScaleSmoke [mult] [sfDir]"` (defaults 20,
-  * sf0.01). Output is one `| op | rows | sec |` markdown row per operator
-  * (captured into SCALE_SMOKE.md).
+  * Run: `sbt "runMain graft.ScaleSmoke [mult] [sfDir] [onlySubstr]"`
+  * (defaults 20, sf0.01, all rows). Output is one `| op | rows | sec |`
+  * markdown row per operator (captured into SCALE_SMOKE.md). The third
+  * arg restricts to rows whose name contains the substring — the
+  * fresh-JVM isolation probe for heavy rows whose back-to-back readings
+  * carry GC-pressure ordering effects.
   */
 object ScaleSmoke {
   def main(args: Array[String]): Unit = {
     val mult = args.headOption.map(_.toInt).getOrElse(20)
     val sfDir = if (args.length > 1) args(1) else "/root/testdata/sf0.01"
+    val only = if (args.length > 2) Some(args(2)) else None
     val cpus = math.max(4, Runtime.getRuntime.availableProcessors())
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -46,11 +50,21 @@ object ScaleSmoke {
       renamed.drop("_rep")
     }
 
-    def time(name: String)(body: => Long): Unit = {
-      val t0 = System.nanoTime()
-      val rows = body
-      println(f"| $name | $rows | ${(System.nanoTime() - t0) / 1e9}%.2f |")
-    }
+    def time(name: String)(body: => Long): Unit =
+      if (only.forall(name.contains)) {
+        val t0 = System.nanoTime()
+        val rows = body
+        println(f"| $name | $rows | ${(System.nanoTime() - t0) / 1e9}%.2f |")
+        // Rows must be order-independent: a row's INTERNAL lineage cuts
+        // (localCheckpoint blocks) stay pinned until the ContextCleaner
+        // sees their RDDs dead, and the cleaner only runs on a JVM GC —
+        // without this, late heavy rows measured 1.5-3x high purely from
+        // the heap the earlier rows' dead blocks still held (the named
+        // setup checkpoints stay referenced and survive the GC, which is
+        // correct — they are shared inputs, not garbage).
+        System.gc()
+        Thread.sleep(300)
+      }
 
     println(s"# Scale smoke x$mult over $sfDir (local[$cpus])\n")
     println("| op | rows | sec |\n|---|---|---|")
@@ -218,6 +232,17 @@ object ScaleSmoke {
       graft.operators.TextAnalysis.bpeMerges(docs, col("text"), nMerges = 4)
         .count()
     }
+    // encode applies a FIXED shipped tokenizer (merges learned once on the
+    // BASE corpus, outside the timing): growth feeds the one corpus
+    // tokenize + broadcast map-back; the merge rewrites stay
+    // vocabulary-sized
+    val shippedMerges = graft.operators.TextAnalysis
+      .bpeMerges(docs0, col("text"), nMerges = 4)
+      .orderBy("step").collect().map(_.getString(1)).toSeq
+    time("bpe encode (4 shipped merges, per-doc budgets)") {
+      graft.operators.TextAnalysis.bpeEncode(docs, col("doc_id"), col("text"),
+        shippedMerges).filter(col("n_tokens") >= 0).count()
+    }
     time("drop novelty (20% new vs 80% ref, 3-grams)") {
       graft.operators.Curation.dropNovelty(
         docs.filter(pmod(col("doc_id"), lit(5)) === 0), col("doc_id"), col("text"),
@@ -262,6 +287,19 @@ object ScaleSmoke {
         concat(col("user_id").cast("string"), lit(":"),
           col("ts").cast("date").cast("string")), p = 10)
         .filter(col("hll_est") >= 0).count()
+    }
+    // rolling actives: events hash once into per-day WIDE registers; the
+    // x7 window fanout touches only the register table (m rows/day)
+    time("rolling 7-day actives (wide daily registers, x7 register fanout)") {
+      graft.operators.Sketches.hllRolling(ev, col("ts"),
+        col("user_id").cast("string"), windowDays = 7, p = 10, wide = true)
+        .filter(col("wau_est") >= 0).count()
+    }
+    time("kmv source-overlap matrix (k=64 wide theta)") {
+      val grams = docs.select(col("source"),
+        explode(graft.operators.Dedup.shingles(col("text"), 2)).as("sh"))
+      graft.operators.Sketches.kmvOverlap(grams, col("source"), col("sh"),
+        k = 64, wide = true).filter(col("jaccard_est") >= -1).count()
     }
     time("count-min heavy hitters (4x1024, top-20)") {
       graft.operators.Sketches.cmHeavyHitters(
@@ -393,6 +431,16 @@ object ScaleSmoke {
           col("label").as("anchor_label"))
       graft.operators.Search.hardNegatives(emb, col("vec_id"), col("embedding"),
         col("label"), anchors, k = 4).count()
+    }
+    // label propagation rides the LSH-blocked edge build (the scale twin
+    // the exact oracled query pins at full probe): 2^10 buckets keep
+    // candidate volume ~n·(n/1024)·probes instead of n²
+    time("label propagation (LSH edges 10 planes, 25% seeds, 2 rounds)") {
+      val planes = graft.operators.AnnSearch.hyperplanes(dim = 64, numPlanes = 10)
+      graft.operators.Search.labelPropagateLsh(emb, col("vec_id"),
+          col("embedding"), col("label"), pmod(col("vec_id"), lit(4)) === 0,
+          planes, k = 6, rounds = 2)
+        .filter(coalesce(col("correct"), lit(0)) >= 0).count()
     }
     // cluster count grows with the corpus (C ∝ n keeps cluster size — and
     // therefore Σ|c|² = n·s — LINEAR in n; fixed C would be n²/C).

@@ -148,7 +148,43 @@ object SparkEntry {
     * per-document word list — the vocabulary-bounded apply shape the
     * Spark operator runs.
     */
-  private def bpeEncodeOracle(n: Int): String = {
+  private def bpeEncodeOracle(n: Int): String =
+    s"""WITH ${bpeApplyCtes(n)}
+       |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_words,
+       |  CAST(sum(n_tok) AS BIGINT) AS n_tokens,
+       |  round(CAST(sum(n_chars) AS DOUBLE) / sum(n_tok), 6) AS chars_per_token
+       |FROM dw JOIN wt USING (w)
+       |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
+  /** Composed tokenizer-pipeline oracle: the shared learn+apply CTE chain,
+    * per-doc budgets, then the [[graft.operators.Curation.packBins]]
+    * shard/cumsum/bin arithmetic replayed in a window, aggregated per bin.
+    */
+  private def bpeTokenizePackOracle(n: Int, shardDocs: Int, budget: Int): String =
+    s"""WITH ${bpeApplyCtes(n)}, budgets AS (
+       |  SELECT doc_id AS id, CAST(sum(n_tok) AS BIGINT) AS n_tokens
+       |  FROM dw JOIN wt USING (w) GROUP BY 1
+       |), pk AS (
+       |  SELECT id, (id - id % $shardDocs) // $shardDocs AS shard, n_tokens,
+       |    sum(n_tokens) OVER (PARTITION BY (id - id % $shardDocs) // $shardDocs
+       |      ORDER BY id ROWS UNBOUNDED PRECEDING) AS cum
+       |  FROM budgets
+       |), pb AS (
+       |  SELECT id, shard,
+       |    ((cum - n_tokens) - (cum - n_tokens) % $budget) // $budget AS bin,
+       |    n_tokens
+       |  FROM pk
+       |)
+       |SELECT CAST(shard AS BIGINT) AS shard, CAST(bin AS BIGINT) AS bin,
+       |  CAST(count(*) AS BIGINT) AS n_docs,
+       |  CAST(sum(n_tokens) AS BIGINT) AS bin_tokens
+       |FROM pb GROUP BY 1, 2 ORDER BY shard, bin""".stripMargin
+
+  /** The learn+apply CTE chain shared by the BPE encode oracles: w0..wN
+    * carry the word through every rewrite, `wt` is the per-word token
+    * count, `dw` the per-doc word list.
+    */
+  private def bpeApplyCtes(n: Int): String = {
     val rounds = (1 to n).map { r =>
       val prev = s"w${r - 1}"
       s"""p$r AS (
@@ -172,7 +208,7 @@ object SparkEntry {
          |  FROM $prev, m$r
          |)""".stripMargin
     }.mkString(", ")
-    s"""WITH w0 AS (
+    s"""w0 AS (
        |  SELECT w, array_to_string(string_split(w, ''), ' ') AS state, count(*) AS n_w
        |  FROM (SELECT unnest(string_split_regex(text, '\\s+')) AS w FROM documents) t
        |  WHERE w <> ''
@@ -183,12 +219,7 @@ object SparkEntry {
        |  SELECT doc_id, u.w AS w
        |  FROM documents, unnest(string_split_regex(text, '\\s+')) AS u(w)
        |  WHERE u.w <> ''
-       |)
-       |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_words,
-       |  CAST(sum(n_tok) AS BIGINT) AS n_tokens,
-       |  round(CAST(sum(n_chars) AS DOUBLE) / sum(n_tok), 6) AS chars_per_token
-       |FROM dw JOIN wt USING (w)
-       |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+       |)""".stripMargin
   }
 
   /** Run a compiled metadata predicate over the events-derived metadata
@@ -1166,6 +1197,21 @@ object SparkEntry {
     // deterministic 8-shard layout audit. The dedup candidate join, the
     // broadcast centroid/stats joins, and the shard aggregation all stack
     // into one DAG — the embedding-side twin of q_pipeline_curate.
+    // composed tokenizer pipeline: learn the merge table, encode every doc
+    // to its real token budget, pack docs into fixed-token training bins —
+    // one plan from corpus to shard/bin manifest; the corpus-sized stages
+    // are one tokenize and one broadcast map-back
+    "q_pipeline_tokenize" -> ((s, dir) => {
+      val docs = graft.sources.Testdata.table(s, dir, "documents")
+      val merges = TextAnalysis.bpeMerges(docs, col("text"), nMerges = 4)
+        .orderBy("step").collect().map(_.getString(1)).toSeq
+      val budgets = TextAnalysis.bpeEncode(docs, col("doc_id"), col("text"), merges)
+      Curation.packBins(budgets, col("doc_id"), col("n_tokens"),
+          budgetTokens = 512, shardDocs = 250)
+        .groupBy("shard", "bin")
+        .agg(count(lit(1)).as("n_docs"), sum("n_tokens").as("bin_tokens"))
+        .orderBy("shard", "bin")
+    }),
     "q_pipeline_embed" -> ((s, dir) => {
       val embs = s.read.parquet(s"$dir/embeddings.parquet")
       val dominated = Dedup.cosinePairsLsh(embs, col("vec_id"), col("embedding"),
@@ -2313,6 +2359,17 @@ object SparkEntry {
       Profile.numericProfile(graft.sources.Testdata.lineitem(s, dir),
           Seq("l_quantity", "l_extendedprice", "l_discount"))
         .orderBy("col_name")),
+    // PSI drift gate: per-source quality-score distributions vs the src0
+    // reference over 32 fixed bins — one corpus aggregation into the
+    // G·B bin sketch, spine + reference rates broadcast, eps-floored
+    // (p−q)·ln(p/q) folded over a sorted term list
+    "q_profile_psi" -> ((s, dir) => {
+      val docs = graft.sources.Testdata.table(s, dir, "documents")
+      Sketches.psiByGroup(
+        docs.select(col("source"),
+          round(TextAnalysis.qualityScore(col("text")), 6).as("q")),
+        col("source"), col("q"), refGroup = "src0", bins = 32)
+    }),
     // first-order Markov transitions over per-user event sequences: one
     // user-key exchange + lead window, then event-type^2-bounded counts
     "q_rel_transitions" -> ((s, dir) =>
@@ -2448,6 +2505,16 @@ object SparkEntry {
           col("vec_id"), col("embedding"), k = 6)
         .withColumnRenamed("id", "vec_id")
         .orderBy("vec_id")),
+    // label propagation (clamped seeds, 2 synchronous rounds) over the
+    // symmetrized exact k-NN graph: 25% seed labels spread to the bulk by
+    // integer plurality votes — the weak-supervision labeling shape; the
+    // corpus-sized work is the one-off grid edge build, each round touches
+    // only the <= 2nk edge list
+    "q_embed_label_prop" -> ((s, dir) =>
+      Search.labelPropagate(s.read.parquet(s"$dir/embeddings.parquet"),
+        col("vec_id"), col("embedding"), col("label"),
+        col("vec_id") % 4 === 0, k = 6, rounds = 2)
+        .withColumnRenamed("id", "vec_id")),
     // MMR diversified rerank over the exact top-12 shortlist: greedy
     // λ·rel − (1−λ)·max-sim selection, candidate generation distributed,
     // k−1 tiny argmax jobs over the checkpointed shortlist
@@ -3817,6 +3884,46 @@ object SparkEntry {
          |ORDER BY q""".stripMargin,
     // Grouped-quantile oracle: quality chain + per-source partitioned
     // cumulative window over the bin sketch
+    // PSI oracle: the quality chain, 32-bin counts, dense bin spine with
+    // the eps floor on both sides, then the sorted-fold PSI sum
+    "q_profile_psi" ->
+      s"""WITH t AS (
+         |  SELECT source, string_split_regex(text, '\\s+') AS toks,
+         |         length(regexp_replace(text, '\\s', '', 'g')) AS nonws,
+         |         length(regexp_replace(text, '[a-z0-9\\s]', '', 'g')) AS punct
+         |  FROM documents
+         |), sc AS (
+         |  SELECT source AS grp, round(
+         |    0.4*least(len(toks)/100.0, 1.0)
+         |    + 0.3*(1.0 - CASE WHEN nonws > 0 THEN CAST(punct AS DOUBLE)/nonws ELSE 0.0 END)
+         |    + 0.3*least((CASE WHEN len(toks) > 0 THEN CAST(len(list_filter(toks, x -> list_contains(${profileSql("en")}, x))) AS DOUBLE)/len(toks) ELSE 0.0 END)/0.1, 1.0),
+         |    6) AS q
+         |  FROM t
+         |), b AS (
+         |  SELECT grp, CAST(least(greatest(floor((q - CAST(0.0 AS DOUBLE)) / CAST(1.0 AS DOUBLE) * CAST(32.0 AS DOUBLE)), CAST(0.0 AS DOUBLE)), CAST(31.0 AS DOUBLE)) AS INT) AS bin FROM sc
+         |), c AS (
+         |  SELECT grp, bin, count(*) AS cnt FROM b GROUP BY 1, 2
+         |), tots AS (
+         |  SELECT grp, CAST(sum(cnt) AS BIGINT) AS n FROM c GROUP BY 1
+         |), spine AS (
+         |  SELECT CAST(unnest(range(0, 32)) AS INT) AS bin
+         |), dense AS (
+         |  SELECT t2.grp, s.bin, t2.n,
+         |    greatest(CAST(COALESCE(c.cnt, 0) AS DOUBLE) / t2.n, CAST(0.0001 AS DOUBLE)) AS rate
+         |  FROM (tots t2 CROSS JOIN spine s)
+         |  LEFT JOIN c ON c.grp = t2.grp AND c.bin = s.bin
+         |), ref AS (
+         |  SELECT bin, rate AS ref_rate FROM dense WHERE grp = 'src0'
+         |), terms AS (
+         |  SELECT d.grp, d.n, (d.rate - r.ref_rate) * ln(d.rate / r.ref_rate) AS term
+         |  FROM dense d JOIN ref r USING (bin) WHERE d.grp <> 'src0'
+         |), ag AS (
+         |  SELECT grp, CAST(max(n) AS BIGINT) AS n_rows, list(term ORDER BY term) AS ts
+         |  FROM terms GROUP BY 1
+         |)
+         |SELECT grp, n_rows,
+         |  round(list_reduce(list_prepend(CAST(0.0 AS DOUBLE), ts), (a, x) -> a + x), 6) AS psi
+         |FROM ag ORDER BY grp""".stripMargin,
     "q_curate_quality_by_source" ->
       s"""WITH t AS (
          |  SELECT source, string_split_regex(text, '\\s+') AS toks,
@@ -4844,6 +4951,7 @@ object SparkEntry {
     "q_knn_mmr" -> mmrOracle(5),
     "q_text_bpe" -> bpeOracle(4),
     "q_text_bpe_encode" -> bpeEncodeOracle(4),
+    "q_pipeline_tokenize" -> bpeTokenizePackOracle(4, shardDocs = 250, budget = 512),
     "q_rel_window_dedup" ->
       """SELECT user_id, event_type, bucket, event_id FROM (
         |  SELECT user_id, event_type,
@@ -5144,6 +5252,57 @@ object SparkEntry {
         |FROM e LEFT JOIN (SELECT src, count(*) AS c FROM m GROUP BY src) d
         |  ON e.id = d.src
         |ORDER BY vec_id""".stripMargin,
+    // Label-propagation oracle: the same exact top-6 edge list
+    // symmetrized, then two unrolled synchronous rounds of clamped-seed
+    // plurality votes (count desc, label asc — integer-deterministic)
+    "q_embed_label_prop" ->
+      """WITH e AS MATERIALIZED (
+        |  SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v, label,
+        |    (vec_id % 4 = 0) AS seed
+        |  FROM embeddings
+        |), sc AS (
+        |  SELECT a.id AS src, b.id AS dst,
+        |    row_number() OVER (PARTITION BY a.id
+        |      ORDER BY list_cosine_similarity(a.v, b.v) DESC, b.id ASC) AS rnk
+        |  FROM e a JOIN e b ON a.id <> b.id
+        |), ed AS MATERIALIZED (
+        |  SELECT DISTINCT src, dst FROM (
+        |    SELECT src, dst FROM sc WHERE rnk <= 6
+        |    UNION ALL SELECT dst, src FROM sc WHERE rnk <= 6)
+        |), s0 AS MATERIALIZED (
+        |  SELECT id, CASE WHEN seed THEN label END AS lbl, seed, label AS lbl_true FROM e
+        |), v1 AS (
+        |  SELECT ed.src, s.lbl AS nlbl, count(*) AS cnt
+        |  FROM ed JOIN s0 s ON s.id = ed.dst AND s.lbl IS NOT NULL
+        |  GROUP BY 1, 2
+        |), w1 AS (
+        |  SELECT src AS id, nlbl AS win FROM (
+        |    SELECT src, nlbl,
+        |      row_number() OVER (PARTITION BY src ORDER BY cnt DESC, nlbl ASC) AS rn
+        |    FROM v1)
+        |  WHERE rn = 1
+        |), s1 AS MATERIALIZED (
+        |  SELECT s0.id, CASE WHEN s0.seed THEN s0.lbl ELSE w1.win END AS lbl,
+        |    s0.seed, s0.lbl_true
+        |  FROM s0 LEFT JOIN w1 ON w1.id = s0.id
+        |), v2 AS (
+        |  SELECT ed.src, s.lbl AS nlbl, count(*) AS cnt
+        |  FROM ed JOIN s1 s ON s.id = ed.dst AND s.lbl IS NOT NULL
+        |  GROUP BY 1, 2
+        |), w2 AS (
+        |  SELECT src AS id, nlbl AS win FROM (
+        |    SELECT src, nlbl,
+        |      row_number() OVER (PARTITION BY src ORDER BY cnt DESC, nlbl ASC) AS rn
+        |    FROM v2)
+        |  WHERE rn = 1
+        |), s2 AS (
+        |  SELECT s1.id, CASE WHEN s1.seed THEN s1.lbl ELSE w2.win END AS lbl,
+        |    s1.seed, s1.lbl_true
+        |  FROM s1 LEFT JOIN w2 ON w2.id = s1.id
+        |)
+        |SELECT id AS vec_id, CAST(seed AS INT) AS seed, lbl AS label_pred,
+        |  CASE WHEN lbl IS NOT NULL THEN CAST(lbl = lbl_true AS INT) END AS correct
+        |FROM s2 ORDER BY vec_id""".stripMargin,
     // ER oracle: the same deterministic one-char-deletion corruption, then
     // the brute-force cross join with exact levenshtein — the blocking-free
     // ground truth the deletion-neighborhood join must reproduce exactly

@@ -146,6 +146,16 @@ object Search {
     require(k >= 1 && blocks >= 1)
     val t = embs.select(id.as("id"), vec.as("v"))
       .withColumn("nrm", sqrt(VF.normSq(col("v"))))
+    mutualDegrees(t.select(col("id")), gridTopKEdges(t, k, blocks))
+  }
+
+  /** Directed exact top-`k` cosine edge list `(src, dst)` over the
+    * 1-Bucket-Theta grid — the shared candidate generator of
+    * [[knnGraphMutual]] and [[labelPropagate]]. Input `t` must carry
+    * (id, v, nrm). Ties break (score desc, dst asc), so the edge list is
+    * deterministic under any partitioning.
+    */
+  private def gridTopKEdges(t: DataFrame, k: Int, blocks: Int): DataFrame = {
     val withBlk = t.withColumn("_blk", pmod(hash(col("id")), lit(blocks)))
     val left = t.withColumn("_pb", explode(array((0 until blocks).map(lit(_)): _*)))
     // shuffle_hash on the block side for the same reason as the dedup grid:
@@ -154,10 +164,100 @@ object Search {
         col("a._pb") === col("b._blk") && col("a.id") =!= col("b.id"))
       .select(col("a.id").as("src"), col("b.id").as("dst"),
         (VF.dot(col("a.v"), col("b.v")) / (col("a.nrm") * col("b.nrm"))).as("score"))
-    val edges = org.apache.spark.sql.graft.GroupTopK.perGroup(
+    org.apache.spark.sql.graft.GroupTopK.perGroup(
         scored, Seq(col("src")), Seq(desc("score"), asc("dst")), k)
       .select("src", "dst")
-    mutualDegrees(t.select(col("id")), edges)
+  }
+
+  /** Label propagation over the symmetrized exact k-NN graph — the weak
+    * supervision workhorse (Zhu & Ghahramani 2002 LP / Raghavan et al.
+    * 2007 LPA, clamped-seed variant): a small labeled SEED set spreads to
+    * the unlabeled bulk through embedding-neighborhood majority votes.
+    * Synchronous rounds; seeds are clamped; every non-seed node recomputes
+    * each round as the PLURALITY label among its currently-labeled
+    * neighbors (count desc, label asc tie-break — pure integer arithmetic,
+    * so the fixpoint is engine-independent); nodes no labeled neighbor has
+    * reached stay null. Returns `(id, seed, label_pred, correct)` with the
+    * ground-truth audit column (production drops `correct`; it exists so
+    * the propagation accuracy is measurable row by row).
+    *
+    * Scale shape: the corpus-sized work is the one-off edge build (the
+    * [[knnGraphMutual]] grid — no corpus broadcast, partial heaps before
+    * the exchange); each round then touches only the ≤ 2·n·k edge list
+    * (join + count + GroupTopK argmax) and the n-row state, checkpointed
+    * per round so `rounds` iterations keep a flat lineage.
+    */
+  def labelPropagate(embs: DataFrame, id: Column, vec: Column, label: Column,
+      seed: Column, k: Int, rounds: Int = 2, blocks: Int = 32): DataFrame = {
+    require(k >= 1 && rounds >= 1 && blocks >= 1)
+    val t = embs.select(id.as("id"), vec.as("v"), label.as("lbl_true"),
+        seed.cast("boolean").as("seed"))
+      .withColumn("nrm", sqrt(VF.normSq(col("v"))))
+      .cut(eager = false) // edge build + initial state share the scan
+    propagate(t, gridTopKEdges(t.select("id", "v", "nrm"), k, blocks), rounds)
+  }
+
+  /** Sub-quadratic companion of [[labelPropagate]]: candidate edges come
+    * from sign-LSH bucket collisions within multiprobe radius `r` (the
+    * [[knnGraphMutualLsh]] blocking) instead of the exact n² grid — the
+    * 100 TB path, with recall following the same banding curve
+    * ANN_EVAL.md measures for these planes/radius dials. At full probe
+    * radius the edge list equals the exact one and so does every
+    * propagated label (spec-pinned).
+    */
+  def labelPropagateLsh(embs: DataFrame, id: Column, vec: Column,
+      label: Column, seed: Column, planes: Seq[Seq[Double]], k: Int,
+      rounds: Int = 2, probeRadius: Int = 1): DataFrame = {
+    require(k >= 1 && rounds >= 1)
+    val masks = AnnSearch.xorMasks(planes.length, probeRadius)
+    val t = AnnSearch.index(
+        embs.select(id.as("id"), vec.as("v"), label.as("lbl_true"),
+          seed.cast("boolean").as("seed")), col("v"), planes)
+      .withColumn("nrm", sqrt(VF.normSq(col("v"))))
+      .cut(eager = false) // probe side, build side, and initial state
+    val probes = t
+      .withColumn("m", explode(typedLit(masks)))
+      .withColumn("pb", col("bucket").bitwiseXOR(col("m")))
+    val scored = probes.as("a").join(t.as("b"),
+        col("a.pb") === col("b.bucket") && col("a.id") =!= col("b.id"))
+      .select(col("a.id").as("src"), col("b.id").as("dst"),
+        (VF.dot(col("a.v"), col("b.v")) / (col("a.nrm") * col("b.nrm"))).as("score"))
+    val dir = org.apache.spark.sql.graft.GroupTopK.perGroup(
+        scored, Seq(col("src")), Seq(desc("score"), asc("dst")), k)
+      .select("src", "dst")
+    propagate(t, dir, rounds)
+  }
+
+  /** Shared propagation epilogue: symmetrize the directed edge list, then
+    * `rounds` synchronous clamped-seed plurality votes over it. Input `t`
+    * must carry (id, lbl_true, seed).
+    */
+  private def propagate(t: DataFrame, dir: DataFrame, rounds: Int): DataFrame = {
+    val edges = dir
+      .unionByName(dir.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct().cut(eager = false)
+    var state = t.select(col("id"),
+      when(col("seed"), col("lbl_true")).as("lbl"),
+      col("seed"), col("lbl_true"))
+    for (_ <- 1 to rounds) {
+      val votes = edges
+        .join(state.select(col("id").as("dst"), col("lbl").as("nlbl"))
+          .filter(col("nlbl").isNotNull), "dst")
+        .groupBy("src", "nlbl").agg(count(lit(1)).as("cnt"))
+      val winners = org.apache.spark.sql.graft.GroupTopK.perGroup(
+          votes, Seq(col("src")), Seq(desc("cnt"), asc("nlbl")), 1)
+        .select(col("src").as("id"), col("nlbl").as("win"))
+      state = state.join(winners, Seq("id"), "left")
+        .select(col("id"),
+          when(col("seed"), col("lbl")).otherwise(col("win")).as("lbl"),
+          col("seed"), col("lbl_true"))
+        .cut(eager = false)
+    }
+    state.select(col("id"), col("seed").cast("int").as("seed"),
+        col("lbl").as("label_pred"),
+        when(col("lbl").isNotNull,
+          (col("lbl") === col("lbl_true")).cast("int")).as("correct"))
+      .orderBy("id")
   }
 
   /** Reciprocated-edge degree per node over a directed edge list: the

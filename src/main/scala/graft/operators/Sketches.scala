@@ -303,6 +303,52 @@ object Sketches {
       .orderBy("q")
   }
 
+  /** Population stability index per group against a REFERENCE group over
+    * the fixed [lo,hi) histogram binning — the industry drift gate for
+    * score distributions (PSI < 0.1 stable, 0.1–0.25 drifting, > 0.25
+    * shifted), complementing the token-space KL audit
+    * ([[TextAnalysis.sourceTokenKl]]) with a bounded-bin numeric twin.
+    * Empty bins take the epsilon floor on BOTH sides (the standard
+    * smoothing — a raw PSI is infinite whenever either side has an empty
+    * bin), so the statistic is a pure function of the bin counts; terms
+    * fold over a SORTED list (the partition-invariant float-sum pattern).
+    *
+    * Scale shape: ONE corpus aggregation into G·B bin counts (the same
+    * sketch table the grouped quantiles use), a B-row bin spine and the
+    * reference rates ride as broadcasts; output is one row per
+    * non-reference group.
+    */
+  def psiByGroup(df: DataFrame, grp: Column, value: Column, refGroup: String,
+      bins: Int = 32, lo: Double = 0.0, hi: Double = 1.0,
+      eps: Double = 1e-4): DataFrame = {
+    require(bins >= 2 && hi > lo && eps > 0)
+    val spark = df.sparkSession
+    val binCol = least(greatest(
+        floor((value - lit(lo)) / lit(hi - lo) * lit(bins.toDouble)), lit(0.0)),
+      lit((bins - 1).toDouble)).cast("int")
+    val counts = df.select(grp.as("grp"), binCol.as("bin"))
+      .groupBy("grp", "bin").agg(count(lit(1)).as("cnt"))
+      .cut(eager = false)
+    val totals = counts.groupBy("grp").agg(sum(col("cnt")).as("n"))
+    val spine = spark.range(bins).select(col("id").cast("int").as("bin"))
+    val dense = totals.crossJoin(broadcast(spine))
+      .join(counts, Seq("grp", "bin"), "left")
+      .na.fill(0L, Seq("cnt"))
+      .withColumn("rate",
+        greatest(col("cnt").cast("double") / col("n"), lit(eps)))
+    val ref = dense.filter(col("grp") === refGroup)
+      .select(col("bin"), col("rate").as("ref_rate"))
+    dense.filter(col("grp") =!= refGroup)
+      .join(broadcast(ref), Seq("bin"))
+      .withColumn("term",
+        (col("rate") - col("ref_rate")) * log(col("rate") / col("ref_rate")))
+      .groupBy("grp")
+      .agg(max(col("n")).as("n_rows"),
+        round(aggregate(sort_array(collect_list(col("term"))), lit(0.0),
+          (a, x) => a + x), 6).as("psi"))
+      .orderBy("grp")
+  }
+
   /** Per-group histogram quantiles — [[histogramQuantiles]] with a group
     * key: one corpus aggregation into G·B bin counts, then per-group
     * cumulative ranks behind a PROPERLY PARTITIONED window (each

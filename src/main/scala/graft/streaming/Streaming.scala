@@ -391,12 +391,13 @@ object Streaming {
       p: Int,
       outPath: String,
       checkpoint: String,
-      queryName: String = "hll_maintenance"): StreamingQuery =
+      queryName: String = "hll_maintenance",
+      wide: Boolean = false): StreamingQuery =
     rows.writeStream
       .queryName(queryName)
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        graft.operators.Sketches.hllRegisters(batch, grp, key, p)
+        graft.operators.Sketches.hllRegisters(batch, grp, key, p, wide)
           .withColumn("batch_id", lit(batchId))
           .write.mode("overwrite")
           .option("partitionOverwriteMode", "dynamic")
@@ -408,13 +409,15 @@ object Streaming {
 
   /** Merge the maintained per-batch registers (max per grp/bucket) and
     * estimate — the running distinct count over everything ever ingested,
-    * computed from KB of state without re-reading any raw data.
+    * computed from KB of state without re-reading any raw data. `wide`
+    * must match the maintenance writer's tier (the register streams are
+    * hash-incompatible across tiers).
     */
   def loadHllEstimate(spark: org.apache.spark.sql.SparkSession, path: String,
-      p: Int): DataFrame =
+      p: Int, wide: Boolean = false): DataFrame =
     graft.operators.Sketches.hllEstimate(
       spark.read.parquet(path)
-        .groupBy("grp", "bucket").agg(max(col("rho")).as("rho")), p)
+        .groupBy("grp", "bucket").agg(max(col("rho")).as("rho")), p, wide)
 
   /** Streaming count-min maintenance: per micro-batch, reduce arriving
     * items to their d×w cell counts and persist the batch-stamped rows;

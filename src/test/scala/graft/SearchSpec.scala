@@ -251,6 +251,90 @@ class SearchSpec extends SparkSpec {
       s"grid join must not plan a product:\n$plan")
   }
 
+  test("labelPropagate: equals a driver replica of clamped 2-round plurality voting") {
+    import testImplicits._
+    val rnd = new scala.util.Random(7)
+    // three separated clusters; labels interleave with ids so seeds
+    // (vid % 4 == 0) land in every cluster
+    val vecs = (0L until 30L).map { i =>
+      val c = (i % 3).toInt
+      val v = Array.tabulate(8)(d => (if (d % 3 == c) 1f else 0f) +
+        (rnd.nextFloat() - 0.5f) * 0.2f)
+      (i, v, c)
+    }
+    val df = vecs.toDF("vid", "emb", "lab")
+    val k = 4
+    val out = Search.labelPropagate(df, col("vid"), col("emb"), col("lab"),
+      col("vid") % 4 === 0, k = k, rounds = 2, blocks = 4)
+    val got = out.collect().map(r => (r.getLong(0), r.getInt(1),
+      if (r.isNullAt(2)) None else Some(r.getInt(2)),
+      if (r.isNullAt(3)) None else Some(r.getInt(3)))).toSeq
+    // driver replica of the exact contract
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0
+      for (i <- a.indices) { d += a(i).toDouble * b(i); na += a(i).toDouble * a(i); nb += b(i).toDouble * b(i) }
+      d / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val dir = vecs.flatMap { case (i, vi, _) =>
+      vecs.filter(_._1 != i).map { case (j, vj, _) => (j, cos(vi, vj)) }
+        .sortBy { case (j, s) => (-s, j) }.take(k).map { case (j, _) => (i, j) }
+    }.toSet
+    val edges = dir ++ dir.map { case (a, b) => (b, a) }
+    val trueLab = vecs.map(v => v._1 -> v._3).toMap
+    val isSeed = (i: Long) => i % 4 == 0
+    var lbl: Map[Long, Option[Int]] =
+      vecs.map(v => v._1 -> (if (isSeed(v._1)) Some(v._3) else None)).toMap
+    for (_ <- 1 to 2) {
+      lbl = vecs.map { v =>
+        val i = v._1
+        if (isSeed(i)) i -> Some(trueLab(i))
+        else {
+          val counts = edges.collect { case (s, d) if s == i => lbl(d) }
+            .flatten.groupBy(identity).map { case (l, o) => (l, o.size) }
+          i -> (if (counts.isEmpty) None
+                else Some(counts.toSeq.minBy { case (l, c) => (-c, l) }._1))
+        }
+      }.toMap
+    }
+    val exp = vecs.map { v =>
+      val p = lbl(v._1)
+      (v._1, if (isSeed(v._1)) 1 else 0, p, p.map(l => if (l == trueLab(v._1)) 1 else 0))
+    }
+    assert(got == exp)
+    // the propagation did real work: some non-seed node got labeled
+    assert(got.exists(r => r._2 == 0 && r._3.nonEmpty))
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoop"),
+      s"edge grid must not plan a product:\n$plan")
+  }
+
+  test("labelPropagateLsh: full-probe radius equals the exact propagation") {
+    import testImplicits._
+    val rnd = new scala.util.Random(13)
+    val vecs = (0L until 30L).map { i =>
+      val c = (i % 3).toInt
+      val v = Array.tabulate(8)(d => (if (d % 3 == c) 1f else 0f) +
+        (rnd.nextFloat() - 0.5f) * 0.2f)
+      (i, v, c)
+    }
+    val df = vecs.toDF("vid", "emb", "lab")
+    val planes = graft.operators.AnnSearch.hyperplanes(dim = 8, numPlanes = 4)
+    val full = Search.labelPropagateLsh(df, col("vid"), col("emb"), col("lab"),
+        col("vid") % 4 === 0, planes, k = 4, rounds = 2, probeRadius = 4)
+      .collect().map(_.toSeq).toSeq
+    val exact = Search.labelPropagate(df, col("vid"), col("emb"), col("lab"),
+        col("vid") % 4 === 0, k = 4, rounds = 2, blocks = 4)
+      .collect().map(_.toSeq).toSeq
+    assert(full == exact)
+    // tight radius: every node still reported, seeds still clamped
+    val tight = Search.labelPropagateLsh(df, col("vid"), col("emb"), col("lab"),
+        col("vid") % 4 === 0, planes, k = 4, rounds = 2, probeRadius = 1)
+      .collect()
+    assert(tight.map(_.getLong(0)).toSet == vecs.map(_._1).toSet)
+    assert(tight.filter(_.getInt(1) == 1)
+      .forall(r => r.getInt(2) == vecs(r.getLong(0).toInt)._3))
+  }
+
   test("knnGraphMutualLsh: full-probe radius equals the exact graph; bounded otherwise") {
     import testImplicits._
     val rnd = new scala.util.Random(23)

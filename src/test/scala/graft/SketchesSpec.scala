@@ -242,6 +242,28 @@ class SketchesSpec extends SparkSpec {
     assert(inter > 600 && inter < 1400, s"inter_est $inter outside band around 1000")
   }
 
+  test("psiByGroup: hand-run eps-floored PSI vs the reference; identical distribution scores 0") {
+    import testImplicits._
+    // bins=4: R -> bins [0,0,2,3] rates [.5,eps,.25,.25]; A -> [1,1,1,3]
+    // rates [eps,.75,eps,.25]; B duplicates R exactly
+    val rows = Seq(("R", 0.1), ("R", 0.1), ("R", 0.6), ("R", 0.85),
+      ("A", 0.3), ("A", 0.3), ("A", 0.3), ("A", 0.9),
+      ("B", 0.1), ("B", 0.1), ("B", 0.6), ("B", 0.85))
+    val df = rows.toDF("src", "v")
+    val out = Sketches.psiByGroup(df, col("src"), col("v"), "R",
+        bins = 4, eps = 0.01)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(out.keySet == Set("A", "B"))
+    assert(out("B") == ((4L, 0.0)))
+    val p = Seq(0.01, 0.75, 0.01, 0.25)
+    val q = Seq(0.5, 0.01, 0.25, 0.25)
+    val exp = math.rint(p.zip(q).map { case (a, b) => (a - b) * math.log(a / b) }
+      .sorted.sum * 1e6) / 1e6
+    assert(out("A") == ((4L, exp)))
+    // a PSI over 0.25 flags the shifted source — the gate the op exists for
+    assert(out("A")._2 > 0.25 && out("B")._2 < 0.1)
+  }
+
   test("hllRolling: window merge equals the sketch of the union; exact twins exact; gaps skipped") {
     import testImplicits._
     val rows = Seq(("2024-01-01", 1L), ("2024-01-01", 2L),

@@ -446,6 +446,42 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming HLL maintenance: wide tier streams the 2^60 registers; twin equality holds") {
+    val sp = spark
+    import sp.implicits._
+    implicit val sqlCtx = sp.sqlContext
+    import graft.operators.Sketches
+    val in = MemoryStream[(String, String)]
+    val out = tmpDir("graft_hll_maint_wide")
+    val q = Streaming.startHllMaintenance(
+      in.toDF().toDF("src", "k"), col("src"), col("k"), p = 7,
+      s"$out/regs", s"$out/ckpt", wide = true)
+    val b1 = (1 to 400).map(i => ("a", s"key-$i"))
+    val b2 = (201 to 600).map(i => ("a", s"key-$i"))
+    try {
+      in.addData(b1: _*)
+      q.processAllAvailable()
+      in.addData(b2: _*)
+      q.processAllAvailable()
+      val est = Streaming.loadHllEstimate(sp, s"$out/regs", p = 7, wide = true)
+        .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+      val twin = Sketches.hllEstimate(
+        Sketches.hllRegisters((b1 ++ b2).toDF("src", "k"), col("src"), col("k"), 7,
+          wide = true), 7, wide = true)
+        .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+      assert(est == twin)
+      // and the maintained registers really are the WIDE-hash stream:
+      // they differ from a narrow-tier build of the same keys
+      val wideRegs = sp.read.parquet(s"$out/regs")
+        .groupBy("grp", "bucket").agg(max(col("rho")).as("rho"))
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getInt(2))).toSet
+      val narrowRegs = Sketches.hllRegisters(
+          (b1 ++ b2).toDF("src", "k"), col("src"), col("k"), 7)
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getInt(2))).toSet
+      assert(wideRegs != narrowRegs)
+    } finally q.stop()
+  }
+
   test("streaming count-min maintenance: cell counts sum-merge across batches; probes equal the batch twin") {
     val sp = spark
     import sp.implicits._
