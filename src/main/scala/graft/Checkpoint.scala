@@ -31,12 +31,25 @@ import org.apache.spark.sql.DataFrame
 object Checkpoint {
   val DirKey = "graft.checkpoint.dir"
 
+  // setCheckpointDir registers an app-scoped SUBDIRECTORY, so
+  // sc.getCheckpointDir can't be compared to the conf value directly;
+  // remember what WE registered so a mid-session re-set of the conf
+  // (e.g. moving to a different volume) takes effect instead of being
+  // silently ignored while checkpoints keep landing on the old storage.
+  @volatile private var registeredDir: Option[String] = None
+
   def cut(df: DataFrame, eager: Boolean = true): DataFrame = {
     val spark = df.sparkSession
     spark.conf.getOption(DirKey).filter(_.nonEmpty) match {
       case Some(d) =>
         val sc = spark.sparkContext
-        if (sc.getCheckpointDir.isEmpty) sc.setCheckpointDir(d)
+        if (!registeredDir.contains(d) || sc.getCheckpointDir.isEmpty)
+          synchronized {
+            if (!registeredDir.contains(d) || sc.getCheckpointDir.isEmpty) {
+              sc.setCheckpointDir(d)
+              registeredDir = Some(d)
+            }
+          }
         df.checkpoint(eager)
       case None => df.localCheckpoint(eager)
     }

@@ -66,28 +66,56 @@ object ScaleSmoke {
         Thread.sleep(300)
       }
 
+    // For rows that BOTH measure an operator AND produce a sibling row's
+    // input (the layout tier's write → manifest → read/delete chain):
+    // under an `only` scope that names the consumer, the producer still
+    // runs — silently, untimed — so the isolated row has its inputs.
+    // Callers gate the enclosing section on `only` first, so a scope that
+    // matches nothing in the section runs none of it.
+    def timeOrSetup(name: String)(body: => Long): Unit =
+      if (only.forall(name.contains)) time(name)(body)
+      else { body; () }
+
+    // `time` with the row's lazy-setup dependencies forced UNTIMED first
+    // (and only when the row will actually run): preserves the original
+    // eager-setup timing semantics for full runs while letting an
+    // `only`-scoped run skip every setup its row doesn't need.
+    def prepped(name: String)(setup: => Any)(body: => Long): Unit = {
+      if (only.forall(name.contains)) { setup; () }
+      time(name)(body)
+    }
+
     println(s"# Scale smoke x$mult over $sfDir (local[$cpus])\n")
     println("| op | rows | sec |\n|---|---|---|")
 
     // ---- events-family (linear shuffle ops) -----------------------------
+    // Shared setups are LAZY: an `only`-scoped run (the fresh-JVM
+    // isolation probe) must not pay for replicas, checkpoints, or the
+    // BPE-train collect of rows it will never time — those setups both
+    // slow the probe and re-introduce the cross-row heap pressure the
+    // scoping exists to remove. A setup materializes (and its eager
+    // localCheckpoint runs) only when a row that matches `only` forces it.
     val ev0 = graft.sources.Testdata.events(spark, sfDir)
-    val ev = replicate(ev0, Seq("event_id", "user_id"), Some("ts"))
-      .localCheckpoint()
     val base = ev0.count()
-    require(ev.select("event_id").distinct().count() == base * mult,
-      "replication must produce unique event ids")
+    lazy val ev = {
+      val e = replicate(ev0, Seq("event_id", "user_id"), Some("ts"))
+        .localCheckpoint()
+      require(e.select("event_id").distinct().count() == base * mult,
+        "replication must produce unique event ids")
+      e
+    }
 
-    time("asof join (purchases<-clicks)") {
+    prepped("asof join (purchases<-clicks)")(ev) {
       val p = ev.filter(col("event_type") === "purchase").select("event_id", "user_id", "ts")
       val c = ev.filter(col("event_type") === "click")
         .select(col("event_id").as("click_id"), col("user_id"), col("ts"))
       graft.operators.AsofJoin.backward(p, c, "user_id", "ts", "ts", "click_id").count()
     }
-    time("banded range join (300s)") {
+    prepped("banded range join (300s)")(ev) {
       val e = ev.select("event_id", "user_id", "ts")
       graft.operators.RangeJoin.within(e, e, "user_id", "ts", "ts", 300).count()
     }
-    time("interval overlap join (1-7 min intervals)") {
+    prepped("interval overlap join (1-7 min intervals)")(ev) {
       // user keys are re-keyed per replica, so per-user interval density is
       // constant and pair volume grows linearly with mult
       val iv = ev.select(col("event_id"), col("user_id"), col("ts").as("s0"),
@@ -96,37 +124,37 @@ object ScaleSmoke {
       graft.operators.RangeJoin.overlaps(iv, iv, "user_id", "s0", "s1",
         "s0", "s1", binSec = 420).filter(col("l_event_id") < col("r_event_id")).count()
     }
-    time("sessionize") {
+    prepped("sessionize")(ev) {
       graft.operators.Relational.sessionize(ev, gapMinutes = 30).count()
     }
-    time("scd2 dimension build") {
+    prepped("scd2 dimension build")(ev) {
       graft.operators.Relational.scd2(ev, col("user_id"), col("ts"),
         col("event_id"), col("event_type")).count()
     }
-    time("funnel (view->click->purchase)") {
+    prepped("funnel (view->click->purchase)")(ev) {
       graft.operators.Relational.funnel(ev, col("user_id"), col("ts"),
         col("event_type"), Seq("view", "click", "purchase")).count()
     }
-    time("cohort retention matrix") {
+    prepped("cohort retention matrix")(ev) {
       graft.operators.Relational.retention(ev, col("user_id"), col("ts")).count()
     }
 
     // ---- documents-family (pair ops under mass duplication) -------------
     val docs0 = graft.sources.Testdata.table(spark, sfDir, "documents")
-    val docs = replicate(docs0, Seq("doc_id"), None).localCheckpoint()
+    lazy val docs = replicate(docs0, Seq("doc_id"), None).localCheckpoint()
 
-    time("exact dedup") {
+    prepped("exact dedup")(docs) {
       graft.operators.Dedup.exactDedup(docs, col("doc_id"), col("text"))
         .filter(col("keep")).count()
     }
-    time("minhash LSH pairs (on representatives)") {
+    prepped("minhash LSH pairs (on representatives)")(docs) {
       // mass duplication collapses bands — dedup first, as documented
       val rep = graft.operators.Dedup.exactDedup(docs, col("doc_id"), col("text"))
         .filter(col("keep")).select(col("id").as("doc_id"))
         .join(docs, "doc_id")
       graft.operators.Dedup.minhashLshPairs(rep, col("doc_id"), col("text"), 2, 0.5).count()
     }
-    time("containment pairs (auto route, on representatives)") {
+    prepped("containment pairs (auto route, on representatives)")(docs) {
       // same mass-duplication collapse as minhash: every replica pair is a
       // containment-1.0 hit, so measure on exact-dedup representatives
       val rep = graft.operators.Dedup.exactDedup(docs, col("doc_id"), col("text"))
@@ -135,7 +163,7 @@ object ScaleSmoke {
       graft.operators.Dedup.containmentPairsAuto(rep, col("doc_id"), col("text"),
         tau = 0.5, minShingles = 5).count()
     }
-    time("tf-cosine pairs (auto route, on representatives)") {
+    prepped("tf-cosine pairs (auto route, on representatives)")(docs) {
       // identical-replica pairs would all hit cos=1.0 (the minhash collapse)
       // — screen with exact dedup first; the screen scales with mult, the
       // dense-grid pair stage runs on the representative set
@@ -145,44 +173,44 @@ object ScaleSmoke {
       graft.operators.Dedup.tfCosinePairsAuto(rep, col("doc_id"), col("text"),
         tau = 0.9).count()
     }
-    time("bm25 top-10") {
+    prepped("bm25 top-10")(docs) {
       graft.operators.Bm25.rank(docs, col("doc_id"), col("text"),
         Seq("table", "join", "query", "scan", "fast"), k = 10).count()
     }
-    time("gopher repetition gate") {
+    prepped("gopher repetition gate")(docs) {
       graft.operators.Curation.gopherFilter(docs, col("doc_id"), col("text"))
         .filter(col("pass")).count()
     }
-    time("unigram NLL scoring") {
+    prepped("unigram NLL scoring")(docs) {
       graft.operators.TextAnalysis.unigramNll(docs, col("doc_id"), col("text")).count()
     }
-    time("decontaminate (vs 20-doc eval set)") {
+    prepped("decontaminate (vs 20-doc eval set)")(docs) {
       graft.operators.Curation.decontaminate(docs, col("doc_id"), col("text"),
         docs0.filter(col("doc_id") < 20), col("text"), n = 5)
         .filter(col("contaminated")).count()
     }
-    time("stratified sample") {
+    prepped("stratified sample")(docs) {
       graft.operators.Curation.stratifiedSample(docs, col("doc_id"), col("lang"),
         Seq("en" -> 200, "de" -> 500, "es" -> 800), defaultPerMille = 1000).count()
     }
 
     // ---- round-5 text/curation operators --------------------------------
-    time("tf-idf keywords (top-3/doc)") {
+    prepped("tf-idf keywords (top-3/doc)")(docs) {
       graft.operators.TextAnalysis.keywords(docs, col("doc_id"), col("text"), topK = 3).count()
     }
-    time("pmi collocations (minCount 5, top-20)") {
+    prepped("pmi collocations (minCount 5, top-20)")(docs) {
       graft.operators.TextAnalysis.collocations(docs, col("text"), minCount = 5L, topK = 20).count()
     }
-    time("bloom decontaminate (vs 20-doc eval set)") {
+    prepped("bloom decontaminate (vs 20-doc eval set)")(docs) {
       graft.operators.Curation.decontaminateBloom(docs, col("doc_id"), col("text"),
         docs0.filter(col("doc_id") < 20), col("text"), n = 5)
         .filter(col("contaminated")).count()
     }
-    time("dsir importance resampling (k=1000)") {
+    prepped("dsir importance resampling (k=1000)")(docs) {
       graft.operators.Curation.importanceSample(docs, col("doc_id"), col("text"),
         col("lang") === "en", k = 1000).count()
     }
-    time("per-source cap (10 longest per source)") {
+    prepped("per-source cap (10 longest per source)")(docs) {
       graft.operators.Curation.capPerGroup(docs, Seq(col("source")),
         Seq(col("n_chars").desc, col("doc_id").asc), n = 10).count()
     }
@@ -191,44 +219,44 @@ object ScaleSmoke {
     // The novelty >= 0 gate references the aggregated side: a bare count()
     // lets Catalyst ELIMINATE the unique-key left join (and with it the
     // whole gram pipeline), timing only the base scan.
-    time("novelty (df=1 3-gram share)") {
+    prepped("novelty (df=1 3-gram share)")(docs) {
       graft.operators.TextAnalysis.novelty(docs, col("doc_id"), col("text"), n = 3)
         .filter(col("novelty") >= 0).count()
     }
-    time("shard layout stats (16 shards)") {
+    prepped("shard layout stats (16 shards)")(docs) {
       graft.operators.Curation.shardStats(docs, col("doc_id"), col("text"),
         col("source"), nShards = 16).count()
     }
     // edge table is vocabulary-bounded: corpus growth feeds only the first
     // count aggregation; the 5 iterations run on the constant-size edges
-    time("textrank keywords (5 iters, top-20)") {
+    prepped("textrank keywords (5 iters, top-20)")(docs) {
       graft.operators.TextAnalysis.textrank(docs, col("text"), iters = 5, topK = 20)
         .filter(col("score") >= 0).count()
     }
-    time("hashed quality classifier (d=4096)") {
+    prepped("hashed quality classifier (d=4096)")(docs) {
       graft.operators.TextAnalysis.hashedClassifier(docs, col("doc_id"), col("text"))
         .filter(col("score") >= 0).count()
     }
-    time("source KL drift (20 groups)") {
+    prepped("source KL drift (20 groups)")(docs) {
       graft.operators.TextAnalysis.sourceTokenKl(docs, col("source"), col("text"))
         .filter(col("kl_nats") >= 0).count()
     }
-    time("phrase search (2-term)") {
+    prepped("phrase search (2-term)")(docs) {
       graft.operators.TextAnalysis.phraseSearch(docs, col("doc_id"), col("text"),
         Seq("table", "hash")).count()
     }
-    time("MAD quality outliers (per source)") {
+    prepped("MAD quality outliers (per source)")(docs) {
       graft.operators.Profile.madOutliers(docs, col("source"), col("doc_id"),
         graft.operators.TextAnalysis.qualityScore(col("text")), k = 2.0)
         .filter(col("is_outlier")).count()
     }
-    time("length buckets (padding-waste audit)") {
+    prepped("length buckets (padding-waste audit)")(docs) {
       graft.operators.Curation.lengthBuckets(docs, col("doc_id"),
         graft.operators.TextAnalysis.wsTokenCount(col("text"))).count()
     }
     // merge rounds run on the word-frequency table: corpus growth feeds the
     // first tokenize+count only, the 4 rounds are vocabulary-sized
-    time("bpe merges (4 rounds)") {
+    prepped("bpe merges (4 rounds)")(docs) {
       graft.operators.TextAnalysis.bpeMerges(docs, col("text"), nMerges = 4)
         .count()
     }
@@ -236,24 +264,24 @@ object ScaleSmoke {
     // BASE corpus, outside the timing): growth feeds the one corpus
     // tokenize + broadcast map-back; the merge rewrites stay
     // vocabulary-sized
-    val shippedMerges = graft.operators.TextAnalysis
+    lazy val shippedMerges = graft.operators.TextAnalysis
       .bpeMerges(docs0, col("text"), nMerges = 4)
       .orderBy("step").collect().map(_.getString(1)).toSeq
-    time("bpe encode (4 shipped merges, per-doc budgets)") {
+    prepped("bpe encode (4 shipped merges, per-doc budgets)")({ docs; shippedMerges }) {
       graft.operators.TextAnalysis.bpeEncode(docs, col("doc_id"), col("text"),
         shippedMerges).filter(col("n_tokens") >= 0).count()
     }
-    time("drop novelty (20% new vs 80% ref, 3-grams)") {
+    prepped("drop novelty (20% new vs 80% ref, 3-grams)")(docs) {
       graft.operators.Curation.dropNovelty(
         docs.filter(pmod(col("doc_id"), lit(5)) === 0), col("doc_id"), col("text"),
         docs.filter(pmod(col("doc_id"), lit(5)) =!= 0), col("text"), n = 3)
         .filter(col("novelty") >= 0).count()
     }
-    time("exact stratified sample (5/source)") {
+    prepped("exact stratified sample (5/source)")(docs) {
       graft.operators.Curation.stratifiedExact(docs, col("doc_id"),
         col("source"), nPerGroup = 5).count()
     }
-    time("luhn card scrub") {
+    prepped("luhn card scrub")(docs) {
       docs.select(md5(graft.operators.Curation.scrubCards(col("text"))).as("m"))
         .filter(col("m").isNotNull).count()
     }
@@ -262,14 +290,14 @@ object ScaleSmoke {
     // volume mult² for what is logically the same dirty drop; 4 hex chars
     // collide between replicas of one name often enough to leak
     // cross-replica matches back in)
-    val custU = spark.read.parquet(s"$sfDir/customer.parquet")
+    lazy val custU = spark.read.parquet(s"$sfDir/customer.parquet")
       .crossJoin(broadcast(reps))
       .withColumn("__id", col("c_custkey") * mult + col("_rep"))
       .withColumn("c_name", concat(
         substring(md5(concat(col("c_name"), col("_rep"))), 1, 8), col("c_name")))
       .drop("c_custkey").withColumnRenamed("__id", "c_custkey").drop("_rep")
       .localCheckpoint()
-    time("edit-distance ER join (d=1, corrupted names)") {
+    prepped("edit-distance ER join (d=1, corrupted names)")(custU) {
       val pos = pmod(col("c_custkey"), length(col("c_name")).cast("long"))
       val dirty = custU.select(col("c_custkey").as("did"),
         concat(col("c_name").substr(lit(1), pos.cast("int")),
@@ -282,7 +310,7 @@ object ScaleSmoke {
     // ---- sketch tier (constant-state summaries) -------------------------
     // the filters reference the computed estimates so Catalyst cannot prune
     // the sketch aggregates down to bare scans
-    time("hll distinct user-days (p=10, per-type + ALL)") {
+    prepped("hll distinct user-days (p=10, per-type + ALL)")(ev) {
       graft.operators.Sketches.hllCardinality(ev, col("event_type"),
         concat(col("user_id").cast("string"), lit(":"),
           col("ts").cast("date").cast("string")), p = 10)
@@ -290,23 +318,23 @@ object ScaleSmoke {
     }
     // rolling actives: events hash once into per-day WIDE registers; the
     // x7 window fanout touches only the register table (m rows/day)
-    time("rolling 7-day actives (wide daily registers, x7 register fanout)") {
+    prepped("rolling 7-day actives (wide daily registers, x7 register fanout)")(ev) {
       graft.operators.Sketches.hllRolling(ev, col("ts"),
         col("user_id").cast("string"), windowDays = 7, p = 10, wide = true)
         .filter(col("wau_est") >= 0).count()
     }
-    time("kmv source-overlap matrix (k=64 wide theta)") {
+    prepped("kmv source-overlap matrix (k=64 wide theta)")(ev) {
       val grams = docs.select(col("source"),
         explode(graft.operators.Dedup.shingles(col("text"), 2)).as("sh"))
       graft.operators.Sketches.kmvOverlap(grams, col("source"), col("sh"),
         k = 64, wide = true).filter(col("jaccard_est") >= -1).count()
     }
-    time("count-min heavy hitters (4x1024, top-20)") {
+    prepped("count-min heavy hitters (4x1024, top-20)")(ev) {
       graft.operators.Sketches.cmHeavyHitters(
         docs.select(explode(split(col("text"), "\\s+")).as("t")), col("t"), topK = 20)
         .filter(col("n_est") >= col("n_exact")).count()
     }
-    time("histogram quantiles (256 bins, 4 qs)") {
+    prepped("histogram quantiles (256 bins, 4 qs)")(ev) {
       val scored = docs.select(
         round(graft.operators.TextAnalysis.qualityScore(col("text")), 6).as("quality"))
       graft.operators.Sketches.histogramQuantiles(scored, col("quality"),
@@ -328,14 +356,14 @@ object ScaleSmoke {
             w => concat(w, lit("_"), col("_rep").cast("string"))), " "))
         .drop("doc_id").withColumnRenamed("__new_doc_id", "doc_id")
         .drop("_rep")
-    val docsU = replicateDistinctText(docs0).localCheckpoint()
+    lazy val docsU = replicateDistinctText(docs0).localCheckpoint()
 
     // the production FRONT DOOR: the probe's Σdf² estimate reads low on the
     // disjoint-vocab corpus (candidate volume ≪ n²/2 grid kernels) and
     // routes to the prefix filter, whose candidate space is bounded by
     // shared shingles (here: within-replica only) — THIS is the
     // sub-quadratic path a natural 100 TB corpus takes
-    time("exact jaccard front door (auto -> prefix on sparse vocab)") {
+    prepped("exact jaccard front door (auto -> prefix on sparse vocab)")(docsU) {
       graft.operators.Dedup.jaccardPairsAuto(
         docsU, col("doc_id"), col("text"), n = 2, tau = 0.5).count()
     }
@@ -344,7 +372,7 @@ object ScaleSmoke {
     // near-quadratic and pruning cannot discriminate; see the shoot-out in
     // SCALE_SMOKE.md). Timed at bounded mult to show the clean n² kernel
     // curve; the front door never routes a sparse corpus here.
-    if (mult <= 200) time("two-phase grid-bitset jaccard (disjoint-vocab reps)") {
+    if (mult <= 200) prepped("two-phase grid-bitset jaccard (disjoint-vocab reps)")(docsU) {
       graft.operators.Dedup.jaccardPairsBitsetHashed(
         docsU, col("doc_id"), col("text"), n = 2, tau = 0.5).count()
     }
@@ -352,42 +380,42 @@ object ScaleSmoke {
     // ingest-time artifact (pre-built, checkpointed), the timed path is one
     // base-sized batch screened against the mult× index — this is the curve
     // that must stay FLAT-ish for incremental ingest to work at scale
-    val corpusSigs = graft.operators.Dedup.signatureTable(
+    lazy val corpusSigs = graft.operators.Dedup.signatureTable(
       docsU, col("doc_id"), col("text")).localCheckpoint()
     val batch0 = docs0.withColumn("text", array_join(
       transform(split(col("text"), " "), w => concat(w, lit("_0"))), " "))
-    time(s"incremental screen (1x batch vs ${mult}x signature index)") {
+    prepped(s"incremental screen (1x batch vs ${mult}x signature index)")(corpusSigs) {
       val batchSigs = graft.operators.Dedup.signatureTable(
         batch0, col("doc_id"), col("text"))
       graft.operators.Dedup.incrementalNearDups(corpusSigs, batchSigs).count()
     }
     // split-leakage audit rides the same auto-routed pair machinery plus
     // two narrow (id, split) joins — its curve should track the front door
-    time("split-leakage audit (auto jaccard + split matrix)") {
+    prepped("split-leakage audit (auto jaccard + split matrix)")(docsU) {
       graft.operators.Curation.splitLeakage(docsU, col("doc_id"), col("text"),
         tau = 0.5).count()
     }
 
     // ---- embeddings-family ----------------------------------------------
     val emb0 = spark.read.parquet(s"$sfDir/embeddings.parquet")
-    val emb = replicate(emb0, Seq("vec_id"), None).localCheckpoint()
-    val query = graft.sources.VectorStore.fromEmbeddingsTable(spark, sfDir)
+    lazy val emb = replicate(emb0, Seq("vec_id"), None).localCheckpoint()
+    lazy val query = graft.sources.VectorStore.fromEmbeddingsTable(spark, sfDir)
       .getVector("0").toSeq
 
-    time("exact knn (scan+score top-10)") {
+    prepped("exact knn (scan+score top-10)")({ emb; query }) {
       val st = graft.sources.VectorStore(
         graft.sources.VectorStore.ingest(emb, col("vec_id").cast("string"),
           col("embedding"), lit("{}")))
       graft.operators.Search.findMostSimilar(st, query, k = 10).count()
     }
-    time("ivf search (nprobe 4/16)") {
+    prepped("ivf search (nprobe 4/16)")({ emb; query }) {
       val cents = graft.operators.IvfSearch.centroidsFromIds(
         emb, col("vec_id"), col("embedding"), c = 16)
       val idx = graft.operators.IvfSearch.index(emb, col("embedding"), cents)
       graft.operators.IvfSearch.search(idx, col("vec_id").cast("string"),
         col("embedding"), query, cents, k = 10, nprobe = 4).count()
     }
-    time("ivfpq search (C=8, nprobe 3, rerank 40)") {
+    prepped("ivfpq search (C=8, nprobe 3, rerank 40)")({ emb; query }) {
       // centroids and residual codebooks from the ORIGINAL corpus (the
       // replicated table's smallest ids are all copies of vector 0)
       val cents = graft.operators.IvfSearch.centroidsFromIds(
@@ -398,14 +426,14 @@ object ScaleSmoke {
       graft.operators.IvfPq.search(idx, col("vec_id").cast("string"),
         col("embedding"), query, cents, rcb, k = 10, nprobe = 3, rerank = 40).count()
     }
-    time("binary hamming prefilter + rerank") {
+    prepped("binary hamming prefilter + rerank")({ emb; query }) {
       val b = graft.operators.Quantized.binarize(emb, col("embedding"), dim = 64)
       graft.operators.Quantized.binarySearch(b, col("vec_id").cast("string"),
         col("embedding"), query, k = 10, rerank = 50).count()
     }
     // seeds from the ORIGINAL corpus for the same reason as semantic dedup
     // below: the replicated table's smallest ids are all copies of vector 0
-    time("lloyd step (16 clusters, base seeds)") {
+    prepped("lloyd step (16 clusters, base seeds)")({ emb; query }) {
       val cents = graft.operators.IvfSearch.centroidsFromIds(
         emb0, col("vec_id"), col("embedding"), c = 16)
       // reduce over the mean itself — a bare count() would prune the
@@ -415,17 +443,17 @@ object ScaleSmoke {
         .agg(graft.functions.VectorAggs.vectorMean(col("embedding")).as("c"))
         .select(count(element_at(col("c"), 1))).head().getLong(0)
     }
-    time("abtt top-component (8 power iterations)") {
+    prepped("abtt top-component (8 power iterations)")({ emb; query }) {
       // 9 map-side-combined aggregation scans; the driver holds one
       // dim-length vector — the curve should be linear scan-bound
       graft.operators.EmbedQc.abtt(emb, col("vec_id"), col("embedding"),
         iters = 8).count()
     }
-    time("centroid-distance outliers (top-100)") {
+    prepped("centroid-distance outliers (top-100)")({ emb; query }) {
       graft.operators.EmbedQc.outliers(emb, col("vec_id"), col("embedding"),
         col("label"), k = 100).count()
     }
-    time("hard negatives (6 anchors, k=4)") {
+    prepped("hard negatives (6 anchors, k=4)")({ emb; query }) {
       val anchors = emb0.filter(col("vec_id") < 6)
         .select(col("vec_id").as("anchor_id"), col("embedding").as("anchor_vec"),
           col("label").as("anchor_label"))
@@ -435,7 +463,7 @@ object ScaleSmoke {
     // label propagation rides the LSH-blocked edge build (the scale twin
     // the exact oracled query pins at full probe): 2^10 buckets keep
     // candidate volume ~n·(n/1024)·probes instead of n²
-    time("label propagation (LSH edges 10 planes, 25% seeds, 2 rounds)") {
+    prepped("label propagation (LSH edges 10 planes, 25% seeds, 2 rounds)")({ emb; query }) {
       val planes = graft.operators.AnnSearch.hyperplanes(dim = 64, numPlanes = 10)
       graft.operators.Search.labelPropagateLsh(emb, col("vec_id"),
           col("embedding"), col("label"), pmod(col("vec_id"), lit(4)) === 0,
@@ -449,13 +477,13 @@ object ScaleSmoke {
     // which would collapse every row into one cluster — centroid selection
     // must see distinct vectors (production: train on a sample).
     val nLists = math.max(16, (4 * mult) / 5)
-    time(s"semantic dedup ($nLists lists)") {
+    prepped(s"semantic dedup ($nLists lists)")({ emb; query }) {
       val cents = graft.operators.IvfSearch.centroidsFromIds(
         emb0, col("vec_id"), col("embedding"), c = nLists)
       graft.operators.Dedup.semanticDedup(emb, col("vec_id"), col("embedding"),
         cents, tau = 0.4).filter(col("keep")).count()
     }
-    time("gram matrix (one-pass 64x64)") {
+    prepped("gram matrix (one-pass 64x64)")({ emb; query }) {
       emb.agg(graft.functions.VectorAggs.gramMatrix(col("embedding")))
         .head(); 4096L
     }
@@ -467,24 +495,38 @@ object ScaleSmoke {
     // proportional to the slice, and a targeted user delete touches only
     // the files whose user_id span contains a tombstone.
     val layoutDir = System.getProperty("java.io.tmpdir") + s"/graft_smoke_layout_x$mult"
-    val evNarrow = ev.select("event_id", "user_id", "value")
+    lazy val evNarrow = ev.select("event_id", "user_id", "value")
     // file COUNT scales with the data (x20 -> 32 files) so file SIZE stays
     // constant, as in any real deployment — that constancy is what makes
     // the targeted delete flat: it rewrites a bounded number of
     // constant-sized files no matter how large the table grows
     val nFiles = math.max(8, (8 * mult) / 5)
-    time(s"zorder write (user_id x event_id, $nFiles files)") {
+    // The layout rows form a producer→consumer chain (write → manifest →
+    // read/delete), so the SECTION is gated on `only` as a unit and the
+    // producer rows use timeOrSetup: scoping to "pruned read" still
+    // writes the layout and builds the manifest, silently.
+    val layoutNames = Seq(
+      s"zorder write (user_id x event_id, $nFiles files)",
+      "zone-map manifest (2 cols)",
+      "pruned read (1% user slice)",
+      s"cluster write (user_id range, $nFiles files)",
+      "targeted delete (5 users, key-clustered, maintained manifest)")
+    if (only.forall(o => layoutNames.exists(_.contains(o)))) {
+    timeOrSetup(s"zorder write (user_id x event_id, $nFiles files)") {
       graft.sources.Layout.zorderWrite(evNarrow, "user_id", "event_id", layoutDir, nFiles)
       base * mult
     }
     var manifest: DataFrame = null
-    time("zone-map manifest (2 cols)") {
+    timeOrSetup("zone-map manifest (2 cols)") {
       // the build IS the cost being measured: one column-pruned scan of the
       // two stat columns, map-side combined to one row per (task x file)
       manifest = graft.sources.Layout
         .zoneMap(spark, layoutDir, Seq("user_id", "event_id")).localCheckpoint()
       manifest.count()
     }
+    // eager: forcing it inside the timed body would add an untimed-by-
+    // design agg scan to the measured region (the section gate already
+    // limits it to layout-scoped runs)
     val maxUser = evNarrow.agg(max("user_id")).head().getLong(0)
     time("pruned read (1% user slice)") {
       val hi = maxUser / 100
@@ -498,7 +540,7 @@ object ScaleSmoke {
     // rows spread across a grid row — still far from a full rewrite, but
     // clustering on the delete key is the flat shape.)
     val delDir = layoutDir + "_bykey"
-    time(s"cluster write (user_id range, $nFiles files)") {
+    timeOrSetup(s"cluster write (user_id range, $nFiles files)") {
       evNarrow.repartitionByRange(nFiles, col("user_id"))
         .sortWithinPartitions("user_id")
         .write.mode("overwrite").parquet(delDir)
@@ -507,6 +549,9 @@ object ScaleSmoke {
     // production shape: the manifest is MAINTAINED (per-batch, streaming
     // op), not rebuilt per delete — passing it makes the delete cost purely
     // the bounded affected-file rewrite
+    // eager for the same reason: the row measures the delete with a
+    // MAINTAINED manifest — building it inside the timed body would
+    // charge the delete for the build
     val delManifest = graft.sources.Layout.zoneMap(spark, delDir, Seq("user_id"))
       .localCheckpoint()
     time("targeted delete (5 users, key-clustered, maintained manifest)") {
@@ -515,6 +560,7 @@ object ScaleSmoke {
         knownManifest = Some(delManifest))
       d
     }
+    } // end layout section gate
 
     // ---- skew stress (round-6: hot key = 20% of rows) -------------------
     // Everything above replicates UNIFORMLY; real corpora are Zipf. One
@@ -526,26 +572,26 @@ object ScaleSmoke {
     // cluster sees, but the salted/partial rows must stay in its
     // neighborhood or better.
     spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
-    val evSkew = ev.withColumn("user_id",
+    lazy val evSkew = ev.withColumn("user_id",
         when(pmod(col("event_id"), lit(5)) === 0, lit(-1L)).otherwise(col("user_id")))
       .localCheckpoint()
-    val userDim = evSkew.select("user_id").distinct()
+    lazy val userDim = evSkew.select("user_id").distinct()
       .withColumn("segment", pmod(col("user_id"), lit(7)))
       .localCheckpoint()
-    time("CONTRAST plain shuffle join, 20% hot key (AQE skew-join on)") {
+    prepped("CONTRAST plain shuffle join, 20% hot key (AQE skew-join on)")(userDim) {
       evSkew.join(userDim, Seq("user_id")).count()
     }
-    time("salted join, 20% hot key (sampled hot list, 8 salts)") {
+    prepped("salted join, 20% hot key (sampled hot list, 8 salts)")(userDim) {
       graft.operators.Relational.saltedJoin(evSkew, userDim,
         "user_id", "user_id", saltBy = col("event_id"), salts = 8,
         hotRowThreshold = math.max(1000L, base * mult / 100),
         sampleFraction = 0.05).count()
     }
-    time("two-phase skew-aware aggregation, hot key") {
+    prepped("two-phase skew-aware aggregation, hot key")(evSkew) {
       graft.operators.Relational.skewAwareAgg(evSkew,
         col("user_id"), pmod(col("event_id"), lit(1000)).cast("double")).count()
     }
-    time("per-group top-10 under the hot group (GroupTopK partial+final)") {
+    prepped("per-group top-10 under the hot group (GroupTopK partial+final)")(evSkew) {
       org.apache.spark.sql.graft.GroupTopK.perGroup(
         evSkew.select("user_id", "ts", "event_id"),
         Seq(col("user_id")), Seq(col("ts").desc, col("event_id").asc), 10).count()
@@ -558,19 +604,19 @@ object ScaleSmoke {
     // generate candidates (this row must track the uniform front-door row,
     // not square), and the probe's document sampling measures head-shingle
     // df at rate 1/m instead of missing it 63/64 of the time (round-6 fix)
-    val docsSkew = docsU.withColumn("text",
+    lazy val docsSkew = docsU.withColumn("text",
         when(pmod(col("doc_id"), lit(5)) === 0,
           concat(lit("hot0 hot1 hot2 hot3 "), col("text"))).otherwise(col("text")))
       .localCheckpoint()
-    time("jaccard front door under hot-shingle skew (df-ordered prefix holds FLAT)") {
+    prepped("jaccard front door under hot-shingle skew (df-ordered prefix holds FLAT)")(docsSkew) {
       graft.operators.Dedup.jaccardPairsAuto(
         docsSkew, col("doc_id"), col("text"), n = 2, tau = 0.5).count()
     }
     // the postings screen's own skew dial: dfCap drops the hot shingles at
     // scan time, bounding fanout to rare-shingle evidence only
-    val postSkew = graft.operators.Dedup.shinglePostings(
+    lazy val postSkew = graft.operators.Dedup.shinglePostings(
       docsSkew, col("doc_id"), col("text")).localCheckpoint()
-    time(s"postings containment screen (1x batch vs ${mult}x skewed index, dfCap 64)") {
+    prepped(s"postings containment screen (1x batch vs ${mult}x skewed index, dfCap 64)")({ docsSkew; postSkew }) {
       graft.operators.Dedup.incrementalContainmentExact(postSkew,
         batch0, col("doc_id"), col("text"),
         tau = 0.8, minOverlap = 2, dfCap = Some(64L)).count()

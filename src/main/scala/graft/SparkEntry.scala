@@ -2505,6 +2505,13 @@ object SparkEntry {
           col("vec_id"), col("embedding"), k = 6)
         .withColumnRenamed("id", "vec_id")
         .orderBy("vec_id")),
+    // noisy-label screen: per-vector agreement with its 6 exact nearest
+    // neighbors' labels — integer counts over the one-off grid edge
+    // build; agree_frac < 0.5 flags a likely mislabel for re-annotation
+    "q_embed_label_noise" -> ((s, dir) =>
+      Search.labelAgreement(s.read.parquet(s"$dir/embeddings.parquet"),
+          col("vec_id"), col("embedding"), col("label"), k = 6)
+        .withColumnRenamed("id", "vec_id")),
     // label propagation (clamped seeds, 2 synchronous rounds) over the
     // symmetrized exact k-NN graph: 25% seed labels spread to the bulk by
     // integer plurality votes — the weak-supervision labeling shape; the
@@ -2992,8 +2999,10 @@ object SparkEntry {
          |JOIN exw ON exw.day_t = ex1.day_t
          |JOIN fin f7 ON f7.day_t = ex1.day_t AND f7.w = 7
          |ORDER BY day""".stripMargin,
-    // Bulk-inference oracle: Java-hashCode token ids (32-bit wrap then the
-    // 31-bit mask, +1), truncated at maxLen 128, stub vector
+    // Bulk-inference oracle: per-CODEPOINT 31-polynomial token ids (32-bit
+    // wrap then the 31-bit mask, +1 — hashCode's recurrence but
+    // codepoint-clean, matching SessionEmbedder.hashTokenizer on non-BMP
+    // text too), truncated at maxLen 128, stub vector
     // [sum, n, first, last] mod 97 — every lane an exact small integer
     "q_embed_bulk_inference" ->
       """WITH toks AS (
@@ -5022,17 +5031,23 @@ object SparkEntry {
     // numeric-profile oracle: same decimal-cast sums, same E[x^2]-E[x]^2
     // epilogue in double
     "q_profile_numeric" -> {
-      def block(c: String): String =
+      // x² split into an exact integer lane (DECIMAL(38,0)) and a
+      // fractional lane (DECIMAL(38,12)) — mirrors the operator's
+      // headroom/granularity split; `% 1.0` is IEEE fmod on both engines
+      def block(c: String): String = {
+        val x2 = s"(CAST($c AS DOUBLE) * CAST($c AS DOUBLE))"
         s"""SELECT '$c' AS col_name, count(*) AS n_rows,
            |  count(*) - count($c) AS n_nulls,
            |  round(min(CAST($c AS DOUBLE)), 6) AS min_v,
            |  round(max(CAST($c AS DOUBLE)), 6) AS max_v,
            |  round(CAST(sum(CAST($c AS DECIMAL(30,6))) AS DOUBLE) / count($c), 6) AS mean,
            |  round(sqrt(greatest(0.0,
-           |    CAST(sum(CAST(CAST($c AS DOUBLE) * CAST($c AS DOUBLE) AS DECIMAL(38,12))) AS DOUBLE) / count($c)
+           |    (CAST(sum(CAST($x2 - ($x2 % 1.0) AS DECIMAL(38,0))) AS DOUBLE)
+           |     + CAST(sum(CAST($x2 % 1.0 AS DECIMAL(38,12))) AS DOUBLE)) / count($c)
            |    - (CAST(sum(CAST($c AS DECIMAL(30,6))) AS DOUBLE) / count($c))
            |      * (CAST(sum(CAST($c AS DECIMAL(30,6))) AS DOUBLE) / count($c)))), 6) AS stddev
            |FROM lineitem""".stripMargin
+      }
       Seq("l_discount", "l_extendedprice", "l_quantity").map(block)
         .mkString("", "\nUNION ALL\n", "\nORDER BY col_name")
     },
@@ -5173,7 +5188,7 @@ object SparkEntry {
          |), u AS (
          |  SELECT doc_id, q,
          |    CAST(xor(t2, t2 >> 13) * 1073741824 + xor(s2, s2 >> 12) + 1 AS DOUBLE)
-         |      / 1152921504606846976.0 AS u
+         |      / 1073741831516192768.0 AS u
          |  FROM un
          |), top AS (
          |  SELECT doc_id, q, ln(u) / q AS rawkey FROM u
@@ -5251,6 +5266,29 @@ object SparkEntry {
         |SELECT e.id AS vec_id, coalesce(d.c, 0) AS mutual_degree
         |FROM e LEFT JOIN (SELECT src, count(*) AS c FROM m GROUP BY src) d
         |  ON e.id = d.src
+        |ORDER BY vec_id""".stripMargin,
+    // Label-noise oracle: the same exact top-6 edge list, per-src count
+    // of neighbors sharing the source's label, noisy = n_agree < k/2
+    "q_embed_label_noise" ->
+      """WITH e AS MATERIALIZED (
+        |  SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v, label
+        |  FROM embeddings
+        |), sc AS (
+        |  SELECT a.id AS src, a.label AS src_lbl, b.label AS dst_lbl,
+        |    row_number() OVER (PARTITION BY a.id
+        |      ORDER BY list_cosine_similarity(a.v, b.v) DESC, b.id ASC) AS rnk
+        |  FROM e a JOIN e b ON a.id <> b.id
+        |), ag AS (
+        |  SELECT src AS id, CAST(count(*) AS BIGINT) AS n_nbrs,
+        |    CAST(sum(CASE WHEN dst_lbl = src_lbl THEN 1 ELSE 0 END) AS BIGINT) AS n_agree
+        |  FROM sc WHERE rnk <= 6 GROUP BY 1
+        |)
+        |SELECT e.id AS vec_id, e.label AS label,
+        |  coalesce(ag.n_nbrs, 0) AS n_nbrs, coalesce(ag.n_agree, 0) AS n_agree,
+        |  round(CAST(coalesce(ag.n_agree, 0) AS DOUBLE)
+        |    / greatest(coalesce(ag.n_nbrs, 0), 1), 6) AS agree_frac,
+        |  CAST(coalesce(ag.n_agree, 0) < coalesce(ag.n_nbrs, 0) * 0.5 AS INT) AS noisy
+        |FROM e LEFT JOIN ag ON ag.id = e.id
         |ORDER BY vec_id""".stripMargin,
     // Label-propagation oracle: the same exact top-6 edge list
     // symmetrized, then two unrolled synchronous rounds of clamped-seed

@@ -79,7 +79,15 @@ final class SessionEmbedder(
     val dim: Int,
     tokenize: String => Array[Long] = SessionEmbedder.hashTokenizer,
     maxLen: Int = 128) extends Embedder with AutoCloseable {
-  @transient private lazy val session: InferenceSession = provider.newSession()
+  // not a lazy val: close() must NOT force an unused session into
+  // existence — an empty partition's task-completion close would load the
+  // full model from disk just to immediately release it
+  @transient private var sessionOpt: Option[InferenceSession] = None
+  private def session: InferenceSession = this.synchronized {
+    sessionOpt.getOrElse {
+      val s = provider.newSession(); sessionOpt = Some(s); s
+    }
+  }
 
   override def embed(text: String): Array[Float] = embedBatch(Seq(text)).head
 
@@ -94,17 +102,35 @@ final class SessionEmbedder(
     out.toSeq
   }
 
-  override def close(): Unit = session.close()
+  override def close(): Unit = this.synchronized {
+    sessionOpt.foreach(_.close()); sessionOpt = None
+  }
 }
 
 object SessionEmbedder {
   /** Dependency-free default tokenizer: whitespace tokens → positive-long
     * hash ids (vocabulary-free feature hashing). A real model swaps in its
     * own vocabulary here.
+    *
+    * The polynomial runs over CODEPOINTS mod 2^32 (Java `String.hashCode`'s
+    * recurrence but per codepoint, not per UTF-16 unit — the same
+    * UTF-16-vs-codepoint divergence class fixed in
+    * [[graft.operators.TextAnalysis.bpeMerges]]): a surrogate-pair
+    * character must hash as ONE symbol so the oracle's per-codepoint
+    * replica agrees on non-BMP text. For BMP-only text this equals the
+    * old hashCode-based ids exactly.
     */
   def hashTokenizer: String => Array[Long] =
-    s => s.split("\\s+").filter(_.nonEmpty)
-      .map(t => (t.hashCode.toLong & 0x7fffffffL) + 1L)
+    s => s.split("\\s+").filter(_.nonEmpty).map { t =>
+      var h = 0L
+      var i = 0
+      while (i < t.length) {
+        val cp = t.codePointAt(i)
+        h = (h * 31L + cp) & 0xffffffffL
+        i += Character.charCount(cp)
+      }
+      (h & 0x7fffffffL) + 1L
+    }
 }
 
 /** Reflective ONNX Runtime binding — compiled WITHOUT the `ai.onnxruntime`
@@ -204,7 +230,16 @@ object Embedder {
     * on the executor (it holds native handles and is not serializable).
     */
   def embedPartitions(mk: () => Embedder, docs: DataFrame,
-      id: Column, text: Column, batchSize: Int = 64): DataFrame = {
+      id: Column, text: Column, batchSize: Int = 64): DataFrame =
+    embedKeepingText(mk, docs, id, text, batchSize).select("id", "embedding")
+
+  /** The shared partition-inference kernel: (id, text, embedding) in ONE
+    * pass, the text riding through `mapPartitions` so no second source
+    * scan or join-back exists. Session factory semantics as
+    * [[embedPartitions]].
+    */
+  private def embedKeepingText(mk: () => Embedder, docs: DataFrame,
+      id: Column, text: Column, batchSize: Int): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
     docs.select(id.cast("string").as("id"), text.as("txt"))
@@ -217,23 +252,25 @@ object Embedder {
           })
         it.grouped(batchSize).flatMap { chunk =>
           val vecs = emb.embedBatch(chunk.map(_._2))
-          chunk.iterator.zip(vecs.iterator).map { case ((i, _), v) => (i, v) }
+          chunk.iterator.zip(vecs.iterator).map { case ((i, t), v) => (i, t, v) }
         }
       }
-      .toDF("id", "embedding")
+      .toDF("id", "text", "embedding")
   }
 
   /** [[embedPartitions]] composed into the store ingest — the full
     * batch-index build: documents → per-partition batched inference →
     * store rows (id, embedding, metadata) ready for index build/search.
+    * The metadata is built from the text CARRIED THROUGH the inference
+    * pass — a join-back by id would scan the source twice and multiply
+    * rows on duplicate ids (nothing upstream enforces id uniqueness).
     */
   def embedDocumentsBulk(mk: () => Embedder, docs: DataFrame,
       id: Column, text: Column, batchSize: Int = 64): DataFrame = {
-    val vecs = embedPartitions(mk, docs, id, text, batchSize)
-    val meta = docs.select(id.cast("string").as("id"),
-      to_json(struct(text.as("text"))).as("metadata"))
+    val t = embedKeepingText(mk, docs, id, text, batchSize)
     graft.sources.VectorStore.ingest(
-      vecs.join(meta, Seq("id")),
+      t.select(col("id"), col("embedding"),
+        to_json(struct(col("text"))).as("metadata")),
       col("id"), col("embedding"), col("metadata"))
   }
 

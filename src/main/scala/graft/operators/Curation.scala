@@ -661,9 +661,13 @@ object Curation {
     // every pair of ids 1000003 apart to the SAME u, so past ~1M rows the
     // sample keys collided systematically and the ascending-id tie-break
     // biased selection toward low ids. The wide hash is period-free and
-    // avalanche; +1 keeps ln(u) finite at hash 0.
+    // avalanche; +1 keeps ln(u) finite at hash 0. The divisor is the
+    // hash's EXACT space 2^30·(1e9+7) ([[Sketches.KmvSpaceWide]], an
+    // exactly-representable double): dividing by 2^60 left u in
+    // (0, 0.9313] and the constant ln(0.9313)/w offset biased inclusion
+    // odds ~3% toward high-weight rows on every draw.
     val u = (Sketches.hllWideHash(col("id").cast("string")) + lit(1L))
-      .cast("double") / lit(1152921504606846976.0) // 2^60
+      .cast("double") / lit(Sketches.KmvSpaceWide)
     df.select(id.as("id"), weight.cast("double").as("w"))
       .filter(col("w") > 0)
       .withColumn("key", log(u) / col("w"))

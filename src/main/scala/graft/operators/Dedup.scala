@@ -166,14 +166,13 @@ object Dedup {
     * probe could not see this global pair-space structure and mis-routed
     * exactly that case (caught by the x200 scale smoke).
     *
-    * Probe cost: one pass over the shingle stream with a deterministic
-    * 1/`sampleMod` HASH-sample of the VOCABULARY (filter before the
-    * exchange, so the shuffle carries 1/sampleMod of the stream; each
-    * sampled shingle's df is exact ⇒ `sampleMod · Σ_sampled df²` is an
-    * unbiased estimator of Σdf²), plus a count() for n. An
-    * index-build-time decision, not a per-query one. Small corpora
-    * (n < 10·sampleMod) probe exhaustively — sampling noise would exceed
-    * the signal there and the full pass is trivial anyway.
+    * Probe cost: one pass over the shingle stream of a deterministic
+    * 1/`sampleMod` id-hash DOCUMENT sample (filter before the exchange, so
+    * the shuffle carries ~1/sampleMod of the stream; the Binomial moment
+    * identity in [[pairCostProbe]] recovers an unbiased Σdf²), plus a
+    * count() for n. An index-build-time decision, not a per-query one.
+    * Small corpora (n < 10·sampleMod) probe exhaustively — sampling noise
+    * would exceed the signal there and the full pass is trivial anyway.
     */
   def jaccardPairsAuto(
       docs: DataFrame,
@@ -182,7 +181,7 @@ object Dedup {
       n: Int = 2,
       tau: Double = 0.5,
       sampleMod: Int = 64): DataFrame = {
-    val (nDocs, sumDf2) = pairCostProbe(docs, text, n, sampleMod)
+    val (nDocs, sumDf2) = pairCostProbe(docs, id, text, n, sampleMod)
     // Double arithmetic: nDocs² overflows Long past ~3.04e9 docs (wrapping
     // negative and force-routing every huge corpus to the Θ(n²) grid)
     if (sumDf2 > nDocs.toDouble * nDocs.toDouble / 2.0) jaccardPairsBitsetHashed(docs, id, text, n, tau)
@@ -204,13 +203,22 @@ object Dedup {
     * by construction (df/m ≫ 1) — and the Binomial moment identity
     * E[df_s²] = df²/m² + df·(1/m)(1−1/m) gives the unbiased read-out
     * `m²·Σdf_s² − m(m−1)·Σdf_s` (clamped at 0 for tiny samples).
+    *
+    * The sample is keyed on the UNIQUE id, never the text: identical texts
+    * share a fingerprint and would enter or miss the sample as a block,
+    * which breaks the per-doc independence the Binomial identity needs —
+    * on an exact-duplicate-heavy corpus (the dedup router's normal input)
+    * a text-keyed probe reads Σdf² ≈ 0 with probability (m−1)/m and
+    * routes the one corpus that MUST take the grid straight into the
+    * naive join's df² ≈ n² candidate space.
     */
   private def pairCostProbe(
-      docs: DataFrame, text: Column, n: Int, sampleMod: Int): (Long, Double) = {
+      docs: DataFrame, id: Column, text: Column, n: Int,
+      sampleMod: Int): (Long, Double) = {
     val nDocs = docs.count()
     val m = if (nDocs < 10L * sampleMod) 1 else sampleMod
     val row = docs
-      .filter(pmod(fingerprint(text), lit(m.toLong)) === 0)
+      .filter(pmod(xxhash64(id.cast("string")), lit(m.toLong)) === 0)
       .select(explode(shingles(text, n)).as("s"))
       .groupBy("s").agg(count(lit(1)).as("df"))
       .agg(coalesce(sum(col("df") * col("df")), lit(0L)).as("s2"),
@@ -372,7 +380,7 @@ object Dedup {
       tau: Double = 0.8,
       minShingles: Int = 1,
       sampleMod: Int = 64): DataFrame = {
-    val (nDocs, sumDf2) = pairCostProbe(docs, text, n, sampleMod)
+    val (nDocs, sumDf2) = pairCostProbe(docs, id, text, n, sampleMod)
     if (sumDf2 > nDocs.toDouble * nDocs.toDouble / 2.0)
       containmentPairsBitsetHashed(docs, id, text, n, tau, minShingles)
     else containmentPairs(docs, id, text, n, tau, minShingles)
@@ -1386,7 +1394,7 @@ object Dedup {
       maxVocab: Int = 4096,
       blocks: Int = 32,
       sampleMod: Int = 64): DataFrame = {
-    val (nDocs, sumDf2) = pairCostProbe(docs, text, n = 1, sampleMod)
+    val (nDocs, sumDf2) = pairCostProbe(docs, id, text, n = 1, sampleMod)
     if (sumDf2 > nDocs.toDouble * nDocs.toDouble / 2.0) {
       val v = docs.select(explode(split(text, "\\s+")).as("term")).distinct()
         .orderBy("term").limit(maxVocab + 1)

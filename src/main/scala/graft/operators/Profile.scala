@@ -119,27 +119,35 @@ object Profile {
     * E[x²]−E[x]² stddev epilogue are partition-order-invariant — a raw
     * double sum over a 100 TB column drifts in the low digits with every
     * re-partition and is unauditable. The FIRST moment uses
-    * DECIMAL(30,6); the SECOND uses DECIMAL(38,12) — a 1e-6 quantization
-    * of x² keeps only ~2 significant digits per row for small-magnitude
-    * columns (l_discount ~0.01 → x² ~1e-4), which corrupted the reported
-    * stddev well above its 6-dp presentation; 1e-12 granularity restores
-    * ≥8 digits there while ALSO widening integer headroom (26 vs 24
-    * digits, |x| ≤ 1e12 with 100-row-sum margin intact).
+    * DECIMAL(30,6); the SECOND splits x² into an integer lane and a
+    * fractional lane summed separately — a single-sum scale is a forced
+    * trade between granularity and headroom (DECIMAL(38,12) keeps 1e-12
+    * granularity for small-magnitude columns like l_discount but caps
+    * Σx² at 1e26, which an epoch-seconds column (x² ≈ 3e18) overflows at
+    * only ~3e7 rows; the earlier DECIMAL(38,6) had the headroom but only
+    * ~2 significant digits per small row). The split takes both ends:
+    * the integer lane `x² − (x² mod 1)` sums in DECIMAL(38,0) (1e38
+    * capacity — 3e19 epoch-scale rows), the fractional lane in
+    * DECIMAL(38,12) where each term < 1 so Σ < n never overflows. Both
+    * lanes are exact decimal sums; `mod 1.0` (not `floor`) because
+    * Spark's floor(double) returns LONG and silently wraps past 9.2e18.
     */
   def numericProfile(df: DataFrame, cols: Seq[String]): DataFrame = {
     require(cols.nonEmpty)
     val dec = "decimal(30,6)"
-    val dec2 = "decimal(38,12)"
+    def x2(c: String) = col(c).cast("double") * col(c).cast("double")
     val aggs = cols.flatMap(c => Seq(
       count(col(c)).as(s"__n_$c"),
       min(col(c).cast("double")).as(s"__mn_$c"),
       max(col(c).cast("double")).as(s"__mx_$c"),
       sum(col(c).cast(dec)).as(s"__s_$c"),
-      sum((col(c).cast("double") * col(c).cast("double")).cast(dec2))
-        .as(s"__s2_$c"))) :+ count(lit(1)).as("__rows")
+      sum((x2(c) - x2(c) % lit(1.0)).cast("decimal(38,0)")).as(s"__s2h_$c"),
+      sum((x2(c) % lit(1.0)).cast("decimal(38,12)")).as(s"__s2l_$c"))) :+
+      count(lit(1)).as("__rows")
     val one = df.agg(aggs.head, aggs.tail: _*)
     val stackArgs = cols.map(c =>
-      s"'$c', __n_$c, __mn_$c, __mx_$c, CAST(__s_$c AS DOUBLE), CAST(__s2_$c AS DOUBLE)")
+      s"'$c', __n_$c, __mn_$c, __mx_$c, CAST(__s_$c AS DOUBLE), " +
+        s"CAST(__s2h_$c AS DOUBLE) + CAST(__s2l_$c AS DOUBLE)")
       .mkString(", ")
     val mean = col("s") / col("n_non_null")
     one.select(col("__rows").as("n_rows"),

@@ -149,6 +149,52 @@ object Search {
     mutualDegrees(t.select(col("id")), gridTopKEdges(t, k, blocks))
   }
 
+  /** Noisy-label screen over the exact k-NN graph — the
+    * neighborhood-consensus detector (the confident-learning/"cleanlab"
+    * shape reduced to its kNN core, Northcutt et al. 2021; reference
+    * labels feed MiniVectorDB metadata filters, cnmoro/MiniVectorDB
+    * README §metadata): for every labeled vector, what fraction of its
+    * `k` nearest neighbors carries the SAME label. A low `agree_frac`
+    * flags a likely mislabel (or a boundary point) for re-annotation —
+    * the pre-training label QC pass run before a labeled corpus is
+    * trusted. Returns `(id, label, n_nbrs, n_agree, agree_frac, noisy)`,
+    * `noisy` = agree_frac < `tau`. Pure integer counts + one 6-dp
+    * division, so the output is engine-independent and fully oracled.
+    *
+    * Scale shape: the corpus-sized work is the one-off
+    * [[knnGraphMutual]] grid edge build (partial heaps before the
+    * exchange, no corpus broadcast); the consensus is then a join of the
+    * ≤ n·k edge list against the n-row label table (AQE picks broadcast
+    * vs SMJ by label-table size) and one counting aggregation.
+    */
+  def labelAgreement(embs: DataFrame, id: Column, vec: Column,
+      label: Column, k: Int, tau: Double = 0.5,
+      blocks: Int = 32): DataFrame = {
+    require(k >= 1 && blocks >= 1 && tau >= 0.0 && tau <= 1.0)
+    val t = embs.select(id.as("id"), vec.as("v"), label.as("lbl"))
+      .withColumn("nrm", sqrt(VF.normSq(col("v"))))
+      .cut(eager = false) // edge build + both label joins share the scan
+    val edges = gridTopKEdges(t.select("id", "v", "nrm"), k, blocks)
+    val counts = edges
+      .join(t.select(col("id").as("dst"), col("lbl").as("dst_lbl")), "dst")
+      .join(t.select(col("id").as("src"), col("lbl").as("src_lbl")), "src")
+      .groupBy(col("src").as("id"))
+      .agg(count(lit(1)).as("n_nbrs"),
+        sum((col("dst_lbl") === col("src_lbl")).cast("long")).as("n_agree"))
+    t.select(col("id"), col("lbl").as("label"))
+      .join(counts, Seq("id"), "left")
+      .select(col("id"), col("label"),
+        coalesce(col("n_nbrs"), lit(0L)).as("n_nbrs"),
+        coalesce(col("n_agree"), lit(0L)).as("n_agree"),
+        round(coalesce(col("n_agree"), lit(0L)) /
+          greatest(coalesce(col("n_nbrs"), lit(0L)), lit(1L)), 6)
+          .as("agree_frac"),
+        (coalesce(col("n_agree"), lit(0L)) <
+          coalesce(col("n_nbrs"), lit(0L)).cast("double") * lit(tau))
+          .cast("int").as("noisy"))
+      .orderBy("id")
+  }
+
   /** Directed exact top-`k` cosine edge list `(src, dst)` over the
     * 1-Bucket-Theta grid — the shared candidate generator of
     * [[knnGraphMutual]] and [[labelPropagate]]. Input `t` must carry

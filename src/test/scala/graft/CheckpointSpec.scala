@@ -46,6 +46,33 @@ class CheckpointSpec extends SparkSpec {
     } finally spark.conf.unset(Checkpoint.DirKey)
   }
 
+  test("cut: re-setting graft.checkpoint.dir mid-session takes effect") {
+    import testImplicits._
+    val dirA = java.nio.file.Files.createTempDirectory("graft-ckpt-a").toString
+    val dirB = java.nio.file.Files.createTempDirectory("graft-ckpt-b").toString
+    def filesUnder(d: String): Long = {
+      val p = java.nio.file.Paths.get(d)
+      if (!java.nio.file.Files.exists(p)) 0L
+      else java.nio.file.Files.walk(p).filter(java.nio.file.Files.isRegularFile(_)).count()
+    }
+    try {
+      spark.conf.set(Checkpoint.DirKey, dirA)
+      Checkpoint.cut((1 to 10).toDF("x")).count()
+      val underA = filesUnder(dirA)
+      assert(underA > 0, "first cut must land under dirA")
+      // move the checkpoint storage mid-session (e.g. a different volume):
+      // the next cut must follow the conf, not keep writing to dirA
+      spark.conf.set(Checkpoint.DirKey, dirB)
+      Checkpoint.cut((1 to 10).toDF("y")).count()
+      assert(filesUnder(dirB) > 0, "cut after re-set must land under dirB")
+      assert(filesUnder(dirA) == underA, "no new files under the old dir")
+    } finally {
+      spark.conf.unset(Checkpoint.DirKey)
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dirA))
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dirB))
+    }
+  }
+
   test("connected components: identical labels in local and reliable modes") {
     import testImplicits._
     // two chains and a singleton: {1-2-3-4}, {10-11}, {20}

@@ -415,7 +415,8 @@ class CurationSpec extends SparkSpec {
     val got = Curation.weightedSample(df, col("id"), col("w"), k = 3)
       .collect().map(r => (r.getLong(0), r.getDouble(2)))
     // hand replica of the wide-hash u: two poly fingerprints of the id
-    // string through their mix chains, packed, +1, /2^60
+    // string through their mix chains, packed, +1, / the exact hash
+    // space 2^30·(1e9+7) so u spans (0,1]
     def poly(s: String, base: Long, mod: Long): Long =
       s.foldLeft(0L)((a, c) => (a * base + c) % mod)
     def mix(h: Long, rounds: Seq[(Long, Long, Int)], mod: Long): Long =
@@ -428,7 +429,8 @@ class CurationSpec extends SparkSpec {
         graft.operators.Sketches.HllMixRounds, 1000000007L)
       val h2 = mix(poly(s, 131L, 1000000009L),
         graft.operators.Sketches.HllMixRounds2, 1000000009L)
-      val u = (h1 * 1073741824L + h2 + 1L).toDouble / 1152921504606846976.0
+      val u = (h1 * 1073741824L + h2 + 1L).toDouble /
+        graft.operators.Sketches.KmvSpaceWide
       math.log(u) / w
     }
     val exp = Seq((1L, 2.0), (2L, 0.5), (3L, 1.0), (6L, 4.0))

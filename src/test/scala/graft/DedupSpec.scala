@@ -323,6 +323,22 @@ class DedupSpec extends SparkSpec {
     assert(auto == exact)
   }
 
+  test("probe samples by id, so an exact-duplicate-heavy corpus still routes to the grid") {
+    import testImplicits._
+    // 700 docs (past the 10·sampleMod exhaustive-probe floor) sharing ONE
+    // text: every shingle's df = n, Σdf² = 3n² ≫ n²/2 — the one corpus
+    // that MUST take the grid. A text-keyed sample puts all 700 docs
+    // behind a single fingerprint that misses the 1/64 draw 63 times out
+    // of 64, reads Σdf² ≈ 0, and routes the naive shared-shingle join
+    // into its (df)² = n² candidate space; the id-keyed sample sees ~n/64
+    // docs regardless of text duplication.
+    val dup = (1L to 700L).map(i => (i, "a b c d")).toDF("id", "text")
+    val plan = Dedup.jaccardPairsAuto(dup, col("id"), col("text"))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("graft_popcount_and"),
+      "duplicate-heavy corpus must route to the bitset grid")
+  }
+
   test("incremental screening: exact dup hits all bands with estimate 1.0; unrelated doc absent") {
     val corpus = Dedup.signatureTable(
       docs(10L -> "the quick brown fox jumps over the lazy dog",

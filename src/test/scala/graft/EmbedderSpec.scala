@@ -105,6 +105,54 @@ class EmbedderSpec extends SparkSpec {
     assert(t("the quick brown fox").forall(_ >= 1L))
   }
 
+  test("hashTokenizer: codepoint-clean — non-BMP tokens hash as one symbol, BMP equals hashCode") {
+    val t = SessionEmbedder.hashTokenizer
+    // U+1F600 (two UTF-16 units, ONE codepoint): the id is the codepoint
+    // polynomial, exactly what the q_embed_bulk_inference oracle computes
+    assert(t("😀").toSeq == Seq(128512L + 1L))
+    assert(t("a😀").toSeq == Seq((('a'.toLong * 31 + 128512L) & 0x7fffffffL) + 1L))
+    // BMP-only text keeps the historical hashCode-derived ids bit-for-bit
+    for (w <- Seq("abc", "the", "Zebra9", "ümlaut"))
+      assert(t(w).toSeq == Seq((w.hashCode.toLong & 0x7fffffffL) + 1L), w)
+  }
+
+  test("SessionEmbedder: close without use never loads a session; empty partitions load none") {
+    import testImplicits._
+    StubRuntime.reset()
+    val e = new SessionEmbedder(StubProvider(), dim = 4)
+    e.close()
+    assert(StubRuntime.sessionsOpened.get() == 0,
+      "close() on an unused embedder must not force the model load")
+    // three empty partitions through the bulk path: zero sessions built
+    StubRuntime.reset()
+    val none = (1 to 10).map(i => (i.toLong, s"t$i")).toDF("doc_id", "text")
+      .filter(lit(false)).repartition(3)
+    val out = Embedder.embedPartitions(
+        () => new SessionEmbedder(StubProvider(), dim = 4),
+        none, col("doc_id"), col("text"))
+      .collect()
+    assert(out.isEmpty)
+    assert(StubRuntime.sessionsOpened.get() == 0,
+      s"empty partitions opened ${StubRuntime.sessionsOpened.get()} sessions")
+  }
+
+  test("embedDocumentsBulk: duplicate ids pass through one row each, never crossed") {
+    import testImplicits._
+    val docs = Seq((1L, "alpha beta"), (1L, "gamma delta"), (2L, "epsilon"))
+      .toDF("doc_id", "text")
+    val rows = Embedder.embedDocumentsBulk(
+        () => new SessionEmbedder(StubProvider(), dim = 4),
+        docs, col("doc_id"), col("text"))
+      .collect()
+    // a join-back by id would emit 2x2 + 1 = 5 rows with crossed
+    // embedding/metadata pairings; the carried-text path keeps 3
+    assert(rows.length == 3)
+    val metasFor1 = rows.filter(_.getString(0) == "1")
+      .map(r => r.getString(2)).sorted.toSeq
+    assert(metasFor1 ==
+      Seq("""{"text":"alpha beta"}""", """{"text":"gamma delta"}"""))
+  }
+
   test("hashing embedder still rides the same trait (regression)") {
     val h = HashingEmbedder(dim = 8)
     assert(h.embed("hello").length == 8)

@@ -91,6 +91,35 @@ class ProfileSpec extends SparkSpec {
       s"stddev ${got.getDouble(6)} != $expStd")
   }
 
+  test("numericProfile: epoch-scale magnitudes keep integer headroom (split x2 lanes)") {
+    import testImplicits._
+    // x ~ 1e12 ⇒ x² = 1e24 per row; 150 rows ⇒ Σx² = 1.5e26, which
+    // OVERFLOWS a single DECIMAL(38,12) accumulator (26 integer digits,
+    // 1e26 capacity — the pre-split defect: NULL/exception at only
+    // ~150 rows of timestamp-scale data). The split integer lane sums in
+    // DECIMAL(38,0) and carries it exactly.
+    val v = 1.0e12
+    val df = (1 to 150).map(_ => Tuple1(v)).toDF("t")
+    val got = Profile.numericProfile(df, Seq("t")).head()
+    assert(got.getLong(1) == 150L)
+    assert(got.getDouble(5) == v) // mean of a constant column
+    assert(got.getDouble(6) == 0.0, s"stddev ${got.getDouble(6)}") // Var = 0
+    // and a non-constant epoch-scale column matches an EXACT driver
+    // replica of the engine arithmetic (the naive double Σx² replica
+    // cancels catastrophically at 1e24 scale — the very drift the
+    // decimal accumulators exist to avoid)
+    val vals = (0 until 150).map(i => 1.0e12 + i * 1000.0)
+    val df2 = vals.map(Tuple1(_)).toDF("t")
+    val got2 = Profile.numericProfile(df2, Seq("t")).head()
+    val n = vals.size
+    val s2d = vals.map(x => BigDecimal(x * x)).sum.toDouble // exact decimal sum, then the cast
+    val m = vals.map(BigDecimal(_)).sum.toDouble / n
+    val expStd = BigDecimal(math.sqrt(math.max(0.0, s2d / n - m * m)))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(got2.getDouble(6) == expStd,
+      s"stddev ${got2.getDouble(6)} vs $expStd")
+  }
+
   test("madOutliers: hand-computed medians/MAD; flat group never flags") {
     import testImplicits._
     val df = Seq(

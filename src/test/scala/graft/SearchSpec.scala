@@ -308,6 +308,51 @@ class SearchSpec extends SparkSpec {
       s"edge grid must not plan a product:\n$plan")
   }
 
+  test("labelAgreement: equals a driver replica; planted mislabel flagged, clean core not") {
+    import testImplicits._
+    val rnd = new scala.util.Random(31)
+    // two tight clusters; vector 7 sits in cluster 1's region but carries
+    // cluster 0's label — the planted annotation error
+    val vecs = (0L until 24L).map { i =>
+      val c = (i % 2).toInt
+      val v = Array.tabulate(8)(d => (if (d % 2 == c) 1f else 0f) +
+        (rnd.nextFloat() - 0.5f) * 0.1f)
+      val lbl = if (i == 7L) ((c + 1) % 2) else c
+      (i, v, lbl)
+    }
+    val df = vecs.toDF("vid", "emb", "lab")
+    val k = 5
+    val out = Search.labelAgreement(df, col("vid"), col("emb"), col("lab"),
+        k = k, blocks = 4)
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4), r.getInt(5))).toSeq
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0
+      for (i <- a.indices) { d += a(i).toDouble * b(i); na += a(i).toDouble * a(i); nb += b(i).toDouble * b(i) }
+      d / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val lblOf = vecs.map(v => v._1 -> v._3).toMap
+    val exp = vecs.map { case (i, vi, li) =>
+      val nbrs = vecs.filter(_._1 != i)
+        .map { case (j, vj, _) => (j, cos(vi, vj)) }
+        .sortBy { case (j, s) => (-s, j) }.take(k).map(_._1)
+      val agree = nbrs.count(j => lblOf(j) == li).toLong
+      (i, li, k.toLong, agree,
+        math.rint(agree.toDouble / k * 1e6) / 1e6,
+        if (agree < k * 0.5) 1 else 0)
+    }
+    assert(out == exp)
+    // the planted mislabel is flagged; its honest cluster-1 twin is not
+    assert(out.find(_._1 == 7L).get._6 == 1)
+    assert(out.count(_._6 == 1) <= 2, s"only the planted error (and at most " +
+      s"one boundary point) should flag:\n${out.filter(_._6 == 1)}")
+    val plan = Search.labelAgreement(df, col("vid"), col("emb"), col("lab"), k = k)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"),
+      s"edge grid must not plan a product:\n$plan")
+  }
+
   test("labelPropagateLsh: full-probe radius equals the exact propagation") {
     import testImplicits._
     val rnd = new scala.util.Random(13)
