@@ -66,6 +66,38 @@ object SparkEntry {
     * step CTEs, the argmax an ORDER BY … LIMIT 1 with the same (mmr DESC,
     * id ASC) tie-break, and the constants 0.75/0.25 exact in both engines.
     */
+  /** k-center oracle: the greedy farthest-point rounds unrolled — each
+    * round removes the last-picked center, folds its distance into the
+    * running min, and takes the (mind desc, id asc) argmax; MATERIALIZED
+    * per round so the chain stays linear.
+    */
+  private def kCenterOracle(k: Int): String = {
+    val chain = new StringBuilder
+    chain.append(
+      """e AS MATERIALIZED (
+        |  SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+        |), c0 AS (SELECT id, v FROM e ORDER BY id LIMIT 1
+        |), m1 AS MATERIALIZED (
+        |  SELECT e.id, e.v, 1.0 - list_cosine_similarity(e.v, c0.v) AS mind
+        |  FROM e, c0 WHERE e.id <> c0.id
+        |)""".stripMargin)
+    for (r <- 1 until k) {
+      chain.append(
+        s", c$r AS (SELECT id, v, mind FROM m$r ORDER BY mind DESC, id ASC LIMIT 1)")
+      if (r < k - 1)
+        chain.append(
+          s""", m${r + 1} AS MATERIALIZED (
+             |  SELECT m.id, m.v,
+             |    least(m.mind, 1.0 - list_cosine_similarity(m.v, c$r.v)) AS mind
+             |  FROM m$r m, c$r WHERE m.id <> c$r.id
+             |)""".stripMargin)
+    }
+    val sel = (s"SELECT 0 AS round, id AS vec_id, CAST(NULL AS DOUBLE) AS dist FROM c0" +:
+      (1 until k).map(r => s"SELECT $r, id, round(mind, 6) FROM c$r"))
+      .mkString("\nUNION ALL ")
+    s"WITH ${chain.toString}\n$sel\nORDER BY round"
+  }
+
   private def mmrOracle(k: Int): String = {
     val steps = (2 to k).map { r =>
       val selUnion = (1 until r)
@@ -2497,6 +2529,22 @@ object SparkEntry {
       TextAnalysis.bpeEncode(docs, col("doc_id"), col("text"), merges)
         .orderBy("doc_id")
     }),
+    // tokenizer fertility by source (tokens per word under the learned
+    // merge table): the fairness audit that shows which sources/languages
+    // pay more tokens per word — the encode's one tokenize pass plus a
+    // column-pruned (doc_id, source) join and a source-bounded aggregate
+    "q_text_fertility_by_source" -> ((s, dir) => {
+      val docs = graft.sources.Testdata.table(s, dir, "documents")
+      val merges = TextAnalysis.bpeMerges(docs, col("text"), nMerges = 4)
+        .orderBy("step").collect().map(_.getString(1)).toSeq
+      TextAnalysis.bpeEncode(docs, col("doc_id"), col("text"), merges)
+        .join(docs.select(col("doc_id"), col("source")), "doc_id")
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum("n_words").as("n_words"), sum("n_tokens").as("n_tokens"),
+          round(sum("n_tokens") / sum("n_words"), 6).as("fertility"))
+        .orderBy("source")
+    }),
     // exact mutual k-NN graph: all-pairs cosine through the 1-Bucket-Theta
     // grid (no corpus broadcast), GroupTopK partial heaps cut the exchange
     // to <= n·k edges, mutual = self-semi-join on the edge list
@@ -2512,6 +2560,14 @@ object SparkEntry {
       Search.labelAgreement(s.read.parquet(s"$dir/embeddings.parquet"),
           col("vec_id"), col("embedding"), col("label"), k = 6)
         .withColumnRenamed("id", "vec_id")),
+    // greedy k-center coreset (farthest-point traversal): 8 diverse
+    // centers covering the corpus — one state scan per round, the
+    // argmax a TakeOrderedAndProject, dist = the shrinking cover radius
+    "q_embed_kcenter" -> ((s, dir) =>
+      Search.kCenterCoreset(s.read.parquet(s"$dir/embeddings.parquet"),
+          col("vec_id"), col("embedding"), k = 8)
+        .withColumnRenamed("id", "vec_id")
+        .orderBy("round")),
     // label propagation (clamped seeds, 2 synchronous rounds) over the
     // symmetrized exact k-NN graph: 25% seed labels spread to the bulk by
     // integer plurality votes — the weak-supervision labeling shape; the
@@ -4958,9 +5014,24 @@ object SparkEntry {
         |    THEN (CAST(n_events AS DOUBLE) - mean) / sqrt(variance) END, 6) AS z
         |FROM z ORDER BY event_type, bucket_start""".stripMargin,
     "q_knn_mmr" -> mmrOracle(5),
+    "q_embed_kcenter" -> kCenterOracle(8),
     "q_text_bpe" -> bpeOracle(4),
     "q_text_bpe_encode" -> bpeEncodeOracle(4),
     "q_pipeline_tokenize" -> bpeTokenizePackOracle(4, shardDocs = 250, budget = 512),
+    // fertility oracle: the shared learn+apply CTE chain, per-doc budgets,
+    // then the source rollup (docs with no words are absent on BOTH sides)
+    "q_text_fertility_by_source" ->
+      s"""WITH ${bpeApplyCtes(4)}, budgets AS (
+         |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_words,
+         |    CAST(sum(n_tok) AS BIGINT) AS n_tokens
+         |  FROM dw JOIN wt USING (w) GROUP BY 1
+         |)
+         |SELECT d.source, CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(sum(b.n_words) AS BIGINT) AS n_words,
+         |  CAST(sum(b.n_tokens) AS BIGINT) AS n_tokens,
+         |  round(CAST(sum(b.n_tokens) AS DOUBLE) / sum(b.n_words), 6) AS fertility
+         |FROM budgets b JOIN documents d USING (doc_id)
+         |GROUP BY 1 ORDER BY d.source""".stripMargin,
     "q_rel_window_dedup" ->
       """SELECT user_id, event_type, bucket, event_id FROM (
         |  SELECT user_id, event_type,

@@ -149,6 +149,61 @@ object Search {
     mutualDegrees(t.select(col("id")), gridTopKEdges(t, k, blocks))
   }
 
+  /** Greedy k-center coreset — farthest-point traversal (Gonzalez 1985,
+    * a 2-approximation of the optimal k-center cover): seed with the
+    * lowest id, then `k−1` times pick the vector FARTHEST (cosine
+    * distance) from everything selected so far. The standard
+    * diverse-subset selection for annotation budgets and data pruning —
+    * where [[Rerank.mmr]] diversifies a RANKED shortlist against a
+    * query, this covers the whole corpus with no query at all. Returns
+    * the ≤ k selected centers as `(round, id, dist)` — `dist` is the
+    * selection distance (the corpus coverage radius just before that
+    * center joined, so the column is the decreasing radius curve;
+    * NULL for the seed), rounded 6 dp after selection.
+    *
+    * Scale shape: per round, ONE scan of the (id, min-dist) state — the
+    * new center rides into the task binary as a literal vector, the
+    * argmax is a TakeOrderedAndProject (never a sort), and the state is
+    * lineage-cut per round so k rounds stay flat. Nothing but the k
+    * selected rows ever reaches the driver. Total cost k scans — the
+    * same shape as Lloyd iterations, with k bounded by the annotation
+    * budget (tens to thousands), not the corpus.
+    */
+  def kCenterCoreset(embs: DataFrame, id: Column, vec: Column,
+      k: Int): DataFrame = {
+    require(k >= 1)
+    val spark = embs.sparkSession
+    // store dtype discipline (O20): vectors coerce to float32 on entry
+    val t = embs.select(id.as("id"), vec.cast("array<float>").as("v"))
+      .withColumn("nrm", sqrt(VF.normSq(col("v"))))
+      .cut(eager = false) // one scan feeds every round
+    val seed = t.orderBy("id").limit(1).head()
+    var picked = Seq[(Int, Long, Option[Double])]((0, seed.getLong(0), None))
+    var centerVec = seed.getSeq[Float](1)
+    var centerNrm = seed.getDouble(2)
+    var state = t.withColumn("mind", lit(Double.MaxValue))
+    for (r <- 1 until k) {
+      val d = lit(1.0) - VF.dot(col("v"), typedLit(centerVec)) /
+        (col("nrm") * lit(centerNrm))
+      state = state
+        .filter(col("id") =!= lit(picked.last._2))
+        .withColumn("mind", least(col("mind"), d))
+        .cut(eager = false)
+      val rows = state.orderBy(desc("mind"), asc("id")).limit(1).collect()
+      if (rows.nonEmpty) {
+        val c = rows.head
+        picked :+= ((r, c.getLong(0), Some(c.getDouble(3))))
+        centerVec = c.getSeq[Float](1)
+        centerNrm = c.getDouble(2)
+      }
+    }
+    import spark.implicits._
+    picked.map { case (r, i, dO) =>
+      (r, i, dO.map(x =>
+        BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble))
+    }.toDF("round", "id", "dist")
+  }
+
   /** Noisy-label screen over the exact k-NN graph — the
     * neighborhood-consensus detector (the confident-learning/"cleanlab"
     * shape reduced to its kNN core, Northcutt et al. 2021; reference

@@ -308,6 +308,45 @@ class SearchSpec extends SparkSpec {
       s"edge grid must not plan a product:\n$plan")
   }
 
+  test("kCenterCoreset: equals the greedy farthest-point replica; radius non-increasing; k>n returns n") {
+    import testImplicits._
+    val rnd = new scala.util.Random(41)
+    val vecs = (0L until 20L).map { i =>
+      (i, Array.tabulate(6)(d => rnd.nextFloat() * (if ((i + d) % 3 == 0) 2f else 1f)))
+    }
+    val df = vecs.toDF("vid", "emb")
+    val k = 5
+    val got = Search.kCenterCoreset(df, col("vid"), col("emb"), k = k)
+      .collect().map(r => (r.getInt(0), r.getLong(1),
+        if (r.isNullAt(2)) None else Some(r.getDouble(2)))).toSeq
+    // driver replica of the greedy traversal on the same double arithmetic
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0
+      for (i <- a.indices) { d += a(i).toDouble * b(i); na += a(i).toDouble * a(i); nb += b(i).toDouble * b(i) }
+      d / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val byId = vecs.toMap
+    var picked = Seq[(Int, Long, Option[Double])]((0, 0L, None))
+    var mind = vecs.filter(_._1 != 0L)
+      .map { case (i, v) => i -> (1.0 - cos(v, byId(0L))) }.toMap
+    for (r <- 1 until k) {
+      val (ci, cd) = mind.toSeq.minBy { case (i, d) => (-d, i) }
+      picked :+= ((r, ci,
+        Some(BigDecimal(cd).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)))
+      mind = (mind - ci).map { case (i, d) =>
+        i -> math.min(d, 1.0 - cos(byId(i), byId(ci)))
+      }
+    }
+    assert(got == picked)
+    // the cover radius curve never increases
+    val dists = got.flatMap(_._3)
+    assert(dists == dists.sorted.reverse, s"radius curve must be non-increasing: $dists")
+    // k past n degrades to selecting everything once
+    val all = Search.kCenterCoreset(df, col("vid"), col("emb"), k = 25).collect()
+    assert(all.length == 20)
+    assert(all.map(_.getLong(1)).toSet == vecs.map(_._1).toSet)
+  }
+
   test("labelAgreement: equals a driver replica; planted mislabel flagged, clean core not") {
     import testImplicits._
     val rnd = new scala.util.Random(31)
