@@ -470,6 +470,20 @@ object ScaleSmoke {
           planes, k = 6, rounds = 2)
         .filter(coalesce(col("correct"), lit(0)) >= 0).count()
     }
+    // the noisy-label screen's scale twin rides the same LSH edge build;
+    // the exact-grid front is the oracled small-corpus path
+    prepped("label-noise screen (LSH edges 10 planes, k=6)")(emb) {
+      val planes = graft.operators.AnnSearch.hyperplanes(dim = 64, numPlanes = 10)
+      graft.operators.Search.labelAgreementLsh(emb, col("vec_id"),
+          col("embedding"), col("label"), planes, k = 6)
+        .filter(col("noisy") >= 0).count()
+    }
+    // k scans of the (id, min-dist) state — growth should track the scan,
+    // independent of k's position in the corpus
+    prepped("kcenter coreset (8 rounds)")(emb) {
+      graft.operators.Search.kCenterCoreset(emb, col("vec_id"),
+        col("embedding"), k = 8).count()
+    }
     // cluster count grows with the corpus (C ∝ n keeps cluster size — and
     // therefore Σ|c|² = n·s — LINEAR in n; fixed C would be n²/C).
     // Centroids come from the ORIGINAL corpus: the replicated table's

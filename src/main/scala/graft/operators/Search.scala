@@ -229,7 +229,34 @@ object Search {
     val t = embs.select(id.as("id"), vec.as("v"), label.as("lbl"))
       .withColumn("nrm", sqrt(VF.normSq(col("v"))))
       .cut(eager = false) // edge build + both label joins share the scan
-    val edges = gridTopKEdges(t.select("id", "v", "nrm"), k, blocks)
+    labelConsensus(t, gridTopKEdges(t.select("id", "v", "nrm"), k, blocks), tau)
+  }
+
+  /** Sub-quadratic companion of [[labelAgreement]] — candidate edges from
+    * sign-LSH bucket collisions ([[lshTopKEdges]]) instead of the exact
+    * n² grid, the 100 TB screen. At full probe radius the edge list —
+    * and therefore every agreement count — equals the exact one
+    * (spec-pinned); at bounded radius recall follows the ANN_EVAL.md
+    * banding curves for these planes/radius dials.
+    */
+  def labelAgreementLsh(embs: DataFrame, id: Column, vec: Column,
+      label: Column, planes: Seq[Seq[Double]], k: Int, tau: Double = 0.5,
+      probeRadius: Int = 1): DataFrame = {
+    require(k >= 1 && tau >= 0.0 && tau <= 1.0)
+    val masks = AnnSearch.xorMasks(planes.length, probeRadius)
+    val t = AnnSearch.index(
+        embs.select(id.as("id"), vec.as("v"), label.as("lbl")), col("v"), planes)
+      .withColumn("nrm", sqrt(VF.normSq(col("v"))))
+      .cut(eager = false)
+    labelConsensus(t, lshTopKEdges(t, masks, k), tau)
+  }
+
+  /** Shared consensus epilogue: join neighbor labels over the directed
+    * edge list, count per-source agreement, flag `noisy` from the raw
+    * counts (never the rounded fraction). Input `t` carries (id, lbl).
+    */
+  private def labelConsensus(t: DataFrame, edges: DataFrame,
+      tau: Double): DataFrame = {
     val counts = edges
       .join(t.select(col("id").as("dst"), col("lbl").as("dst_lbl")), "dst")
       .join(t.select(col("id").as("src"), col("lbl").as("src_lbl")), "src")
@@ -316,6 +343,16 @@ object Search {
           seed.cast("boolean").as("seed")), col("v"), planes)
       .withColumn("nrm", sqrt(VF.normSq(col("v"))))
       .cut(eager = false) // probe side, build side, and initial state
+    propagate(t, lshTopKEdges(t, masks, k), rounds)
+  }
+
+  /** Directed LSH-blocked top-`k` cosine edge list `(src, dst)` — the
+    * sub-quadratic candidate generator shared by [[labelPropagateLsh]]
+    * and [[labelAgreementLsh]]: bucket collisions within the multiprobe
+    * XOR-mask radius, scored exactly, per-src GroupTopK heap. Input `t`
+    * must carry (id, v, bucket, nrm).
+    */
+  private def lshTopKEdges(t: DataFrame, masks: Seq[Int], k: Int): DataFrame = {
     val probes = t
       .withColumn("m", explode(typedLit(masks)))
       .withColumn("pb", col("bucket").bitwiseXOR(col("m")))
@@ -323,10 +360,9 @@ object Search {
         col("a.pb") === col("b.bucket") && col("a.id") =!= col("b.id"))
       .select(col("a.id").as("src"), col("b.id").as("dst"),
         (VF.dot(col("a.v"), col("b.v")) / (col("a.nrm") * col("b.nrm"))).as("score"))
-    val dir = org.apache.spark.sql.graft.GroupTopK.perGroup(
+    org.apache.spark.sql.graft.GroupTopK.perGroup(
         scored, Seq(col("src")), Seq(desc("score"), asc("dst")), k)
       .select("src", "dst")
-    propagate(t, dir, rounds)
   }
 
   /** Shared propagation epilogue: symmetrize the directed edge list, then

@@ -392,6 +392,30 @@ class SearchSpec extends SparkSpec {
       s"edge grid must not plan a product:\n$plan")
   }
 
+  test("labelAgreementLsh: full-probe radius equals the exact screen") {
+    import testImplicits._
+    val rnd = new scala.util.Random(53)
+    val vecs = (0L until 24L).map { i =>
+      val c = (i % 2).toInt
+      (i, Array.tabulate(8)(d => (if (d % 2 == c) 1f else 0f) +
+        (rnd.nextFloat() - 0.5f) * 0.1f), c)
+    }
+    val df = vecs.toDF("vid", "emb", "lab")
+    val planes = graft.operators.AnnSearch.hyperplanes(dim = 8, numPlanes = 4)
+    val full = Search.labelAgreementLsh(df, col("vid"), col("emb"), col("lab"),
+        planes, k = 5, probeRadius = 4)
+      .collect().map(_.toSeq).toSeq
+    val exact = Search.labelAgreement(df, col("vid"), col("emb"), col("lab"),
+        k = 5, blocks = 4)
+      .collect().map(_.toSeq).toSeq
+    assert(full == exact)
+    // bounded radius: every node still reported, n_nbrs never above k
+    val tight = Search.labelAgreementLsh(df, col("vid"), col("emb"), col("lab"),
+        planes, k = 5, probeRadius = 1).collect()
+    assert(tight.length == 24)
+    assert(tight.forall(_.getLong(2) <= 5L))
+  }
+
   test("labelPropagateLsh: full-probe radius equals the exact propagation") {
     import testImplicits._
     val rnd = new scala.util.Random(13)
