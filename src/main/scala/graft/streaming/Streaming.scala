@@ -543,6 +543,92 @@ object Streaming {
       .start()
   }
 
+  /** Streaming label-noise ingest screen: each arriving LABELED vector is
+    * checked against the FROZEN labeled corpus — its `k` nearest corpus
+    * neighbors (sign-LSH bucket probe within `probeRadius`, exact cosine
+    * on the collisions) vote on the arriving label, the
+    * [[graft.operators.Search.labelAgreement]] consensus run
+    * batch-vs-corpus instead of corpus-vs-itself. Rows that land with
+    * `noisy = 1` go to re-annotation BEFORE they join the training set —
+    * the ingest-time twin of the offline screen, composing with the
+    * near-dup and drift screens above into the full arrival gate.
+    *
+    * The corpus index (bucket, norm, label per vector) is built ONCE and
+    * PERSISTED — same rationale as the ER screen's variant table: inside
+    * foreachBatch it would rebuild per micro-batch; a localCheckpoint
+    * would pin blocks to executors and fail later batches on executor
+    * loss. Output `(id, label, n_nbrs, n_agree, agree_frac, noisy,
+    * batch_id)`, idempotent via the batch_id dynamic-partition overwrite.
+    * Corpus drift is an offline rebuild-and-cutover, as with every
+    * frozen-static-side stream here.
+    */
+  def startLabelNoiseScreen(
+      rows: DataFrame,          // streaming (id, vec, label)
+      id: Column,
+      vec: Column,
+      label: Column,
+      corpus: DataFrame,        // static labeled corpus
+      corpusId: Column,
+      corpusVec: Column,
+      corpusLabel: Column,
+      planes: Seq[Seq[Double]],
+      k: Int,
+      tau: Double,
+      outPath: String,
+      checkpoint: String,
+      probeRadius: Int = 1,
+      queryName: String = "label_noise_screen"): StreamingQuery = {
+    import graft.functions.{VectorFunctions => VF}
+    import graft.operators.AnnSearch
+    require(k >= 1 && tau >= 0.0 && tau <= 1.0)
+    val masks = AnnSearch.xorMasks(planes.length, probeRadius)
+    val idx = AnnSearch.index(
+        corpus.select(corpusId.as("dst"), corpusVec.as("cv"),
+          corpusLabel.as("dst_lbl")), col("cv"), planes)
+      .withColumn("cnrm", sqrt(VF.normSq(col("cv"))))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    rows.writeStream
+      .queryName(queryName)
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val b = AnnSearch.index(
+            batch.select(id.as("id"), vec.as("v"), label.as("lbl")),
+            col("v"), planes)
+          .withColumn("nrm", sqrt(VF.normSq(col("v"))))
+          .withColumn("m", explode(typedLit(masks)))
+          .withColumn("pb", col("bucket").bitwiseXOR(col("m")))
+        val scored = b.as("a").join(idx.as("c"),
+            col("a.pb") === col("c.bucket"))
+          .select(col("a.id").as("src"), col("a.lbl").as("src_lbl"),
+            col("c.dst").as("dst"), col("c.dst_lbl").as("dst_lbl"),
+            (VF.dot(col("a.v"), col("c.cv")) /
+              (col("a.nrm") * col("c.cnrm"))).as("score"))
+        val counts = org.apache.spark.sql.graft.GroupTopK.perGroup(
+            scored, Seq(col("src")), Seq(desc("score"), asc("dst")), k)
+          .groupBy(col("src").as("id"))
+          .agg(count(lit(1)).as("n_nbrs"),
+            sum((col("dst_lbl") === col("src_lbl")).cast("long")).as("n_agree"))
+        batch.select(id.as("id"), label.as("label")).distinct()
+          .join(counts, Seq("id"), "left")
+          .select(col("id"), col("label"),
+            coalesce(col("n_nbrs"), lit(0L)).as("n_nbrs"),
+            coalesce(col("n_agree"), lit(0L)).as("n_agree"),
+            round(coalesce(col("n_agree"), lit(0L)) /
+              greatest(coalesce(col("n_nbrs"), lit(0L)), lit(1L)), 6)
+              .as("agree_frac"),
+            (coalesce(col("n_agree"), lit(0L)) <
+              coalesce(col("n_nbrs"), lit(0L)).cast("double") * lit(tau))
+              .cast("int").as("noisy"))
+          .withColumn("batch_id", lit(batchId))
+          .write.mode("overwrite")
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("batch_id")
+          .parquet(outPath)
+        ()
+      }
+      .start()
+  }
+
   /** Streaming token-distribution drift monitor: per micro-batch, the
     * Laplace-smoothed `KL(batch ‖ reference)` of the arriving documents'
     * token distribution against a FROZEN reference table `(t, c_t)` (built

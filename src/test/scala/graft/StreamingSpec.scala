@@ -258,6 +258,61 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming label-noise screen: full-probe agreement equals the driver replica; idempotent stamps") {
+    val sp = spark
+    import sp.implicits._
+    implicit val sqlCtx = sp.sqlContext
+    val rnd = new scala.util.Random(61)
+    // labeled corpus: two separated clusters
+    val corpusRows = (0L until 16L).map { i =>
+      val c = (i % 2).toInt
+      (i, Array.tabulate(6)(d => (if (d % 2 == c) 1f else 0f) +
+        (rnd.nextFloat() - 0.5f) * 0.1f).toSeq, c)
+    }
+    val corpus = corpusRows.toDF("cid", "cvec", "clab")
+    val planes = graft.operators.AnnSearch.hyperplanes(dim = 6, numPlanes = 3)
+    val in = MemoryStream[(Long, Seq[Float], Int)]
+    val out = tmpDir("graft_label_noise")
+    val k = 4
+    // full probe radius -> every corpus vector is a candidate -> exact
+    val q = Streaming.startLabelNoiseScreen(
+      in.toDF().toDF("id", "vec", "label"),
+      col("id"), col("vec"), col("label"),
+      corpus, col("cid"), col("cvec"), col("clab"),
+      planes, k = k, tau = 0.5, s"$out/res", s"$out/ckpt", probeRadius = 3)
+    // arrival 1 matches cluster 0 and carries label 0 (clean); arrival 2
+    // sits in cluster 1 but carries label 0 (planted noise)
+    val a1 = (500L, Array.tabulate(6)(d => if (d % 2 == 0) 1f else 0f).toSeq, 0)
+    val a2 = (501L, Array.tabulate(6)(d => if (d % 2 == 1) 1f else 0f).toSeq, 0)
+    try {
+      in.addData(a1)
+      q.processAllAvailable()
+      in.addData(a2)
+      q.processAllAvailable()
+      val res = sp.read.parquet(s"$out/res").collect()
+        .map(r => r.getLong(0) -> ((r.getInt(1), r.getLong(2), r.getLong(3),
+          r.getDouble(4), r.getInt(5), r.getAs[Number]("batch_id").longValue)))
+        .toMap
+      // driver replica of the bipartite consensus
+      def cos(a: Seq[Float], b: Seq[Float]): Double = {
+        var d = 0.0; var na = 0.0; var nb = 0.0
+        for (i <- a.indices) { d += a(i).toDouble * b(i); na += a(i).toDouble * a(i); nb += b(i).toDouble * b(i) }
+        d / (math.sqrt(na) * math.sqrt(nb))
+      }
+      for ((aid, avec, alab) <- Seq(a1, a2)) {
+        val nbrs = corpusRows.map { case (ci, cv, cl) => (ci, cos(avec, cv), cl) }
+          .sortBy { case (ci, s, _) => (-s, ci) }.take(k)
+        val agree = nbrs.count(_._3 == alab).toLong
+        val (lab, nn, na2, frac, noisy, _) = res(aid)
+        assert((lab, nn, na2) == ((alab, k.toLong, agree)), s"row $aid")
+        assert(frac == math.rint(agree.toDouble / k * 1e6) / 1e6)
+        assert(noisy == (if (agree < k * 0.5) 1 else 0))
+      }
+      assert(res(500L)._5 == 0 && res(501L)._5 == 1) // the planted noise flags
+      assert(res(500L)._6 == 0L && res(501L)._6 == 1L) // batch stamps
+    } finally q.stop()
+  }
+
   test("streaming ANN index maintenance: buckets accumulate across batches; search equals the batch twin") {
     val sp = spark
     import sp.implicits._
