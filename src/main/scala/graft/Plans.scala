@@ -60,7 +60,8 @@ object Plans {
       "q_sketch_kmv_overlap_wide", "q_text_bpe_encode",
       "q_events_wau_rolling_hll", "q_embed_label_prop",
       "q_pipeline_tokenize", "q_profile_psi", "q_embed_label_noise",
-      "q_embed_kcenter", "q_text_fertility_by_source")
+      "q_embed_kcenter", "q_text_fertility_by_source",
+      "q_embed_kcenter_assign")
     show.foreach { name =>
       println(s"\n## $name\n")
       println("```")

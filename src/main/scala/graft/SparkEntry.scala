@@ -72,6 +72,16 @@ object SparkEntry {
     * per round so the chain stays linear.
     */
   private def kCenterOracle(k: Int): String = {
+    val sel = (s"SELECT 0 AS round, id AS vec_id, CAST(NULL AS DOUBLE) AS dist FROM c0" +:
+      (1 until k).map(r => s"SELECT $r, id, round(mind, 6) FROM c$r"))
+      .mkString("\nUNION ALL ")
+    s"WITH ${kCenterChain(k)}\n$sel\nORDER BY round"
+  }
+
+  /** The shared greedy-round CTE chain (e, c0, m1, c1, … c(k−1)) used by
+    * both k-center oracles.
+    */
+  private def kCenterChain(k: Int): String = {
     val chain = new StringBuilder
     chain.append(
       """e AS MATERIALIZED (
@@ -92,10 +102,30 @@ object SparkEntry {
              |  FROM m$r m, c$r WHERE m.id <> c$r.id
              |)""".stripMargin)
     }
-    val sel = (s"SELECT 0 AS round, id AS vec_id, CAST(NULL AS DOUBLE) AS dist FROM c0" +:
-      (1 until k).map(r => s"SELECT $r, id, round(mind, 6) FROM c$r"))
-      .mkString("\nUNION ALL ")
-    s"WITH ${chain.toString}\n$sel\nORDER BY round"
+    chain.toString
+  }
+
+  /** Cover-audit oracle: the [[kCenterOracle]] round chain, the selected
+    * centers unioned into one table, per-vector argmin assignment (dist
+    * asc, center asc), per-center count + max distance.
+    */
+  private def kCenterAssignOracle(k: Int): String = {
+    val chain = kCenterChain(k)
+    val cen = (s"SELECT id AS center_id, v AS cv FROM c0" +:
+      (1 until k).map(r => s"SELECT id, v FROM c$r")).mkString(" UNION ALL ")
+    s"""WITH $chain, cen AS ($cen
+       |), asg AS (
+       |  SELECT e.id, cen.center_id,
+       |    1.0 - list_cosine_similarity(e.v, cen.cv) AS dist,
+       |    row_number() OVER (PARTITION BY e.id
+       |      ORDER BY 1.0 - list_cosine_similarity(e.v, cen.cv) ASC,
+       |        cen.center_id ASC) AS rn
+       |  FROM e, cen
+       |)
+       |SELECT center_id, CAST(count(*) AS BIGINT) AS n_assigned,
+       |  round(max(dist), 6) AS cover_radius
+       |FROM asg WHERE rn = 1
+       |GROUP BY 1 ORDER BY center_id""".stripMargin
   }
 
   private def mmrOracle(k: Int): String = {
@@ -2568,6 +2598,12 @@ object SparkEntry {
           col("vec_id"), col("embedding"), k = 8)
         .withColumnRenamed("id", "vec_id")
         .orderBy("round")),
+    // cover audit: every vector assigned to its nearest selected center
+    // (broadcast k-row table, GroupTopK argmin), per-center count + max
+    // assigned distance = the realized cover radius
+    "q_embed_kcenter_assign" -> ((s, dir) =>
+      Search.kCenterAssign(s.read.parquet(s"$dir/embeddings.parquet"),
+        col("vec_id"), col("embedding"), k = 8)),
     // label propagation (clamped seeds, 2 synchronous rounds) over the
     // symmetrized exact k-NN graph: 25% seed labels spread to the bulk by
     // integer plurality votes — the weak-supervision labeling shape; the
@@ -5015,6 +5051,7 @@ object SparkEntry {
         |FROM z ORDER BY event_type, bucket_start""".stripMargin,
     "q_knn_mmr" -> mmrOracle(5),
     "q_embed_kcenter" -> kCenterOracle(8),
+    "q_embed_kcenter_assign" -> kCenterAssignOracle(8),
     "q_text_bpe" -> bpeOracle(4),
     "q_text_bpe_encode" -> bpeEncodeOracle(4),
     "q_pipeline_tokenize" -> bpeTokenizePackOracle(4, shardDocs = 250, budget = 512),

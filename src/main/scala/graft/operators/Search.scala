@@ -204,6 +204,35 @@ object Search {
     }.toDF("round", "id", "dist")
   }
 
+  /** Cover audit for [[kCenterCoreset]]: assign every vector to its
+    * nearest selected center (cosine distance, ties → lower center id)
+    * and report per-center `(n_assigned, cover_radius)` — the radius is
+    * the max assigned distance, an order-invariant aggregate (a mean of
+    * floats would drift with partitioning). The k-row center table rides
+    * as a broadcast, so the assignment is ONE corpus scan + a bounded
+    * k-fanout; the per-vector argmin is the GroupTopK heap, never a sort.
+    */
+  def kCenterAssign(embs: DataFrame, id: Column, vec: Column,
+      k: Int): DataFrame = {
+    val t = embs.select(id.as("id"), vec.cast("array<float>").as("v"))
+      .withColumn("nrm", sqrt(VF.normSq(col("v"))))
+      .cut(eager = false) // the coreset rounds + the assignment share it
+    val centers = kCenterCoreset(t, col("id"), col("v"), k)
+      .select(col("id").as("center_id"))
+    val cvecs = t.join(centers, col("id") === col("center_id"))
+      .select(col("center_id"), col("v").as("cv"), col("nrm").as("cnrm"))
+    val scored = t.crossJoin(broadcast(cvecs))
+      .select(col("id"), col("center_id"),
+        (lit(1.0) - VF.dot(col("v"), col("cv")) /
+          (col("nrm") * col("cnrm"))).as("dist"))
+    org.apache.spark.sql.graft.GroupTopK.perGroup(
+        scored, Seq(col("id")), Seq(asc("dist"), asc("center_id")), 1)
+      .groupBy("center_id")
+      .agg(count(lit(1)).as("n_assigned"),
+        round(max(col("dist")), 6).as("cover_radius"))
+      .orderBy("center_id")
+  }
+
   /** Noisy-label screen over the exact k-NN graph — the
     * neighborhood-consensus detector (the confident-learning/"cleanlab"
     * shape reduced to its kNN core, Northcutt et al. 2021; reference

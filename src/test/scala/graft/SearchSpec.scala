@@ -345,6 +345,17 @@ class SearchSpec extends SparkSpec {
     val all = Search.kCenterCoreset(df, col("vid"), col("emb"), k = 25).collect()
     assert(all.length == 20)
     assert(all.map(_.getLong(1)).toSet == vecs.map(_._1).toSet)
+    // cover audit: every vector assigned exactly once, each center
+    // self-assigns (radius >= 0), realized radii never exceed the last
+    // selection distance by construction of the greedy cover
+    val audit = Search.kCenterAssign(df, col("vid"), col("emb"), k = k).collect()
+    assert(audit.map(_.getLong(1)).sum == 20L)
+    assert(audit.length == k)
+    assert(audit.map(_.getLong(0)).toSet == picked.map(_._2).toSet)
+    assert(audit.forall(_.getDouble(2) >= 0.0))
+    val lastSel = picked.last._3.get
+    assert(audit.forall(_.getDouble(2) <= lastSel + 1e-9),
+      s"cover radius must not exceed the final selection distance $lastSel")
   }
 
   test("labelAgreement: equals a driver replica; planted mislabel flagged, clean core not") {
