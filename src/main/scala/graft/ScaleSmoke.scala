@@ -74,7 +74,15 @@ object ScaleSmoke {
     // matches nothing in the section runs none of it.
     def timeOrSetup(name: String)(body: => Long): Unit =
       if (only.forall(name.contains)) time(name)(body)
-      else { body; () }
+      else {
+        body
+        // same post-row hygiene as `time`: without it an isolated
+        // consumer row would measure straight after heavy untimed
+        // producer work — exactly the cross-row pressure the probe
+        // exists to remove
+        System.gc()
+        Thread.sleep(300)
+      }
 
     // `time` with the row's lazy-setup dependencies forced UNTIMED first
     // (and only when the row will actually run): preserves the original
@@ -323,18 +331,18 @@ object ScaleSmoke {
         col("user_id").cast("string"), windowDays = 7, p = 10, wide = true)
         .filter(col("wau_est") >= 0).count()
     }
-    prepped("kmv source-overlap matrix (k=64 wide theta)")(ev) {
+    prepped("kmv source-overlap matrix (k=64 wide theta)")(docs) {
       val grams = docs.select(col("source"),
         explode(graft.operators.Dedup.shingles(col("text"), 2)).as("sh"))
       graft.operators.Sketches.kmvOverlap(grams, col("source"), col("sh"),
         k = 64, wide = true).filter(col("jaccard_est") >= -1).count()
     }
-    prepped("count-min heavy hitters (4x1024, top-20)")(ev) {
+    prepped("count-min heavy hitters (4x1024, top-20)")(docs) {
       graft.operators.Sketches.cmHeavyHitters(
         docs.select(explode(split(col("text"), "\\s+")).as("t")), col("t"), topK = 20)
         .filter(col("n_est") >= col("n_exact")).count()
     }
-    prepped("histogram quantiles (256 bins, 4 qs)")(ev) {
+    prepped("histogram quantiles (256 bins, 4 qs)")(docs) {
       val scored = docs.select(
         round(graft.operators.TextAnalysis.qualityScore(col("text")), 6).as("quality"))
       graft.operators.Sketches.histogramQuantiles(scored, col("quality"),
@@ -515,17 +523,20 @@ object ScaleSmoke {
     // the targeted delete flat: it rewrites a bounded number of
     // constant-sized files no matter how large the table grows
     val nFiles = math.max(8, (8 * mult) / 5)
-    // The layout rows form a producer→consumer chain (write → manifest →
-    // read/delete), so the SECTION is gated on `only` as a unit and the
-    // producer rows use timeOrSetup: scoping to "pruned read" still
-    // writes the layout and builds the manifest, silently.
-    val layoutNames = Seq(
+    // The layout rows form two independent producer→consumer chains
+    // (zorder write → manifest → pruned read; cluster write → targeted
+    // delete), each gated on `only` as a unit with producers run via
+    // timeOrSetup: scoping to "pruned read" still writes the z-order
+    // layout and builds its manifest, silently — but never pays the
+    // OTHER chain's cluster write and delete-manifest scan.
+    val zorderNames = Seq(
       s"zorder write (user_id x event_id, $nFiles files)",
       "zone-map manifest (2 cols)",
-      "pruned read (1% user slice)",
+      "pruned read (1% user slice)")
+    val deleteNames = Seq(
       s"cluster write (user_id range, $nFiles files)",
       "targeted delete (5 users, key-clustered, maintained manifest)")
-    if (only.forall(o => layoutNames.exists(_.contains(o)))) {
+    if (only.forall(o => zorderNames.exists(_.contains(o)))) {
     timeOrSetup(s"zorder write (user_id x event_id, $nFiles files)") {
       graft.sources.Layout.zorderWrite(evNarrow, "user_id", "event_id", layoutDir, nFiles)
       base * mult
@@ -547,6 +558,7 @@ object ScaleSmoke {
       graft.sources.Layout.prunedRead(spark, manifest, "user_id", 0L, hi)
         .filter(col("user_id").between(0L, hi)).count()
     }
+    } // end zorder chain gate
     // the delete benchmark runs on the layout deletes are FOR: clustered on
     // the tombstone key, one user lives in one file, so the rewrite touches
     // a bounded number of constant-sized files at any table size. (On the
@@ -554,6 +566,7 @@ object ScaleSmoke {
     // rows spread across a grid row — still far from a full rewrite, but
     // clustering on the delete key is the flat shape.)
     val delDir = layoutDir + "_bykey"
+    if (only.forall(o => deleteNames.exists(_.contains(o)))) {
     timeOrSetup(s"cluster write (user_id range, $nFiles files)") {
       evNarrow.repartitionByRange(nFiles, col("user_id"))
         .sortWithinPartitions("user_id")
@@ -574,7 +587,7 @@ object ScaleSmoke {
         knownManifest = Some(delManifest))
       d
     }
-    } // end layout section gate
+    } // end delete chain gate
 
     // ---- skew stress (round-6: hot key = 20% of rows) -------------------
     // Everything above replicates UNIFORMLY; real corpora are Zipf. One

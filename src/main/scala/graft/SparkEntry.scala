@@ -86,6 +86,8 @@ object SparkEntry {
     chain.append(
       """e AS MATERIALIZED (
         |  SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+        |  WHERE list_inner_product(CAST(embedding AS DOUBLE[]),
+        |    CAST(embedding AS DOUBLE[])) > 0
         |), c0 AS (SELECT id, v FROM e ORDER BY id LIMIT 1
         |), m1 AS MATERIALIZED (
         |  SELECT e.id, e.v, 1.0 - list_cosine_similarity(e.v, c0.v) AS mind

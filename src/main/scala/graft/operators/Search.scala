@@ -171,37 +171,53 @@ object Search {
     */
   def kCenterCoreset(embs: DataFrame, id: Column, vec: Column,
       k: Int): DataFrame = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.{DoubleType, IntegerType, StructField, StructType}
     require(k >= 1)
     val spark = embs.sparkSession
-    // store dtype discipline (O20): vectors coerce to float32 on entry
+    // store dtype discipline (O20): vectors coerce to float32 on entry.
+    // Zero-norm vectors are excluded up front — their cosine distance is
+    // NaN, which least() skips and desc-sort ranks FIRST, so one garbage
+    // vector (a failed upstream inference) would hijack round 1 with a
+    // reported dist of 1.8e308 and a meaningless radius curve.
     val t = embs.select(id.as("id"), vec.cast("array<float>").as("v"))
       .withColumn("nrm", sqrt(VF.normSq(col("v"))))
+      .filter(col("nrm") > 0)
       .cut(eager = false) // one scan feeds every round
-    val seed = t.orderBy("id").limit(1).head()
-    var picked = Seq[(Int, Long, Option[Double])]((0, seed.getLong(0), None))
+    val outSchema = StructType(Seq(
+      StructField("round", IntegerType, nullable = false),
+      StructField("id", t.schema("id").dataType),
+      StructField("dist", DoubleType)))
+    def round6(x: Double): java.lang.Double =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val seedRows = t.orderBy("id").limit(1).collect()
+    if (seedRows.isEmpty)
+      return spark.createDataFrame(
+        spark.sparkContext.emptyRDD[Row], outSchema)
+    val seed = seedRows.head
+    var picked = Seq[Row](Row(0, seed.get(0), null))
     var centerVec = seed.getSeq[Float](1)
     var centerNrm = seed.getDouble(2)
+    var lastId: Any = seed.get(0)
     var state = t.withColumn("mind", lit(Double.MaxValue))
     for (r <- 1 until k) {
       val d = lit(1.0) - VF.dot(col("v"), typedLit(centerVec)) /
         (col("nrm") * lit(centerNrm))
       state = state
-        .filter(col("id") =!= lit(picked.last._2))
+        .filter(col("id") =!= lit(lastId))
         .withColumn("mind", least(col("mind"), d))
         .cut(eager = false)
       val rows = state.orderBy(desc("mind"), asc("id")).limit(1).collect()
       if (rows.nonEmpty) {
         val c = rows.head
-        picked :+= ((r, c.getLong(0), Some(c.getDouble(3))))
+        picked :+= Row(r, c.get(0), round6(c.getDouble(3)))
         centerVec = c.getSeq[Float](1)
         centerNrm = c.getDouble(2)
+        lastId = c.get(0)
       }
     }
-    import spark.implicits._
-    picked.map { case (r, i, dO) =>
-      (r, i, dO.map(x =>
-        BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble))
-    }.toDF("round", "id", "dist")
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(picked, numSlices = 1), outSchema)
   }
 
   /** Cover audit for [[kCenterCoreset]]: assign every vector to its
@@ -216,6 +232,7 @@ object Search {
       k: Int): DataFrame = {
     val t = embs.select(id.as("id"), vec.cast("array<float>").as("v"))
       .withColumn("nrm", sqrt(VF.normSq(col("v"))))
+      .filter(col("nrm") > 0) // same NaN exclusion as the coreset rounds
       .cut(eager = false) // the coreset rounds + the assignment share it
     val centers = kCenterCoreset(t, col("id"), col("v"), k)
       .select(col("id").as("center_id"))
@@ -294,17 +311,27 @@ object Search {
         sum((col("dst_lbl") === col("src_lbl")).cast("long")).as("n_agree"))
     t.select(col("id"), col("lbl").as("label"))
       .join(counts, Seq("id"), "left")
-      .select(col("id"), col("label"),
-        coalesce(col("n_nbrs"), lit(0L)).as("n_nbrs"),
-        coalesce(col("n_agree"), lit(0L)).as("n_agree"),
-        round(coalesce(col("n_agree"), lit(0L)) /
-          greatest(coalesce(col("n_nbrs"), lit(0L)), lit(1L)), 6)
-          .as("agree_frac"),
-        (coalesce(col("n_agree"), lit(0L)) <
-          coalesce(col("n_nbrs"), lit(0L)).cast("double") * lit(tau))
-          .cast("int").as("noisy"))
+      .select(Seq(col("id"), col("label")) ++ consensusColumns(tau): _*)
       .orderBy("id")
   }
+
+  /** THE consensus-flag definition — single source of truth shared with
+    * the streaming ingest screen
+    * ([[graft.streaming.Streaming.startLabelNoiseScreen]]), so the online
+    * gate can never drift from the offline screen it twins: coalesced
+    * counts, 6-dp `agree_frac`, and `noisy` computed from the RAW counts
+    * (`n_agree < n_nbrs·τ`), never from the rounded fraction. Input rows
+    * carry nullable `n_nbrs` / `n_agree` from a left join.
+    */
+  private[graft] def consensusColumns(tau: Double): Seq[Column] = Seq(
+    coalesce(col("n_nbrs"), lit(0L)).as("n_nbrs"),
+    coalesce(col("n_agree"), lit(0L)).as("n_agree"),
+    round(coalesce(col("n_agree"), lit(0L)) /
+      greatest(coalesce(col("n_nbrs"), lit(0L)), lit(1L)), 6)
+      .as("agree_frac"),
+    (coalesce(col("n_agree"), lit(0L)) <
+      coalesce(col("n_nbrs"), lit(0L)).cast("double") * lit(tau))
+      .cast("int").as("noisy"))
 
   /** Directed exact top-`k` cosine edge list `(src, dst)` over the
     * 1-Bucket-Theta grid — the shared candidate generator of

@@ -591,34 +591,37 @@ object Streaming {
       .queryName(queryName)
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        val b = AnnSearch.index(
-            batch.select(id.as("id"), vec.as("v"), label.as("lbl")),
-            col("v"), planes)
+        // distinct (id, vec, label) payloads screen INDEPENDENTLY, keyed
+        // by a 64-bit payload hash: an at-least-once source can land the
+        // same id twice in one batch (replay, or a correction with a new
+        // label/vector) — pooling edges by id alone would merge both
+        // rows' candidates into one top-k and fan the same mixed counts
+        // onto every output row; exact duplicate rows collapse via the
+        // distinct instead of double-counting half the neighborhood.
+        val b0 = batch.select(id.as("id"), vec.as("v"), label.as("lbl"))
+          .distinct()
+        val rk = xxhash64(col("id").cast("string"),
+          col("lbl").cast("string"), col("v"))
+        val b = AnnSearch.index(b0, col("v"), planes)
           .withColumn("nrm", sqrt(VF.normSq(col("v"))))
+          .withColumn("rk", rk)
           .withColumn("m", explode(typedLit(masks)))
           .withColumn("pb", col("bucket").bitwiseXOR(col("m")))
         val scored = b.as("a").join(idx.as("c"),
             col("a.pb") === col("c.bucket"))
-          .select(col("a.id").as("src"), col("a.lbl").as("src_lbl"),
+          .select(col("a.rk").as("rk"), col("a.lbl").as("src_lbl"),
             col("c.dst").as("dst"), col("c.dst_lbl").as("dst_lbl"),
             (VF.dot(col("a.v"), col("c.cv")) /
               (col("a.nrm") * col("c.cnrm"))).as("score"))
         val counts = org.apache.spark.sql.graft.GroupTopK.perGroup(
-            scored, Seq(col("src")), Seq(desc("score"), asc("dst")), k)
-          .groupBy(col("src").as("id"))
+            scored, Seq(col("rk")), Seq(desc("score"), asc("dst")), k)
+          .groupBy(col("rk"))
           .agg(count(lit(1)).as("n_nbrs"),
             sum((col("dst_lbl") === col("src_lbl")).cast("long")).as("n_agree"))
-        batch.select(id.as("id"), label.as("label")).distinct()
-          .join(counts, Seq("id"), "left")
-          .select(col("id"), col("label"),
-            coalesce(col("n_nbrs"), lit(0L)).as("n_nbrs"),
-            coalesce(col("n_agree"), lit(0L)).as("n_agree"),
-            round(coalesce(col("n_agree"), lit(0L)) /
-              greatest(coalesce(col("n_nbrs"), lit(0L)), lit(1L)), 6)
-              .as("agree_frac"),
-            (coalesce(col("n_agree"), lit(0L)) <
-              coalesce(col("n_nbrs"), lit(0L)).cast("double") * lit(tau))
-              .cast("int").as("noisy"))
+        b0.withColumn("rk", rk)
+          .join(counts, Seq("rk"), "left")
+          .select(Seq(col("id"), col("lbl").as("label")) ++
+            graft.operators.Search.consensusColumns(tau): _*)
           .withColumn("batch_id", lit(batchId))
           .write.mode("overwrite")
           .option("partitionOverwriteMode", "dynamic")

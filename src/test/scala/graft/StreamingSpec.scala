@@ -289,8 +289,13 @@ class StreamingSpec extends SparkSpec {
       q.processAllAvailable()
       in.addData(a2)
       q.processAllAvailable()
+      // same id, same vector, CONFLICTING labels in ONE batch (an
+      // at-least-once replay carrying a correction): each (id, label)
+      // payload must screen independently, not share one merged top-k
+      in.addData((502L, a1._2, 0), (502L, a1._2, 1))
+      q.processAllAvailable()
       val res = sp.read.parquet(s"$out/res").collect()
-        .map(r => r.getLong(0) -> ((r.getInt(1), r.getLong(2), r.getLong(3),
+        .map(r => (r.getLong(0), r.getInt(1)) -> ((r.getLong(2), r.getLong(3),
           r.getDouble(4), r.getInt(5), r.getAs[Number]("batch_id").longValue)))
         .toMap
       // driver replica of the bipartite consensus
@@ -299,17 +304,19 @@ class StreamingSpec extends SparkSpec {
         for (i <- a.indices) { d += a(i).toDouble * b(i); na += a(i).toDouble * a(i); nb += b(i).toDouble * b(i) }
         d / (math.sqrt(na) * math.sqrt(nb))
       }
-      for ((aid, avec, alab) <- Seq(a1, a2)) {
+      for ((aid, avec, alab) <- Seq(a1, a2, (502L, a1._2, 0), (502L, a1._2, 1))) {
         val nbrs = corpusRows.map { case (ci, cv, cl) => (ci, cos(avec, cv), cl) }
           .sortBy { case (ci, s, _) => (-s, ci) }.take(k)
         val agree = nbrs.count(_._3 == alab).toLong
-        val (lab, nn, na2, frac, noisy, _) = res(aid)
-        assert((lab, nn, na2) == ((alab, k.toLong, agree)), s"row $aid")
+        val (nn, na2, frac, noisy, _) = res((aid, alab))
+        assert((nn, na2) == ((k.toLong, agree)), s"row ($aid, $alab)")
         assert(frac == math.rint(agree.toDouble / k * 1e6) / 1e6)
         assert(noisy == (if (agree < k * 0.5) 1 else 0))
       }
-      assert(res(500L)._5 == 0 && res(501L)._5 == 1) // the planted noise flags
-      assert(res(500L)._6 == 0L && res(501L)._6 == 1L) // batch stamps
+      assert(res((500L, 0))._4 == 0 && res((501L, 0))._4 == 1) // planted noise flags
+      assert(res((500L, 0))._5 == 0L && res((501L, 0))._5 == 1L) // batch stamps
+      // the conflicting-label pair got DIFFERENT verdicts from one batch
+      assert(res((502L, 0))._4 == 0 && res((502L, 1))._4 == 1)
     } finally q.stop()
   }
 
