@@ -2311,6 +2311,29 @@ object SparkEntry {
     // to the clean dimension at edit distance <= 1 — symmetric-deletion
     // (FastSS/SymSpell) blocking equi-join + exact levenshtein verify;
     // candidates come from variant equality, never a cross join
+    // record-linkage clustering: two record sources (clean + per-record
+    // corrupted twins), edit-distance≤1 self-ER via the deletion-
+    // neighborhood blocking, then connected components over the match
+    // edges — every record mapped to its resolved ENTITY (min reachable
+    // id), the master-data consolidation shape; 1-in-10 key sample keeps
+    // the oracle's brute-force quadratic ground truth tractable at sf0.1
+    "q_er_clusters" -> ((s, dir) => {
+      val cust = s.read.parquet(s"$dir/customer.parquet")
+        .filter(pmod(col("c_custkey"), lit(10)) === 0)
+      val pos = pmod(col("c_custkey"), length(col("c_name")).cast("long"))
+      val recs = cust
+        .select((col("c_custkey") * 2).as("rid"), col("c_name").as("name"))
+        .unionByName(cust.select((col("c_custkey") * 2 + 1).as("rid"),
+          concat(col("c_name").substr(lit(1), pos.cast("int")),
+            col("c_name").substr((pos + lit(2L)).cast("int"),
+              length(col("c_name")))).as("name")))
+      val pairs = FuzzyJoin.edJoin(recs, col("rid"), col("name"),
+          recs, col("rid"), col("name"), maxDist = 1)
+        .filter(col("l_id") < col("r_id"))
+        .select(col("l_id").as("id_a"), col("r_id").as("id_b"))
+      Dedup.connectedComponentsAuto(recs.select(col("rid").as("id")), pairs)
+        .orderBy("id")
+    }),
     "q_er_names" -> ((s, dir) => {
       val cust = s.read.parquet(s"$dir/customer.parquet")
       val pos = pmod(col("c_custkey"), length(col("c_name")).cast("long"))
@@ -5454,6 +5477,32 @@ object SparkEntry {
     // ER oracle: the same deterministic one-char-deletion corruption, then
     // the brute-force cross join with exact levenshtein — the blocking-free
     // ground truth the deletion-neighborhood join must reproduce exactly
+    // ER-clustering oracle: the same two record sources, brute-force
+    // levenshtein≤1 match pairs, then the recursive min-reachable-id
+    // closure (the softdedup CC oracle pattern)
+    "q_er_clusters" ->
+      """WITH RECURSIVE c AS (
+        |  SELECT c_custkey AS k, c_name FROM customer WHERE c_custkey % 10 = 0
+        |), recs AS MATERIALIZED (
+        |  SELECT k * 2 AS rid, c_name AS name FROM c
+        |  UNION ALL
+        |  SELECT k * 2 + 1,
+        |    substr(c_name, 1, CAST(k % length(c_name) AS INT)) ||
+        |    substr(c_name, CAST(k % length(c_name) AS INT) + 2)
+        |  FROM c
+        |), p AS MATERIALIZED (
+        |  SELECT a.rid AS id_a, b.rid AS id_b
+        |  FROM recs a, recs b
+        |  WHERE a.rid < b.rid AND levenshtein(a.name, b.name) <= 1
+        |), e AS (
+        |  SELECT id_a AS s, id_b AS d FROM p UNION ALL SELECT id_b, id_a FROM p
+        |), r AS (
+        |  SELECT rid AS id, rid AS reach FROM recs
+        |  UNION
+        |  SELECT e.d AS id, r.reach FROM r JOIN e ON r.id = e.s
+        |), cl AS (SELECT id, min(reach) AS cluster_id FROM r GROUP BY id)
+        |SELECT id, cluster_id, id = cluster_id AS keep
+        |FROM cl ORDER BY id""".stripMargin,
     "q_er_names" ->
       """WITH dirty AS (
         |  SELECT c_custkey AS dirty_id,
