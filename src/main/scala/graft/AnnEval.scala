@@ -169,6 +169,27 @@ object AnnEval {
       println(f"| C=$c | $recall%.3f | $compares%.3f |")
     }
 
+    // label-noise screen: flag agreement of the LSH-blocked tier vs the
+    // exact-grid screen across probe radii — quantifies how many verdicts
+    // the sub-quadratic ingest path changes, and the candidate fraction
+    // it pays (probes/2^planes)
+    println("\n| label-noise screen | flag agreement | candidate fraction |\n|---|---|---|")
+    val exactScreen = operators.Search.labelAgreement(
+        embs, col("vec_id"), col("embedding"), col("label"), k = 6)
+      .select("id", "noisy").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val lnPlanes = operators.AnnSearch.hyperplanes(dim = 64, numPlanes = 10)
+    for (radius <- 0 to 2) {
+      val got = operators.Search.labelAgreementLsh(embs, col("vec_id"),
+          col("embedding"), col("label"), lnPlanes, k = 6,
+          probeRadius = radius)
+        .select("id", "noisy").collect()
+        .map(r => r.getLong(0) -> r.getInt(1))
+      val agree = got.count { case (i, nz) => exactScreen(i) == nz }.toDouble / got.length
+      val frac = operators.AnnSearch.xorMasks(10, radius).length / 1024.0
+      println(f"| LSH 10 planes, radius $radius | $agree%.3f | $frac%.3f |")
+    }
+
     spark.stop()
   }
 }
