@@ -974,6 +974,15 @@ object SparkEntry {
       graft.sources.Testdata.table(s, dir, "documents")
         .select(col("doc_id"), TextAnalysis.langId(col("text")).as("lang_pred"))
         .orderBy("doc_id")),
+    // code-switching profile: 40-token segments, per-segment language ID,
+    // per-doc rollup (majority vote, switch points, mixed flag) — the
+    // multilingual routing audit a doc-level langid cannot see; chunk +
+    // segment-ID stay in the scan stage, the only exchange is the
+    // per-doc groupBy of (chunk_idx, lang) pairs
+    "q_text_code_switch" -> ((s, dir) =>
+      TextAnalysis.codeSwitch(graft.sources.Testdata.table(s, dir, "documents"),
+          col("doc_id"), col("text"), segTokens = 40)
+        .withColumnRenamed("id", "doc_id")),
     // bigram-LM NLL (the closer CCNet-perplexity proxy): MLE conditionals
     // over corpus bigram counts, context denominators derived from the
     // bigram table, sorted-fold per-doc sums (bit-parity oracle)
@@ -3343,6 +3352,56 @@ object SparkEntry {
         |  WHEN s_es >= s_fr AND s_es > 0 THEN 'es'
         |  WHEN s_fr > 0 THEN 'fr' ELSE 'und' END AS lang_pred
         |FROM s ORDER BY doc_id""".stripMargin,
+    // code-switch oracle: the chunk formula at stride = size, the langid
+    // CASE per segment, then window/group rollups (majority via
+    // row_number count-desc-lang-asc, switches via lag)
+    "q_text_code_switch" ->
+      s"""WITH t AS (
+         |  SELECT doc_id AS id, string_split_regex(text, '\\s+') AS toks FROM documents
+         |), nn AS (
+         |  SELECT id, toks, len(toks) AS n FROM t WHERE len(toks) > 0
+         |), seg AS (
+         |  SELECT id, CAST(k AS INT) AS chunk_idx,
+         |    list_slice(toks, k*40 + 1, k*40 + 40) AS stoks
+         |  FROM nn, unnest(range(0,
+         |    CAST(ceil(CAST(greatest(n - 40, 0) AS DOUBLE) / 40) AS BIGINT) + 1)) AS u(k)
+         |), sc AS (
+         |  SELECT id, chunk_idx,
+         |    len(list_filter(stoks, x -> list_contains(${profileSql("en")}, x))) AS s_en,
+         |    len(list_filter(stoks, x -> list_contains(${profileSql("de")}, x))) AS s_de,
+         |    len(list_filter(stoks, x -> list_contains(${profileSql("es")}, x))) AS s_es,
+         |    len(list_filter(stoks, x -> list_contains(${profileSql("fr")}, x))) AS s_fr
+         |  FROM seg
+         |), sl AS (
+         |  SELECT id, chunk_idx, CASE
+         |    WHEN s_en >= s_de AND s_en >= s_es AND s_en >= s_fr AND s_en > 0 THEN 'en'
+         |    WHEN s_de >= s_es AND s_de >= s_fr AND s_de > 0 THEN 'de'
+         |    WHEN s_es >= s_fr AND s_es > 0 THEN 'es'
+         |    WHEN s_fr > 0 THEN 'fr' ELSE 'und' END AS lang
+         |  FROM sc
+         |), wl AS (
+         |  SELECT id, chunk_idx, lang,
+         |    lag(lang) OVER (PARTITION BY id ORDER BY chunk_idx) AS prev
+         |  FROM sl
+         |), mj AS (
+         |  SELECT id, lang FROM (
+         |    SELECT id, lang,
+         |      row_number() OVER (PARTITION BY id
+         |        ORDER BY count(*) DESC, lang ASC) AS rn
+         |    FROM sl GROUP BY id, lang)
+         |  WHERE rn = 1
+         |), ag AS (
+         |  SELECT id, CAST(count(*) AS INT) AS n_segments,
+         |    CAST(count(DISTINCT lang) AS INT) AS n_langs,
+         |    CAST(sum(CASE WHEN prev IS NOT NULL AND lang <> prev
+         |      THEN 1 ELSE 0 END) AS INT) AS n_switches,
+         |    CAST(count(DISTINCT lang) > 1 AS INT) AS mixed
+         |  FROM wl GROUP BY id
+         |)
+         |SELECT ag.id AS doc_id, ag.n_segments, ag.n_langs,
+         |  mj.lang AS majority_lang, ag.n_switches, ag.mixed
+         |FROM ag JOIN mj ON mj.id = ag.id
+         |ORDER BY doc_id""".stripMargin,
     "q_text_fingerprint" ->
       """SELECT doc_id,
         |  list_reduce(

@@ -135,16 +135,25 @@ object Profile {
   def numericProfile(df: DataFrame, cols: Seq[String]): DataFrame = {
     require(cols.nonEmpty)
     val dec = "decimal(30,6)"
-    def x2(c: String) = col(c).cast("double") * col(c).cast("double")
+    // pre-project the x² lanes once per row — inside the agg each sum()
+    // input is evaluated independently (no cross-aggregate subexpression
+    // sharing), so the square + fmod + decimal casts would run twice per
+    // column per row; the projection fuses into the scan stage
+    val pre = df.select(cols.flatMap { c =>
+      val x2 = col(c).cast("double") * col(c).cast("double")
+      Seq(col(c),
+        (x2 - x2 % lit(1.0)).cast("decimal(38,0)").as(s"__x2h_$c"),
+        (x2 % lit(1.0)).cast("decimal(38,12)").as(s"__x2l_$c"))
+    }: _*)
     val aggs = cols.flatMap(c => Seq(
       count(col(c)).as(s"__n_$c"),
       min(col(c).cast("double")).as(s"__mn_$c"),
       max(col(c).cast("double")).as(s"__mx_$c"),
       sum(col(c).cast(dec)).as(s"__s_$c"),
-      sum((x2(c) - x2(c) % lit(1.0)).cast("decimal(38,0)")).as(s"__s2h_$c"),
-      sum((x2(c) % lit(1.0)).cast("decimal(38,12)")).as(s"__s2l_$c"))) :+
+      sum(col(s"__x2h_$c")).as(s"__s2h_$c"),
+      sum(col(s"__x2l_$c")).as(s"__s2l_$c"))) :+
       count(lit(1)).as("__rows")
-    val one = df.agg(aggs.head, aggs.tail: _*)
+    val one = pre.agg(aggs.head, aggs.tail: _*)
     val stackArgs = cols.map(c =>
       s"'$c', __n_$c, __mn_$c, __mx_$c, CAST(__s_$c AS DOUBLE), " +
         s"CAST(__s2h_$c AS DOUBLE) + CAST(__s2l_$c AS DOUBLE)")

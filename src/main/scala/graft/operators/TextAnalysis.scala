@@ -62,6 +62,57 @@ object TextAnalysis {
     }
   }
 
+  /** Segment-level language profile — the code-switching detector a
+    * multilingual 100 TB ingest runs before routing documents to
+    * per-language pipelines: the document splits into NON-overlapping
+    * `segTokens`-token windows ([[Curation.chunkTokens]] at
+    * stride = size), each segment gets the stopword-profile [[langId]],
+    * and the per-doc rollup reports segment count, distinct-language
+    * count, the majority language (count desc, lang asc — pure integer
+    * tie-break), the number of language SWITCH points between adjacent
+    * segments, and a `mixed` flag. A doc-level langId can miss a 50/50
+    * bilingual document entirely (the profiles just outvote each other);
+    * the segment profile sees every span.
+    *
+    * Scale shape: chunking + per-segment language ID live in the scan
+    * stage (one Generate, no join); the only exchange is the per-doc
+    * groupBy, whose state is one (chunk_idx, lang) pair per segment —
+    * bounded by doc length, never corpus-sized. The rollup arithmetic
+    * (majority vote, switch count) runs as codegen'd array expressions
+    * over that per-doc list.
+    */
+  def codeSwitch(docs: DataFrame, id: Column, text: Column,
+      segTokens: Int = 50): DataFrame = {
+    require(segTokens >= 1)
+    val segs = Curation.chunkTokens(docs, id, text,
+        size = segTokens, stride = segTokens)
+      .select(col("id"), col("chunk_idx"), langId(col("chunk_text")).as("lang"))
+    val agg = segs.groupBy("id")
+      .agg(sort_array(collect_list(struct(col("chunk_idx"), col("lang"))))
+        .as("segs"))
+    val langs = transform(col("segs"), s => s.getField("lang"))
+    val byCount = array_sort(
+      transform(array_distinct(langs), l =>
+        struct(size(filter(langs, x => x === l)).as("cnt"), l.as("lang"))),
+      (a, b) => when(a.getField("cnt") > b.getField("cnt"), -1)
+        .when(a.getField("cnt") < b.getField("cnt"), 1)
+        .otherwise(when(a.getField("lang") < b.getField("lang"), -1)
+          .when(a.getField("lang") > b.getField("lang"), 1)
+          .otherwise(0)))
+    val switches = when(size(col("segs")) >= 2,
+      aggregate(sequence(lit(2), size(col("segs"))), lit(0), (acc, i) =>
+        acc + when(element_at(col("segs"), i).getField("lang") =!=
+          element_at(col("segs"), i - 1).getField("lang"), 1).otherwise(0)))
+      .otherwise(lit(0))
+    agg.select(col("id"),
+        size(col("segs")).as("n_segments"),
+        size(array_distinct(langs)).as("n_langs"),
+        element_at(byCount, 1).getField("lang").as("majority_lang"),
+        switches.as("n_switches"),
+        (size(array_distinct(langs)) > 1).cast("int").as("mixed"))
+      .orderBy("id")
+  }
+
   /** Punctuation ratio: fraction of non-whitespace chars that are neither
     * letters nor digits.
     */

@@ -8,6 +8,31 @@ import org.apache.spark.sql.functions._
   */
 class TextAnalysisSpec extends SparkSpec {
 
+  test("codeSwitch: bilingual doc flags mixed with the right switch count; monolingual doesn't") {
+    import testImplicits._
+    val en = Seq.fill(4)("the a and of to in is it that for").mkString(" ")  // 40 en tokens
+    val de = Seq.fill(4)("der die das und ist ein zu den nicht mit").mkString(" ")
+    val docs = Seq(
+      (1L, s"$en $de $en"),     // en | de | en at 40-token segments
+      (2L, s"$en $en"),         // monolingual, 2 segments
+      (3L, "qq ww zz")          // 1 short segment, no profile hits -> und
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.codeSwitch(docs, col("doc_id"), col("text"), segTokens = 40)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getInt(1), r.getInt(2), r.getString(3), r.getInt(4), r.getInt(5)))).toMap
+    // doc 1: 3 segments en/de/en -> majority en (2 vs 1), 2 switches, mixed
+    assert(out(1L) == ((3, 2, "en", 2, 1)))
+    // doc 2: 2 en segments, no switches, not mixed
+    assert(out(2L) == ((2, 1, "en", 0, 0)))
+    // doc 3: single undetermined segment
+    assert(out(3L) == ((1, 1, "und", 0, 0)))
+    // majority tie-break: 1 en + 1 de segment -> count tie -> 'de' < 'en'
+    val tie = Seq((9L, s"$en $de")).toDF("doc_id", "text")
+    val t = TextAnalysis.codeSwitch(tie, col("doc_id"), col("text"), segTokens = 40)
+      .head()
+    assert(t.getString(3) == "de" && t.getInt(5) == 1)
+  }
+
   test("unigram NLL: hand-computed two-doc corpus; rare tokens score higher") {
     import testImplicits._
     // corpus tokens: a a b | a c  →  counts a=3, b=1, c=1, N=5
