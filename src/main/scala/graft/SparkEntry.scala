@@ -1251,6 +1251,16 @@ object SparkEntry {
           docs.filter(col("doc_id") < 20), col("text"), n = 5)
         .orderBy("id")
     }),
+    // contamination forensics: per eval doc, the top-10 training docs by
+    // shared distinct 5-gram count — the named-culprit audit behind the
+    // decontam drop decision; eval (id, fp) pairs broadcast, the pair
+    // aggregation is bounded by actual shared evidence
+    "q_curate_contam_report" -> ((s, dir) => {
+      val docs = graft.sources.Testdata.table(s, dir, "documents")
+      Curation.contaminationReport(
+        docs.filter(col("doc_id") >= 20), col("doc_id"), col("text"),
+        docs.filter(col("doc_id") < 20), col("doc_id"), col("text"), n = 5)
+    }),
     // Decontamination against a LARGE blocklist: Bloom prefilter in the
     // scan stage (no false negatives) + exact verify on survivors — same
     // exact semantics, so the oracle is the plain intersect; here 4-grams
@@ -4293,6 +4303,29 @@ object SparkEntry {
          |  CAST(len(list_intersect(gr.fps, ev.efps)) AS BIGINT) AS n_hits,
          |  len(list_intersect(gr.fps, ev.efps)) > 0 AS contaminated
          |FROM gr, ev ORDER BY id""".stripMargin,
+    // Contamination-report oracle: the same distinct-gram fingerprint
+    // tables, pairwise intersect counts, row_number top-10 per eval doc
+    "q_curate_contam_report" ->
+      s"""WITH tok AS (
+         |  SELECT doc_id, string_split_regex(text, '\\s+') AS w FROM documents
+         |), gr AS (
+         |  SELECT doc_id, list_distinct(list_transform(
+         |    list_transform(range(1, len(w)-3), i -> w[i]||' '||w[i+1]||' '||w[i+2]||' '||w[i+3]||' '||w[i+4]),
+         |    g -> $polyhashSql)) AS fps
+         |  FROM tok
+         |), p AS (
+         |  SELECT ev.doc_id AS eval_id, tr.doc_id AS train_id,
+         |    CAST(len(list_intersect(ev.fps, tr.fps)) AS BIGINT) AS n_shared_grams
+         |  FROM gr ev, gr tr
+         |  WHERE ev.doc_id < 20 AND tr.doc_id >= 20
+         |    AND len(list_intersect(ev.fps, tr.fps)) > 0
+         |)
+         |SELECT eval_id, train_id, n_shared_grams FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY eval_id
+         |    ORDER BY n_shared_grams DESC, train_id ASC) AS rn
+         |  FROM p)
+         |WHERE rn <= 10
+         |ORDER BY eval_id, n_shared_grams DESC, train_id""".stripMargin,
     // Per-label k-NN oracle: the row_number window twin of the GroupTopK
     // heap — selection on the exact double score, rounding after
     "q_knn_per_label" ->

@@ -183,6 +183,41 @@ object Curation {
         (coalesce(col("n_hits"), lit(0L)) > 0).as("contaminated"))
   }
 
+  /** Contamination forensics — the evidence REPORT behind
+    * [[decontaminate]]'s drop decision: for every EVALUATION document,
+    * which training documents share word n-grams and how many distinct
+    * grams each shares, top-`k` offenders per eval doc. The audit a
+    * benchmark owner runs when a suspicious eval score needs a named
+    * culprit, where the filter only needed a yes/no.
+    *
+    * Scale shape: the eval side's (eval_id, fp) pairs broadcast (eval
+    * suites are small by construction); the corpus side shuffles only
+    * the pair-count aggregation keyed (eval_id, train_id) — bounded by
+    * actual shared-gram evidence, never the corpus × eval cross space —
+    * and the per-eval top-k is the GroupTopK bounded heap.
+    */
+  def contaminationReport(
+      docs: DataFrame,
+      id: Column,
+      text: Column,
+      evalDocs: DataFrame,
+      evalId: Column,
+      evalText: Column,
+      n: Int = 5,
+      k: Int = 10): DataFrame = {
+    require(n >= 1 && k >= 1)
+    val evalGrams = evalDocs.select(evalId.as("eval_id"),
+      explode(gramFps(evalText, n)).as("fp"))
+    val docGrams = docs.select(id.as("train_id"), explode(gramFps(text, n)).as("fp"))
+    val pairs = docGrams.join(broadcast(evalGrams), Seq("fp"))
+      .groupBy("eval_id", "train_id")
+      .agg(count(lit(1)).as("n_shared_grams"))
+    org.apache.spark.sql.graft.GroupTopK.perGroup(
+        pairs, Seq(col("eval_id")),
+        Seq(desc("n_shared_grams"), asc("train_id")), k)
+      .orderBy(col("eval_id"), desc("n_shared_grams"), col("train_id"))
+  }
+
   /** Per-doc DISTINCT word-n-gram 64-bit fingerprints — the 8-byte join/
     * screen key shared by [[decontaminate]] and [[decontaminateBloom]].
     */

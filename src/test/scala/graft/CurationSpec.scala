@@ -130,6 +130,30 @@ class CurationSpec extends SparkSpec {
     assert(res(3L) == ((1L, true)))   // shares "quick brown fox jumps over"
   }
 
+  test("contaminationReport: named culprits with exact shared-gram counts, top-k per eval doc") {
+    val eval = Seq(
+      (100L, "the quick brown fox jumps over the lazy dog"),
+      (101L, "nothing in common with anything in training data")).toDF("doc_id", "text")
+    val docs = Seq(
+      (1L, "a sentence with the quick brown fox jumps inside it"),
+      (2L, "completely different content nothing shared here at all"),
+      // doc 3 shares TWO distinct 5-grams of eval 100
+      (3L, "quick brown fox jumps over the lazy dog indeed")).toDF("doc_id", "text")
+    val res = Curation.contaminationReport(docs, col("doc_id"), col("text"),
+        eval, col("doc_id"), col("text"), n = 5, k = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    // eval 100: doc 3 shares {"quick brown fox jumps over", "brown fox
+    // jumps over the", "fox jumps over the lazy", "jumps over the lazy
+    // dog"} = 4 grams; doc 1 shares {"the quick brown fox jumps"} = 1.
+    // eval 101 shares nothing -> absent (evidence-only report).
+    assert(res == Seq((100L, 3L, 4L), (100L, 1L, 1L)))
+    // k=1 keeps only the worst offender
+    val top1 = Curation.contaminationReport(docs, col("doc_id"), col("text"),
+        eval, col("doc_id"), col("text"), n = 5, k = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(top1 == Seq((100L, 3L, 4L)))
+  }
+
   test("decontamination with an empty eval set flags nothing; short docs have no grams") {
     val docs = Seq((1L, "some ordinary document text here please"), (2L, "tiny")).toDF("doc_id", "text")
     val emptyEval = Seq.empty[(Long, String)].toDF("doc_id", "text")
