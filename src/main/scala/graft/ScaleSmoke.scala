@@ -289,6 +289,19 @@ object ScaleSmoke {
       graft.operators.Curation.stratifiedExact(docs, col("doc_id"),
         col("source"), nPerGroup = 5).count()
     }
+    // chunk + per-segment langid stay in the scan stage; the per-doc
+    // rollup is one exchange of (chunk_idx, lang) pairs
+    prepped("code-switch profile (40-token segments)")(docs) {
+      graft.operators.TextAnalysis.codeSwitch(docs, col("doc_id"),
+        col("text"), segTokens = 40).filter(col("mixed") >= 0).count()
+    }
+    // eval side fixed (broadcast); evidence pairs grow with the train
+    // corpus, so the curve should track the decontam row
+    prepped("contamination report (vs 20-doc eval, top-10)")(docs) {
+      graft.operators.Curation.contaminationReport(docs, col("doc_id"),
+        col("text"), docs0.filter(col("doc_id") < 20), col("doc_id"),
+        col("text"), n = 5).count()
+    }
     prepped("luhn card scrub")(docs) {
       docs.select(md5(graft.operators.Curation.scrubCards(col("text"))).as("m"))
         .filter(col("m").isNotNull).count()
@@ -313,6 +326,25 @@ object ScaleSmoke {
             length(col("c_name")))).as("dn"))
       graft.operators.FuzzyJoin.edJoin(dirty, col("did"), col("dn"),
         custU, col("c_custkey"), col("c_name"), maxDist = 1).count()
+    }
+    // record-linkage clustering over the same replica-disjoint names:
+    // clean + corrupted twins self-match at d<=1, CC resolves entities;
+    // clusters stay within replicas so the truth grows linearly
+    prepped("er clustering (d<=1 self-match -> CC)")(custU) {
+      val samp = custU.filter(pmod(col("c_custkey"), lit(10)) === 0)
+      val pos = pmod(col("c_custkey"), length(col("c_name")).cast("long"))
+      val recs = samp
+        .select((col("c_custkey") * 2).as("rid"), col("c_name").as("name"))
+        .unionByName(samp.select((col("c_custkey") * 2 + 1).as("rid"),
+          concat(col("c_name").substr(lit(1), pos.cast("int")),
+            col("c_name").substr((pos + lit(2L)).cast("int"),
+              length(col("c_name")))).as("name")))
+      val pairs = graft.operators.FuzzyJoin.edJoin(recs, col("rid"), col("name"),
+          recs, col("rid"), col("name"), maxDist = 1)
+        .filter(col("l_id") < col("r_id"))
+        .select(col("l_id").as("id_a"), col("r_id").as("id_b"))
+      graft.operators.Dedup.connectedComponentsAuto(
+        recs.select(col("rid").as("id")), pairs).filter(col("keep")).count()
     }
 
     // ---- sketch tier (constant-state summaries) -------------------------

@@ -1308,6 +1308,34 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_vecs"), countDistinct(col("lbl")).as("n_labels"))
         .orderBy("shard_id")
     }),
+    // dataset card in ONE aggregation pass: the headline corpus facts a
+    // release README quotes (volume, vocabulary of sources, exact-dup
+    // rate, mean quality, language share) from a single scan — the
+    // quality/langid/md5/token expressions all fold into the same
+    // map-side-combined aggregate; the decimal quality sum keeps the
+    // mean partition-order-invariant where a raw double sum would drift
+    "q_pipeline_dataset_card" -> ((s, dir) => {
+      val docs = graft.sources.Testdata.table(s, dir, "documents")
+      docs.agg(
+          count(lit(1)).as("n_docs"),
+          sum(TextAnalysis.wsTokenCount(col("text")).cast("long")).as("n_tokens"),
+          countDistinct(col("source")).as("n_sources"),
+          (lit(1.0) - countDistinct(md5(col("text"))).cast("double") /
+            count(lit(1))).as("dup"),
+          (sum(round(TextAnalysis.qualityScore(col("text")), 6)
+            .cast("decimal(18,6)")).cast("double") / count(lit(1))).as("meanq"),
+          (sum((TextAnalysis.langId(col("text")) === "en").cast("long"))
+            .cast("double") / count(lit(1))).as("enf"))
+        .select(expr(
+          "stack(6, " +
+            "'n_docs', CAST(n_docs AS DOUBLE), " +
+            "'n_tokens', CAST(n_tokens AS DOUBLE), " +
+            "'n_sources', CAST(n_sources AS DOUBLE), " +
+            "'exact_dup_rate', round(dup, 6), " +
+            "'mean_quality', round(meanq, 6), " +
+            "'en_frac', round(enf, 6)) AS (metric, value)"))
+        .orderBy("metric")
+    }),
     "q_pipeline_curate" -> ((s, dir) => {
       val docs = graft.sources.Testdata.table(s, dir, "documents")
       val gated = Curation.gopherFilter(docs, col("doc_id"), col("text"))
@@ -4303,6 +4331,53 @@ object SparkEntry {
          |  CAST(len(list_intersect(gr.fps, ev.efps)) AS BIGINT) AS n_hits,
          |  len(list_intersect(gr.fps, ev.efps)) > 0 AS contaminated
          |FROM gr, ev ORDER BY id""".stripMargin,
+    // Dataset-card oracle: the shared quality/langid chains, one
+    // aggregate row, melted to the tall (metric, value) frame
+    "q_pipeline_dataset_card" ->
+      s"""WITH t AS (
+         |  SELECT source, text, string_split_regex(text, '\\s+') AS toks,
+         |    length(regexp_replace(text, '\\s', '', 'g')) AS nonws,
+         |    length(regexp_replace(text, '[a-z0-9\\s]', '', 'g')) AS punct
+         |  FROM documents
+         |), sc AS (
+         |  SELECT source, text, toks, nonws, punct,
+         |    len(list_filter(toks, x -> list_contains(${profileSql("en")}, x))) AS s_en,
+         |    len(list_filter(toks, x -> list_contains(${profileSql("de")}, x))) AS s_de,
+         |    len(list_filter(toks, x -> list_contains(${profileSql("es")}, x))) AS s_es,
+         |    len(list_filter(toks, x -> list_contains(${profileSql("fr")}, x))) AS s_fr
+         |  FROM t
+         |), qd AS (
+         |  SELECT source, text, toks,
+         |    round(0.4*least(len(toks)/100.0, 1.0)
+         |      + 0.3*(1.0 - CASE WHEN nonws > 0 THEN CAST(punct AS DOUBLE)/nonws ELSE 0.0 END)
+         |      + 0.3*least((CASE WHEN len(toks) > 0 THEN CAST(s_en AS DOUBLE)/len(toks) ELSE 0.0 END)/0.1, 1.0),
+         |      6) AS q,
+         |    CASE
+         |      WHEN s_en >= s_de AND s_en >= s_es AND s_en >= s_fr AND s_en > 0 THEN 'en'
+         |      WHEN s_de >= s_es AND s_de >= s_fr AND s_de > 0 THEN 'de'
+         |      WHEN s_es >= s_fr AND s_es > 0 THEN 'es'
+         |      WHEN s_fr > 0 THEN 'fr' ELSE 'und' END AS lang
+         |  FROM sc
+         |), m AS (
+         |  SELECT count(*) AS n_docs,
+         |    CAST(sum(len(toks)) AS BIGINT) AS n_tokens,
+         |    count(DISTINCT source) AS n_sources,
+         |    count(DISTINCT md5(text)) AS n_dist,
+         |    sum(CAST(q AS DECIMAL(18,6))) AS sq,
+         |    sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS n_en
+         |  FROM qd
+         |)
+         |SELECT metric, value FROM (
+         |  SELECT 'n_docs' AS metric, CAST(n_docs AS DOUBLE) AS value FROM m
+         |  UNION ALL SELECT 'n_tokens', CAST(n_tokens AS DOUBLE) FROM m
+         |  UNION ALL SELECT 'n_sources', CAST(n_sources AS DOUBLE) FROM m
+         |  UNION ALL SELECT 'exact_dup_rate',
+         |    round(1.0 - CAST(n_dist AS DOUBLE)/n_docs, 6) FROM m
+         |  UNION ALL SELECT 'mean_quality',
+         |    round(CAST(sq AS DOUBLE)/n_docs, 6) FROM m
+         |  UNION ALL SELECT 'en_frac',
+         |    round(CAST(n_en AS DOUBLE)/n_docs, 6) FROM m
+         |) ORDER BY metric""".stripMargin,
     // Contamination-report oracle: the same distinct-gram fingerprint
     // tables, pairwise intersect counts, row_number top-10 per eval doc
     "q_curate_contam_report" ->
