@@ -62,7 +62,8 @@ object Plans {
       "q_pipeline_tokenize", "q_profile_psi", "q_embed_label_noise",
       "q_embed_kcenter", "q_text_fertility_by_source",
       "q_embed_kcenter_assign", "q_er_clusters", "q_text_code_switch",
-      "q_curate_contam_report", "q_pipeline_dataset_card")
+      "q_curate_contam_report", "q_pipeline_dataset_card",
+      "q_eval_langid_accuracy")
     show.foreach { name =>
       println(s"\n## $name\n")
       println("```")

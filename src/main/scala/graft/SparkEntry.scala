@@ -2325,6 +2325,21 @@ object SparkEntry {
     // ANN acceptance as a query: recall@10 of the multiprobe sign-LSH run
     // against the exact batch top-10 — two Q·k-row joins, corpus scanned
     // once per side
+    // language-ID accuracy eval: the stopword-profile predictor scored
+    // against the table's ground-truth lang — full confusion matrix plus
+    // per-truth-language accuracy, one scan + a langs²-bounded aggregate
+    "q_eval_langid_accuracy" -> ((s, dir) => {
+      val docs = graft.sources.Testdata.table(s, dir, "documents")
+      val scored = docs.select(col("lang"),
+        TextAnalysis.langId(col("text")).as("lang_pred"))
+      val conf = scored.groupBy("lang", "lang_pred")
+        .agg(count(lit(1)).as("n"))
+      val tot = scored.groupBy("lang").agg(count(lit(1)).as("n_true"))
+      conf.join(tot, "lang")
+        .select(col("lang"), col("lang_pred"), col("n"),
+          round(col("n") / col("n_true"), 6).as("frac_of_true"))
+        .orderBy("lang", "lang_pred")
+    }),
     "q_eval_ann_recall" -> ((s, dir) => {
       val embs = s.read.parquet(s"$dir/embeddings.parquet")
       val store = VectorStore.fromEmbeddingsTable(s, dir)
@@ -4331,6 +4346,32 @@ object SparkEntry {
          |  CAST(len(list_intersect(gr.fps, ev.efps)) AS BIGINT) AS n_hits,
          |  len(list_intersect(gr.fps, ev.efps)) > 0 AS contaminated
          |FROM gr, ev ORDER BY id""".stripMargin,
+    // LangID-eval oracle: the langid CASE vs the ground-truth column,
+    // confusion counts + per-truth fractions
+    "q_eval_langid_accuracy" ->
+      s"""WITH t AS (
+         |  SELECT lang, string_split_regex(text, '\\s+') AS toks FROM documents
+         |), sc AS (
+         |  SELECT lang,
+         |    len(list_filter(toks, x -> list_contains(${profileSql("en")}, x))) AS s_en,
+         |    len(list_filter(toks, x -> list_contains(${profileSql("de")}, x))) AS s_de,
+         |    len(list_filter(toks, x -> list_contains(${profileSql("es")}, x))) AS s_es,
+         |    len(list_filter(toks, x -> list_contains(${profileSql("fr")}, x))) AS s_fr
+         |  FROM t
+         |), p AS (
+         |  SELECT lang, CASE
+         |    WHEN s_en >= s_de AND s_en >= s_es AND s_en >= s_fr AND s_en > 0 THEN 'en'
+         |    WHEN s_de >= s_es AND s_de >= s_fr AND s_de > 0 THEN 'de'
+         |    WHEN s_es >= s_fr AND s_es > 0 THEN 'es'
+         |    WHEN s_fr > 0 THEN 'fr' ELSE 'und' END AS lang_pred
+         |  FROM sc
+         |), conf AS (
+         |  SELECT lang, lang_pred, count(*) AS n FROM p GROUP BY 1, 2
+         |), tot AS (SELECT lang, count(*) AS n_true FROM p GROUP BY 1)
+         |SELECT conf.lang, conf.lang_pred, conf.n,
+         |  round(CAST(conf.n AS DOUBLE) / tot.n_true, 6) AS frac_of_true
+         |FROM conf JOIN tot USING (lang)
+         |ORDER BY lang, lang_pred""".stripMargin,
     // Dataset-card oracle: the shared quality/langid chains, one
     // aggregate row, melted to the tall (metric, value) frame
     "q_pipeline_dataset_card" ->
