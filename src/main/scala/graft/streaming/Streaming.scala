@@ -543,6 +543,90 @@ object Streaming {
       .start()
   }
 
+  /** Streaming dataset-card maintenance — the running release-README
+    * facts over everything ever ingested, kept as MERGEABLE per-batch
+    * state (the [[graft.operators.Sketches]] discipline): exact counts
+    * and the DECIMAL quality sum merge by addition, per-(batch, source,
+    * lang) grain keeps source/language rollups exact, and distinct-text
+    * cardinality (the exact-dup rate's denominator) is the one
+    * non-mergeable exact quantity — it rides as wide-HLL registers of
+    * the text md5, max-merged at read. Batch-stamped dynamic overwrite
+    * throughout, so at-least-once replays are idempotent.
+    *
+    * Scale shape: per batch ONE map-side-combined aggregation into
+    * (source × lang) rows plus a KB-scale register table; nothing
+    * rescans history — [[loadDatasetCard]] folds the state tables only.
+    */
+  def startDatasetCardMaintenance(
+      docs: DataFrame,          // streaming; id/text/source columns
+      text: Column,
+      source: Column,
+      outPath: String,
+      checkpoint: String,
+      p: Int = 12,
+      queryName: String = "dataset_card"): StreamingQuery = {
+    import graft.operators.{Sketches, TextAnalysis}
+    docs.writeStream
+      .queryName(queryName)
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val b = batch.select(text.as("__t"), source.as("source"))
+        b.groupBy(col("source"),
+            TextAnalysis.langId(col("__t")).as("lang"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(TextAnalysis.wsTokenCount(col("__t")).cast("long")).as("n_tokens"),
+            sum(round(TextAnalysis.qualityScore(col("__t")), 6)
+              .cast("decimal(18,6)")).as("sum_q"))
+          .withColumn("batch_id", lit(batchId))
+          .write.mode("overwrite")
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("batch_id")
+          .parquet(s"$outPath/agg")
+        Sketches.hllRegisters(b, lit("text_md5"), md5(col("__t")),
+            p, wide = true)
+          .withColumn("batch_id", lit(batchId))
+          .write.mode("overwrite")
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("batch_id")
+          .parquet(s"$outPath/hll")
+        ()
+      }
+      .start()
+  }
+
+  /** Fold the maintained card state into the running dataset card — the
+    * same tall (metric, value) frame as the batch `q_pipeline_dataset_card`
+    * with the exact-distinct term replaced by the merged HLL estimate
+    * (`distinct_text_est`, and the dup rate derived from it). Reads KB of
+    * state, never the corpus.
+    */
+  def loadDatasetCard(spark: org.apache.spark.sql.SparkSession,
+      path: String, p: Int = 12): DataFrame = {
+    val agg = spark.read.parquet(s"$path/agg")
+    val est = graft.operators.Sketches.hllEstimate(
+        spark.read.parquet(s"$path/hll")
+          .groupBy("grp", "bucket").agg(max(col("rho")).as("rho")),
+        p, wide = true)
+      .select(col("est")).head().getDouble(0)
+    agg.agg(
+        sum(col("n_docs")).as("n_docs"),
+        sum(col("n_tokens")).as("n_tokens"),
+        countDistinct(col("source")).as("n_sources"),
+        sum(col("sum_q")).cast("double").as("sq"),
+        sum(when(col("lang") === "en", col("n_docs")).otherwise(lit(0L)))
+          .as("n_en"))
+      .select(expr(
+        s"stack(7, " +
+          "'n_docs', CAST(n_docs AS DOUBLE), " +
+          "'n_tokens', CAST(n_tokens AS DOUBLE), " +
+          "'n_sources', CAST(n_sources AS DOUBLE), " +
+          s"'distinct_text_est', CAST($est AS DOUBLE), " +
+          s"'dup_rate_est', round(1.0 - CAST($est AS DOUBLE) / n_docs, 6), " +
+          "'mean_quality', round(sq / n_docs, 6), " +
+          "'en_frac', round(CAST(n_en AS DOUBLE) / n_docs, 6)) AS (metric, value)"))
+      .orderBy("metric")
+  }
+
   /** Streaming label-noise ingest screen: each arriving LABELED vector is
     * checked against the FROZEN labeled corpus — its `k` nearest corpus
     * neighbors (sign-LSH bucket probe within `probeRadius`, exact cosine

@@ -258,6 +258,56 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming dataset card: merged state equals the batch truth; dup estimate in band") {
+    val sp = spark
+    import sp.implicits._
+    implicit val sqlCtx = sp.sqlContext
+    import graft.operators.TextAnalysis
+    val in = MemoryStream[(String, String)]
+    val out = tmpDir("graft_card")
+    val q = Streaming.startDatasetCardMaintenance(
+      in.toDF().toDF("text", "source"), col("text"), col("source"),
+      s"$out/state", s"$out/ckpt", p = 7)
+    val b1 = Seq(
+      ("the quick brown fox and the dog", "web"),
+      ("the quick brown fox and the dog", "web"),      // exact dup
+      ("der hund und die katze ist ein tier", "books"))
+    val b2 = Seq(
+      ("to be or not to be that is it", "web"),
+      ("el que los gatos y una cosa", "forums"))
+    try {
+      in.addData(b1: _*)
+      q.processAllAvailable()
+      in.addData(b2: _*)
+      q.processAllAvailable()
+      val card = Streaming.loadDatasetCard(sp, s"$out/state", p = 7)
+        .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+      val all = b1 ++ b2
+      assert(card("n_docs") == all.size.toDouble)
+      assert(card("n_sources") == 3.0)
+      // token count equals the batch operator's definition
+      val expTokens = all.map(_._1.split("\\s+").length).sum.toDouble
+      assert(card("n_tokens") == expTokens)
+      // en_frac: langId over each text, replicated through the engine
+      val df = all.map(_._1).toDF("text")
+      val nEn = df.select(TextAnalysis.langId(col("text")).as("l"))
+        .collect().count(_.getString(0) == "en").toDouble
+      assert(card("en_frac") ==
+        math.rint(nEn / all.size * 1e6) / 1e6)
+      // the sketch sees 4 distinct texts among 5 docs: estimate within
+      // the p=7 error band, and the dup-rate estimate is positive
+      assert(math.abs(card("distinct_text_est") - 4.0) <= 2.0,
+        s"distinct est ${card("distinct_text_est")}")
+      assert(card("dup_rate_est") > 0.0)
+      // replayed batch ids overwrite, never double-count: state rows per
+      // batch_id are unique in the agg table
+      val aggRows = sp.read.parquet(s"$out/state/agg")
+        .groupBy("batch_id", "source", "lang").count()
+        .filter(col("count") > 1).count()
+      assert(aggRows == 0L)
+    } finally q.stop()
+  }
+
   test("streaming label-noise screen: full-probe agreement equals the driver replica; idempotent stamps") {
     val sp = spark
     import sp.implicits._
