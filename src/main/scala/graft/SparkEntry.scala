@@ -1059,14 +1059,17 @@ object SparkEntry {
     // ingest — the Spark plumbing runs for real; only the model call is
     // the deterministic zero-egress stand-in (StubInferenceProvider),
     // with OnnxSessionProvider as the drop-in for a real model
+    // Embedding unnested to scalar (id, pos, val) rows — the comparison
+    // harness sorts by column values, so results must avoid array columns
+    // (same reshaping as q_crud_lookup)
     "q_embed_bulk_inference" -> ((s, dir) =>
       graft.functions.Embedder.embedDocumentsBulk(
           () => new graft.functions.SessionEmbedder(
             graft.functions.StubInferenceProvider(), dim = 4),
           graft.sources.Testdata.table(s, dir, "documents"),
           col("doc_id"), col("text"))
-        .select(col("id"), col("embedding"))
-        .orderBy(col("id"))),
+        .select(col("id"), posexplode(col("embedding")).as(Seq("pos", "val")))
+        .orderBy(col("id"), col("pos"))),
     // count-min heavy hitters: d x w counter matrix in one aggregation,
     // exact top-20 tokens estimated as min over their d cells
     "q_text_heavy_hitters" -> ((s, dir) =>
@@ -3196,12 +3199,18 @@ object SparkEntry {
         |), ids AS (
         |  SELECT doc_id, tid[1:128] AS tid FROM ids0
         |)
-        |SELECT CAST(doc_id AS VARCHAR) AS id,
-        |  [CAST(coalesce(list_sum(tid), 0) % 97 AS FLOAT),
-        |   CAST(len(tid) % 97 AS FLOAT),
-        |   CAST(coalesce(tid[1], 0) % 97 AS FLOAT),
-        |   CAST(coalesce(tid[-1], 0) % 97 AS FLOAT)] AS embedding
-        |FROM ids ORDER BY id""".stripMargin,
+        |, vecs AS (
+        |  SELECT CAST(doc_id AS VARCHAR) AS id,
+        |    [CAST(coalesce(list_sum(tid), 0) % 97 AS FLOAT),
+        |     CAST(len(tid) % 97 AS FLOAT),
+        |     CAST(coalesce(tid[1], 0) % 97 AS FLOAT),
+        |     CAST(coalesce(tid[-1], 0) % 97 AS FLOAT)] AS embedding
+        |  FROM ids
+        |)
+        |SELECT id,
+        |       CAST(generate_subscripts(embedding, 1) - 1 AS INT) AS pos,
+        |       unnest(embedding) AS val
+        |FROM vecs ORDER BY id, pos""".stripMargin,
     // Count-min oracle: one UNION ALL branch per hash row for both the
     // counter matrix and the probe side; min over the d cells
     "q_text_heavy_hitters" -> {

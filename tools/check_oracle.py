@@ -39,6 +39,19 @@ def check_one(args):
     if len(got) != len(exp):
         return (name, False, f"rows {len(got)} vs {len(exp)}")
 
+    # Driver parity: the driver's comparator sorts raw frames and CRASHES on
+    # nested (array/struct/map) cells — this gate used to JSON-encode them,
+    # which let q_embed_bulk_inference pass locally while failing the driver
+    # (round-6 verdict #1). Fail loudly on nested cells instead.
+    import numpy as np
+    for c in got.columns:
+        if got[c].dtype == object:
+            head = got[c].dropna().head(1)
+            if len(head) and isinstance(head.iloc[0], (np.ndarray, list, dict)):
+                return (name, False,
+                        f"nested cell in column '{c}' ({type(head.iloc[0]).__name__}) — "
+                        "the driver comparator crashes on these; unnest to scalar rows")
+
     def canon(df):
         df = df.copy()
         for c in df.columns:
