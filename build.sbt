@@ -11,6 +11,10 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Scale-sized fixtures (e.g. the 1e8-key wide-HLL band test) run minutes;
+// keep the default gate fast and run them explicitly with
+//   sbt "testOnly graft.SketchesSpec -- -n graft.SlowTest"
+Test / testOptions += Tests.Argument(TestFrameworks.ScalaTest, "-l", "graft.SlowTest")
 // Pass the forked JVM's stdout straight through (no sbt [info] prefix) so
 // harness consumers can parse machine-readable lines like Bench's JSON.
 run / outputStrategy := Some(StdoutOutput)

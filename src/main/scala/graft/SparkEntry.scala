@@ -3027,7 +3027,8 @@ object SparkEntry {
          |), h2 AS (
          |  SELECT event_type, kk, (xor(t1, t1 >> 15) * 1866763009 + 127) % 1000000007 AS t2 FROM h1
          |), hm AS (
-         |  SELECT event_type, kk, xor(t2, t2 >> 13) AS hf FROM h2
+         |  SELECT event_type, kk,
+         |    (xor(t2, t2 >> 13) * 1540483477 + 233) % 1000000007 AS hf FROM h2
          |), r0 AS (
          |  SELECT event_type, hf % 1024 AS bucket,
          |    1 + len(list_filter(list_transform(range(1, 21), j -> (CAST(1 AS BIGINT) << j)),
@@ -3079,7 +3080,8 @@ object SparkEntry {
          |    (xor(s1, s1 >> 16) * 2246822519 + 151) % 1000000009 AS s2 FROM ha
          |), hm AS (
          |  SELECT event_type, kk,
-         |    xor(t2, t2 >> 13) * 1073741824 + xor(s2, s2 >> 12) AS hf FROM hb
+         |    ((xor(t2, t2 >> 13) * 1540483477 + 233) % 1000000007) * 1073741824
+         |      + ((xor(s2, s2 >> 12) * 1274126177 + 241) % 1000000009) AS hf FROM hb
          |), r0 AS (
          |  SELECT event_type, hf % 1024 AS bucket,
          |    1 + len(list_filter(list_transform(range(1, 51), j -> (CAST(1 AS BIGINT) << j)),
@@ -3129,7 +3131,9 @@ object SparkEntry {
          |    (xor(t1, t1 >> 15) * 1866763009 + 127) % 1000000007 AS t2,
          |    (xor(s1, s1 >> 16) * 2246822519 + 151) % 1000000009 AS s2 FROM ha
          |), hm AS (
-         |  SELECT d, kk, xor(t2, t2 >> 13) * 1073741824 + xor(s2, s2 >> 12) AS hf FROM hb
+         |  SELECT d, kk,
+         |    ((xor(t2, t2 >> 13) * 1540483477 + 233) % 1000000007) * 1073741824
+         |      + ((xor(s2, s2 >> 12) * 1274126177 + 241) % 1000000009) AS hf FROM hb
          |), r0 AS (
          |  SELECT d, hf % 1024 AS bucket,
          |    1 + len(list_filter(list_transform(range(1, 51), j -> (CAST(1 AS BIGINT) << j)),
@@ -3255,7 +3259,8 @@ object SparkEntry {
          |), h2 AS (
          |  SELECT src, (xor(t1, t1 >> 15) * 1866763009 + 127) % 1000000007 AS t2 FROM h1
          |), hs AS (
-         |  SELECT DISTINCT src AS grp, xor(t2, t2 >> 13) AS h FROM h2
+         |  SELECT DISTINCT src AS grp,
+         |    (xor(t2, t2 >> 13) * 1540483477 + 233) % 1000000007 AS h FROM h2
          |), rk AS (
          |  SELECT grp, h, row_number() OVER (PARTITION BY grp ORDER BY h) AS rn FROM hs
          |), sk AS (
@@ -3319,7 +3324,8 @@ object SparkEntry {
          |         (xor(s1, s1 >> 16) * 2246822519 + 151) % 1000000009 AS s2 FROM m1
          |), hs AS (
          |  SELECT DISTINCT src AS grp,
-         |    xor(t2, t2 >> 13) * 1073741824 + xor(s2, s2 >> 12) AS h FROM m2
+         |    ((xor(t2, t2 >> 13) * 1540483477 + 233) % 1000000007) * 1073741824
+         |      + ((xor(s2, s2 >> 12) * 1274126177 + 241) % 1000000009) AS h FROM m2
          |), rk AS (
          |  SELECT grp, h, row_number() OVER (PARTITION BY grp ORDER BY h) AS rn FROM hs
          |), sk AS (
@@ -5537,7 +5543,8 @@ object SparkEntry {
          |  FROM um
          |), u AS (
          |  SELECT doc_id, q,
-         |    CAST(xor(t2, t2 >> 13) * 1073741824 + xor(s2, s2 >> 12) + 1 AS DOUBLE)
+         |    CAST(((xor(t2, t2 >> 13) * 1540483477 + 233) % 1000000007) * 1073741824
+         |      + ((xor(s2, s2 >> 12) * 1274126177 + 241) % 1000000009) + 1 AS DOUBLE)
          |      / 1073741831516192768.0 AS u
          |  FROM un
          |), top AS (

@@ -113,6 +113,16 @@ object EmbedQc {
     * the information). Above 512 the d² buffer is the wrong trade
     * (d=4096 → 134 MB per partial) and the scan-per-iteration distributed
     * loop remains the shape that survives 100 TB.
+    *
+    * Parity caveat: G·v over the precomputed Gram and the distributed
+    * per-row Σ(x·v)·x sum the same terms in DIFFERENT floating-point
+    * orders, so their agreement at the per-iteration 6-dp rounding step is
+    * EMPIRICAL (verified by the both-SF sweep on this data), not an
+    * arithmetic guarantee — a value landing exactly on a rounding boundary
+    * could round apart, making the result depend on which side of this dim
+    * threshold the input falls. (The DuckDB oracle sums in its own
+    * per-row order as well, so the driver gate validates this parity
+    * empirically on every sweep rather than assuming it.)
     */
   val GramRouteMaxDim = 512
 

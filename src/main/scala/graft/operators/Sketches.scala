@@ -39,11 +39,26 @@ object Sketches {
   val HllMixRounds: Seq[(Long, Long, Int)] =
     Seq((2654435761L, 97L, 15), (1866763009L, 127L, 13))
 
+  // The xor excursion after the last pmod can push a value above the
+  // modulus (t xor (t>>s) < 2^30 but not < 1e9+7), so the chain ends with
+  // a final AFFINE reduction `(h·a + b) mod p` — [[KmvSpace]]/
+  // [[KmvSpaceWide]] are then EXACT upper bounds, which the KMV/theta
+  // denominators and weightedSample's u∈(0,1] mapping rely on. Without it
+  // ~6e-5 of keys landed above the modulus and, mapped through +1/space,
+  // gave u>1 ⇒ ln(u)>0 — rows that outrank every honest key regardless of
+  // weight (round-6 ADVICE, high). The finalizer must be affine, NOT a
+  // bare `mod p`: a bare mod wraps that 6e-5 excursion mass into
+  // [0, ~2^17] — a pileup in exactly the bottom tail where KMV's k
+  // minima live, which biased theta ~35 % low in testing; the multiply
+  // spreads the wrapped mass uniformly across [0, p) (x ↦ ax+b mod p is
+  // injective on [0,p), so the only cost is the same 6e-5 collision rate
+  // between values p apart). Overflow-safe: h < 2^30, a < 1.6e9 ⇒
+  // product < 1.7e18 < 2^63.
   private def hllMix(h: Column): Column =
-    HllMixRounds.foldLeft(h) { case (acc, (a, b, s)) =>
+    pmod(HllMixRounds.foldLeft(h) { case (acc, (a, b, s)) =>
       val t = pmod(acc * lit(a) + lit(b), lit(1000000007L))
       t.bitwiseXOR(shiftright(t, s))
-    }
+    } * lit(1540483477L) + lit(233L), lit(1000000007L))
 
   /** Second mix-round table for the WIDE hash's independent half — same
     * splitmix-mod-p shape, different multipliers/addends/shifts and the
@@ -55,15 +70,17 @@ object Sketches {
     Seq((3266489917L, 113L, 16), (2246822519L, 151L, 12))
 
   private def hllMix2(h: Column): Column =
-    HllMixRounds2.foldLeft(h) { case (acc, (a, b, s)) =>
+    pmod(HllMixRounds2.foldLeft(h) { case (acc, (a, b, s)) =>
       val t = pmod(acc * lit(a) + lit(b), lit(1000000009L))
       t.bitwiseXOR(shiftright(t, s))
-    }
+    } * lit(1274126177L) + lit(241L), lit(1000000009L))
 
   /** ~60-bit avalanche hash of `key`: two independent polynomial
     * fingerprints (bases 31/131, moduli 1e9+7/1e9+9), each scrambled by
-    * its own mix chain, packed as `h1·2^30 + h2` — both halves are
-    * < 2^30, so the pack is a bijection on pairs and the whole value fits
+    * its own mix chain, packed as `h1·2^30 + h2` — h1 < 1e9+7 and
+    * h2 < 1e9+9 < 2^30 (each chain ends with a reduction mod its prime),
+    * so the pack is injective on pairs, the value space is EXACTLY
+    * bounded by [[KmvSpaceWide]] = 2^30·(1e9+7), and the whole value fits
     * int64 with no overflowing multiply (the reason this is two 30-bit
     * lanes rather than one 64-bit multiply chain: Spark 4 runs ANSI mode,
     * where a wrapping 64-bit splitmix step would throw, and the DuckDB
@@ -427,10 +444,10 @@ object Sketches {
       .orderBy("q")
   }
 
-  /** Size of the mixed-hash value space: [[hllMix]] emits values in
-    * [0, ~1e9+7) (the pmod range, with the low-17-bit xor excursion
-    * negligible at the estimator's own error scale), so the KMV/theta
-    * estimators below use 1e9+7 as the unit interval's denominator.
+  /** Size of the mixed-hash value space: [[hllMix]] ends with a
+    * reduction mod 1e9+7, so its values lie in [0, 1e9+7) EXACTLY and
+    * the KMV/theta estimators below use 1e9+7 as the unit interval's
+    * denominator.
     */
   val KmvSpace: Double = 1000000007.0
 

@@ -603,11 +603,18 @@ object Streaming {
   def loadDatasetCard(spark: org.apache.spark.sql.SparkSession,
       path: String, p: Int = 12): DataFrame = {
     val agg = spark.read.parquet(s"$path/agg")
-    val est = graft.operators.Sketches.hllEstimate(
-        spark.read.parquet(s"$path/hll")
-          .groupBy("grp", "bucket").agg(max(col("rho")).as("rho")),
-        p, wide = true)
-      .select(col("est")).head().getDouble(0)
+    // before the first micro-batch commits (missing/empty hll/ state) the
+    // estimate is 0, keeping the loader DataFrame-shaped like the other
+    // load* readers instead of throwing at .head()
+    val est = (try {
+      graft.operators.Sketches.hllEstimate(
+          spark.read.parquet(s"$path/hll")
+            .groupBy("grp", "bucket").agg(max(col("rho")).as("rho")),
+          p, wide = true)
+        .select(col("est")).collect().headOption.map(_.getDouble(0))
+    } catch {
+      case _: org.apache.spark.sql.AnalysisException => None
+    }).getOrElse(0.0)
     agg.agg(
         sum(col("n_docs")).as("n_docs"),
         sum(col("n_tokens")).as("n_tokens"),

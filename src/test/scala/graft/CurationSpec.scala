@@ -443,16 +443,20 @@ class CurationSpec extends SparkSpec {
     // space 2^30·(1e9+7) so u spans (0,1]
     def poly(s: String, base: Long, mod: Long): Long =
       s.foldLeft(0L)((a, c) => (a * base + c) % mod)
-    def mix(h: Long, rounds: Seq[(Long, Long, Int)], mod: Long): Long =
-      rounds.foldLeft(h) { case (acc, (a, b, sh)) =>
-        val t = java.lang.Math.floorMod(acc * a + b, mod); t ^ (t >> sh)
-      }
+    // each chain ends with an affine reduction mod its prime, so u < 1
+    // exactly and the bottom tail stays uniform (see Sketches.hllMix)
+    def mix(h: Long, rounds: Seq[(Long, Long, Int)], mod: Long,
+        fa: Long, fb: Long): Long =
+      java.lang.Math.floorMod(
+        rounds.foldLeft(h) { case (acc, (a, b, sh)) =>
+          val t = java.lang.Math.floorMod(acc * a + b, mod); t ^ (t >> sh)
+        } * fa + fb, mod)
     def key(id: Long, w: Double): Double = {
       val s = id.toString
       val h1 = mix(poly(s, 31L, 1000000007L),
-        graft.operators.Sketches.HllMixRounds, 1000000007L)
+        graft.operators.Sketches.HllMixRounds, 1000000007L, 1540483477L, 233L)
       val h2 = mix(poly(s, 131L, 1000000009L),
-        graft.operators.Sketches.HllMixRounds2, 1000000009L)
+        graft.operators.Sketches.HllMixRounds2, 1000000009L, 1274126177L, 241L)
       val u = (h1 * 1073741824L + h2 + 1L).toDouble /
         graft.operators.Sketches.KmvSpaceWide
       math.log(u) / w

@@ -56,7 +56,7 @@ class SketchesSpec extends SparkSpec {
     assert(all("ALL") == single("one"))
   }
 
-  test("hll wide: 1e8 distinct keys estimate within the published band") {
+  test("hll wide: 1e8 distinct keys estimate within the published band", SlowTest) {
     // Round-5 verdict #2 gate: the 30-bit tier saturates past ~1e7 distinct
     // keys (hash space ~1.07e9 -> birthday loss n/2M ~ 4.7% at n=1e8 and
     // ~40% at n=1e9); the ~2^60 wide hash keeps the full HLL band. All
