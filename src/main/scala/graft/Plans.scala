@@ -63,7 +63,9 @@ object Plans {
       "q_embed_kcenter", "q_text_fertility_by_source",
       "q_embed_kcenter_assign", "q_er_clusters", "q_text_code_switch",
       "q_curate_contam_report", "q_pipeline_dataset_card",
-      "q_eval_langid_accuracy")
+      "q_eval_langid_accuracy",
+      "q_events_dau_hll_est", "q_events_wau_rolling_hll_est",
+      "q_text_heavy_hitters_est")
     show.foreach { name =>
       println(s"\n## $name\n")
       println("```")

@@ -374,6 +374,31 @@ object ScaleSmoke {
         docs.select(explode(split(col("text"), "\\s+")).as("t")), col("t"), topK = 20)
         .filter(col("n_est") >= col("n_exact")).count()
     }
+    // ---- ESTIMATE-ONLY front doors (audit=false): the forms that run at
+    // 100 TB. Contrast with the audited rows above — the audited rolling
+    // row carries a corpus-wide (day,key) distinct + x7 PAIR fanout +
+    // second distinct; estimate-only fans out only the m-row/day register
+    // table, so its growth should track the one hashing pass (~linear in
+    // the scan, flat in everything downstream).
+    prepped("rolling 7-day actives ESTIMATE-ONLY (registers only, audit=false)")(ev) {
+      graft.operators.Sketches.hllRolling(ev, col("ts"),
+        col("user_id").cast("string"), windowDays = 7, p = 10, wide = true,
+        audit = false)
+        .filter(col("wau_est") >= 0).count()
+    }
+    prepped("hll user-days ESTIMATE-ONLY (registers only, audit=false)")(ev) {
+      graft.operators.Sketches.hllCardinality(ev, col("event_type"),
+        concat(col("user_id").cast("string"), lit(":"),
+          col("ts").cast("date").cast("string")), p = 10, wide = true,
+        audit = false)
+        .filter(col("hll_est") >= 0).count()
+    }
+    prepped("count-min heavy hitters ESTIMATE-ONLY (top-20 by estimate, audit=false)")(docs) {
+      graft.operators.Sketches.cmHeavyHitters(
+        docs.select(explode(split(col("text"), "\\s+")).as("t")), col("t"),
+        topK = 20, audit = false)
+        .filter(col("n_est") >= 0).count()
+    }
     prepped("histogram quantiles (256 bins, 4 qs)")(docs) {
       val scored = docs.select(
         round(graft.operators.TextAnalysis.qualityScore(col("text")), 6).as("quality"))

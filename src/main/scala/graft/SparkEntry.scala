@@ -1054,6 +1054,26 @@ object SparkEntry {
       Sketches.hllRolling(graft.sources.Testdata.events(s, dir),
         col("ts"), col("user_id").cast("string"), windowDays = 7,
         p = 10, wide = true)),
+    // ESTIMATE-ONLY front doors (the audited twins above weld a
+    // corpus-wide exact distinct into every call): registers/counters →
+    // estimates, nothing downstream of the hash bigger than ~KB — the
+    // form these operators run in at 100 TB. Registers are deterministic,
+    // so the oracle replicates them exactly, minus the exact twin.
+    "q_events_dau_hll_est" -> ((s, dir) =>
+      Sketches.hllCardinality(graft.sources.Testdata.events(s, dir),
+        col("event_type"),
+        concat(col("user_id").cast("string"), lit(":"),
+          col("ts").cast("date").cast("string")), p = 10, wide = true,
+        audit = false)),
+    "q_events_wau_rolling_hll_est" -> ((s, dir) =>
+      Sketches.hllRolling(graft.sources.Testdata.events(s, dir),
+        col("ts"), col("user_id").cast("string"), windowDays = 7,
+        p = 10, wide = true, audit = false)),
+    "q_text_heavy_hitters_est" -> ((s, dir) =>
+      Sketches.cmHeavyHitters(
+        graft.sources.Testdata.table(s, dir, "documents")
+          .select(explode(TextAnalysis.wsTokens(col("text"))).as("t")),
+        col("t"), depth = 4, width = 1024, topK = 20, audit = false)),
     // Bulk batch-inference e2e (the reference's O22 batch-index half):
     // per-partition sessions, batched token matrices, padding, store
     // ingest — the Spark plumbing runs for real; only the model call is
@@ -3114,6 +3134,50 @@ object SparkEntry {
          |  round((fin.est - ex.n_exact) / ex.n_exact, 6) AS rel_err
          |FROM ex JOIN fin ON fin.grp = ex.grp
          |ORDER BY ex.grp""".stripMargin,
+    // Estimate-only wide-HLL oracle: the identical register chain with
+    // the exact-distinct twin dropped
+    "q_events_dau_hll_est" ->
+      s"""WITH k AS (
+         |  SELECT event_type,
+         |    CAST(user_id AS VARCHAR) || ':' || CAST(CAST(ts AS DATE) AS VARCHAR) AS kk
+         |  FROM events
+         |), h0 AS (
+         |  SELECT event_type, kk, ${polySqlOf("kk")} AS h, ${polySql2Of("kk")} AS g FROM k
+         |), ha AS (
+         |  SELECT event_type, kk, (h * 2654435761 + 97) % 1000000007 AS t1,
+         |         (g * 3266489917 + 113) % 1000000009 AS s1 FROM h0
+         |), hb AS (
+         |  SELECT event_type, kk,
+         |    (xor(t1, t1 >> 15) * 1866763009 + 127) % 1000000007 AS t2,
+         |    (xor(s1, s1 >> 16) * 2246822519 + 151) % 1000000009 AS s2 FROM ha
+         |), hm AS (
+         |  SELECT event_type, kk,
+         |    ((xor(t2, t2 >> 13) * 1540483477 + 233) % 1000000007) * 1073741824
+         |      + ((xor(s2, s2 >> 12) * 1274126177 + 241) % 1000000009) AS hf FROM hb
+         |), r0 AS (
+         |  SELECT event_type, hf % 1024 AS bucket,
+         |    1 + len(list_filter(list_transform(range(1, 51), j -> (CAST(1 AS BIGINT) << j)),
+         |      pk -> (hf // 1024) % pk = 0)) AS rho
+         |  FROM hm
+         |), regs AS (
+         |  SELECT event_type AS grp, bucket, max(rho) AS rho FROM r0 GROUP BY 1, 2
+         |  UNION ALL
+         |  SELECT 'ALL' AS grp, bucket, max(rho) AS rho FROM r0 GROUP BY 1, 2
+         |), agg AS (
+         |  SELECT grp, count(*) AS present,
+         |    CAST(sum(CAST(1 AS BIGINT) << (51 - rho)) AS BIGINT) AS si
+         |  FROM regs GROUP BY grp
+         |), e AS (
+         |  SELECT grp, 1024 - present AS v,
+         |    CAST(0.7213 AS DOUBLE) / (CAST(1.0 AS DOUBLE) + CAST(1.079 AS DOUBLE) / CAST(1024.0 AS DOUBLE))
+         |      * CAST(1048576.0 AS DOUBLE)
+         |      / (CAST((1024 - present) * 2251799813685248 + si AS DOUBLE) / CAST(2251799813685248.0 AS DOUBLE)) AS e_raw
+         |  FROM agg
+         |)
+         |SELECT grp, round(CASE WHEN e_raw <= CAST(2560.0 AS DOUBLE) AND v > 0
+         |  THEN CAST(1024.0 AS DOUBLE) * ln(CAST(1024.0 AS DOUBLE) / CAST(v AS DOUBLE))
+         |  ELSE e_raw END, 6) AS hll_est
+         |FROM e ORDER BY grp""".stripMargin,
     // Rolling-HLL oracle: the wide register chain keyed by day, then the
     // ×7 register fanout (d + j, target days semi-joined to active days),
     // daily + rolling estimates from the same estimator CTE shape, exact
@@ -3185,6 +3249,63 @@ object SparkEntry {
          |JOIN exw ON exw.day_t = ex1.day_t
          |JOIN fin f7 ON f7.day_t = ex1.day_t AND f7.w = 7
          |ORDER BY day""".stripMargin,
+    // Estimate-only rolling oracle: identical register chain and ×7
+    // register fanout, exact pair twins dropped
+    "q_events_wau_rolling_hll_est" ->
+      s"""WITH k AS (
+         |  SELECT CAST(ts AS DATE) AS d, CAST(user_id AS VARCHAR) AS kk FROM events
+         |), h0 AS (
+         |  SELECT d, kk, ${polySqlOf("kk")} AS h, ${polySql2Of("kk")} AS g FROM k
+         |), ha AS (
+         |  SELECT d, kk, (h * 2654435761 + 97) % 1000000007 AS t1,
+         |         (g * 3266489917 + 113) % 1000000009 AS s1 FROM h0
+         |), hb AS (
+         |  SELECT d, kk,
+         |    (xor(t1, t1 >> 15) * 1866763009 + 127) % 1000000007 AS t2,
+         |    (xor(s1, s1 >> 16) * 2246822519 + 151) % 1000000009 AS s2 FROM ha
+         |), hm AS (
+         |  SELECT d, kk,
+         |    ((xor(t2, t2 >> 13) * 1540483477 + 233) % 1000000007) * 1073741824
+         |      + ((xor(s2, s2 >> 12) * 1274126177 + 241) % 1000000009) AS hf FROM hb
+         |), r0 AS (
+         |  SELECT d, hf % 1024 AS bucket,
+         |    1 + len(list_filter(list_transform(range(1, 51), j -> (CAST(1 AS BIGINT) << j)),
+         |      pk -> (hf // 1024) % pk = 0)) AS rho
+         |  FROM hm
+         |), regs AS (
+         |  SELECT d, bucket, max(rho) AS rho FROM r0 GROUP BY 1, 2
+         |), days AS (SELECT DISTINCT d FROM k
+         |), fan AS (
+         |  SELECT r.d + CAST(j AS INT) AS day_t, r.bucket, max(r.rho) AS rho
+         |  FROM regs r, unnest(range(0, 7)) AS t(j)
+         |  WHERE r.d + CAST(j AS INT) IN (SELECT d FROM days)
+         |  GROUP BY 1, 2
+         |), u AS (
+         |  SELECT d AS day_t, 1 AS w, bucket, rho FROM regs
+         |  UNION ALL SELECT day_t, 7 AS w, bucket, rho FROM fan
+         |), agg AS (
+         |  SELECT day_t, w, count(*) AS present,
+         |    CAST(sum(CAST(1 AS BIGINT) << (51 - rho)) AS BIGINT) AS si
+         |  FROM u GROUP BY 1, 2
+         |), e AS (
+         |  SELECT day_t, w, 1024 - present AS v,
+         |    CAST(0.7213 AS DOUBLE) / (CAST(1.0 AS DOUBLE) + CAST(1.079 AS DOUBLE) / CAST(1024.0 AS DOUBLE))
+         |      * CAST(1048576.0 AS DOUBLE)
+         |      / (CAST((1024 - present) * 2251799813685248 + si AS DOUBLE) / CAST(2251799813685248.0 AS DOUBLE)) AS e_raw
+         |  FROM agg
+         |), fin AS (
+         |  SELECT day_t, w, CASE WHEN e_raw <= CAST(2560.0 AS DOUBLE) AND v > 0
+         |    THEN CAST(1024.0 AS DOUBLE) * ln(CAST(1024.0 AS DOUBLE) / CAST(v AS DOUBLE))
+         |    ELSE e_raw END AS est
+         |  FROM e
+         |)
+         |SELECT CAST(f1.day_t AS VARCHAR) AS day,
+         |  round(f1.est, 6) AS dau_est,
+         |  round(f7.est, 6) AS wau_est
+         |FROM fin f1
+         |JOIN fin f7 ON f7.day_t = f1.day_t AND f7.w = 7
+         |WHERE f1.w = 1
+         |ORDER BY day""".stripMargin,
     // Bulk-inference oracle: per-CODEPOINT 31-polynomial token ids (32-bit
     // wrap then the 31-bit mask, +1 — hashCode's recurrence but
     // codepoint-clean, matching SessionEmbedder.hashTokenizer on non-BMP
@@ -3242,6 +3363,31 @@ object SparkEntry {
          |SELECT p.item, p.n_exact, min(c.cnt) AS n_est
          |FROM probe p JOIN counters c ON c.i = p.i AND c.cell = p.cell
          |GROUP BY 1, 2 ORDER BY n_exact DESC, item ASC""".stripMargin
+    },
+    // Estimate-only count-min oracle: every distinct item probed, top-K
+    // by the ESTIMATE (ties by item) — no exact counts anywhere
+    "q_text_heavy_hitters_est" -> {
+      val salts = graft.operators.Sketches.CmSalts
+      val counterRows = salts.zipWithIndex.map { case ((a, b), i) =>
+        s"SELECT $i AS i, ((fp*$a + $b) % 1000000007) % 1024 AS cell, count(*) AS cnt FROM f GROUP BY 2"
+      }.mkString("\n  UNION ALL ")
+      val probeRows = salts.zipWithIndex.map { case ((a, b), i) =>
+        s"SELECT item, $i AS i, ((fp*$a + $b) % 1000000007) % 1024 AS cell FROM tf"
+      }.mkString("\n  UNION ALL ")
+      s"""WITH occ AS (
+         |  SELECT unnest(string_split_regex(text, '\\s+')) AS item FROM documents
+         |), f AS (
+         |  SELECT item, ${polySqlOf("item")} AS fp FROM occ
+         |), counters AS (
+         |  $counterRows
+         |), tf AS (
+         |  SELECT DISTINCT item, ${polySqlOf("item")} AS fp FROM occ
+         |), probe AS (
+         |  $probeRows
+         |)
+         |SELECT item, min(c.cnt) AS n_est
+         |FROM probe p JOIN counters c ON c.i = p.i AND c.cell = p.cell
+         |GROUP BY 1 ORDER BY n_est DESC, item ASC LIMIT 20""".stripMargin
     },
     // KMV theta-sketch oracle: same fingerprint + splitmix-mod-p chain as
     // the HLL oracle, bottom-64 per source via row_number, theta set

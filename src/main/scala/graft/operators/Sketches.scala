@@ -151,20 +151,29 @@ object Sketches {
       .select(col("grp"), col("est"))
   }
 
-  /** Grouped distinct-count audit: per-group HLL estimate, the merged
-    * 'ALL' estimate (register-wise max across groups — the mergeability
-    * property exercised end to end), and the exact distinct count with
-    * relative error alongside. In production the exact twin is dropped
-    * and only the register table (G·m rows, ~KB) persists; it exists
-    * here so the estimate is auditable row by row.
+  /** Grouped distinct-count estimate: per-group HLL estimate plus the
+    * merged 'ALL' estimate (register-wise max across groups — the
+    * mergeability property exercised end to end).
+    *
+    * `audit = false` is the PRODUCTION front door: one corpus pass into
+    * the G·m-row register table, estimates derived from registers alone —
+    * nothing downstream of the hash ever shuffles more than ~KB. With
+    * `audit = true` (the default here, so the driver gate can check the
+    * estimator row by row) the exact distinct count and relative error
+    * ride alongside — that twin is a corpus-wide distinct, the precise
+    * cost the register path exists to avoid, so at 100 TB call this with
+    * `audit = false`.
     */
   def hllCardinality(df: DataFrame, grp: Column, key: Column, p: Int = 7,
-      wide: Boolean = false): DataFrame = {
+      wide: Boolean = false, audit: Boolean = true): DataFrame = {
     val regs = hllRegisters(df, grp, key, p, wide).cut(eager = false)
     val merged = regs.groupBy("bucket").agg(max(col("rho")).as("rho"))
       .withColumn("grp", lit("ALL"))
       .select("grp", "bucket", "rho")
     val est = hllEstimate(regs.unionByName(merged), p, wide)
+    if (!audit)
+      return est.select(col("grp"), round(col("est"), 6).as("hll_est"))
+        .orderBy("grp")
     val keys = df.select(grp.as("grp"), key.as("k"))
     val exact = keys.distinct().groupBy("grp").agg(count(lit(1)).as("n_exact"))
       .unionByName(keys.select("k").distinct()
@@ -182,19 +191,24 @@ object Sketches {
     * bucket, rho)` serves every window width without re-reading events
     * (DAU is the per-day estimate; WAU/MAU are register-wise maxima over
     * the trailing window). Returns one row per active day:
-    * `(day, n_exact_1d, dau_est, n_exact_wd, wau_est)` — exact twins ride
-    * alongside for the audit (production persists only the G·m-row
-    * register table and drops both exact scans).
+    * `(day, n_exact_1d, dau_est, n_exact_wd, wau_est)` with `audit = true`
+    * (the default, so the driver gate can check the estimator row by
+    * row); `(day, dau_est, wau_est)` with `audit = false` — the
+    * PRODUCTION front door, which never touches the corpus after the one
+    * hashing pass.
     *
     * Scale shape: the corpus is hashed ONCE into per-day registers
     * (m = 2^p rows/day); the window merge fans each REGISTER row out to
     * its ≤ `windowDays` target days (a ×W blow-up of a KB-scale table,
     * never of events), then max-merges per (target day, bucket). Target
     * days are semi-joined to days that actually have events, so silent
-    * calendar gaps produce no phantom rows.
+    * calendar gaps produce no phantom rows. The `audit = true` exact
+    * twins are a corpus-wide (day, key) distinct plus a ×W fanout of
+    * those PAIRS and a second distinct — the exact costs the register
+    * path exists to avoid — so at 100 TB call this with `audit = false`.
     */
   def hllRolling(df: DataFrame, day: Column, key: Column, windowDays: Int,
-      p: Int = 10, wide: Boolean = false): DataFrame = {
+      p: Int = 10, wide: Boolean = false, audit: Boolean = true): DataFrame = {
     require(windowDays >= 2, "windowDays >= 2: width 1 is the plain daily estimate")
     val regs = hllRegisters(df, day.cast("date"), key, p, wide).cut(eager = false)
     val days = regs.select(col("grp").as("day_t")).distinct().cut(eager = false)
@@ -208,6 +222,12 @@ object Sketches {
       .select(col("grp").as("day_t"), col("est").as("dau_est"))
     val wau = hllEstimate(fan.withColumnRenamed("day_t", "grp"), p, wide)
       .select(col("grp").as("day_t"), col("est").as("wau_est"))
+    if (!audit)
+      return dau.join(wau, "day_t")
+        .select(col("day_t").cast("string").as("day"),
+          round(col("dau_est"), 6).as("dau_est"),
+          round(col("wau_est"), 6).as("wau_est"))
+        .orderBy("day")
     val pairs = df.select(day.cast("date").as("d"), key.as("k")).distinct()
       .cut(eager = false)
     val ex1 = pairs.groupBy(col("d").as("day_t"))
@@ -261,14 +281,26 @@ object Sketches {
       .join(broadcast(counters), Seq("i", "cell"))
       .groupBy("item").agg(min(col("cnt")).as("n_est"))
 
-  /** Count-min heavy hitters: [[cmCounters]] + the exact top-K twin,
-    * estimated via [[cmEstimate]] — the exact side makes the sketch
-    * auditable row by row (production keeps only the counter matrix).
+  /** Count-min heavy hitters. With `audit = true` (the default, so the
+    * driver gate can check the sketch row by row): the exact top-K twin
+    * with its [[cmEstimate]] alongside — the exact side is a
+    * vocabulary-sized groupBy the production path drops. With
+    * `audit = false`, the PRODUCTION front door: candidates are the
+    * distinct items (a vocabulary-bounded shuffle, never corpus-sized),
+    * ranked purely by their counter-matrix estimate — top-K BY ESTIMATE,
+    * ties broken by item. The one-sided overestimate guarantee means no
+    * true heavy hitter can rank below a lighter item's TRUE count, so
+    * estimate-ranking preserves the hitter set up to collision noise.
     */
   def cmHeavyHitters(items: DataFrame, item: Column,
-      depth: Int = 4, width: Int = 1024, topK: Int = 20): DataFrame = {
+      depth: Int = 4, width: Int = 1024, topK: Int = 20,
+      audit: Boolean = true): DataFrame = {
     val occ = items.select(item.as("item"))
     val counters = cmCounters(occ, col("item"), depth, width)
+    if (!audit)
+      return cmEstimate(counters, occ, col("item"), depth, width)
+        .orderBy(col("n_est").desc, col("item").asc).limit(topK)
+        .select(col("item"), col("n_est"))
     val top = occ.groupBy("item").agg(count(lit(1)).as("n_exact"))
       .orderBy(col("n_exact").desc, col("item").asc).limit(topK)
     top.join(cmEstimate(counters, top, col("item"), depth, width), Seq("item"))

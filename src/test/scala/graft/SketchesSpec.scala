@@ -102,6 +102,38 @@ class SketchesSpec extends SparkSpec {
     assert(out.toSeq == again.toSeq)
   }
 
+  test("estimate-only front doors agree with the audited twins' estimates") {
+    import testImplicits._
+    // audit=false must be the SAME estimator minus the exact twin — pin
+    // value-level agreement so the two forms can't drift apart
+    val ev = (1 to 400).map(i => (s"d${i % 5}", s"u${i % 37}")).toDF("day", "u")
+      .select(to_date(concat(lit("2026-01-0"), substring(col("day"), 2, 1)
+        .cast("int") + 1)).as("ts"), col("u"))
+    val audited = Sketches.hllRolling(ev, col("ts"), col("u"), windowDays = 3,
+        p = 7, wide = true)
+      .select("day", "dau_est", "wau_est").collect().toSeq
+    val estOnly = Sketches.hllRolling(ev, col("ts"), col("u"), windowDays = 3,
+        p = 7, wide = true, audit = false).collect().toSeq
+    assert(estOnly.map(_.toSeq) == audited.map(_.toSeq))
+
+    val kv = (1 to 500).map(i => (s"g${i % 3}", s"k${i % 91}")).toDF("g", "k")
+    val cardAudited = Sketches.hllCardinality(kv, col("g"), col("k"), p = 7)
+      .select("grp", "hll_est").collect().toSeq
+    val cardEst = Sketches.hllCardinality(kv, col("g"), col("k"), p = 7,
+      audit = false).collect().toSeq
+    assert(cardEst.map(_.toSeq) == cardAudited.map(_.toSeq))
+
+    // heavy hitters: estimate-ranking must surface the same items as the
+    // exact ranking on a collision-free width, with identical estimates
+    val occ = (1 to 300).flatMap(i => Seq.fill(i % 7 + 1)(s"tok${i % 11}"))
+      .toDF("t")
+    val hhAudited = Sketches.cmHeavyHitters(occ, col("t"), topK = 5)
+      .select("item", "n_est").collect().toSeq
+    val hhEst = Sketches.cmHeavyHitters(occ, col("t"), topK = 5, audit = false)
+      .collect().toSeq
+    assert(hhEst.map(_.toSeq).toSet == hhAudited.map(_.toSeq).toSet)
+  }
+
   test("hll: small cardinality routes to linear counting and is near-exact") {
     import testImplicits._
     val df = (1 to 40).map(i => ("g", s"k$i")).toDF("src", "k")
