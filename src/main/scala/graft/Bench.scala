@@ -96,6 +96,19 @@ object Bench {
     val okNames = names.filterNot(failed)
     val med = okNames.map(n => n -> median(times(n))).toMap
     val total = med.values.sum
+    // Load-spike attribution (round-6 verdict #8: q_events_wau_rolling_hll
+    // read 4.68 s under driver load vs 1.25 s idle — the widest spread in
+    // the suite). For any query whose rep spread (max/min) exceeds 2×, the
+    // detail file reports the MIN rep alongside the median: the min is the
+    // best observed run on this box, so a fat median with a thin min reads
+    // as "load spike", while a fat min reads as "the query is actually
+    // this slow". Medians stay the headline numbers.
+    val loadSensitive = okNames.flatMap { n =>
+      val reps = times(n)
+      if (reps.size >= 2 && reps.min > 0 && reps.max / reps.min > 2.0)
+        Some(n -> (med(n), reps.min))
+      else None
+    }
     // Per-query medians + raw reps go to a detail FILE, not stdout: the
     // 163-query single-line payload overflowed the driver's 2,000-char
     // stdout tail window in rounds 4-5 ("parsed": null), truncating away
@@ -104,9 +117,12 @@ object Bench {
     val reps = names.map(n => s"\"$n\":${times(n).mkString("[", ",", "]")}")
       .mkString("{", ",", "}")
     val failedArr = failed.toSeq.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val loadSensitiveJson = loadSensitive
+      .map { case (n, (m, mn)) => s""""$n":{"median":$m,"min":$mn}""" }
+      .mkString("{", ",", "}")
     val detailPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_DETAIL", "BENCH_DETAIL.json")
     val boxEnd = boxConditions()
-    val detail = s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir","ok":${okNames.size},"failed":${failed.size},"failed_queries":$failedArr,"n_reps":$Reps,"queries":$qs,"reps":$reps,"box_start":$boxStart,"box_end":$boxEnd}"""
+    val detail = s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir","ok":${okNames.size},"failed":${failed.size},"failed_queries":$failedArr,"n_reps":$Reps,"queries":$qs,"reps":$reps,"load_sensitive":$loadSensitiveJson,"box_start":$boxStart,"box_end":$boxEnd}"""
     java.nio.file.Files.write(java.nio.file.Paths.get(detailPath),
       detail.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     // Compact summary (~300 chars) as the FINAL stdout line — must fit any

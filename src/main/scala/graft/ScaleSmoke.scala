@@ -463,6 +463,7 @@ object ScaleSmoke {
 
     // ---- embeddings-family ----------------------------------------------
     val emb0 = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val embBase = emb0.count()
     lazy val emb = replicate(emb0, Seq("vec_id"), None).localCheckpoint()
     lazy val query = graft.sources.VectorStore.fromEmbeddingsTable(spark, sfDir)
       .getVector("0").toSeq
@@ -535,10 +536,29 @@ object ScaleSmoke {
           planes, k = 6, rounds = 2)
         .filter(coalesce(col("correct"), lit(0)) >= 0).count()
     }
+    // the occupancy-held dial (round-6 verdict #5): planesFor(n) grows the
+    // plane count with the corpus so expected bucket occupancy — and with
+    // it per-bucket candidate volume — stays CONSTANT; the fixed-10-planes
+    // row above is the contrast whose buckets fatten linearly with n
+    prepped("label propagation (LSH edges, planesFor(n) dial, 25% seeds, 2 rounds)")({ emb; query }) {
+      val planes = graft.operators.AnnSearch.hyperplanesFor(
+        dim = 64, n = embBase * mult, targetOccupancy = 64)
+      graft.operators.Search.labelPropagateLsh(emb, col("vec_id"),
+          col("embedding"), col("label"), pmod(col("vec_id"), lit(4)) === 0,
+          planes, k = 6, rounds = 2)
+        .filter(coalesce(col("correct"), lit(0)) >= 0).count()
+    }
     // the noisy-label screen's scale twin rides the same LSH edge build;
     // the exact-grid front is the oracled small-corpus path
     prepped("label-noise screen (LSH edges 10 planes, k=6)")(emb) {
       val planes = graft.operators.AnnSearch.hyperplanes(dim = 64, numPlanes = 10)
+      graft.operators.Search.labelAgreementLsh(emb, col("vec_id"),
+          col("embedding"), col("label"), planes, k = 6)
+        .filter(col("noisy") >= 0).count()
+    }
+    prepped("label-noise screen (LSH edges, planesFor(n) dial, k=6)")(emb) {
+      val planes = graft.operators.AnnSearch.hyperplanesFor(
+        dim = 64, n = embBase * mult, targetOccupancy = 64)
       graft.operators.Search.labelAgreementLsh(emb, col("vec_id"),
           col("embedding"), col("label"), planes, k = 6)
         .filter(col("noisy") >= 0).count()
@@ -548,6 +568,14 @@ object ScaleSmoke {
     prepped("kcenter coreset (8 rounds)")(emb) {
       graft.operators.Search.kCenterCoreset(emb, col("vec_id"),
         col("embedding"), k = 8).count()
+    }
+    // round-depth audit (round-6 verdict #6): the greedy loop is k−1
+    // driver-synced rounds, each a scan + localCheckpoint — this row
+    // measures whether per-round cost stays flat at k=64 (i.e. total is
+    // ~8x the k=8 row) or the checkpoint/driver-sync overhead compounds
+    prepped("kcenter coreset (64 rounds, round-depth audit)")(emb) {
+      graft.operators.Search.kCenterCoreset(emb, col("vec_id"),
+        col("embedding"), k = 64).count()
     }
     // cluster count grows with the corpus (C ∝ n keeps cluster size — and
     // therefore Σ|c|² = n·s — LINEAR in n; fixed C would be n²/C).

@@ -29,6 +29,31 @@ object AnnSearch {
 
   val DefaultPlanes = 6
 
+  /** Plane count as a function of corpus size — the dial every sign-LSH
+    * tier should compute rather than hardcode. With `b` planes the
+    * expected bucket occupancy is `n / 2^b`, so holding occupancy at
+    * `targetOccupancy` as the corpus grows means `b = ceil(log2(n /
+    * target))`: probe cost per query stays ~`(1 + b + C(b,2)) · target`
+    * rows (radius-2 multiprobe) instead of growing linearly with n — the
+    * difference between the label-propagation smoke row growing 5.7× for
+    * 10× data at a FIXED 10-plane dial and staying ~flat when the dial
+    * tracks n. Clamped to [minPlanes, maxPlanes]: below the floor the
+    * bucket column stops pruning anything; above the cap the radius-2
+    * probe set itself (quadratic in b) starts to dominate and a coarser
+    * structure (IVF) is the better tool. At 100 TB (~1e11 vectors,
+    * target 256) this yields 29 bits — still an Int bucket column.
+    */
+  def planesFor(n: Long, targetOccupancy: Long = 256,
+      minPlanes: Int = 4, maxPlanes: Int = 30): Int = {
+    require(targetOccupancy >= 1 && minPlanes >= 1 && maxPlanes <= 30 &&
+      minPlanes <= maxPlanes)
+    if (n <= 0) minPlanes
+    else {
+      val b = math.ceil(math.log(n.toDouble / targetOccupancy) / math.log(2.0)).toInt
+      math.min(maxPlanes, math.max(minPlanes, b))
+    }
+  }
+
   /** Deterministic pseudo-random hyperplanes (uniform [-1, 1) coords from a
     * splitmix stream — direction uniformity is what sign-LSH needs; exact
     * distribution shape is immaterial).
@@ -45,6 +70,14 @@ object AnnSearch {
     }
     Seq.fill(numPlanes)(Seq.fill(dim)(next()))
   }
+
+  /** [[hyperplanes]] with the plane count computed from the corpus size
+    * via [[planesFor]] — the form a deployment calls at ingest (n is the
+    * table's row count, known before the index column is written).
+    */
+  def hyperplanesFor(dim: Int, n: Long, targetOccupancy: Long = 256,
+      seed: Long = 0xA11CE5L): Seq[Seq[Double]] =
+    hyperplanes(dim, planesFor(n, targetOccupancy), seed)
 
   /** Bucket id column: bit i set iff v · plane_i ≥ 0. */
   def bucketCol(vec: Column, planes: Seq[Seq[Double]]): Column =
@@ -68,9 +101,18 @@ object AnnSearch {
   def probeBuckets(bucket: Int, numPlanes: Int, radius: Int = 1): Seq[Int] =
     xorMasks(numPlanes, radius).map(bucket ^ _)
 
-  /** All bit masks of `bits` bits with popcount ≤ radius, ascending. */
-  def xorMasks(bits: Int, radius: Int): Seq[Int] =
-    (0 until (1 << bits)).filter(m => Integer.bitCount(m) <= radius)
+  /** All bit masks of `bits` bits with popcount ≤ radius, ascending.
+    * Enumerated by CHOOSING the set bits (O(C(bits, ≤radius)) masks
+    * built directly) rather than filtering the full 2^bits range — with
+    * [[planesFor]] supplying ~30 bits at corpus scale, the filter form
+    * would walk a billion candidates to emit a few hundred masks.
+    */
+  def xorMasks(bits: Int, radius: Int): Seq[Int] = {
+    require(bits <= 30, s"bucket is an Int bit-set: at most 30 planes (got $bits)")
+    val r = math.min(radius, bits)
+    (0 to r).flatMap(k => (0 until bits).combinations(k)
+      .map(_.foldLeft(0)((m, i) => m | (1 << i)))).sorted
+  }
 
   /** Attach the LSH bucket to a vector table (ingest-time step; persist the
     * result partitioned by `bucket` to turn probes into partition pruning).

@@ -35,6 +35,33 @@ class AnnSearchSpec extends SparkSpec {
     assert(AnnSearch.probeBuckets(0, 3, radius = 2).toSet == Set(0, 1, 2, 4, 3, 5, 6))
   }
 
+  test("xorMasks: combination enumeration matches the popcount filter") {
+    for (bits <- 1 to 12; radius <- 0 to 3) {
+      val filtered = (0 until (1 << bits)).filter(Integer.bitCount(_) <= radius)
+      assert(AnnSearch.xorMasks(bits, radius) == filtered,
+        s"bits=$bits radius=$radius")
+    }
+    // at the planesFor ceiling the old filter form would walk 2^30 ints;
+    // the combination form must stay cheap and correctly sized
+    val wide = AnnSearch.xorMasks(30, 2)
+    assert(wide.size == 1 + 30 + 30 * 29 / 2)
+    assert(wide.head == 0 && wide == wide.sorted)
+  }
+
+  test("planesFor: occupancy-held dial with clamps") {
+    // n/2^b <= target just barely: b = ceil(log2(n/target))
+    assert(AnnSearch.planesFor(256, targetOccupancy = 256) == 4)  // floor clamp
+    assert(AnnSearch.planesFor(256 * 1024, targetOccupancy = 256) == 10)
+    assert(AnnSearch.planesFor(256 * 1024 + 1, targetOccupancy = 256) == 11)
+    assert(AnnSearch.planesFor(100000000000L, targetOccupancy = 256) == 29) // 1e11 vectors
+    assert(AnnSearch.planesFor(Long.MaxValue) == 30)              // ceiling clamp
+    assert(AnnSearch.planesFor(0) == 4)
+    // 10x the data at a held target adds ~log2(10) = 3-4 planes
+    val b1 = AnnSearch.planesFor(1000000, targetOccupancy = 64)
+    val b2 = AnnSearch.planesFor(10000000, targetOccupancy = 64)
+    assert(b2 - b1 >= 3 && b2 - b1 <= 4)
+  }
+
   test("ANN search: recall@10 grows with probe radius; scores stay exact") {
     val store = VectorStore.fromEmbeddingsTable(spark, dir)
     val q = store.getVector("0").toSeq

@@ -558,6 +558,54 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming HLL maintenance: stop + restart on the same checkpoint recovers; merged state equals the single-run twin") {
+    // Round-6 verdict #7: every streaming pin proved batch_id-idempotence
+    // WITHIN a run; none proved a query killed mid-series and restarted
+    // against the same checkpoint dir resumes instead of reprocessing or
+    // losing data. A FILE source (replayable by contract) drives it:
+    // MemoryStream state dies with the query object, so it cannot
+    // exercise the restart path.
+    val sp = spark
+    import sp.implicits._
+    import graft.operators.Sketches
+    val out = tmpDir("graft_hll_restart")
+    val inDir = s"$out/in"
+    new java.io.File(inDir).mkdirs()
+    val b1 = (1 to 300).map(i => ("a", s"key-$i"))
+    val b2 = (151 to 450).map(i => ("a", s"key-$i")) // overlaps b1
+    val b3 = (301 to 600).map(i => ("a", s"key-$i")) // overlaps b2
+    def arrive(rows: Seq[(String, String)]): Unit =
+      rows.toDF("src", "k").coalesce(1).write.mode("append").parquet(inDir)
+    def start() = Streaming.startHllMaintenance(
+      sp.readStream.schema("src STRING, k STRING")
+        .option("maxFilesPerTrigger", 1).parquet(inDir),
+      col("src"), col("k"), p = 7, s"$out/regs", s"$out/ckpt")
+    arrive(b1); arrive(b2)
+    val q1 = start()
+    try { q1.processAllAvailable() } finally q1.stop()
+    // data keeps arriving while the query is DOWN
+    arrive(b3)
+    val q2 = start()
+    try { q2.processAllAvailable() } finally q2.stop()
+    val est = Streaming.loadHllEstimate(sp, s"$out/regs", p = 7)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val twin = Sketches.hllEstimate(
+      Sketches.hllRegisters((b1 ++ b2 ++ b3).toDF("src", "k"),
+        col("src"), col("k"), 7), 7)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(est == twin,
+      "estimate after stop/restart must equal a single uninterrupted build")
+    // recovery evidence: the restarted query CONTINUED the micro-batch
+    // numbering from the offset log (batch 2 after the run that committed
+    // 0 and 1) — a query that restarted from scratch would re-emit
+    // batch_ids 0.. and reprocess the first two files
+    val batchIds = sp.read.parquet(s"$out/regs")
+      .select(col("batch_id").cast("long")) // partition col may infer as int
+      .distinct().collect().map(_.getLong(0)).toSet
+    assert(batchIds == Set(0L, 1L, 2L),
+      s"expected resumed batch numbering {0,1,2}, got $batchIds")
+  }
+
   test("streaming HLL maintenance: wide tier streams the 2^60 registers; twin equality holds") {
     val sp = spark
     import sp.implicits._
