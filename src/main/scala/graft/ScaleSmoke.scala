@@ -279,6 +279,31 @@ object ScaleSmoke {
       graft.operators.TextAnalysis.bpeEncode(docs, col("doc_id"), col("text"),
         shippedMerges).filter(col("n_tokens") >= 0).count()
     }
+    // production merge depth (round-6 verdict #4): the driver-local trainer
+    // (one word-count pass + in-memory merge loop — the sentencepiece/HF
+    // shape) at 256 rounds, and the one-pass encode kernel applying all
+    // 256 shipped merges. Contrast with the 4-round/4-merge rows above:
+    // the trainer's distributed cost is the SAME one tokenize+count pass
+    // regardless of depth, and the encode kernel's plan does not grow with
+    // the table, so both should track the 4-merge rows, not 64x them.
+    // Depth trains on md5(text) words (32 hex chars each): the synthetic
+    // corpus's natural vocabulary exhausts its pair structure at ~90
+    // merges, and what this row measures is the ENGINE at depth, not the
+    // tokenizer's linguistics.
+    lazy val hexDocs = docs.select(col("doc_id"),
+      md5(col("text")).as("text")).localCheckpoint()
+    prepped("bpe merges local (256 rounds, driver trainer, hex words)")({ docs; hexDocs }) {
+      graft.operators.TextAnalysis.bpeMergesLocal(hexDocs, col("text"),
+        nMerges = 256).count()
+    }
+    lazy val shipped256 = graft.operators.TextAnalysis
+      .bpeMergesLocal(docs0.select(col("doc_id"), md5(col("text")).as("text")),
+        col("text"), nMerges = 256)
+      .orderBy("step").collect().map(_.getString(1)).toSeq
+    prepped("bpe encode (256 shipped merges, one kernel pass, hex words)")({ docs; hexDocs; shipped256 }) {
+      graft.operators.TextAnalysis.bpeEncode(hexDocs, col("doc_id"), col("text"),
+        shipped256).filter(col("n_tokens") >= 0).count()
+    }
     prepped("drop novelty (20% new vs 80% ref, 3-grams)")(docs) {
       graft.operators.Curation.dropNovelty(
         docs.filter(pmod(col("doc_id"), lit(5)) === 0), col("doc_id"), col("text"),

@@ -2657,6 +2657,16 @@ object SparkEntry {
           graft.sources.Testdata.table(s, dir, "documents"),
           col("text"), nMerges = 4)
         .orderBy("step")),
+    // the PRODUCTION-depth trainer (one word-count pass + in-memory merge
+    // loop with incremental pair counts — sentencepiece/HF shape; runs
+    // 256+ rounds where the distributed loop pays a Spark job each). Same
+    // merge semantics and tie-break as q_text_bpe, so it shares that
+    // oracle at the oracle's replicable depth
+    "q_text_bpe_local" -> ((s, dir) =>
+      TextAnalysis.bpeMergesLocal(
+          graft.sources.Testdata.table(s, dir, "documents"),
+          col("text"), nMerges = 4)
+        .orderBy("step")),
     // BPE APPLY: per-doc token budgets under the learned 4-merge
     // tokenizer — the merge table is the bounded model artifact (driver
     // collect, like centroids); rewrites run on the DISTINCT-word
@@ -5447,6 +5457,7 @@ object SparkEntry {
     "q_embed_kcenter" -> kCenterOracle(8),
     "q_embed_kcenter_assign" -> kCenterAssignOracle(8),
     "q_text_bpe" -> bpeOracle(4),
+    "q_text_bpe_local" -> bpeOracle(4),
     "q_text_bpe_encode" -> bpeEncodeOracle(4),
     "q_pipeline_tokenize" -> bpeTokenizePackOracle(4, shardDocs = 250, budget = 512),
     // fertility oracle: the shared learn+apply CTE chain, per-doc budgets,

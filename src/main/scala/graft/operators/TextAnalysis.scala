@@ -655,6 +655,101 @@ object TextAnalysis {
         .otherwise(concat(acc, lit(" "), t)))
   }
 
+  /** The whole ranked merge table applied to a space-joined symbol state
+    * as one codegen'd column — see [[graft.functions.BpeApplyExpr]].
+    */
+  def bpeApply(state: Column, merges: Seq[String]): Column =
+    org.apache.spark.sql.graft.Bridge.column(
+      graft.functions.BpeApplyExpr(
+        org.apache.spark.sql.graft.Bridge.expression(state), merges.toArray))
+
+  /** BPE merge induction collected to the driver — the PRODUCTION trainer
+    * shape (how sentencepiece/HF tokenizer trainers actually run: one
+    * corpus pass to frequency-weighted word counts, then an in-memory
+    * merge loop over that vocabulary-sized table). [[bpeMerges]] keeps the
+    * word-state table distributed and pays a driver-synced Spark job per
+    * round — honest at 4 rounds, 256+ driver round-trips at production
+    * depth. Here the ONE distributed pass reduces the corpus to `(word,
+    * count)` (vocabulary-sized — the corpus itself never moves), the top
+    * `maxVocab` types come back to the driver (count desc, word asc
+    * cutoff, so the cap is deterministic), and the merge loop runs
+    * in-memory with incremental pair-count maintenance: each round only
+    * touches the words that actually contain the merged pair. Same merge
+    * semantics and (count desc, pair asc) tie-break as [[bpeMerges]] —
+    * TextAnalysisSpec pins table equality between the two trainers.
+    *
+    * At 100 TB the word-count pass is the same one-shuffle aggregation
+    * every vocabulary operator here runs; the collect is bounded by
+    * `maxVocab` (1M types ≈ tens of MB), and the frequency cutoff loses
+    * only hapax-tail mass that cannot win a merge round against the head.
+    */
+  def bpeMergesLocal(docs: DataFrame, text: Column, nMerges: Int,
+      maxVocab: Int = 1 << 20): DataFrame = {
+    require(nMerges >= 1 && maxVocab >= 1)
+    val spark = docs.sparkSession
+    val vocabRows = docs.select(explode(wsTokens(text)).as("w"))
+      .filter(col("w") =!= "")
+      .groupBy("w").agg(count(lit(1)).as("n_w"))
+      .orderBy(desc("n_w"), asc("w")) // TakeOrdered, never a full sort
+      .limit(maxVocab)
+      .collect()
+    // word states as codepoint-symbol arrays (the same per-CODEPOINT split
+    // as bpeMerges: a UTF-16-unit split would mangle non-BMP chars)
+    val states = vocabRows.map { r =>
+      val cps = r.getString(0).codePoints().toArray
+      cps.map(cp => new String(Character.toChars(cp)))
+    }
+    val counts = vocabRows.map(_.getLong(1))
+    val lens = states.map(_.length)
+    import scala.collection.mutable
+    val pairCount = mutable.HashMap.empty[String, Long]
+    val pairWords = mutable.HashMap.empty[String, mutable.Set[Int]]
+    def addPairs(wid: Int, sign: Long): Unit = {
+      val s = states(wid); val n = lens(wid)
+      var i = 0
+      while (i < n - 1) {
+        val pr = s(i) + " " + s(i + 1)
+        val c = pairCount.getOrElse(pr, 0L) + sign * counts(wid)
+        if (c == 0L) { pairCount.remove(pr); pairWords.get(pr).foreach(_.remove(wid)) }
+        else {
+          pairCount(pr) = c
+          if (sign > 0) pairWords.getOrElseUpdate(pr, mutable.Set.empty) += wid
+        }
+        i += 1
+      }
+    }
+    states.indices.foreach(addPairs(_, 1L))
+    var merges = Vector.empty[(Int, String, Long)]
+    var m = 1
+    while (m <= nMerges && pairCount.nonEmpty) {
+      // argmax with the bpeMerges tie-break: count desc, pair asc — in
+      // UTF-8 BYTE order (what Spark's UTF8String sort and the DuckDB
+      // oracle both use; Java's UTF-16 order diverges for non-BMP pairs)
+      def utf8Less(a: String, b: String): Boolean =
+        org.apache.spark.unsafe.types.UTF8String.fromString(a)
+          .compareTo(org.apache.spark.unsafe.types.UTF8String.fromString(b)) < 0
+      var bestPr: String = null; var bestC = -1L
+      pairCount.foreach { case (pr, c) =>
+        if (c > bestC || (c == bestC && utf8Less(pr, bestPr))) {
+          bestPr = pr; bestC = c
+        }
+      }
+      merges :+= ((m, bestPr, bestC))
+      val sp = bestPr.indexOf(' ')
+      val x = bestPr.substring(0, sp); val y = bestPr.substring(sp + 1)
+      val touched = pairWords.getOrElse(bestPr, mutable.Set.empty).toArray
+      touched.foreach { wid =>
+        addPairs(wid, -1L) // retire the old adjacencies
+        lens(wid) = graft.functions.BpeApplyExpr.mergePass(
+          states(wid), lens(wid), x, y, x + y)
+        addPairs(wid, 1L)  // account the rewritten ones
+      }
+      m += 1
+    }
+    import spark.implicits._
+    merges.toDF("step", "pair", "cnt")
+  }
+
   /** BPE ENCODE — apply a learned merge table (rank-ordered `pair`
     * strings from [[bpeMerges]], i.e. the artifact a tokenizer trainer
     * ships) to the corpus, and return per-document token accounting:
@@ -665,25 +760,24 @@ object TextAnalysis {
     * long-tail text.
     *
     * Scale shape: the corpus is tokenized ONCE into a DISTINCT-word
-    * vocabulary; every merge rewrite runs on that vocabulary-bounded
-    * table (exactly how production tokenizers batch-encode — per word
-    * type, never per occurrence), with a lineage cut every 8 rounds to
-    * bound codegen depth; the word→token-count map then broadcasts back
-    * over the corpus words, so the big side never shuffles. Rewrites
-    * apply sequentially in rank order — the reference apply-BPE
-    * semantics this engine pins (and the oracle replicates).
+    * vocabulary; the whole merge table applies in ONE codegen'd kernel
+    * pass over that vocabulary-bounded table
+    * ([[graft.functions.BpeApplyExpr]] — O(symbols²) per word type
+    * regardless of merge depth, so a 32k-merge production table costs
+    * the same plan as 4 merges; exactly how production tokenizers
+    * batch-encode — per word type, never per occurrence); the
+    * word→token-count map then broadcasts back over the corpus words, so
+    * the big side never shuffles. Rewrites apply sequentially in rank
+    * order — the reference apply-BPE semantics this engine pins (the
+    * oracle replicates the sequential fold; TextAnalysisSpec pins the
+    * kernel against the fold form merge-by-merge).
     */
   def bpeEncode(docs: DataFrame, id: Column, text: Column,
       merges: Seq[String]): DataFrame = {
     val vocab = docs.select(explode(wsTokens(text)).as("w"))
       .filter(col("w") =!= "").distinct()
-    var st = vocab.withColumn("state", concat_ws(" ",
-      regexp_extract_all(col("w"), lit("(?s)."), lit(0))))
-    merges.zipWithIndex.foreach { case (pr, i) =>
-      val Array(x, y) = pr.split(" ", 2)
-      st = st.withColumn("state", mergeFold(col("state"), x, y))
-      if ((i + 1) % 8 == 0) st = st.cut(eager = false)
-    }
+    val st = vocab.withColumn("state", bpeApply(concat_ws(" ",
+      regexp_extract_all(col("w"), lit("(?s)."), lit(0))), merges))
     val wtok = st.select(col("w"),
       size(split(col("state"), " ")).cast("long").as("n_tok"),
       length(col("w")).cast("long").as("n_chars"))

@@ -352,6 +352,94 @@ class TextAnalysisSpec extends SparkSpec {
     assert(em.toSeq == Seq((1L, 2L, 1.0)))
   }
 
+  test("bpeApply kernel: equals plain sequential rank-order application on a learned table") {
+    import testImplicits._
+    // independent oracle: the textbook sequential form — for each merge in
+    // rank order, one greedy non-overlapping left-to-right rewrite. The
+    // kernel's no-op-skipping loop must be indistinguishable from it.
+    def seqApply(state: String, merges: Seq[String]): String =
+      merges.foldLeft(state) { (st, pr) =>
+        val Array(x, y) = pr.split(" ", 2)
+        val toks = st.split(" ")
+        val out = scala.collection.mutable.ArrayBuffer.empty[String]
+        var i = 0
+        while (i < toks.length) {
+          if (i < toks.length - 1 && toks(i) == x && toks(i + 1) == y) {
+            out += (x + y); i += 2
+          } else { out += toks(i); i += 1 }
+        }
+        out.mkString(" ")
+      }
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val merges = TextAnalysis.bpeMergesLocal(docs, col("text"), nMerges = 64)
+      .orderBy("step").collect().map(_.getString(1)).toSeq
+    assert(merges.size == 64)
+    val states = docs.select(explode(split(lower(col("text")), "\\s+")).as("w"))
+      .filter(col("w") =!= "").distinct().limit(400)
+      .withColumn("state", concat_ws(" ",
+        regexp_extract_all(col("w"), lit("(?s)."), lit(0))))
+      .withColumn("applied", TextAnalysis.bpeApply(col("state"), merges))
+      .collect()
+    states.foreach { r =>
+      assert(r.getString(2) == seqApply(r.getString(1), merges),
+        s"word '${r.getString(0)}'")
+    }
+    // duplicate pair strings in the table fire at EACH of their ranks
+    // (the fold form's semantics): "c ab" recreates nothing here, but the
+    // repeated "a b" must not fire twice on the same occurrence
+    val dup = Seq("a b", "ab c", "a b")
+    val hand = Seq("a b c a b" -> null)
+    hand.foreach { case (st, _) =>
+      val viaKernel = Seq(st).toDF("state")
+        .select(TextAnalysis.bpeApply(col("state"), dup)).head().getString(0)
+      assert(viaKernel == seqApply(st, dup), s"state '$st'")
+    }
+    // empty table and single-symbol states pass through
+    val passthrough = Seq("a", "a b").toDF("state")
+      .select(TextAnalysis.bpeApply(col("state"), Seq.empty)).collect()
+    assert(passthrough.map(_.getString(0)).toSeq == Seq("a", "a b"))
+  }
+
+  test("bpeMergesLocal: merge table equals the distributed trainer's; deep depth encodes monotonically") {
+    import testImplicits._
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val dist = TextAnalysis.bpeMerges(docs, col("text"), nMerges = 12)
+      .orderBy("step").collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getLong(2))).toSeq
+    val local = TextAnalysis.bpeMergesLocal(docs, col("text"), nMerges = 12)
+      .orderBy("step").collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getLong(2))).toSeq
+    assert(local == dist,
+      "driver-local trainer must reproduce the distributed merge table exactly")
+    // production depth: 256 merges train in-memory and encode in ONE
+    // kernel pass; a deeper table can only merge MORE, so per-doc token
+    // counts are monotonically <= the 4-merge encoding's. The natural-text
+    // corpus exhausts its pair structure at ~90 merges (tiny synthetic
+    // vocabulary), so depth trains on md5(text) words — 32 hex chars per
+    // word, enough pair mass for any depth
+    val hexDocs = docs.select(col("doc_id"), md5(col("text")).as("text"))
+    val m256 = TextAnalysis.bpeMergesLocal(hexDocs, col("text"), nMerges = 256)
+      .orderBy("step").collect().map(_.getString(1)).toSeq
+    assert(m256.size == 256)
+    val enc4 = TextAnalysis.bpeEncode(hexDocs, col("doc_id"), col("text"), m256.take(4))
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    val enc256 = TextAnalysis.bpeEncode(hexDocs, col("doc_id"), col("text"), m256)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(enc256.keySet == enc4.keySet)
+    assert(enc256.forall { case (id, n) => n <= enc4(id) })
+    assert(enc256.values.sum < enc4.values.sum,
+      "252 extra merges must shorten the corpus encoding somewhere")
+    // the maxVocab cap is deterministic (count desc, word asc) and only
+    // drops tail mass: capping at the full vocab size changes nothing
+    val vocabSize = docs.select(explode(split(col("text"), "\\s+")).as("w"))
+      .filter(col("w") =!= "").distinct().count().toInt
+    val capped = TextAnalysis.bpeMergesLocal(docs, col("text"), nMerges = 12,
+      maxVocab = vocabSize)
+      .orderBy("step").collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getLong(2))).toSeq
+    assert(capped == dist)
+  }
+
   test("klAgainstReference: hand-computed smoothed KL; OOV takes the Laplace floor") {
     import testImplicits._
     val reference = (Seq.fill(40)("a") ++ Seq.fill(30)("b") ++ Seq.fill(30)("c"))
