@@ -699,6 +699,44 @@ object ScaleSmoke {
     }
     } // end delete chain gate
 
+    // ---- ANN persisted-layout chain (bucket-clustered + probe read) -----
+    // The 100 TB ANN read path: vectors persisted CLUSTERED by their LSH
+    // bucket (planesFor dial, file count ∝ data so file SIZE is constant),
+    // a maintained zone-map manifest, and the radius-2 multiprobe pruning
+    // FILES before any task runs. The probe read's cost should track the
+    // probed slice (≈ probes/2^b of the corpus), not the corpus — the
+    // full-index search row is the contrast that scans everything.
+    val annDir = System.getProperty("java.io.tmpdir") + s"/graft_smoke_ann_x$mult"
+    val annNames = Seq(
+      s"ann clustered write (planesFor dial, $nFiles files)",
+      "ann probe read (radius-2 multiprobe, zone-map pruned)",
+      "CONTRAST ann search, full in-memory index scan")
+    if (only.forall(o => annNames.exists(_.contains(o)))) {
+    val annPlanes = graft.operators.AnnSearch.hyperplanesFor(
+      dim = 64, n = embBase * mult, targetOccupancy = 64)
+    emb; query // force the shared setups untimed
+    timeOrSetup(s"ann clustered write (planesFor dial, $nFiles files)") {
+      graft.operators.AnnSearch.clusteredWrite(emb, col("embedding"),
+        annPlanes, annDir, nFiles)
+      embBase * mult
+    }
+    // maintained manifest (per-batch streaming op in production) — eager
+    // and untimed, same reasoning as the delete chain's manifest
+    val annManifest = graft.sources.Layout.zoneMap(spark, annDir, Seq("bucket"))
+      .localCheckpoint()
+    time("ann probe read (radius-2 multiprobe, zone-map pruned)") {
+      graft.operators.AnnSearch.searchClustered(spark, annManifest,
+        col("vec_id").cast("string"), col("embedding"), query, annPlanes,
+        k = 10, probeRadius = 2).count()
+    }
+    time("CONTRAST ann search, full in-memory index scan") {
+      graft.operators.AnnSearch.search(
+        graft.operators.AnnSearch.index(emb, col("embedding"), annPlanes),
+        col("vec_id").cast("string"), col("embedding"), query, annPlanes,
+        k = 10, probeRadius = 2).count()
+    }
+    } // end ann layout gate
+
     // ---- skew stress (round-6: hot key = 20% of rows) -------------------
     // Everything above replicates UNIFORMLY; real corpora are Zipf. One
     // synthetic hot user takes 20% of ALL events (a hotter head than most

@@ -1714,6 +1714,23 @@ object SparkEntry {
         .withColumn("score", round(col("score"), 6))
         .orderBy(desc("score"), asc("id"))
     }),
+    // ANN over the PERSISTED bucket-clustered layout: the multiprobe set
+    // prunes parquet FILES via the zone-map manifest before any task runs
+    // — the deployable form of "probing = pruning" (hive-partitioning by
+    // bucket would be 2^b directories). Same planes/radius/scoring as
+    // q_ann_topk, so it shares that oracle.
+    "q_ann_topk_clustered" -> ((s, dir) => {
+      import graft.sources.Layout
+      val planes = AnnSearch.hyperplanes(dim = 64)
+      val tmp = System.getProperty("java.io.tmpdir") + "/graft_ann_clustered"
+      AnnSearch.clusteredWrite(s.read.parquet(s"$dir/embeddings.parquet"),
+        col("embedding"), planes, tmp, numFiles = 8)
+      val manifest = Layout.zoneMap(s, tmp, Seq("bucket"))
+      AnnSearch.searchClustered(s, manifest, col("vec_id").cast("string"),
+          col("embedding"), queryVec(s, dir), planes, k = 10, probeRadius = 2)
+        .withColumn("score", round(col("score"), 6))
+        .orderBy(desc("score"), asc("id"))
+    }),
     // ANN, IVF variant: centroid-partitioned inverted lists (deterministic
     // centroids = lowest-id corpus vectors so the oracle can replicate the
     // assignment; production swaps in IvfSearch.train k-means — identical
@@ -4046,6 +4063,7 @@ object SparkEntry {
         |  round(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE), 6) AS sum_value
         |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "q_ann_topk" -> annOracle,
+    "q_ann_topk_clustered" -> annOracle,
     // IVF oracle: replicate nearest-centroid assignment (argmin |c|²−2·v·c,
     // ties to smaller cid — |v|² is row-constant so this is argmin L2²),
     // probe the 4 nearest lists, exact cosine inside.

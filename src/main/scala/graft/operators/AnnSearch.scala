@@ -120,6 +120,51 @@ object AnnSearch {
   def index(df: DataFrame, vec: Column, planes: Seq[Seq[Double]]): DataFrame =
     df.withColumn("bucket", bucketCol(vec, planes))
 
+  /** Persist a vector table CLUSTERED by its LSH bucket: range-partitioned
+    * and sorted on `bucket`, so each parquet file covers a contiguous
+    * bucket span and the zone-map manifest ([[graft.sources.Layout
+    * .zoneMap]]) prunes at the FILE level. This is the deployable form of
+    * the "bucket as partition key" story in this module's header — hive
+    * partitioning by bucket would mean 2^b directories (2^29 at corpus
+    * scale, untenable); clustering + min/max file stats gives the same
+    * probe-time pruning with file counts chosen by data size.
+    */
+  def clusteredWrite(df: DataFrame, vec: Column, planes: Seq[Seq[Double]],
+      path: String, numFiles: Int): Unit =
+    index(df, vec, planes)
+      .repartitionByRange(numFiles, col("bucket"))
+      .sortWithinPartitions("bucket")
+      .write.mode("overwrite").parquet(path)
+
+  /** [[search]] over a [[clusteredWrite]] layout: the multiprobe set
+    * prunes FILES via the zone-map manifest before any task is scheduled
+    * ([[graft.sources.Layout.prunedReadIn]] — membership prune, since xor
+    * neighbors scatter across the bucket space), then the same exact
+    * cosine + top-k runs inside the probed buckets. Results are identical
+    * to [[search]] on the full in-memory index at the same dials; the
+    * scanned fraction is the probed files' share of the layout
+    * (→ probes/2^b of the corpus as file count grows with data).
+    */
+  def searchClustered(
+      spark: org.apache.spark.sql.SparkSession,
+      manifest: DataFrame,      // Layout.zoneMap(spark, path, Seq("bucket"))
+      id: Column,
+      vec: Column,
+      query: Seq[Float],
+      planes: Seq[Seq[Double]],
+      k: Int = 5,
+      probeRadius: Int = 1): DataFrame = {
+    val qb = bucketOf(query, planes)
+    val probes = probeBuckets(qb, planes.length, probeRadius)
+    graft.sources.Layout
+      .prunedReadIn(spark, manifest, "bucket", probes.map(_.toLong))
+      .filter(col("bucket").isin(probes: _*)) // zone maps prune files, not rows
+      .withColumn("score", VF.cosine(vec, typedLit(query)))
+      .select(id.as("id"), col("score"))
+      .orderBy(desc("score"), asc("id"))
+      .limit(k)
+  }
+
   /** Approximate top-k: prune to the probe buckets (Hamming ≤ probeRadius
     * around the query's bucket), then exact cosine ranking inside them.
     */

@@ -169,10 +169,11 @@ object Search {
     * same shape as Lloyd iterations, with k bounded by the annotation
     * budget (tens to thousands), not the corpus.
     *
-    * Round-depth guidance (SCALE_SMOKE.md "kcenter coreset" rows): total
-    * time is ~linear in k — the k=64 audit row runs at ~the k=8 row × 8,
-    * i.e. per-round cost (scan + localCheckpoint + 1-row collect) does
-    * not compound with depth. The practical ceiling is therefore wall
+    * Round-depth guidance (SCALE_SMOKE.md "kcenter coreset" rows): the
+    * k=64 audit row runs at ~3.7× the k=8 row (not 8× — fixed setup
+    * dominates), i.e. per-round cost (scan + localCheckpoint + 1-row
+    * collect) does NOT compound with depth; the marginal round costs
+    * ~0.25 s on the x200 corpus. The practical ceiling is therefore wall
     * clock, not memory: at k rounds × (one corpus scan each), budget
     * k ≲ a few thousand; past that, relax to batched selection (pick the
     * m farthest points per pass — still a 2·OPT-flavored cover in

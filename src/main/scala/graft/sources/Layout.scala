@@ -143,6 +143,37 @@ object Layout {
     } else spark.read.parquet(files: _*)
   }
 
+  /** Membership prune: keep files whose [min, max] span contains at least
+    * one of `values` — the probe-read primitive for bucket-clustered
+    * layouts ([[graft.operators.AnnSearch.searchClustered]]), where the
+    * radius-r multiprobe set is ~1+b+C(b,2) SCATTERED bucket ids, not an
+    * interval (a [min(values), max(values)] range prune would keep nearly
+    * every file, since xor-neighbor buckets span the whole id space).
+    * Same contract as [[prunedRead]]: driver-side over the one-row-per-
+    * file manifest (binary search per file span), no false negatives,
+    * callers re-apply the row-level predicate.
+    */
+  def prunedReadIn(spark: SparkSession, manifest: DataFrame, statCol: String,
+                   values: Seq[Long]): DataFrame = {
+    val sorted = values.distinct.sorted.toArray
+    def spanHasValue(lo: Long, hi: Long): Boolean = {
+      var i = java.util.Arrays.binarySearch(sorted, lo)
+      if (i < 0) i = -i - 1 // insertion point: first value >= lo
+      i < sorted.length && sorted(i) <= hi
+    }
+    val files = manifest
+      .select(col("file"), col(s"${statCol}_min").cast("long"),
+        col(s"${statCol}_max").cast("long"))
+      .collect()
+      .filter(r => spanHasValue(r.getLong(1), r.getLong(2)))
+      .map(_.getString(0))
+    if (files.isEmpty) {
+      val any = manifest.select("file").head().getString(0)
+      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        spark.read.parquet(any).schema)
+    } else spark.read.parquet(files: _*)
+  }
+
   /** Targeted row deletion (the GDPR/right-to-be-forgotten shape):
     * rewrite ONLY the files whose zone-map [min, max] span can contain a
     * tombstoned id, leave every other file physically untouched. At 100 TB

@@ -62,6 +62,81 @@ class AnnSearchSpec extends SparkSpec {
     assert(b2 - b1 >= 3 && b2 - b1 <= 4)
   }
 
+  test("searchClustered: equals search() on the full index; the probe set prunes files") {
+    import graft.sources.Layout
+    val embs = spark.read.parquet(s"$dir/embeddings.parquet")
+    val q = VectorStore.fromEmbeddingsTable(spark, dir).getVector("0").toSeq
+    val tmp = java.nio.file.Files.createTempDirectory("graft_ann_clust").toString
+    // result parity at the oracled dials (6 planes, radius 2)
+    val planes = AnnSearch.hyperplanes(dim = 64)
+    AnnSearch.clusteredWrite(embs, col("embedding"), planes, tmp, numFiles = 8)
+    val manifest = Layout.zoneMap(spark, tmp, Seq("bucket"))
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getString(0), BigDecimal(r.getDouble(1))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP)))
+    val got = rows(AnnSearch.searchClustered(spark, manifest,
+      col("vec_id").cast("string"), col("embedding"), q, planes,
+      k = 10, probeRadius = 2))
+    val want = rows(AnnSearch.search(
+      AnnSearch.index(embs, col("embedding"), planes),
+      col("vec_id").cast("string"), col("embedding"), q, planes,
+      k = 10, probeRadius = 2))
+    assert(got.toSeq == want.toSeq)
+    // pruning evidence needs probes < files (each probe bucket lands in at
+    // most 2 range-partitioned file spans): 10 planes radius 1 = 11 probes
+    // against 32 files must leave files unread
+    val planes10 = AnnSearch.hyperplanes(dim = 64, numPlanes = 10)
+    val tmp10 = java.nio.file.Files.createTempDirectory("graft_ann_clust10").toString
+    AnnSearch.clusteredWrite(embs, col("embedding"), planes10, tmp10, numFiles = 32)
+    val man10 = Layout.zoneMap(spark, tmp10, Seq("bucket"))
+    val totalFiles = man10.count()
+    val probes = AnnSearch
+      .probeBuckets(AnnSearch.bucketOf(q, planes10), 10, radius = 1)
+      .map(_.toLong)
+    val readFiles = Layout.prunedReadIn(spark, man10, "bucket", probes)
+      .select(col("_metadata.file_path")).distinct().count()
+    assert(readFiles >= 1 && readFiles <= 2L * probes.size,
+      s"read $readFiles of $totalFiles files")
+    assert(readFiles < totalFiles,
+      s"probe read must skip files: read $readFiles of $totalFiles")
+    // and the pruned+filtered result still equals the full-index search
+    val got10 = rows(AnnSearch.searchClustered(spark, man10,
+      col("vec_id").cast("string"), col("embedding"), q, planes10,
+      k = 10, probeRadius = 1))
+    val want10 = rows(AnnSearch.search(
+      AnnSearch.index(embs, col("embedding"), planes10),
+      col("vec_id").cast("string"), col("embedding"), q, planes10,
+      k = 10, probeRadius = 1))
+    assert(got10.toSeq == want10.toSeq)
+  }
+
+  test("prunedReadIn: membership prune keeps exactly the spanned files; empty probe set reads nothing") {
+    import graft.sources.Layout
+    val sp = spark
+    import sp.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft_pruned_in").toString
+    // EVEN buckets 0..198 across 4 range-partitioned files, so odd probe
+    // values are absent from the data but inside some file's span
+    sp.range(100).select((col("id") * 2).as("bucket"), col("id").as("v"))
+      .repartitionByRange(4, col("bucket")).sortWithinPartitions("bucket")
+      .write.mode("overwrite").parquet(tmp)
+    val man = Layout.zoneMap(sp, tmp, Seq("bucket"))
+    assert(man.count() == 4)
+    // two present values far apart: exactly their two files read
+    val hit = Layout.prunedReadIn(sp, man, "bucket", Seq(4L, 154L))
+    val spans = hit.select(col("_metadata.file_path")).distinct().count()
+    assert(spans == 2)
+    assert(hit.filter(col("bucket").isin(4L, 154L)).count() == 2)
+    // an absent value inside a span still keeps its covering file (no
+    // false negatives; the caller's row-level predicate then drops it)
+    val cover = Layout.prunedReadIn(sp, man, "bucket", Seq(27L))
+    assert(cover.select(col("_metadata.file_path")).distinct().count() == 1)
+    assert(cover.filter(col("bucket") === 27L).count() == 0)
+    // no value in any span: zero files, schema preserved
+    val none = Layout.prunedReadIn(sp, man, "bucket", Seq(999L))
+    assert(none.count() == 0 && none.columns.toSeq == Seq("bucket", "v"))
+  }
+
   test("ANN search: recall@10 grows with probe radius; scores stay exact") {
     val store = VectorStore.fromEmbeddingsTable(spark, dir)
     val q = store.getVector("0").toSeq
