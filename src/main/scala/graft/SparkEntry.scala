@@ -326,6 +326,20 @@ object SparkEntry {
        |) ORDER BY score DESC, id ASC""".stripMargin
   }
 
+  /** Survivors of the clustered-index forget, with their bucket column
+    * intact — replicates [[graft.operators.AnnSearch.bucketCol]] in SQL
+    * (same plane literals as annOracle) over the non-tombstoned rows.
+    */
+  private val annForgetOracle: String = {
+    val planes = AnnSearch.hyperplanes(dim = 64)
+    val bucketExpr = planes.zipWithIndex.map { case (p, i) =>
+      val lst = p.mkString("[", ",", "]")
+      s"(CASE WHEN list_dot_product(CAST(embedding AS DOUBLE[]), $lst) >= 0 THEN ${1 << i} ELSE 0 END)"
+    }.mkString("(", " + ", ")")
+    s"""SELECT vec_id, $bucketExpr AS bucket FROM embeddings
+       |WHERE vec_id NOT IN (3, 7, 11, 19, 42) ORDER BY vec_id""".stripMargin
+  }
+
   /** The annOracle with the metadata predicate composed in — the filtered
     * ANN twin (same planes, same radius-2 probe set, label = 3 on the
     * corpus side).
@@ -1730,6 +1744,21 @@ object SparkEntry {
           col("embedding"), queryVec(s, dir), planes, k = 10, probeRadius = 2)
         .withColumn("score", round(col("score"), 6))
         .orderBy(desc("score"), asc("id"))
+    }),
+    // GDPR forget on the clustered ANN index: tombstoned vectors' own
+    // buckets (a pure function of the embedding) prune which files the
+    // delete rewrites — an id-span delete on a bucket-clustered layout
+    // would rewrite everything, since ids scatter across buckets
+    "q_ann_forget" -> ((s, dir) => {
+      val planes = AnnSearch.hyperplanes(dim = 64)
+      val tmp = System.getProperty("java.io.tmpdir") + "/graft_ann_forget"
+      val embs = s.read.parquet(s"$dir/embeddings.parquet")
+      AnnSearch.clusteredWrite(embs, col("embedding"), planes, tmp, numFiles = 8)
+      val tomb = embs.filter(col("vec_id").isin(3L, 7L, 11L, 19L, 42L))
+        .select(col("vec_id"), col("embedding"))
+      AnnSearch.deleteVectors(s, tmp, "vec_id", tomb, planes)
+      s.read.parquet(tmp).select(col("vec_id"), col("bucket"))
+        .orderBy("vec_id")
     }),
     // ANN, IVF variant: centroid-partitioned inverted lists (deterministic
     // centroids = lowest-id corpus vectors so the oracle can replicate the
@@ -4064,6 +4093,7 @@ object SparkEntry {
         |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "q_ann_topk" -> annOracle,
     "q_ann_topk_clustered" -> annOracle,
+    "q_ann_forget" -> annForgetOracle,
     // IVF oracle: replicate nearest-centroid assignment (argmin |c|²−2·v·c,
     // ties to smaller cid — |v|² is row-constant so this is argmin L2²),
     // probe the 4 nearest lists, exact cosine inside.

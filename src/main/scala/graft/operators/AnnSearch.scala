@@ -165,6 +165,33 @@ object AnnSearch {
       .limit(k)
   }
 
+  /** GDPR forget for a [[clusteredWrite]] index: delete the tombstoned
+    * vectors by ID while pruning files by BUCKET. On a bucket-clustered
+    * layout the id spans per file are near-total (ids scatter across
+    * buckets), so an id-span delete ([[graft.sources.Layout.deleteRows]])
+    * would rewrite every file; but the bucket is a pure function of the
+    * vector, so the tombstones' own embeddings name exactly the file
+    * spans that can hold them — a forget batch of a few thousand vectors
+    * rewrites ≤ 2·|distinct tombstone buckets| files regardless of index
+    * size. `tombstones` carries `(id, embedding)`; returns
+    * (filesTotal, filesRewritten, rowsDeleted).
+    */
+  def deleteVectors(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String,
+      idColName: String,
+      tombstones: DataFrame,    // (id, embedding) — a bounded forget batch
+      planes: Seq[Seq[Double]],
+      knownManifest: Option[DataFrame] = None): (Int, Int, Long) = {
+    val tsId = tombstones.columns.head
+    val tsVec = tombstones.columns(1)
+    val buckets = tombstones
+      .select(bucketCol(col(tsVec), planes).as("b")).distinct()
+      .collect().map(_.getInt(0).toLong).toSeq
+    graft.sources.Layout.deleteRowsIn(spark, path, "bucket", buckets,
+      idColName, tombstones.select(col(tsId)), knownManifest)
+  }
+
   /** Approximate top-k: prune to the probe buckets (Hamming ≤ probeRadius
     * around the query's bucket), then exact cosine ranking inside them.
     */

@@ -155,23 +155,33 @@ object Layout {
     */
   def prunedReadIn(spark: SparkSession, manifest: DataFrame, statCol: String,
                    values: Seq[Long]): DataFrame = {
+    val files = filesSpanning(manifest, statCol, values)
+    if (files.isEmpty) {
+      val any = manifest.select("file").head().getString(0)
+      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        spark.read.parquet(any).schema)
+    } else spark.read.parquet(files: _*)
+  }
+
+  /** Files whose [min, max] span of `statCol` contains at least one of
+    * `values` — the driver-side membership prune shared by
+    * [[prunedReadIn]] and [[deleteRowsIn]] (binary search per file span
+    * over the sorted value set).
+    */
+  private def filesSpanning(manifest: DataFrame, statCol: String,
+      values: Seq[Long]): Array[String] = {
     val sorted = values.distinct.sorted.toArray
     def spanHasValue(lo: Long, hi: Long): Boolean = {
       var i = java.util.Arrays.binarySearch(sorted, lo)
       if (i < 0) i = -i - 1 // insertion point: first value >= lo
       i < sorted.length && sorted(i) <= hi
     }
-    val files = manifest
+    manifest
       .select(col("file"), col(s"${statCol}_min").cast("long"),
         col(s"${statCol}_max").cast("long"))
       .collect()
       .filter(r => spanHasValue(r.getLong(1), r.getLong(2)))
       .map(_.getString(0))
-    if (files.isEmpty) {
-      val any = manifest.select("file").head().getString(0)
-      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-        spark.read.parquet(any).schema)
-    } else spark.read.parquet(files: _*)
   }
 
   /** Targeted row deletion (the GDPR/right-to-be-forgotten shape):
@@ -194,7 +204,6 @@ object Layout {
   def deleteRows(spark: SparkSession, path: String, idCol: String,
                  tombstones: DataFrame,
                  knownManifest: Option[DataFrame] = None): (Int, Int, Long) = {
-    import org.apache.hadoop.fs.Path
     val tsCol = tombstones.columns.head
     // without a maintained manifest the zone map is rebuilt here — one
     // column-pruned scan of the whole table, the dominant cost of a small
@@ -209,9 +218,41 @@ object Layout {
         "left_semi")
       .select("file").collect().map(_.getString(0))
     val total = manifest.count().toInt
+    rewriteWithout(spark, path, affected, total, idCol, tombstones)
+  }
+
+  /** Targeted deletion on a layout CLUSTERED BY A DIFFERENT COLUMN than
+    * the delete key — the ANN-index forget shape
+    * ([[graft.operators.AnnSearch.deleteVectors]]): the index is clustered
+    * by LSH `bucket`, tombstones are vector IDS, and on such a layout the
+    * id spans per file are near-total, so [[deleteRows]]'s range prune
+    * would rewrite everything. The caller resolves the tombstones'
+    * CLUSTER values (`clusterValues` — a pure function of the vector, or
+    * a lookup against the id-clustered primary store) and files are
+    * pruned by MEMBERSHIP of those values in each file's span; the
+    * rewrite then anti-joins on the true id column as usual.
+    */
+  def deleteRowsIn(spark: SparkSession, path: String, clusterCol: String,
+                   clusterValues: Seq[Long], idCol: String,
+                   tombstones: DataFrame,
+                   knownManifest: Option[DataFrame] = None): (Int, Int, Long) = {
+    val manifest = knownManifest.getOrElse(zoneMap(spark, path, Seq(clusterCol)))
+    val affected = filesSpanning(manifest, clusterCol, clusterValues)
+    rewriteWithout(spark, path, affected, manifest.count().toInt, idCol, tombstones)
+  }
+
+  /** Shared delete mechanics: read ONLY `affected`, anti-join the
+    * broadcast tombstones on `idCol`, rewrite into a reader-hidden temp
+    * dir, swap in. Returns (filesTotal, filesRewritten, rowsDeleted).
+    */
+  private def rewriteWithout(spark: SparkSession, path: String,
+      affected: Array[String], total: Int, idCol: String,
+      tombstones: DataFrame): (Int, Int, Long) = {
+    import org.apache.hadoop.fs.Path
+    val tsCol = tombstones.columns.head
     if (affected.isEmpty) return (total, 0, 0L)
 
-    val before = spark.read.parquet(affected: _*)
+    val before = spark.read.parquet(affected.toIndexedSeq: _*)
     val nBefore = before.count()
     val kept = before.join(
       broadcast(tombstones.select(tombstones(tsCol).cast("long").as(idCol)).distinct()),

@@ -110,6 +110,41 @@ class AnnSearchSpec extends SparkSpec {
     assert(got10.toSeq == want10.toSeq)
   }
 
+  test("deleteVectors: bucket-membership prune rewrites few files; survivors equal the filtered twin") {
+    import graft.sources.Layout
+    val embs = spark.read.parquet(s"$dir/embeddings.parquet")
+    val q = VectorStore.fromEmbeddingsTable(spark, dir).getVector("0").toSeq
+    // 10 planes / 32 files so 5 tombstone buckets can only span <= 10 files
+    val planes = AnnSearch.hyperplanes(dim = 64, numPlanes = 10)
+    val tmp = java.nio.file.Files.createTempDirectory("graft_ann_forget").toString
+    AnnSearch.clusteredWrite(embs, col("embedding"), planes, tmp, numFiles = 32)
+    val tombIds = Seq(3L, 7L, 11L, 19L, 42L)
+    val tomb = embs.filter(col("vec_id").isin(tombIds: _*))
+      .select(col("vec_id"), col("embedding"))
+    val (total, rewritten, deleted) =
+      AnnSearch.deleteVectors(spark, tmp, "vec_id", tomb, planes)
+    assert(deleted == 5L, s"deleted=$deleted")
+    assert(rewritten >= 1 && rewritten <= 10,
+      s"bucket prune must bound the rewrite: $rewritten of $total files")
+    assert(spark.read.parquet(tmp).filter(col("vec_id").isin(tombIds: _*)).count() == 0)
+    // the surviving index still answers searches exactly like a fresh
+    // index over the corpus minus the tombstones (manifest rebuilt —
+    // production maintains it per delete)
+    val man = Layout.zoneMap(spark, tmp, Seq("bucket"))
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getString(0), BigDecimal(r.getDouble(1))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP))).toSeq
+    val got = rows(AnnSearch.searchClustered(spark, man,
+      col("vec_id").cast("string"), col("embedding"), q, planes,
+      k = 10, probeRadius = 2))
+    val want = rows(AnnSearch.search(
+      AnnSearch.index(embs.filter(!col("vec_id").isin(tombIds: _*)),
+        col("embedding"), planes),
+      col("vec_id").cast("string"), col("embedding"), q, planes,
+      k = 10, probeRadius = 2))
+    assert(got == want)
+  }
+
   test("prunedReadIn: membership prune keeps exactly the spanned files; empty probe set reads nothing") {
     import graft.sources.Layout
     val sp = spark
