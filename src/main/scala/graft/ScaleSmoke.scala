@@ -710,7 +710,8 @@ object ScaleSmoke {
     val annNames = Seq(
       s"ann clustered write (planesFor dial, $nFiles files)",
       "ann probe read (radius-2 multiprobe, zone-map pruned)",
-      "CONTRAST ann search, full in-memory index scan")
+      "CONTRAST ann search, full in-memory index scan",
+      "ann targeted forget (5 vectors, bucket-membership prune)")
     if (only.forall(o => annNames.exists(_.contains(o)))) {
     val annPlanes = graft.operators.AnnSearch.hyperplanesFor(
       dim = 64, n = embBase * mult, targetOccupancy = 64)
@@ -734,6 +735,15 @@ object ScaleSmoke {
         graft.operators.AnnSearch.index(emb, col("embedding"), annPlanes),
         col("vec_id").cast("string"), col("embedding"), query, annPlanes,
         k = 10, probeRadius = 2).count()
+    }
+    // forget runs LAST in the chain (it mutates the layout the probe-read
+    // row measured); replica-0 ids (base id · mult) provably exist
+    time("ann targeted forget (5 vectors, bucket-membership prune)") {
+      val tomb = emb0.filter(col("vec_id") < 5)
+        .select((col("vec_id") * mult).as("vec_id"), col("embedding"))
+      val (_, _, d) = graft.operators.AnnSearch.deleteVectors(spark, annDir,
+        "vec_id", tomb, annPlanes, knownManifest = Some(annManifest))
+      d
     }
     } // end ann layout gate
 

@@ -284,8 +284,20 @@ object Layout {
               targetBytes: Long, clusterCol: Option[String] = None): (Int, Int) = {
     val fs = org.apache.hadoop.fs.FileSystem.get(
       new java.net.URI(inPath), spark.sparkContext.hadoopConfiguration)
-    val parts = fs.listStatus(new org.apache.hadoop.fs.Path(inPath))
-      .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
+    // RECURSIVE listing: a streaming-maintained index is hive-partitioned
+    // (bucket=X/batch_id=Y/part-*.parquet), and a top-level listStatus
+    // would see only directories — sizing the output from 0 bytes and
+    // reporting filesBefore = 0
+    val parts = {
+      val it = fs.listFiles(new org.apache.hadoop.fs.Path(inPath), true)
+      val buf = scala.collection.mutable.ArrayBuffer
+        .empty[org.apache.hadoop.fs.LocatedFileStatus]
+      while (it.hasNext) {
+        val s = it.next()
+        if (s.isFile && s.getPath.getName.endsWith(".parquet")) buf += s
+      }
+      buf.toArray
+    }
     val nOut = math.max(1, math.ceil(parts.map(_.getLen).sum.toDouble / targetBytes).toInt)
     val df = spark.read.parquet(inPath)
     val packed = clusterCol match {

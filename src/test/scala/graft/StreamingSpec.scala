@@ -405,6 +405,45 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("maintained ANN index compacts into the clustered layout; probe search equals the batch twin") {
+    // the operational loop closed: streaming maintenance appends small
+    // per-(bucket, batch) files; Layout.compact(clusterCol = bucket)
+    // periodically re-sorts them into the searchClustered layout, whose
+    // zone-map manifest then prunes probe reads — maintenance, compaction,
+    // and the probe-read path compose without a full rebuild
+    val sp = spark
+    import sp.implicits._
+    implicit val sqlCtx = sp.sqlContext
+    import graft.operators.AnnSearch
+    import graft.sources.Layout
+    val planes = AnnSearch.hyperplanes(dim = 4, numPlanes = 3)
+    val in = MemoryStream[(String, Seq[Float])]
+    val out = tmpDir("graft_ann_compact")
+    val q = Streaming.startAnnIndexMaintenance(
+      in.toDF().toDF("id", "embedding"), planes, s"$out/idx", s"$out/ckpt")
+    val b1 = Seq("a" -> Seq(1f, 0f, 0f, 0f), "b" -> Seq(0f, 1f, 0f, 0f))
+    val b2 = Seq("c" -> Seq(2f, 0f, 0f, 0f), "d" -> Seq(0f, 0f, 0f, 1f))
+    try {
+      in.addData(b1: _*)
+      q.processAllAvailable()
+      in.addData(b2: _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    val (before, after) = Layout.compact(sp, s"$out/idx", s"$out/clustered",
+      targetBytes = 1L << 30, clusterCol = Some("bucket"))
+    assert(before >= 2 && after >= 1)
+    val man = Layout.zoneMap(sp, s"$out/clustered", Seq("bucket"))
+    val qv = Seq(1f, 0f, 0f, 0f)
+    def res(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getString(0), r.getDouble(1))).toSeq
+    val got = res(AnnSearch.searchClustered(sp, man, col("id"),
+      col("embedding"), qv, planes, k = 3))
+    val twin = res(AnnSearch.search(
+      AnnSearch.index((b1 ++ b2).toDF("id", "embedding"), col("embedding"), planes),
+      col("id"), col("embedding"), qv, planes, k = 3))
+    assert(got == twin)
+  }
+
   test("streaming IVF index maintenance: lists accumulate across batches; search equals the batch twin") {
     val sp = spark
     import sp.implicits._
