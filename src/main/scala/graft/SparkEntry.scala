@@ -2167,6 +2167,24 @@ object SparkEntry {
         .select(col("query_id"), col("rank"), col("id"), round(col("score"), 6).as("score"))
         .orderBy("query_id", "rank")
     }),
+    // batch ANN over the PERSISTED clustered layout: the union of all
+    // queries' probe buckets prunes files via the zone-map manifest, then
+    // the probe-join + GroupTopK ranking runs on the pruned read. Same
+    // dials and output as q_knn_batch_ann, so it shares that oracle.
+    "q_knn_batch_ann_clustered" -> ((s, dir) => {
+      import graft.sources.Layout
+      val embs = s.read.parquet(s"$dir/embeddings.parquet")
+      val planes = AnnSearch.hyperplanes(dim = 64)
+      val tmp = System.getProperty("java.io.tmpdir") + "/graft_ann_clustered_b"
+      AnnSearch.clusteredWrite(embs, col("embedding"), planes, tmp, numFiles = 8)
+      val manifest = Layout.zoneMap(s, tmp, Seq("bucket"))
+      val qs = embs.filter(col("vec_id") < 3)
+        .select(col("vec_id").as("query_id"), col("embedding").as("query_vec"))
+      AnnSearch.searchClusteredBatch(s, manifest, col("vec_id").cast("string"),
+          col("embedding"), qs, planes, k = 5, probeRadius = 2)
+        .select(col("query_id"), col("rank"), col("id"), round(col("score"), 6).as("score"))
+        .orderBy("query_id", "rank")
+    }),
     // O4 batch insert: duplicate validation + metadata padding, then scan
     "q_crud_insert_batch" -> ((s, dir) => {
       val st = VectorStore.fromEmbeddingsTable(s, dir)
@@ -4068,6 +4086,7 @@ object SparkEntry {
         |  FROM embeddings e, (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 3) q
         |) WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
     "q_knn_batch_ann" -> knnBatchAnnOracle,
+    "q_knn_batch_ann_clustered" -> knnBatchAnnOracle,
     "q_knn_quantized" ->
       """WITH e AS (
         |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS d FROM embeddings

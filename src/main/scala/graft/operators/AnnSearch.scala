@@ -252,4 +252,31 @@ object AnnSearch {
     topk.withColumn("rank",
       row_number().over(Window.partitionBy("query_id").orderBy(desc("score"), asc("id"))))
   }
+
+  /** [[searchBatch]] over a [[clusteredWrite]] layout: the UNION of every
+    * query's multiprobe buckets (computed driver-side from the bounded
+    * query batch) prunes files via the zone-map manifest, then the same
+    * probe-join + GroupTopK ranking runs on the pruned read. Results are
+    * identical to [[searchBatch]] on the full index; the scanned fraction
+    * is the union probe set's share of the layout — still
+    * ~|queries|·probes/2^b of the corpus when queries are few, because
+    * distinct queries' probe sets rarely overlap.
+    */
+  def searchClusteredBatch(
+      spark: org.apache.spark.sql.SparkSession,
+      manifest: DataFrame,      // Layout.zoneMap(spark, path, Seq("bucket"))
+      id: Column,
+      vec: Column,
+      queries: DataFrame,       // (query_id, query_vec) — a BOUNDED batch
+      planes: Seq[Seq[Double]],
+      k: Int = 5,
+      probeRadius: Int = 1): DataFrame = {
+    val probeUnion = queries.select(col("query_vec")).collect()
+      .flatMap(r => probeBuckets(
+        bucketOf(r.getSeq[Float](0), planes), planes.length, probeRadius))
+      .distinct.toSeq.map(_.toLong)
+    val pruned = graft.sources.Layout
+      .prunedReadIn(spark, manifest, "bucket", probeUnion)
+    searchBatch(pruned, id, vec, queries, planes, k, probeRadius)
+  }
 }

@@ -110,6 +110,41 @@ class AnnSearchSpec extends SparkSpec {
     assert(got10.toSeq == want10.toSeq)
   }
 
+  test("searchClusteredBatch: equals searchBatch on the full index; union probe set prunes files") {
+    import graft.sources.Layout
+    val embs = spark.read.parquet(s"$dir/embeddings.parquet")
+    val planes = AnnSearch.hyperplanes(dim = 64, numPlanes = 10)
+    val tmp = java.nio.file.Files.createTempDirectory("graft_ann_cb").toString
+    AnnSearch.clusteredWrite(embs, col("embedding"), planes, tmp, numFiles = 32)
+    val man = Layout.zoneMap(spark, tmp, Seq("bucket"))
+    val qs = embs.filter(col("vec_id") < 3)
+      .select(col("vec_id").as("query_id"), col("embedding").as("query_vec"))
+    def rows(df: org.apache.spark.sql.DataFrame) = df
+      .select(col("query_id"), col("rank"), col("id"),
+        round(col("score"), 6).as("score"))
+      .orderBy("query_id", "rank").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getString(2), r.getDouble(3))).toSeq
+    val got = rows(AnnSearch.searchClusteredBatch(spark, man,
+      col("vec_id").cast("string"), col("embedding"), qs, planes,
+      k = 5, probeRadius = 1))
+    val want = rows(AnnSearch.searchBatch(
+      AnnSearch.index(embs, col("embedding"), planes),
+      col("vec_id").cast("string"), col("embedding"), qs, planes,
+      k = 5, probeRadius = 1))
+    assert(got == want && got.nonEmpty)
+    // 3 queries x 11 probes (radius 1) = <= 33 buckets -> <= 66 of 32 is
+    // vacuous; but the UNION dedups and the spans are contiguous, so the
+    // pruned read must still skip at least some of the 32 files
+    val probeUnion = qs.collect().flatMap { r =>
+      AnnSearch.probeBuckets(
+        AnnSearch.bucketOf(r.getSeq[Float](1), planes), 10, radius = 1)
+    }.distinct.toSeq.map(_.toLong)
+    val readFiles = Layout.prunedReadIn(spark, man, "bucket", probeUnion)
+      .select(col("_metadata.file_path")).distinct().count()
+    assert(readFiles < man.count(),
+      s"batch probe read must skip files: read $readFiles of ${man.count()}")
+  }
+
   test("deleteVectors: bucket-membership prune rewrites few files; survivors equal the filtered twin") {
     import graft.sources.Layout
     val embs = spark.read.parquet(s"$dir/embeddings.parquet")
