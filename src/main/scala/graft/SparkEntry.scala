@@ -326,6 +326,37 @@ object SparkEntry {
        |) ORDER BY score DESC, id ASC""".stripMargin
   }
 
+  /** IVF probe oracle — shared by q_ann_ivf and its persisted-layout
+    * twin q_ann_ivf_clustered (identical results by construction).
+    */
+  private val ivfOracle: String =
+    """WITH c AS (SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS cv
+        |           FROM embeddings WHERE vec_id < 16),
+        |e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ev FROM embeddings),
+        |asg AS (
+        |  SELECT vec_id, cid FROM (
+        |    SELECT e.vec_id, c.cid,
+        |      row_number() OVER (PARTITION BY e.vec_id ORDER BY
+        |        list_dot_product(c.cv, c.cv) - 2*list_dot_product(e.ev, c.cv) ASC,
+        |        c.cid ASC) AS rn
+        |    FROM e, c) WHERE rn = 1
+        |),
+        |q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0),
+        |qp AS (
+        |  SELECT cid FROM (
+        |    SELECT c.cid, row_number() OVER (ORDER BY
+        |      list_dot_product(c.cv, c.cv) - 2*list_dot_product(q.qv, c.cv) ASC,
+        |      c.cid ASC) AS rn
+        |    FROM c, q) WHERE rn <= 4
+        |)
+        |SELECT id, round(score, 6) AS score FROM (
+        |  SELECT CAST(e.vec_id AS VARCHAR) AS id,
+        |         list_cosine_similarity(e.ev, q.qv) AS score
+        |  FROM e JOIN asg ON e.vec_id = asg.vec_id, q
+        |  WHERE asg.cid IN (SELECT cid FROM qp)
+        |  ORDER BY score DESC, id ASC LIMIT 10
+        |) ORDER BY score DESC, id ASC""".stripMargin
+
   /** Survivors of the clustered-index forget, with their bucket column
     * intact — replicates [[graft.operators.AnnSearch.bucketCol]] in SQL
     * (same plane literals as annOracle) over the non-tombstoned rows.
@@ -1770,6 +1801,22 @@ object SparkEntry {
       val indexed = IvfSearch.index(embs, col("embedding"), cents)
       IvfSearch.search(indexed, col("vec_id").cast("string"), col("embedding"),
           queryVec(s, dir), cents, k = 10, nprobe = 4)
+        .withColumn("score", round(col("score"), 6))
+        .orderBy(desc("score"), asc("id"))
+    }),
+    // IVF over the PERSISTED list-clustered layout: the nprobe nearest
+    // lists prune parquet FILES via the zone-map manifest — the coarse-
+    // partition twin of q_ann_topk_clustered. Same dials as q_ann_ivf, so
+    // it shares that oracle.
+    "q_ann_ivf_clustered" -> ((s, dir) => {
+      import graft.sources.Layout
+      val embs = s.read.parquet(s"$dir/embeddings.parquet")
+      val cents = IvfSearch.centroidsFromIds(embs, col("vec_id"), col("embedding"), c = 16)
+      val tmp = System.getProperty("java.io.tmpdir") + "/graft_ivf_clustered"
+      IvfSearch.clusteredWrite(embs, col("embedding"), cents, tmp, numFiles = 8)
+      val manifest = Layout.zoneMap(s, tmp, Seq("list_id"))
+      IvfSearch.searchClustered(s, manifest, col("vec_id").cast("string"),
+          col("embedding"), queryVec(s, dir), cents, k = 10, nprobe = 4)
         .withColumn("score", round(col("score"), 6))
         .orderBy(desc("score"), asc("id"))
     }),
@@ -4147,33 +4194,8 @@ object SparkEntry {
         |SELECT ae.vec_id AS id, ae.cid AS list_id,
         |  ae.vec_id NOT IN (SELECT vec_id FROM dom) AS keep
         |FROM ae ORDER BY id""".stripMargin,
-    "q_ann_ivf" ->
-      """WITH c AS (SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS cv
-        |           FROM embeddings WHERE vec_id < 16),
-        |e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ev FROM embeddings),
-        |asg AS (
-        |  SELECT vec_id, cid FROM (
-        |    SELECT e.vec_id, c.cid,
-        |      row_number() OVER (PARTITION BY e.vec_id ORDER BY
-        |        list_dot_product(c.cv, c.cv) - 2*list_dot_product(e.ev, c.cv) ASC,
-        |        c.cid ASC) AS rn
-        |    FROM e, c) WHERE rn = 1
-        |),
-        |q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0),
-        |qp AS (
-        |  SELECT cid FROM (
-        |    SELECT c.cid, row_number() OVER (ORDER BY
-        |      list_dot_product(c.cv, c.cv) - 2*list_dot_product(q.qv, c.cv) ASC,
-        |      c.cid ASC) AS rn
-        |    FROM c, q) WHERE rn <= 4
-        |)
-        |SELECT id, round(score, 6) AS score FROM (
-        |  SELECT CAST(e.vec_id AS VARCHAR) AS id,
-        |         list_cosine_similarity(e.ev, q.qv) AS score
-        |  FROM e JOIN asg ON e.vec_id = asg.vec_id, q
-        |  WHERE asg.cid IN (SELECT cid FROM qp)
-        |  ORDER BY score DESC, id ASC LIMIT 10
-        |) ORDER BY score DESC, id ASC""".stripMargin,
+    "q_ann_ivf" -> ivfOracle,
+    "q_ann_ivf_clustered" -> ivfOracle,
     // IVF-PQ: centroids = vec_id < 8; residual codebooks = residuals of
     // vec_ids 8..23 (code = vec_id - 8); nprobe 3; ADC = per-subspace LUT
     // terms + the per-list |q - c_l|^2 constant (NOT rank-invariant across

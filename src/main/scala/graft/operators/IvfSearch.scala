@@ -124,6 +124,45 @@ object IvfSearch {
       .limit(k)
   }
 
+  /** Persist a vector table CLUSTERED by its IVF list — the coarse-partition
+    * twin of [[graft.operators.AnnSearch.clusteredWrite]]: range-partitioned
+    * and sorted on `list_id`, so each parquet file covers a contiguous list
+    * span and the zone-map manifest prunes probe reads at the FILE level.
+    * Unlike the LSH bucket's xor-scattered multiprobe set, nprobe nearest
+    * lists are just ids — but they are still arbitrary points in the list-id
+    * space, so the read side shares the same membership prune.
+    */
+  def clusteredWrite(embs: DataFrame, vec: Column, centroids: Seq[Centroid],
+      path: String, numFiles: Int): Unit =
+    index(embs, vec, centroids)
+      .repartitionByRange(numFiles, col("list_id"))
+      .sortWithinPartitions("list_id")
+      .write.mode("overwrite").parquet(path)
+
+  /** [[search]] over a [[clusteredWrite]] layout: the nprobe nearest lists
+    * prune FILES via the zone-map manifest
+    * ([[graft.sources.Layout.prunedReadIn]]) before any task is scheduled;
+    * the same exact cosine + top-k runs inside the probed lists, so results
+    * equal [[search]] on the full in-memory index at the same dials.
+    */
+  def searchClustered(
+      spark: org.apache.spark.sql.SparkSession,
+      manifest: DataFrame,      // Layout.zoneMap(spark, path, Seq("list_id"))
+      id: Column,
+      vec: Column,
+      query: Seq[Float],
+      centroids: Seq[Centroid],
+      k: Int = 5,
+      nprobe: Int = 4): DataFrame = {
+    val probes = probeLists(query, centroids, nprobe)
+    graft.sources.Layout.prunedReadIn(spark, manifest, "list_id", probes)
+      .filter(col("list_id").isin(probes: _*)) // zone maps prune files, not rows
+      .withColumn("score", VF.cosine(vec, typedLit(query)))
+      .select(id.as("id"), col("score"))
+      .orderBy(desc("score"), asc("id"))
+      .limit(k)
+  }
+
   /** ONE Lloyd (k-means) update round surfaced as a DataFrame: assign every
     * vector to its nearest seed centroid (the [[assignCol]] codegen argmin —
     * the centroid matrix rides the task binary, no join), then recompute

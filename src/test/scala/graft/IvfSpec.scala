@@ -80,6 +80,32 @@ class IvfSpec extends SparkSpec {
       s"expected list_id partition pruning in:\n$scan")
   }
 
+  test("searchClustered: equals search() on the full index; nprobe lists prune files") {
+    import graft.sources.Layout
+    val tmp = java.nio.file.Files.createTempDirectory("graft_ivf_clust").toString
+    IvfSearch.clusteredWrite(embs, col("embedding"), cents, tmp, numFiles = 8)
+    val man = Layout.zoneMap(spark, tmp, Seq("list_id"))
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getString(0), BigDecimal(r.getDouble(1))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP))).toSeq
+    val got = rows(IvfSearch.searchClustered(spark, man,
+      col("vec_id").cast("string"), col("embedding"), query, cents,
+      k = 10, nprobe = 4))
+    val want = rows(IvfSearch.search(
+      IvfSearch.index(embs, col("embedding"), cents),
+      col("vec_id").cast("string"), col("embedding"), query, cents,
+      k = 10, nprobe = 4))
+    assert(got == want && got.size == 10)
+    // 4 probed lists against 8 files covering 16 lists (~2 per file): the
+    // read must schedule at most 2 files per probe and skip the rest
+    val probes = IvfSearch.probeLists(query, cents, nprobe = 4)
+    val readFiles = Layout.prunedReadIn(spark, man, "list_id", probes)
+      .select(col("_metadata.file_path")).distinct().count()
+    assert(readFiles >= 1 && readFiles <= 2L * probes.size)
+    assert(readFiles < man.count(),
+      s"probe read must skip files: read $readFiles of ${man.count()}")
+  }
+
   test("lloydStep: counts cover the corpus and a cluster mean is the member mean") {
     val step = IvfSearch.lloydStep(embs, col("vec_id"), col("embedding"), c = 8)
       .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getSeq[Double](2))).toMap

@@ -457,4 +457,46 @@ class PropertySpec extends SparkSpec {
       assert(grid == expect, s"grid-bitset diverged on corpus $corpus")
     }
   }
+
+  test("property: BpeApplyExpr ≡ plain sequential rank-order application on arbitrary states and tables") {
+    import testImplicits._
+    // the independent oracle: for each merge in rank order, one greedy
+    // non-overlapping left-to-right rewrite (the textbook loop; the
+    // kernel's no-op skipping and per-pair rank lists must be invisible)
+    def seqApply(state: String, merges: Seq[String]): String =
+      merges.foldLeft(state) { (st, pr) =>
+        val Array(x, y) = pr.split(" ", 2)
+        val toks = st.split(" ")
+        val out = scala.collection.mutable.ArrayBuffer.empty[String]
+        var i = 0
+        while (i < toks.length) {
+          if (i < toks.length - 1 && toks(i) == x && toks(i + 1) == y) {
+            out += (x + y); i += 2
+          } else { out += toks(i); i += 1 }
+        }
+        out.mkString(" ")
+      }
+    // tiny alphabet so pairs recur, words long enough for chains; tables may
+    // contain DUPLICATE pairs and pairs over merged symbols ("ab a") —
+    // the adversarial shapes a learned table rarely exhibits
+    val syms = Seq("a", "b", "c", "ab", "ba", "abc")
+    val caseGen = for {
+      wordLen <- Gen.choose(0, 12)
+      word <- Gen.listOfN(wordLen, Gen.oneOf(syms))
+      nMerges <- Gen.choose(0, 10)
+      merges <- Gen.listOfN(nMerges, for {
+        x <- Gen.oneOf(syms); y <- Gen.oneOf(syms)
+      } yield s"$x $y")
+    } yield (word.mkString(" "), merges)
+    val cases = samples(caseGen, 60).filter(_._1.nonEmpty)
+    val df = cases.zipWithIndex
+      .map { case ((st, _), i) => (i, st) }.toDF("i", "state")
+    cases.zipWithIndex.foreach { case ((st, merges), i) =>
+      val got = df.filter(col("i") === i)
+        .select(TextAnalysis.bpeApply(col("state"), merges))
+        .head().getString(0)
+      assert(got == seqApply(st, merges),
+        s"state '$st' table $merges")
+    }
+  }
 }
