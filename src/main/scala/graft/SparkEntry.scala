@@ -1511,6 +1511,17 @@ object SparkEntry {
         .select(col("label"), col("n"), col("pos"),
           round(col("col"), 6).as("mean_v"))
         .orderBy("label", "pos")),
+    // Embedding-distribution drift: per-dim mean shift of the current half
+    // vs the frozen reference half in reference-σ units — the vector-space
+    // PSI (a model swap / normalization regression = mass z-shifts; the
+    // even/odd vec_id split stands in for two snapshots)
+    "q_embed_drift" -> ((s, dir) => {
+      val embs = graft.sources.Testdata.table(s, dir, "embeddings")
+      graft.operators.EmbedQc.embeddingDrift(
+        embs.filter(pmod(col("vec_id"), lit(2)) === 0),
+        embs.filter(pmod(col("vec_id"), lit(2)) === 1),
+        col("embedding"))
+    }),
     // Embedding statistics: corpus Gram matrix Σ v·vᵀ in ONE aggregation
     // pass (d² buffer, map-side combine) — the covariance/PCA/whitening
     // input without the posexplode self-join's n·d² row blowup
@@ -4717,6 +4728,27 @@ object SparkEntry {
     // Centroid oracle: per-(label, position) mean over the unnested
     // embeddings; double sums differ only in the last ulps across engines
     // and the 6-dp rounding absorbs that
+    "q_embed_drift" ->
+      """WITH r AS (
+        |  SELECT generate_subscripts(embedding, 1) - 1 AS pos,
+        |    CAST(unnest(embedding) AS DOUBLE) AS v
+        |  FROM embeddings WHERE vec_id % 2 = 0
+        |),
+        |c AS (
+        |  SELECT generate_subscripts(embedding, 1) - 1 AS pos,
+        |    CAST(unnest(embedding) AS DOUBLE) AS v
+        |  FROM embeddings WHERE vec_id % 2 = 1
+        |),
+        |rs AS (SELECT pos, avg(v) AS mr, avg(v*v) AS mr2,
+        |         CAST(count(*) AS BIGINT) AS n_ref FROM r GROUP BY pos),
+        |cs AS (SELECT pos, avg(v) AS mc,
+        |         CAST(count(*) AS BIGINT) AS n_cur FROM c GROUP BY pos)
+        |SELECT CAST(rs.pos AS INT) AS pos, n_ref, n_cur,
+        |  round(mr, 6) AS mean_ref, round(mc, 6) AS mean_cur,
+        |  CASE WHEN sqrt(greatest(mr2 - mr*mr, 0)) > 0
+        |       THEN round((mc - mr) / sqrt(greatest(mr2 - mr*mr, 0)), 6)
+        |  END AS shift_z
+        |FROM rs JOIN cs ON rs.pos = cs.pos ORDER BY pos""".stripMargin,
     "q_embed_label_centroid" ->
       """WITH e AS (
         |  SELECT label, CAST(unnest(embedding) AS DOUBLE) AS v,

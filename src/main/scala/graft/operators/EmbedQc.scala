@@ -333,4 +333,41 @@ object EmbedQc {
         StructField("hits", LongType, nullable = false),
         StructField("recall", DoubleType, nullable = false))))
   }
+
+  /** Embedding-distribution drift between a frozen REFERENCE batch and the
+    * CURRENT batch — the vector-space analog of the scalar PSI gate
+    * ([[graft.operators.Sketches.psi]] monitors scalar features; nothing
+    * monitored the embedding column itself): per dimension, both means and
+    * the shift in units of the reference's per-dim σ. A model swap, a
+    * silent normalization change, or an upstream preprocessing regression
+    * shows up as mass |shift_z| across dimensions; per-dim resolution
+    * names WHICH dimensions moved (an ABTT/rogue-dimension signature is a
+    * handful of huge shifts, a renormalization is a uniform one).
+    * Returns d rows: `(pos, n_ref, n_cur, mean_ref, mean_cur, shift_z)`;
+    * `shift_z` is NULL where the reference dimension is constant (σ = 0).
+    *
+    * Scale shape: one aggregation pass per side — the posexplode runs in
+    * the scan stage and the per-dim partial combine reduces each task to d
+    * rows before the exchange, so the shuffle carries tasks × d rows, not
+    * n·d; the two d-row stat tables then broadcast-join on `pos`.
+    */
+  def embeddingDrift(reference: DataFrame, current: DataFrame,
+      vec: Column): DataFrame = {
+    def stats(df: DataFrame, prefix: String): DataFrame =
+      df.select(posexplode(vec.cast("array<double>")).as(Seq("pos", "v")))
+        .groupBy("pos")
+        .agg(avg(col("v")).as(s"m_$prefix"),
+          avg(col("v") * col("v")).as(s"m2_$prefix"),
+          count(lit(1)).as(s"n_$prefix"))
+    val r = stats(reference, "ref")
+    val c = stats(current, "cur")
+    val sigma = sqrt(greatest(col("m2_ref") - col("m_ref") * col("m_ref"), lit(0.0)))
+    r.join(broadcast(c), Seq("pos"))
+      .select(col("pos"), col("n_ref"), col("n_cur"),
+        round(col("m_ref"), 6).as("mean_ref"),
+        round(col("m_cur"), 6).as("mean_cur"),
+        when(sigma > 0,
+          round((col("m_cur") - col("m_ref")) / sigma, 6)).as("shift_z"))
+      .orderBy("pos")
+  }
 }

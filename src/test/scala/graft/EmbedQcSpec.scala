@@ -146,4 +146,27 @@ class EmbedQcSpec extends SparkSpec {
     // all points live in the e1-e2 plane: residual vanishes
     assert(got.values.forall(_._3 < 1e-4))
   }
+
+  test("embeddingDrift: identical halves read zero; a planted offset reads in reference-sigma units; constant dims null") {
+    import testImplicits._
+    // dim 0 cycles 0..3 (sigma = sqrt(1.25)); dims 1 and 2 are constant
+    val ref = (0 until 40)
+      .map(i => (i.toLong, Array((i % 4).toFloat, 1f, 7f))).toDF("id", "emb")
+    val same = EmbedQc.embeddingDrift(ref, ref, col("emb")).collect()
+    assert(same.length == 3)
+    same.foreach { r =>
+      assert(r.getDouble(3) == r.getDouble(4), "means must match")
+      if (r.getInt(0) == 0) assert(r.getDouble(5) == 0.0)
+      else assert(r.isNullAt(5), s"constant dim ${r.getInt(0)} must read NULL")
+    }
+    // current = reference shifted +2.0 along dim 0: z = 2 / sqrt(1.25)
+    val cur = (0 until 40)
+      .map(i => (i.toLong, Array((i % 4).toFloat + 2f, 1f, 7f))).toDF("id", "emb")
+    val drift = EmbedQc.embeddingDrift(ref, cur, col("emb"))
+      .collect().map(r => r.getInt(0) ->
+        (if (r.isNullAt(5)) None else Some(r.getDouble(5)))).toMap
+    assert(drift(0) == Some(BigDecimal(2.0 / math.sqrt(1.25))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble))
+    assert(drift(1).isEmpty && drift(2).isEmpty)
+  }
 }
