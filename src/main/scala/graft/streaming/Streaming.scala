@@ -755,6 +755,41 @@ object Streaming {
       }
       .start()
 
+  /** Streaming embedding-drift monitor — the vector twin of
+    * [[startDriftMonitor]] (which watches token distributions): each
+    * arriving micro-batch of vectors is compared per-dimension against the
+    * FROZEN reference batch via
+    * [[graft.operators.EmbedQc.embeddingDrift]], and the d drift rows
+    * persist batch-stamped. An embedding-model swap mid-ingest shows up as
+    * mass |shift_z| in the next batch's rows, BEFORE the drifted vectors
+    * contaminate an index or training mix. Reference stats recompute per
+    * batch from the static frame — at production scale pass a PRE-REDUCED
+    * d-row reference (the operator only needs its per-dim stats), so the
+    * per-batch cost is one pass over the batch plus a d-row broadcast.
+    * Batch-stamped dynamic-partition overwrite keeps at-least-once
+    * foreachBatch idempotent in the persisted bytes.
+    */
+  def startEmbeddingDriftMonitor(
+      vectors: DataFrame,       // streaming; must contain the vec column
+      vec: Column,
+      reference: DataFrame,     // static frame carrying the same vec column
+      outPath: String,
+      checkpoint: String,
+      queryName: String = "embedding_drift_monitor"): StreamingQuery =
+    vectors.writeStream
+      .queryName(queryName)
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        graft.operators.EmbedQc.embeddingDrift(reference, batch, vec)
+          .withColumn("batch_id", lit(batchId))
+          .write.mode("overwrite")
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("batch_id")
+          .parquet(outPath)
+        ()
+      }
+      .start()
+
   /** Score the maintained volume state for anomalies: sum-merge the
     * per-batch bucket counts (the true totals, however batches straddled
     * buckets) and run the trailing z-score epilogue

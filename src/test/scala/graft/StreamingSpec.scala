@@ -405,6 +405,45 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming embedding-drift monitor: per-batch rows equal the batch twin; a shifted batch reads its planted z") {
+    val sp = spark
+    import sp.implicits._
+    implicit val sqlCtx = sp.sqlContext
+    import graft.operators.EmbedQc
+    // dim 0 cycles 0..3 (sigma = sqrt(1.25)); dims 1, 2 constant
+    val ref = (0 until 40)
+      .map(i => (i.toLong, Seq((i % 4).toFloat, 1f, 7f))).toDF("id", "embedding")
+    val in = MemoryStream[(Long, Seq[Float])]
+    val out = tmpDir("graft_embed_drift")
+    val q = Streaming.startEmbeddingDriftMonitor(
+      in.toDF().toDF("id", "embedding"), col("embedding"), ref,
+      s"$out/drift", s"$out/ckpt")
+    val inBand = (100 until 120).map(i => (i.toLong, Seq((i % 4).toFloat, 1f, 7f)))
+    val shifted = (200 until 220).map(i => (i.toLong, Seq((i % 4).toFloat + 2f, 1f, 7f)))
+    try {
+      in.addData(inBand: _*)
+      q.processAllAvailable()
+      in.addData(shifted: _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    val drift = sp.read.parquet(s"$out/drift")
+      .select(col("batch_id").cast("long"), col("pos"), col("shift_z"))
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1)) ->
+        (if (r.isNullAt(2)) None else Some(r.getDouble(2)))).toMap
+    assert(drift((0L, 0)) == Some(0.0), "in-band batch must read zero drift")
+    assert(drift((1L, 0)) == Some(BigDecimal(2.0 / math.sqrt(1.25))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble))
+    // constant dims stay NULL in every batch
+    assert(Seq(1, 2).forall(p => drift((0L, p)).isEmpty && drift((1L, p)).isEmpty))
+    // and each persisted batch equals the batch twin computed offline
+    val twin = EmbedQc.embeddingDrift(ref, shifted.toDF("id", "embedding"),
+        col("embedding")).collect()
+      .map(r => r.getInt(0) ->
+        (if (r.isNullAt(5)) None else Some(r.getDouble(5)))).toMap
+    assert(Seq(0, 1, 2).forall(p => twin(p) == drift((1L, p))))
+  }
+
   test("maintained ANN index compacts into the clustered layout; probe search equals the batch twin") {
     // the operational loop closed: streaming maintenance appends small
     // per-(bucket, batch) files; Layout.compact(clusterCol = bucket)
