@@ -69,6 +69,37 @@ object AnnEval {
       evalRow(s"sign-LSH radius $radius", hits, scanned)
     }
 
+    // planesFor dial sweep (round 7): what the occupancy-held plane count
+    // trades. Each +1 bit halves the per-probe scanned fraction; at a fixed
+    // radius it also sheds recall (fewer same-bucket collisions), and +1
+    // radius buys the recall back at a quadratic-in-b probe count — far
+    // cheaper than the 2x-per-bit a coarser dial pays in scan volume. The
+    // dial's pick for this corpus is printed alongside so the table reads
+    // as an operating curve, not a single point.
+    println(f"\nplanesFor(n=${n.toInt}): target 256 -> " +
+      s"${operators.AnnSearch.planesFor(n.toLong, 256)} planes, " +
+      s"target 64 -> ${operators.AnnSearch.planesFor(n.toLong, 64)} planes\n")
+    println("| planes x radius | recall@10 | scanned fraction |\n|---|---|---|")
+    for (b <- Seq(6, 8, 10, 12)) {
+      val ps = operators.AnnSearch.hyperplanes(dim = 64, numPlanes = b)
+      val idx = operators.AnnSearch.index(embs, col("embedding"), ps).cache()
+      for (radius <- 1 to 3) {
+        val hits = queries.map { case (qid, q) =>
+          val got = operators.AnnSearch.search(idx, col("vec_id").cast("string"),
+              col("embedding"), q, ps, k = k, probeRadius = radius)
+            .select("id").collect().map(_.getString(0)).toSet
+          qid -> got
+        }
+        val scanned = queries.map { case (_, q) =>
+          val probes = operators.AnnSearch.probeBuckets(
+            operators.AnnSearch.bucketOf(q, ps), b, radius)
+          idx.filter(col("bucket").isin(probes: _*)).count() / n
+        }.sum / queries.size
+        evalRow(s"b=$b radius $radius", hits, scanned)
+      }
+      idx.unpersist()
+    }
+
     // IVF nprobe sweep
     val cents = operators.IvfSearch.centroidsFromIds(embs, col("vec_id"), col("embedding"), c = 16)
     val ivf = operators.IvfSearch.index(embs, col("embedding"), cents).cache()
