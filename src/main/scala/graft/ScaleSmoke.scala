@@ -711,6 +711,7 @@ object ScaleSmoke {
       s"ann clustered write (planesFor dial, $nFiles files)",
       "ann probe read (radius-2 multiprobe, zone-map pruned)",
       "CONTRAST ann search, full in-memory index scan",
+      "ann batch probe read (8 queries, union-pruned, GroupTopK)",
       "ann targeted forget (5 vectors, bucket-membership prune)")
     if (only.forall(o => annNames.exists(_.contains(o)))) {
     val annPlanes = graft.operators.AnnSearch.hyperplanesFor(
@@ -734,6 +735,17 @@ object ScaleSmoke {
       graft.operators.AnnSearch.search(
         graft.operators.AnnSearch.index(emb, col("embedding"), annPlanes),
         col("vec_id").cast("string"), col("embedding"), query, annPlanes,
+        k = 10, probeRadius = 2).count()
+    }
+    // the batch shape: 8 queries' probe buckets union-deduped, ONE pruned
+    // read for the whole batch, GroupTopK ranking — per-query cost should
+    // amortize below the single-query probe read's
+    time("ann batch probe read (8 queries, union-pruned, GroupTopK)") {
+      val qs = emb0.filter(col("vec_id") < 8)
+        .select((col("vec_id") * mult).as("query_id"),
+          col("embedding").as("query_vec"))
+      graft.operators.AnnSearch.searchClusteredBatch(spark, annManifest,
+        col("vec_id").cast("string"), col("embedding"), qs, annPlanes,
         k = 10, probeRadius = 2).count()
     }
     // forget runs LAST in the chain (it mutates the layout the probe-read
