@@ -499,4 +499,33 @@ class PropertySpec extends SparkSpec {
         s"state '$st' table $merges")
     }
   }
+
+  test("property: bpeMergesLocal ≡ bpeMerges on random corpora (trainer equivalence beyond the fixture pin)") {
+    import testImplicits._
+    // The spec pin covers one corpus; random ones exercise the local
+    // trainer's INCREMENTAL pair maintenance (retire/re-add around each
+    // rewrite, the stale-membership superset, transient zero counts) and
+    // the (count desc, pair asc UTF-8) tie-break under heavy ties — small
+    // alphabets force both.
+    val corpusGen = for {
+      nDocs <- Gen.choose(2, 6)
+      docs <- Gen.listOfN(nDocs, for {
+        len <- Gen.choose(1, 10)
+        toks <- Gen.listOfN(len, for {
+          wl <- Gen.choose(1, 5)
+          cs <- Gen.listOfN(wl, Gen.oneOf("a", "b", "c"))
+        } yield cs.mkString)
+      } yield toks.mkString(" "))
+    } yield docs
+    samples(corpusGen, 6).foreach { corpus =>
+      val df = corpus.toDF("text")
+      val dist = TextAnalysis.bpeMerges(df, col("text"), nMerges = 6)
+        .orderBy("step").collect()
+        .map(r => (r.getInt(0), r.getString(1), r.getLong(2))).toSeq
+      val local = TextAnalysis.bpeMergesLocal(df, col("text"), nMerges = 6)
+        .orderBy("step").collect()
+        .map(r => (r.getInt(0), r.getString(1), r.getLong(2))).toSeq
+      assert(local == dist, s"trainers diverged on corpus $corpus")
+    }
+  }
 }
