@@ -184,6 +184,45 @@ object Layout {
       .map(_.getString(0))
   }
 
+  /** Layout-health audit over a zone-map manifest — the "has my
+    * clustering decayed?" gate that decides when to re-run
+    * [[compact]]/[[zorderWrite]]: per-file span statistics of `statCol`
+    * as fractions of the global range (avg + max), plus the number of
+    * OVERLAPPING span pairs. A freshly range-clustered layout reads
+    * near-zero overlap and span fractions ~1/F; a hash-scattered or
+    * update-churned layout reads span fractions ~1 and ~C(F,2) overlaps —
+    * the regime where every [[prunedRead]]/[[deleteRows]] degrades toward
+    * a full scan or rewrite. The manifest is one row per file, so the
+    * overlap self-join is F²-bounded manifest-scale work, never corpus
+    * work. Returns ONE row: `(n_files, span_frac_avg, span_frac_max,
+    * overlap_pairs)`; a single-point global range reads fractions 0.
+    *
+    * Spec-pinned rather than driver-oracled: the spans depend on Spark's
+    * range-partitioner SAMPLING boundaries, which no SQL oracle can
+    * replicate.
+    */
+  def manifestStats(manifest: DataFrame, statCol: String): DataFrame = {
+    val lo = col(s"${statCol}_min").cast("double")
+    val hi = col(s"${statCol}_max").cast("double")
+    val g = manifest.agg(min(lo).as("glo"), max(hi).as("ghi"),
+      count(lit(1)).as("n_files"))
+    val spans = manifest.select(col("file"), lo.as("lo"), hi.as("hi"))
+    val overlaps = spans.alias("a")
+      .join(spans.alias("b"),
+        col("a.file") < col("b.file") &&
+          col("a.lo") <= col("b.hi") && col("b.lo") <= col("a.hi"))
+      .agg(count(lit(1)).as("overlap_pairs"))
+    spans.crossJoin(broadcast(g))
+      .select(col("n_files"),
+        when(col("ghi") > col("glo"),
+          (col("hi") - col("lo")) / (col("ghi") - col("glo")))
+          .otherwise(lit(0.0)).as("frac"))
+      .groupBy("n_files")
+      .agg(round(avg(col("frac")), 6).as("span_frac_avg"),
+        round(max(col("frac")), 6).as("span_frac_max"))
+      .crossJoin(broadcast(overlaps))
+  }
+
   /** Targeted row deletion (the GDPR/right-to-be-forgotten shape):
     * rewrite ONLY the files whose zone-map [min, max] span can contain a
     * tombstoned id, leave every other file physically untouched. At 100 TB

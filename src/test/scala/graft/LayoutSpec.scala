@@ -169,4 +169,37 @@ class LayoutSpec extends SparkSpec {
       case _ =>
     }
   }
+
+  test("manifestStats: clustered layout reads tight disjoint spans; a scattered one reads full-range overlap") {
+    import graft.sources.Layout
+    val sp = spark
+    import sp.implicits._
+    val rows = sp.range(10000).select(col("id").as("k"), (col("id") * 3).as("v"))
+    def stats(path: String): (Long, Double, Double, Long) = {
+      val m = Layout.manifestStats(Layout.zoneMap(sp, path, Seq("k")), "k")
+        .head()
+      (m.getLong(0), m.getDouble(1), m.getDouble(2), m.getLong(3))
+    }
+    val tidy = java.nio.file.Files.createTempDirectory("graft_mstats_c").toString
+    rows.repartitionByRange(8, col("k")).sortWithinPartitions("k")
+      .write.mode("overwrite").parquet(tidy)
+    val (nf1, avg1, max1, ov1) = stats(tidy)
+    assert(nf1 == 8)
+    assert(ov1 == 0, "range-clustered spans must be disjoint")
+    assert(max1 < 0.30, s"clustered span fraction should be ~1/8, got $max1")
+    // scatter by k mod 8: every file's span covers ~the whole range
+    val messy = java.nio.file.Files.createTempDirectory("graft_mstats_s").toString
+    rows.repartition(8, pmod(col("k"), lit(8)))
+      .write.mode("overwrite").parquet(messy)
+    val (nf2, avg2, max2, ov2) = stats(messy)
+    assert(avg2 > 0.9 && max2 > 0.9, s"scattered spans must cover the range: $avg2")
+    assert(ov2 == nf2 * (nf2 - 1) / 2, "every scattered span pair overlaps")
+    assert(avg1 < avg2 && ov1 < ov2)
+    // degenerate: a constant column reads zero fractions, full overlap
+    val flat = java.nio.file.Files.createTempDirectory("graft_mstats_f").toString
+    sp.range(100).select(lit(7L).as("k")).repartition(2)
+      .write.mode("overwrite").parquet(flat)
+    val (nf3, avg3, max3, _) = stats(flat)
+    assert(nf3 == 2 && avg3 == 0.0 && max3 == 0.0)
+  }
 }
