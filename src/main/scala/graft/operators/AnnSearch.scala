@@ -120,21 +120,83 @@ object AnnSearch {
   def index(df: DataFrame, vec: Column, planes: Seq[Seq[Double]]): DataFrame =
     df.withColumn("bucket", bucketCol(vec, planes))
 
+  /** Deterministic 64-bit fingerprint of a plane matrix (order-sensitive
+    * fold over the raw double bits) — persisted in the layout manifest at
+    * [[clusteredWrite]] time so operations that must agree with the
+    * write-time planes ([[deleteVectors]], [[searchClustered]]) can detect
+    * a caller passing DIFFERENT planes (count, seed, or values) and fail
+    * loudly instead of silently pruning the wrong files.
+    */
+  def planesHash(planes: Seq[Seq[Double]]): String = {
+    var h = 0xcbf29ce484222325L // FNV offset basis
+    def mix(x: Long): Unit = { h ^= x; h *= 0x100000001b3L }
+    mix(planes.length.toLong)
+    planes.foreach { p =>
+      mix(p.length.toLong)
+      p.foreach(d => mix(java.lang.Double.doubleToLongBits(d)))
+    }
+    java.lang.Long.toHexString(h)
+  }
+
   /** Persist a vector table CLUSTERED by its LSH bucket: range-partitioned
     * and sorted on `bucket`, so each parquet file covers a contiguous
-    * bucket span and the zone-map manifest ([[graft.sources.Layout
-    * .zoneMap]]) prunes at the FILE level. This is the deployable form of
-    * the "bucket as partition key" story in this module's header — hive
-    * partitioning by bucket would mean 2^b directories (2^29 at corpus
-    * scale, untenable); clustering + min/max file stats gives the same
-    * probe-time pruning with file counts chosen by data size.
+    * bucket span and the zone-map stats prune at the FILE level. This is
+    * the deployable form of the "bucket as partition key" story in this
+    * module's header — hive partitioning by bucket would mean 2^b
+    * directories (2^29 at corpus scale, untenable); clustering + min/max
+    * file stats gives the same probe-time pruning with file counts chosen
+    * by data size.
+    *
+    * The write commits a [[graft.sources.LayoutManifest]] carrying the
+    * per-file bucket spans (probe reads schedule zero stats tasks) and the
+    * index identity props `planes_n`/`planes_hash` — the contract
+    * [[deleteVectors]] validates, and the state [[rebuildClustered]]
+    * replaces at cutover.
     */
   def clusteredWrite(df: DataFrame, vec: Column, planes: Seq[Seq[Double]],
-      path: String, numFiles: Int): Unit =
+      path: String, numFiles: Int): Unit = {
     index(df, vec, planes)
       .repartitionByRange(numFiles, col("bucket"))
       .sortWithinPartitions("bucket")
       .write.mode("overwrite").parquet(path)
+    graft.sources.Layout.commitLayout(df.sparkSession, path, Seq("bucket"),
+      Map("index" -> "ann_lsh", "planes_n" -> planes.length.toString,
+        "planes_hash" -> planesHash(planes)))
+  }
+
+  /** The committed layout's per-file bucket-span stats as the zone-map
+    * DataFrame shape [[searchClustered]]/[[searchClusteredBatch]] consume —
+    * resolved from the manifest, NO scan (vs `Layout.zoneMap`, which
+    * aggregates over the data files).
+    */
+  def loadManifest(spark: org.apache.spark.sql.SparkSession,
+      path: String): DataFrame = {
+    val m = graft.sources.LayoutManifest.current(spark, path).getOrElse(
+      throw new IllegalStateException(
+        s"no committed manifest at $path — was this layout written by clusteredWrite?"))
+    graft.sources.LayoutManifest.statsDf(spark, path, m, Seq("bucket"))
+  }
+
+  /** Fail-loudly guard: when `path` carries a committed manifest with a
+    * plane fingerprint, the caller's planes must match it — a delete or
+    * probe computed from DIFFERENT planes names the wrong buckets, prunes
+    * the wrong files, and silently misses rows. Layouts without a manifest
+    * (pre-protocol) pass through unchecked, as before.
+    */
+  private def validatePlanes(spark: org.apache.spark.sql.SparkSession,
+      path: String, planes: Seq[Seq[Double]]): Unit =
+    graft.sources.LayoutManifest.current(spark, path).foreach { m =>
+      m.props.get("planes_hash").foreach { want =>
+        val got = planesHash(planes)
+        require(got == want,
+          s"plane mismatch at $path: layout was written with planes_n=" +
+            s"${m.props.getOrElse("planes_n", "?")} hash=$want, caller " +
+            s"passed planes_n=${planes.length} hash=$got — operating with " +
+            "different planes would prune the wrong files (tombstones " +
+            "would silently survive). Rebuild with rebuildClustered or " +
+            "pass the write-time planes.")
+      }
+    }
 
   /** [[search]] over a [[clusteredWrite]] layout: the multiprobe set
     * prunes FILES via the zone-map manifest before any task is scheduled
@@ -165,6 +227,25 @@ object AnnSearch {
       .limit(k)
   }
 
+  /** [[searchClustered]] against a [[clusteredWrite]] PATH: manifest stats
+    * and plane validation resolved from the committed layout — the no-scan
+    * probe read a deployment calls (zone spans come from the manifest, the
+    * plane fingerprint is checked against the write-time identity).
+    */
+  def searchClusteredAt(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String,
+      id: Column,
+      vec: Column,
+      query: Seq[Float],
+      planes: Seq[Seq[Double]],
+      k: Int = 5,
+      probeRadius: Int = 1): DataFrame = {
+    validatePlanes(spark, path, planes)
+    searchClustered(spark, loadManifest(spark, path), id, vec, query, planes,
+      k, probeRadius)
+  }
+
   /** GDPR forget for a [[clusteredWrite]] index: delete the tombstoned
     * vectors by ID while pruning files by BUCKET. On a bucket-clustered
     * layout the id spans per file are near-total (ids scatter across
@@ -175,6 +256,12 @@ object AnnSearch {
     * rewrites ≤ 2·|distinct tombstone buckets| files regardless of index
     * size. `tombstones` carries `(id, embedding)`; returns
     * (filesTotal, filesRewritten, rowsDeleted).
+    *
+    * Correctness guard: the pruned files are named by buckets computed from
+    * the CALLER's planes — if those differ from the write-time planes, the
+    * tombstoned rows sit in files the prune skips and SURVIVE the forget
+    * with no error. On a manifest-committed layout the write-time plane
+    * fingerprint is validated first and a mismatch throws.
     */
   def deleteVectors(
       spark: org.apache.spark.sql.SparkSession,
@@ -183,6 +270,7 @@ object AnnSearch {
       tombstones: DataFrame,    // (id, embedding) — a bounded forget batch
       planes: Seq[Seq[Double]],
       knownManifest: Option[DataFrame] = None): (Int, Int, Long) = {
+    validatePlanes(spark, path, planes)
     val tsId = tombstones.columns.head
     val tsVec = tombstones.columns(1)
     val buckets = tombstones
@@ -254,13 +342,18 @@ object AnnSearch {
   }
 
   /** [[searchBatch]] over a [[clusteredWrite]] layout: the UNION of every
-    * query's multiprobe buckets (computed driver-side from the bounded
-    * query batch) prunes files via the zone-map manifest, then the same
-    * probe-join + GroupTopK ranking runs on the pruned read. Results are
-    * identical to [[searchBatch]] on the full index; the scanned fraction
-    * is the union probe set's share of the layout — still
+    * query's multiprobe buckets prunes files via the zone-map manifest,
+    * then the same probe-join + GroupTopK ranking runs on the pruned read.
+    * Results are identical to [[searchBatch]] on the full index; the
+    * scanned fraction is the union probe set's share of the layout — still
     * ~|queries|·probes/2^b of the corpus when queries are few, because
     * distinct queries' probe sets rarely overlap.
+    *
+    * The bucket union is computed DISTRIBUTED — the same column-side
+    * [[bucketCol]] + xor-mask explode the probe join uses (so any numeric
+    * vector type the join accepts works here too) — and only the distinct
+    * bucket INTS sync to the driver for the file prune: bounded by the
+    * probe-set size, never by Q·d query floats.
     */
   def searchClusteredBatch(
       spark: org.apache.spark.sql.SparkSession,
@@ -271,12 +364,70 @@ object AnnSearch {
       planes: Seq[Seq[Double]],
       k: Int = 5,
       probeRadius: Int = 1): DataFrame = {
-    val probeUnion = queries.select(col("query_vec")).collect()
-      .flatMap(r => probeBuckets(
-        bucketOf(r.getSeq[Float](0), planes), planes.length, probeRadius))
-      .distinct.toSeq.map(_.toLong)
+    val masks = xorMasks(planes.length, probeRadius)
+    val probeUnion = queries
+      .select(bucketCol(col("query_vec"), planes).as("qb"))
+      .withColumn("m", explode(typedLit(masks)))
+      .select(col("qb").bitwiseXOR(col("m")).cast("long").as("b"))
+      .distinct()
+      .collect().map(_.getLong(0)).toSeq
     val pruned = graft.sources.Layout
       .prunedReadIn(spark, manifest, "bucket", probeUnion)
     searchBatch(pruned, id, vec, queries, planes, k, probeRadius)
+  }
+
+  /** Rebuild-and-cutover for a [[clusteredWrite]] layout: re-bucket the
+    * LIVE rows with `newPlanes`, re-cluster, and swap via ONE manifest
+    * commit ([[graft.sources.Layout.replaceLayout]]) — readers resolve the
+    * old index until the commit instant, then the new one, never a mix,
+    * and a crash at any point leaves a complete index. This is the missing
+    * half of the [[planesFor]] occupancy dial: the dial sets the plane
+    * count at initial write, but a corpus that grows 10× under streaming
+    * maintenance keeps the stale dial and bucket occupancy fattens
+    * linearly — exactly the regime the fixed-dial scale smoke measured.
+    * Rebuilding with `planesFor(currentN)` restores ~target occupancy; and
+    * because [[hyperplanes]] draws planes from one sequential stream, the
+    * new plane set EXTENDS the old one (same seed), so every old bucket is
+    * exactly split, never reshuffled. Returns (filesBefore, filesAfter).
+    */
+  def rebuildClustered(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String,
+      vecColName: String,
+      newPlanes: Seq[Seq[Double]],
+      numFiles: Int): (Int, Int) = {
+    val live = graft.sources.LayoutManifest.readData(spark, path)
+      .drop("bucket")
+    val rebuilt = index(live, col(vecColName), newPlanes)
+      .repartitionByRange(numFiles, col("bucket"))
+      .sortWithinPartitions("bucket")
+    graft.sources.Layout.replaceLayout(spark, path, rebuilt, Seq("bucket"),
+      Map("index" -> "ann_lsh", "planes_n" -> newPlanes.length.toString,
+        "planes_hash" -> planesHash(newPlanes)))
+  }
+
+  /** [[rebuildClustered]] with the dial recomputed from the LIVE row count:
+    * n comes from the manifest (no scan), the plane count from
+    * [[planesFor]], the planes from the same seeded stream as the original
+    * write (so buckets split, never reshuffle), and the file count scales
+    * to hold ~`rowsPerFile` rows. Returns the new planes — the caller's
+    * probe handle for the rebuilt index.
+    */
+  def rebuildClusteredAuto(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String,
+      vecColName: String,
+      dim: Int,
+      seed: Long = 0xA11CE5L,
+      targetOccupancy: Long = 256,
+      rowsPerFile: Long = 1000000L): Seq[Seq[Double]] = {
+    val m = graft.sources.LayoutManifest.current(spark, path).getOrElse(
+      throw new IllegalStateException(
+        s"no committed manifest at $path — rebuild needs the live file set"))
+    val n = m.totalRows
+    val newPlanes = hyperplanes(dim, planesFor(n, targetOccupancy), seed)
+    val numFiles = math.max(1, math.ceil(n.toDouble / rowsPerFile).toInt)
+    rebuildClustered(spark, path, vecColName, newPlanes, numFiles)
+    newPlanes
   }
 }

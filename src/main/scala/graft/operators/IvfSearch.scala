@@ -133,11 +133,83 @@ object IvfSearch {
     * space, so the read side shares the same membership prune.
     */
   def clusteredWrite(embs: DataFrame, vec: Column, centroids: Seq[Centroid],
-      path: String, numFiles: Int): Unit =
+      path: String, numFiles: Int): Unit = {
     index(embs, vec, centroids)
       .repartitionByRange(numFiles, col("list_id"))
       .sortWithinPartitions("list_id")
       .write.mode("overwrite").parquet(path)
+    graft.sources.Layout.commitLayout(embs.sparkSession, path, Seq("list_id"),
+      Map("index" -> "ann_ivf", "ivf_c" -> centroids.length.toString,
+        "centroids_hash" -> centroidsHash(centroids)))
+  }
+
+  /** Deterministic fingerprint of a centroid set (ids + exact double
+    * coordinates) — persisted at [[clusteredWrite]], validated by
+    * operations whose list pruning must agree with the write-time
+    * assignment (a probe against retrained-but-not-rebuilt centroids reads
+    * the wrong lists). Same FNV fold as
+    * [[graft.operators.AnnSearch.planesHash]].
+    */
+  def centroidsHash(centroids: Seq[Centroid]): String = {
+    var h = 0xcbf29ce484222325L
+    def mix(x: Long): Unit = { h ^= x; h *= 0x100000001b3L }
+    mix(centroids.length.toLong)
+    centroids.foreach { c =>
+      mix(c.cid)
+      c.vec.foreach(d => mix(java.lang.Double.doubleToLongBits(d)))
+    }
+    java.lang.Long.toHexString(h)
+  }
+
+  /** Fail-loudly guard for manifest-committed IVF layouts: the caller's
+    * centroids must match the write-time fingerprint. Pre-protocol layouts
+    * (no manifest) pass unchecked.
+    */
+  private def validateCentroids(spark: SparkSession, path: String,
+      centroids: Seq[Centroid]): Unit =
+    graft.sources.LayoutManifest.current(spark, path).foreach { m =>
+      m.props.get("centroids_hash").foreach { want =>
+        val got = centroidsHash(centroids)
+        require(got == want,
+          s"centroid mismatch at $path: layout was written with ivf_c=" +
+            s"${m.props.getOrElse("ivf_c", "?")} hash=$want, caller passed " +
+            s"c=${centroids.length} hash=$got — probing with different " +
+            "centroids reads the wrong inverted lists. Rebuild with " +
+            "rebuildClustered or pass the write-time centroids.")
+      }
+    }
+
+  /** Rebuild-and-cutover for an IVF [[clusteredWrite]] layout — the
+    * quantizer-drift answer (previously documented as "offline
+    * rebuild-and-cutover" with no operator performing it): RETRAIN the
+    * coarse quantizer on the LIVE rows (`trainIters` Lloyd rounds over
+    * [[centroidsFromIds]] seeds; 0 = deterministic id seeds only),
+    * re-assign, re-cluster, and swap via one manifest commit
+    * ([[graft.sources.Layout.replaceLayout]]). Readers see the old index
+    * until the commit instant; a crash leaves a complete index either way.
+    * Returns the new centroids — the caller's probe handle.
+    */
+  def rebuildClustered(
+      spark: SparkSession,
+      path: String,
+      idColName: String,
+      vecColName: String,
+      c: Int,
+      trainIters: Int = 0,
+      numFiles: Int = 8): Seq[Centroid] = {
+    val live = graft.sources.LayoutManifest.readData(spark, path)
+      .drop("list_id")
+    val cents =
+      if (trainIters <= 0) centroidsFromIds(live, col(idColName), col(vecColName), c)
+      else train(live, col(idColName), col(vecColName), c, trainIters)
+    val rebuilt = index(live, col(vecColName), cents)
+      .repartitionByRange(numFiles, col("list_id"))
+      .sortWithinPartitions("list_id")
+    graft.sources.Layout.replaceLayout(spark, path, rebuilt, Seq("list_id"),
+      Map("index" -> "ann_ivf", "ivf_c" -> cents.length.toString,
+        "centroids_hash" -> centroidsHash(cents)))
+    cents
+  }
 
   /** [[search]] over a [[clusteredWrite]] layout: the nprobe nearest lists
     * prune FILES via the zone-map manifest
@@ -161,6 +233,28 @@ object IvfSearch {
       .select(id.as("id"), col("score"))
       .orderBy(desc("score"), asc("id"))
       .limit(k)
+  }
+
+  /** [[searchClustered]] against a [[clusteredWrite]] PATH: list-span stats
+    * resolved from the committed manifest (no scan) and the caller's
+    * centroids validated against the write-time fingerprint.
+    */
+  def searchClusteredAt(
+      spark: SparkSession,
+      path: String,
+      id: Column,
+      vec: Column,
+      query: Seq[Float],
+      centroids: Seq[Centroid],
+      k: Int = 5,
+      nprobe: Int = 4): DataFrame = {
+    validateCentroids(spark, path, centroids)
+    val m = graft.sources.LayoutManifest.current(spark, path).getOrElse(
+      throw new IllegalStateException(
+        s"no committed manifest at $path — was this layout written by clusteredWrite?"))
+    searchClustered(spark,
+      graft.sources.LayoutManifest.statsDf(spark, path, m, Seq("list_id")),
+      id, vec, query, centroids, k, nprobe)
   }
 
   /** ONE Lloyd (k-means) update round surfaced as a DataFrame: assign every

@@ -127,20 +127,28 @@ object Layout {
     * then read exactly those files. The manifest is one row per file, so
     * the prune itself is a driver-side filter over a tiny collect; no task
     * is ever scheduled for a skipped file. Callers re-apply the row-level
-    * predicate: zone maps prune FILES, not rows.
+    * predicate: zone maps prune FILES, not rows. A file with NULL bounds
+    * (span unknown — e.g. a manifest entry written without stats for this
+    * column) is KEPT: pruning may never produce a false negative.
     */
   def prunedRead(spark: SparkSession, manifest: DataFrame, statCol: String,
                  lo: Long, hi: Long): DataFrame = {
-    val files = manifest
-      .filter(col(s"${statCol}_min") <= hi && col(s"${statCol}_max") >= lo)
-      .select("file").collect().map(_.getString(0))
+    val mn = col(s"${statCol}_min"); val mx = col(s"${statCol}_max")
+    val rows = manifest
+      .select(col("file"), ((mn <= hi && mx >= lo) ||
+        mn.isNull || mx.isNull).as("keep"))
+      .collect()
+    require(rows.nonEmpty, "prunedRead over an EMPTY manifest — the layout " +
+      "lists no files (zoneMap over a dir with no parquet, or a manifest " +
+      "committed with zero entries)")
+    val files = rows.filter(_.getBoolean(1)).map(_.getString(0))
     if (files.isEmpty) {
       // every file pruned: empty result, schema taken from one file's
       // footer (a metadata-only read — no data task runs)
-      val any = manifest.select("file").head().getString(0)
+      val any = rows.head.getString(0)
       spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
         spark.read.parquet(any).schema)
-    } else spark.read.parquet(files: _*)
+    } else spark.read.parquet(files.toIndexedSeq: _*)
   }
 
   /** Membership prune: keep files whose [min, max] span contains at least
@@ -155,18 +163,23 @@ object Layout {
     */
   def prunedReadIn(spark: SparkSession, manifest: DataFrame, statCol: String,
                    values: Seq[Long]): DataFrame = {
+    val rows = manifest.select("file").collect()
+    require(rows.nonEmpty, "prunedReadIn over an EMPTY manifest — the " +
+      "layout lists no files")
     val files = filesSpanning(manifest, statCol, values)
     if (files.isEmpty) {
-      val any = manifest.select("file").head().getString(0)
+      val any = rows.head.getString(0)
       spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
         spark.read.parquet(any).schema)
-    } else spark.read.parquet(files: _*)
+    } else spark.read.parquet(files.toIndexedSeq: _*)
   }
 
   /** Files whose [min, max] span of `statCol` contains at least one of
     * `values` — the driver-side membership prune shared by
     * [[prunedReadIn]] and [[deleteRowsIn]] (binary search per file span
-    * over the sorted value set).
+    * over the sorted value set). A NULL span (stats unknown for this
+    * column) keeps the file: the prune may never claim a value is absent
+    * from a file it knows nothing about.
     */
   private def filesSpanning(manifest: DataFrame, statCol: String,
       values: Seq[Long]): Array[String] = {
@@ -180,7 +193,8 @@ object Layout {
       .select(col("file"), col(s"${statCol}_min").cast("long"),
         col(s"${statCol}_max").cast("long"))
       .collect()
-      .filter(r => spanHasValue(r.getLong(1), r.getLong(2)))
+      .filter(r => r.isNullAt(1) || r.isNullAt(2) ||
+        spanHasValue(r.getLong(1), r.getLong(2)))
       .map(_.getString(0))
   }
 
@@ -234,30 +248,41 @@ object Layout {
     * file) are range-joined to the tombstone set to pick affected files
     * (zone maps have no false negatives, so unaffected files provably hold
     * no tombstoned row); the affected files alone are read, anti-joined
-    * against the broadcast tombstones, rewritten into a dot-prefixed (=
-    * reader-hidden) temp dir, then swapped in. The swap is rename-based —
-    * atomic-ish on HDFS/posix; on object stores renames are copies, so a
-    * production deployment would layer a manifest commit (Iceberg/Delta
-    * style) on top. Returns (filesTotal, filesRewritten, rowsDeleted).
+    * against the broadcast tombstones, and swapped in via the
+    * [[LayoutManifest]] commit protocol — new files are fully written and
+    * renamed in BEFORE the one-rename manifest commit makes them live, and
+    * the superseded files are deleted only AFTER it, so no crash point
+    * loses a surviving row and a concurrent manifest reader sees either
+    * the old or the new complete file set, never a mix.
+    * Returns (filesTotal, filesRewritten, rowsDeleted).
     */
   def deleteRows(spark: SparkSession, path: String, idCol: String,
                  tombstones: DataFrame,
                  knownManifest: Option[DataFrame] = None): (Int, Int, Long) = {
     val tsCol = tombstones.columns.head
-    // without a maintained manifest the zone map is rebuilt here — one
-    // column-pruned scan of the whole table, the dominant cost of a small
-    // delete as the table grows. Production passes the incrementally
-    // maintained manifest (see Streaming.startZoneMapMaintenance) and the
-    // delete cost is then bounded by the affected files alone.
-    val manifest = knownManifest.getOrElse(zoneMap(spark, path, Seq(idCol)))
+    // committed manifest first (no scan); else without a maintained zone
+    // map it is rebuilt here — one column-pruned scan of the whole table,
+    // the dominant cost of a small delete as the table grows. Production
+    // passes the incrementally maintained manifest (see
+    // Streaming.startZoneMapMaintenance) or commits one at write time
+    // (commitLayout) and the delete cost is then bounded by the affected
+    // files alone.
+    val snapshot = LayoutManifest.current(spark, path)
+      .getOrElse(LayoutManifest.bootstrap(spark, path, Seq(idCol)))
+    val manifest = knownManifest.getOrElse {
+      if (snapshot.files.exists(_.stats.contains(idCol)))
+        LayoutManifest.statsDf(spark, path, snapshot, Seq(idCol))
+      else zoneMap(spark, path, Seq(idCol))
+    }
+    val mn = col(s"${idCol}_min").cast("long")
+    val mx = col(s"${idCol}_max").cast("long")
     val affected = manifest
       .join(tombstones,
-        tombstones(tsCol).cast("long").between(
-          col(s"${idCol}_min").cast("long"), col(s"${idCol}_max").cast("long")),
+        tombstones(tsCol).cast("long").between(mn, mx) ||
+          mn.isNull || mx.isNull, // unknown span: must be treated as affected
         "left_semi")
       .select("file").collect().map(_.getString(0))
-    val total = manifest.count().toInt
-    rewriteWithout(spark, path, affected, total, idCol, tombstones)
+    rewriteWithout(spark, path, snapshot, affected, idCol, tombstones)
   }
 
   /** Targeted deletion on a layout CLUSTERED BY A DIFFERENT COLUMN than
@@ -275,21 +300,45 @@ object Layout {
                    clusterValues: Seq[Long], idCol: String,
                    tombstones: DataFrame,
                    knownManifest: Option[DataFrame] = None): (Int, Int, Long) = {
-    val manifest = knownManifest.getOrElse(zoneMap(spark, path, Seq(clusterCol)))
+    val snapshot = LayoutManifest.current(spark, path)
+      .getOrElse(LayoutManifest.bootstrap(spark, path, Seq(clusterCol)))
+    val manifest = knownManifest.getOrElse {
+      if (snapshot.files.exists(_.stats.contains(clusterCol)))
+        LayoutManifest.statsDf(spark, path, snapshot, Seq(clusterCol))
+      else zoneMap(spark, path, Seq(clusterCol))
+    }
     val affected = filesSpanning(manifest, clusterCol, clusterValues)
-    rewriteWithout(spark, path, affected, manifest.count().toInt, idCol, tombstones)
+    rewriteWithout(spark, path, snapshot, affected, idCol, tombstones)
   }
 
-  /** Shared delete mechanics: read ONLY `affected`, anti-join the
-    * broadcast tombstones on `idCol`, rewrite into a reader-hidden temp
-    * dir, swap in. Returns (filesTotal, filesRewritten, rowsDeleted).
+  /** Shared delete mechanics under the [[LayoutManifest]] commit protocol.
+    * Phases, in crash-safety order:
+    *  1. read ONLY `affected`, anti-join the broadcast tombstones on
+    *     `idCol`, write the survivors to a dot-prefixed temp dir, rename
+    *     them into the layout dir under fresh unique names. A crash here
+    *     leaves the old manifest pointing at the intact old files — the new
+    *     names are orphans [[LayoutManifest.gc]] reclaims; NOTHING has been
+    *     deleted.
+    *  2. compute the new files' zone stats and commit manifest v+1 = (old
+    *     files − affected) + new files, in ONE atomic rename. This is the
+    *     swap: a reader resolves either version, each a complete table.
+    *  3. delete the superseded `affected` files and prune old manifests —
+    *     space reclamation only, correctness never depends on it.
+    * `crashPoint` is the kill-injection hook for the LayoutSpec crash
+    * tests: 1 aborts after phase 1, 2 after phase 2 (rowsDeleted is -1 on
+    * a phase-1 abort — the count is not yet known).
+    * Returns (filesTotal, filesRewritten, rowsDeleted).
     */
-  private def rewriteWithout(spark: SparkSession, path: String,
-      affected: Array[String], total: Int, idCol: String,
-      tombstones: DataFrame): (Int, Int, Long) = {
+  private[graft] def rewriteWithout(spark: SparkSession, path: String,
+      snapshot: LayoutManifest.Manifest,
+      affected: Array[String], idCol: String,
+      tombstones: DataFrame, crashPoint: Int = 0): (Int, Int, Long) = {
     import org.apache.hadoop.fs.Path
     val tsCol = tombstones.columns.head
+    val total = snapshot.files.size
     if (affected.isEmpty) return (total, 0, 0L)
+    val affectedNames = affected
+      .map(f => new Path(new java.net.URI(f).getPath).getName).toSet
 
     val before = spark.read.parquet(affected.toIndexedSeq: _*)
     val nBefore = before.count()
@@ -298,17 +347,35 @@ object Layout {
       Seq(idCol), "left_anti")
     val fs = org.apache.hadoop.fs.FileSystem.get(
       new java.net.URI(path), spark.sparkContext.hadoopConfiguration)
-    val tmp = s"$path/.rewrite_${java.util.UUID.randomUUID().toString.take(8)}"
+    val tag = s"rw${java.util.UUID.randomUUID().toString.take(8)}"
+    val tmp = s"$path/.rewrite_$tag"
     // keep the rewrite at the affected-file granularity (no global shuffle)
     kept.coalesce(math.max(1, affected.length)).write.parquet(tmp)
-    val nAfter = spark.read.parquet(tmp).count()
-    affected.foreach(f => fs.delete(new Path(new java.net.URI(f).getPath), false))
-    fs.listStatus(new Path(tmp))
+    // phase 1: rename fully-written files IN under fresh names (invisible
+    // to manifest readers until the commit below)
+    val newNames = fs.listStatus(new Path(tmp))
       .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
-      .foreach { s =>
-        fs.rename(s.getPath, new Path(path, s"deleted_${s.getPath.getName}"))
-      }
+      .map { s =>
+        val nn = s"${tag}_${s.getPath.getName}"
+        require(fs.rename(s.getPath, new Path(path, nn)), s"rename-in failed: $nn")
+        nn
+      }.toSeq
     fs.delete(new Path(tmp), true)
+    if (crashPoint == 1) return (total, affected.length, -1L)
+
+    // phase 2: stats for the new files, then the atomic manifest commit
+    val statCols = (snapshot.statCols :+ idCol).distinct
+    val newEntries = LayoutManifest.entriesFor(spark,
+      newNames.map(n => LayoutManifest.dataPath(path, n)), statCols)
+    val nAfter = newEntries.map(_.rows).sum
+    LayoutManifest.commit(spark, path, LayoutManifest.Manifest(
+      snapshot.version + 1, snapshot.props,
+      snapshot.files.filterNot(e => affectedNames(e.name)) ++ newEntries))
+    if (crashPoint == 2) return (total, affected.length, nBefore - nAfter)
+
+    // phase 3: GC the superseded files + old manifests
+    affected.foreach(f => fs.delete(new Path(new java.net.URI(f).getPath), false))
+    LayoutManifest.gc(spark, path)
     (total, affected.length, nBefore - nAfter)
   }
 
@@ -347,5 +414,184 @@ object Layout {
     val after = fs.listStatus(new org.apache.hadoop.fs.Path(outPath))
       .count(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
     (parts.length, after)
+  }
+
+  /** Commit a v1 [[LayoutManifest]] over a freshly-written layout: one
+    * column-pruned stats pass over the directory, one atomic manifest
+    * rename. From this point readers/deletes/compactions resolve the
+    * manifest (no listing, no stats scan) and every rewrite is crash-safe.
+    * `props` carries index identity (e.g. the LSH plane hash) for
+    * write-vs-operate validation. Returns the committed version.
+    */
+  def commitLayout(spark: SparkSession, path: String, statCols: Seq[String],
+      props: Map[String, String] = Map.empty): Long =
+    LayoutManifest.commit(spark, path,
+      LayoutManifest.bootstrap(spark, path, statCols, props))
+
+  /** Append a batch to a manifest-committed layout: write the batch to a
+    * temp dir, rename its files in under fresh names, commit manifest v+1 =
+    * old files + new entries. Crash-safe like every manifest commit (an
+    * uncommitted append's files are invisible orphans), and EXACTLY-ONCE
+    * under at-least-once retries when `batchId` is passed: the manifest
+    * records the high-water batch id and a replayed batch is skipped — the
+    * manifest-native form of the (bucket, batch_id) dynamic-partition
+    * overwrite idempotence the streaming maintenance tier uses. Returns the
+    * appended row count (0 on a replay skip).
+    */
+  def appendCommitted(df: DataFrame, path: String,
+      batchId: Option[Long] = None): Long = {
+    import org.apache.hadoop.fs.Path
+    val spark = df.sparkSession
+    val snapshot = LayoutManifest.current(spark, path).getOrElse(
+      throw new IllegalStateException(
+        s"appendCommitted needs a committed layout at $path — run commitLayout first"))
+    batchId.foreach { b =>
+      val seen = snapshot.props.get("last_batch_id").map(_.toLong)
+      if (seen.exists(_ >= b)) return 0L
+    }
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(path), spark.sparkContext.hadoopConfiguration)
+    val tag = s"ap${java.util.UUID.randomUUID().toString.take(8)}"
+    val tmp = s"$path/.append_$tag"
+    df.write.parquet(tmp)
+    val newNames = fs.listStatus(new Path(tmp))
+      .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
+      .map { s =>
+        val nn = s"${tag}_${s.getPath.getName}"
+        require(fs.rename(s.getPath, new Path(path, nn)), s"rename-in failed: $nn")
+        nn
+      }.toSeq
+    fs.delete(new Path(tmp), true)
+    val newEntries = LayoutManifest.entriesFor(spark,
+      newNames.map(n => LayoutManifest.dataPath(path, n)), snapshot.statCols)
+    val props = batchId match {
+      case Some(b) => snapshot.props + ("last_batch_id" -> b.toString)
+      case None    => snapshot.props
+    }
+    LayoutManifest.commit(spark, path, LayoutManifest.Manifest(
+      snapshot.version + 1, props, snapshot.files ++ newEntries))
+    newEntries.map(_.rows).sum
+  }
+
+  /** Replace a layout's ENTIRE file set in place with `newData` — the
+    * engine under [[compactInPlace]] and the index rebuild-and-cutover
+    * operators ([[graft.operators.AnnSearch.rebuildClustered]],
+    * [[graft.operators.IvfSearch.rebuildClustered]]). Same three-phase
+    * protocol as the targeted rewrite: (1) write + rename the new files in
+    * under fresh names, (2) commit a manifest listing ONLY them, with
+    * `props` MERGED over the old ones (a rebuild overrides index identity
+    * keys like `planes_hash` but must preserve maintenance state like the
+    * streaming high-water `last_batch_id`), (3) GC the superseded files. The cutover is the single manifest rename: a reader
+    * resolves the old index or the new one, never a mix — which is what
+    * lets a rebuild retrain dials/centroids against live data without a
+    * second path and a caller-side symlink dance. `crashPoint` as in the
+    * targeted rewrite (kill-injection testing). Returns
+    * (filesBefore, filesAfter).
+    */
+  private[graft] def replaceLayout(spark: SparkSession, path: String,
+      newData: DataFrame, statCols: Seq[String], props: Map[String, String],
+      crashPoint: Int = 0): (Int, Int) = {
+    import org.apache.hadoop.fs.Path
+    val snapshot = LayoutManifest.current(spark, path)
+      .getOrElse(LayoutManifest.bootstrap(spark, path, statCols))
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(path), spark.sparkContext.hadoopConfiguration)
+    val tag = s"rb${java.util.UUID.randomUUID().toString.take(8)}"
+    val tmp = s"$path/.rebuild_$tag"
+    newData.write.parquet(tmp)
+    val newNames = fs.listStatus(new Path(tmp))
+      .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
+      .map { s =>
+        val nn = s"${tag}_${s.getPath.getName}"
+        require(fs.rename(s.getPath, new Path(path, nn)), s"rename-in failed: $nn")
+        nn
+      }.toSeq
+    fs.delete(new Path(tmp), true)
+    if (crashPoint == 1) return (snapshot.files.size, newNames.size)
+
+    val newEntries = LayoutManifest.entriesFor(spark,
+      newNames.map(n => LayoutManifest.dataPath(path, n)), statCols)
+    LayoutManifest.commit(spark, path, LayoutManifest.Manifest(
+      snapshot.version + 1, snapshot.props ++ props, newEntries))
+    if (crashPoint == 2) return (snapshot.files.size, newEntries.size)
+
+    snapshot.fileNames.diff(newNames.toSet).foreach(n =>
+      fs.delete(new Path(path, n), false))
+    LayoutManifest.gc(spark, path)
+    (snapshot.files.size, newEntries.size)
+  }
+
+  /** [[compact]] IN PLACE under the manifest protocol: read the live file
+    * set, bin-pack by listed bytes, range-re-sort on `clusterCol` to
+    * restore zone-map tightness, and cut over with one manifest commit —
+    * readers during the compaction see the old complete layout until the
+    * commit instant. Props are preserved (compaction changes physical
+    * layout, not index identity). Returns (filesBefore, filesAfter).
+    */
+  def compactInPlace(spark: SparkSession, path: String, targetBytes: Long,
+      clusterCol: Option[String] = None): (Int, Int) = {
+    val snapshot = LayoutManifest.current(spark, path).getOrElse(
+      LayoutManifest.bootstrap(spark, path, clusterCol.toSeq))
+    require(snapshot.files.nonEmpty, s"compactInPlace over an empty layout: $path")
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(path), spark.sparkContext.hadoopConfiguration)
+    val liveBytes = snapshot.files.map(e => fs.getFileStatus(
+      new org.apache.hadoop.fs.Path(path, e.name)).getLen).sum
+    val nOut = math.max(1, math.ceil(liveBytes.toDouble / targetBytes).toInt)
+    val df = spark.read.parquet(
+      snapshot.files.map(e => LayoutManifest.dataPath(path, e.name)): _*)
+    val packed = clusterCol match {
+      case Some(c) => df.repartitionByRange(nOut, col(c)).sortWithinPartitions(c)
+      case None    => df.repartition(nOut)
+    }
+    val statCols = (snapshot.statCols ++ clusterCol.toSeq).distinct
+    replaceLayout(spark, path, packed, statCols, snapshot.props)
+  }
+
+  /** One [[maintainCompaction]] decision: the stats it read, the thresholds
+    * it applied, and what it did. `overlapFrac` is overlap_pairs / C(F,2)
+    * (0 when F < 2).
+    */
+  final case class CompactionDecision(
+      compacted: Boolean, nFiles: Long, spanFracAvg: Double,
+      spanFracMax: Double, overlapPairs: Long, overlapFrac: Double,
+      filesAfter: Int)
+
+  /** The wired recompaction gate: measure layout health via
+    * [[manifestStats]] and RUN [[compactInPlace]] when clustering has
+    * decayed past the thresholds — the decision loop that previously lived
+    * only in a docstring. Thresholds come from the manifestStats regimes: a
+    * freshly range-clustered layout reads span fractions ~1/F and ~zero
+    * overlap; a churned/appended one drifts toward fractions ~1 and ~C(F,2)
+    * overlaps, where every pruned read/delete degrades toward a full scan.
+    * Defaults (avg span > 0.5 of the global range, or > 25% of file pairs
+    * overlapping) trigger when pruning has lost roughly half its power —
+    * early enough that the rewrite is amortized by the reads it saves, late
+    * enough that steady appends don't thrash rewrites. A maintenance
+    * schedule calls this after every append wave; the no-op path costs one
+    * manifest-scale aggregate, no scan, when the layout carries a committed
+    * manifest with `statCol` stats.
+    */
+  def maintainCompaction(spark: SparkSession, path: String, statCol: String,
+      targetBytes: Long, spanFracAvgMax: Double = 0.5,
+      overlapFracMax: Double = 0.25): CompactionDecision = {
+    val committed = LayoutManifest.current(spark, path)
+    val statsSrc = committed match {
+      case Some(m) if m.files.exists(_.stats.contains(statCol)) =>
+        LayoutManifest.statsDf(spark, path, m, Seq(statCol))
+      case _ => zoneMap(spark, path, Seq(statCol))
+    }
+    val s = manifestStats(statsSrc, statCol).head()
+    val nFiles = s.getLong(0)
+    val pairs = nFiles * (nFiles - 1) / 2
+    val overlapFrac =
+      if (pairs == 0) 0.0 else s.getLong(3).toDouble / pairs
+    val decayed = s.getDouble(1) > spanFracAvgMax || overlapFrac > overlapFracMax
+    val filesAfter =
+      if (decayed)
+        compactInPlace(spark, path, targetBytes, Some(statCol))._2
+      else nFiles.toInt
+    CompactionDecision(decayed, nFiles, s.getDouble(1), s.getDouble(2),
+      s.getLong(3), overlapFrac, filesAfter)
   }
 }

@@ -1,0 +1,300 @@
+package graft.sources
+
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Versioned manifest commit protocol for the layout tier — the crash-safe
+  * replacement for delete-then-rename swaps.
+  *
+  * Why it exists: [[Layout.deleteRows]]/[[Layout.compact]] rewrite a subset
+  * of a directory's parquet files. A swap that deletes the old files before
+  * renaming the new ones in has a window where surviving rows exist only in
+  * a temp dir readers ignore — a crash there LOSES data, and a concurrent
+  * reader silently misses rows. (The reference has the same exposure at its
+  * scale: the pickle store is rewritten wholesale with no isolation,
+  * /root/reference/minivectordb/sharded_vector_database.py:134-154.) The fix
+  * is the classic table-format move (Iceberg/Delta): readers resolve a
+  * MANIFEST — a single small file listing exactly the live data files — and
+  * a rewrite becomes (1) write new files under fresh names, (2) commit a new
+  * manifest version in ONE atomic rename, (3) garbage-collect unreferenced
+  * files. Every crash point leaves a complete, consistent table:
+  *   - before the commit: the old manifest still lists only old files (all
+  *     intact — nothing was deleted); the new files are invisible orphans.
+  *   - after the commit: the new manifest lists the new files (all fully
+  *     written before the commit); the old files are orphans.
+  * Orphans are reclaimed by [[gc]], which is pure space hygiene — never
+  * correctness.
+  *
+  * Contents: one entry per live data file (name, row count, per-column
+  * min/max zone stats) plus a string property map. The zone stats make the
+  * manifest double as the planning-time prune index
+  * ([[Layout.prunedRead]]/[[Layout.prunedReadIn]] consume [[statsDf]]), so
+  * a probe read over a committed layout schedules ZERO scan tasks to
+  * discover file spans. The props carry index identity (LSH plane
+  * count/hash, IVF centroid hash) so a delete/search against a layout
+  * written with DIFFERENT dials fails loudly instead of silently missing
+  * rows ([[graft.operators.AnnSearch.deleteVectors]] validates).
+  *
+  * Format: a tiny TSV (dependency-free, human-inspectable), one file per
+  * version under `path/_graft/manifest-<version>.tsv`. The commit is the
+  * rename of a fully-written temp file to that versioned name — atomic on
+  * HDFS/POSIX. Readers take the HIGHEST version present, so a half-written
+  * temp file is never visible and two committers cannot both win one
+  * version (the loser's rename targets an existing name and fails; it
+  * retries at version+1 on top of the winner — single-maintainer is the
+  * intended deployment, as with any table format's commit service. On
+  * object stores without atomic rename, the same protocol runs against a
+  * CAS endpoint; the format is unchanged).
+  *
+  * Scale: the manifest is one row per FILE (a 100 TB layout at 1 GB files
+  * is ~100k lines, single-digit MB) — driver-readable by design, exactly
+  * like the file listing every planner already holds.
+  */
+object LayoutManifest {
+
+  val SubDir = "_graft"
+  private val Magic = "graft-manifest"
+  private val FormatVersion = "1"
+
+  /** One live data file: bare name (unique within the layout dir), row
+    * count, and per-column (min, max) long spans. A column absent from
+    * `stats` means "span unknown" — prunes must keep the file (no false
+    * negatives, same contract as any min/max skip index).
+    */
+  final case class FileEntry(name: String, rows: Long,
+      stats: Map[String, (Long, Long)])
+
+  final case class Manifest(version: Long, props: Map[String, String],
+      files: Seq[FileEntry]) {
+    def fileNames: Set[String] = files.map(_.name).toSet
+    def totalRows: Long = files.map(_.rows).sum
+    def statCols: Seq[String] =
+      files.flatMap(_.stats.keys).distinct.sorted
+  }
+
+  private def fs(spark: SparkSession, path: String): FileSystem =
+    FileSystem.get(new java.net.URI(path),
+      spark.sparkContext.hadoopConfiguration)
+
+  private def manifestDir(path: String): Path = new Path(path, SubDir)
+
+  private def versionOf(name: String): Option[Long] =
+    if (name.startsWith("manifest-") && name.endsWith(".tsv"))
+      scala.util.Try(
+        name.stripPrefix("manifest-").stripSuffix(".tsv").toLong).toOption
+    else None
+
+  /** The highest committed manifest version at `path`, if any. */
+  def current(spark: SparkSession, path: String): Option[Manifest] = {
+    val f = fs(spark, path)
+    val dir = manifestDir(path)
+    if (!f.exists(dir)) return None
+    val versions = f.listStatus(dir).toSeq
+      .filter(_.isFile).flatMap(s => versionOf(s.getPath.getName))
+    if (versions.isEmpty) None
+    else Some(read(f, new Path(dir, s"manifest-${versions.max}.tsv"), versions.max))
+  }
+
+  private def read(f: FileSystem, p: Path, version: Long): Manifest = {
+    val in = f.open(p)
+    val text =
+      try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+      finally in.close()
+    val lines = text.split('\n').filter(_.nonEmpty)
+    require(lines.nonEmpty && lines.head.startsWith(s"$Magic\t"),
+      s"not a graft manifest: $p")
+    val props = scala.collection.mutable.Map.empty[String, String]
+    val rowsByFile = scala.collection.mutable.LinkedHashMap.empty[String, Long]
+    val stats = scala.collection.mutable
+      .Map.empty[String, Map[String, (Long, Long)]].withDefaultValue(Map.empty)
+    lines.tail.foreach { ln =>
+      val t = ln.split('\t')
+      t(0) match {
+        case "P" => props(t(1)) = if (t.length > 2) t(2) else ""
+        case "F" => rowsByFile(t(1)) = t(2).toLong
+        case "S" => stats(t(1)) = stats(t(1)) + (t(2) -> (t(3).toLong, t(4).toLong))
+        case other => throw new IllegalStateException(
+          s"unknown manifest record '$other' in $p")
+      }
+    }
+    Manifest(version,
+      props.toMap,
+      rowsByFile.toSeq.map { case (n, r) => FileEntry(n, r, stats(n)) })
+  }
+
+  private def serialize(m: Manifest): String = {
+    val sb = new StringBuilder
+    sb.append(Magic).append('\t').append(FormatVersion)
+      .append('\t').append(m.version).append('\n')
+    m.props.toSeq.sortBy(_._1).foreach { case (k, v) =>
+      require(!k.contains('\t') && !v.contains('\t') && !v.contains('\n'),
+        s"manifest property may not contain tab/newline: $k")
+      sb.append("P\t").append(k).append('\t').append(v).append('\n')
+    }
+    m.files.foreach { e =>
+      require(!e.name.contains('\t'), s"file name may not contain tab: ${e.name}")
+      sb.append("F\t").append(e.name).append('\t').append(e.rows).append('\n')
+      e.stats.toSeq.sortBy(_._1).foreach { case (c, (lo, hi)) =>
+        sb.append("S\t").append(e.name).append('\t').append(c)
+          .append('\t').append(lo).append('\t').append(hi).append('\n')
+      }
+    }
+    sb.toString
+  }
+
+  /** Atomically commit `m` as the next manifest version: write a temp file,
+    * fsync-close it, rename to `manifest-<version>.tsv`. The version in `m`
+    * is advisory — on a name collision (a concurrent committer won) the
+    * rename fails and this retries at successively higher versions, so the
+    * committed content is never a mix. Returns the committed version.
+    */
+  def commit(spark: SparkSession, path: String, m: Manifest): Long = {
+    val f = fs(spark, path)
+    val dir = manifestDir(path)
+    f.mkdirs(dir)
+    val tmp = new Path(dir, s".tmp-${java.util.UUID.randomUUID().toString.take(12)}")
+    var version = m.version
+    val out = f.create(tmp, true)
+    try out.write(serialize(m.copy(version = version)).getBytes("UTF-8"))
+    finally out.close()
+    var committed = false
+    var tries = 0
+    while (!committed) {
+      val target = new Path(dir, s"manifest-$version.tsv")
+      if (!f.exists(target) && f.rename(tmp, target)) committed = true
+      else {
+        tries += 1
+        require(tries < 64, s"manifest commit contention at $path")
+        version += 1
+        // content embeds the version header: rewrite the temp under the new one
+        val o2 = f.create(tmp, true)
+        try o2.write(serialize(m.copy(version = version)).getBytes("UTF-8"))
+        finally o2.close()
+      }
+    }
+    version
+  }
+
+  /** Build a manifest's file entries from the directory's CURRENT parquet
+    * content — the bootstrap for layouts written before the manifest
+    * protocol (or by plain `.write.parquet`). One column-pruned aggregate
+    * computes rows + min/max per file for every `statCols` column.
+    */
+  def bootstrap(spark: SparkSession, path: String, statCols: Seq[String],
+      props: Map[String, String] = Map.empty): Manifest = {
+    val entries = entriesFor(spark, Seq(path), statCols)
+    Manifest(0L, props, entries)
+  }
+
+  /** File entries (name, rows, stats) for the parquet files under `paths` —
+    * the stats pass shared by [[bootstrap]] and the rewrite commit (which
+    * runs it over just the NEW files).
+    */
+  def entriesFor(spark: SparkSession, paths: Seq[String],
+      statCols: Seq[String]): Seq[FileEntry] = {
+    if (paths.isEmpty) return Seq.empty
+    val df = spark.read.parquet(paths: _*)
+    val present = statCols.filter(df.columns.contains)
+    val aggs = count(lit(1)).as("__rows") +:
+      present.flatMap(c => Seq(
+        min(col(c)).cast("long").as(s"${c}__min"),
+        max(col(c)).cast("long").as(s"${c}__max")))
+    df.select(col("_metadata.file_path").as("__file") +: present.map(col): _*)
+      .groupBy("__file")
+      .agg(aggs.head, aggs.tail: _*)
+      .collect().toSeq
+      .map { r =>
+        val name = new Path(new java.net.URI(r.getString(0)).getPath).getName
+        val stats = present.flatMap { c =>
+          val iLo = r.fieldIndex(s"${c}__min"); val iHi = r.fieldIndex(s"${c}__max")
+          if (r.isNullAt(iLo) || r.isNullAt(iHi)) None
+          else Some(c -> (r.getLong(iLo), r.getLong(iHi)))
+        }.toMap
+        FileEntry(name, r.getAs[Long]("__rows"), stats)
+      }.sortBy(_.name)
+  }
+
+  /** Absolute path of a manifest-listed data file. */
+  def dataPath(path: String, name: String): String =
+    new Path(path, name).toString
+
+  /** The committed manifest as the zone-map DataFrame shape
+    * ([[Layout.zoneMap]]'s contract: `file` + `<col>_min`/`<col>_max` per
+    * stat column) — a local one-row-per-file frame, no scan. Files with an
+    * unknown span for a column carry NULL bounds; [[Layout]]'s prunes keep
+    * such files (no false negatives).
+    */
+  def statsDf(spark: SparkSession, path: String, m: Manifest,
+      statCols: Seq[String]): DataFrame = {
+    val rows = m.files.map { e =>
+      org.apache.spark.sql.Row.fromSeq(
+        dataPath(path, e.name) +: statCols.flatMap { c =>
+          e.stats.get(c) match {
+            case Some((lo, hi)) => Seq[Any](lo, hi)
+            case None           => Seq[Any](null, null)
+          }
+        })
+    }
+    val schema = org.apache.spark.sql.types.StructType(
+      org.apache.spark.sql.types.StructField("file",
+        org.apache.spark.sql.types.StringType, nullable = false) +:
+      statCols.flatMap(c => Seq(
+        org.apache.spark.sql.types.StructField(s"${c}_min",
+          org.apache.spark.sql.types.LongType, nullable = true),
+        org.apache.spark.sql.types.StructField(s"${c}_max",
+          org.apache.spark.sql.types.LongType, nullable = true))))
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 1), schema)
+  }
+
+  /** Read exactly the files the current manifest lists (the isolated-reader
+    * contract: a rewrite in progress — new files renamed in but not yet
+    * committed — is invisible). Falls back to a plain directory read when no
+    * manifest exists (legacy layout).
+    */
+  def readData(spark: SparkSession, path: String): DataFrame =
+    current(spark, path) match {
+      case Some(m) if m.files.nonEmpty =>
+        spark.read.parquet(m.files.map(e => dataPath(path, e.name)): _*)
+      case Some(_) =>
+        throw new IllegalStateException(s"manifest at $path lists no files")
+      case None => spark.read.parquet(path)
+    }
+
+  /** Garbage collection: delete data files NOT referenced by the current
+    * manifest (orphans from a crashed rewrite, or superseded files from a
+    * committed one) and manifests older than the newest `keepManifests`.
+    * Pure space hygiene — a reader resolving the current manifest is
+    * correct whether or not gc has run. MUST NOT run concurrently with a
+    * writer (an uncommitted rewrite's fresh files look like orphans) — the
+    * single-maintainer contract every table format's expire-snapshots has;
+    * production adds a grace period on file age. Returns
+    * (orphan data files deleted, old manifests deleted); a no-op when no
+    * manifest exists.
+    */
+  def gc(spark: SparkSession, path: String, keepManifests: Int = 2): (Int, Int) = {
+    val f = fs(spark, path)
+    current(spark, path) match {
+      case None => (0, 0)
+      case Some(m) =>
+        val live = m.fileNames
+        val dataDeleted = f.listStatus(new Path(path)).toSeq
+          .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet") &&
+            !live.contains(s.getPath.getName))
+          .map { s => f.delete(s.getPath, false); s }
+          .size
+        val dir = manifestDir(path)
+        val versions = f.listStatus(dir).toSeq.filter(_.isFile)
+          .flatMap(s => versionOf(s.getPath.getName).map(_ -> s.getPath))
+          .sortBy(-_._1)
+        val stale = versions.drop(math.max(1, keepManifests))
+        stale.foreach { case (_, p) => f.delete(p, false) }
+        // abandoned commit temps are also orphans
+        f.listStatus(dir).toSeq
+          .filter(s => s.isFile && s.getPath.getName.startsWith(".tmp-"))
+          .foreach(s => f.delete(s.getPath, false))
+        (dataDeleted, stale.size)
+    }
+  }
+}

@@ -293,6 +293,54 @@ object Streaming {
   def loadAnnIndex(spark: org.apache.spark.sql.SparkSession, path: String): DataFrame =
     spark.read.parquet(path).drop("batch_id")
 
+  /** Streaming maintenance of a MANIFEST-COMMITTED clustered ANN layout
+    * ([[graft.operators.AnnSearch.clusteredWrite]]) — the deployable
+    * sibling of [[startAnnIndexMaintenance]]'s hive-partitioned form:
+    * arriving vectors are bucketed with the layout's write-time planes and
+    * appended via [[graft.sources.Layout.appendCommitted]], so probe reads
+    * ([[graft.operators.AnnSearch.searchClusteredAt]]) keep pruning at the
+    * file level over ALL data ever ingested, and GDPR deletes/compaction/
+    * rebuild keep their crash-safe commit semantics on the same path.
+    *
+    * Exactly-once: the manifest records the high-water `batch_id` and a
+    * replayed micro-batch is skipped — at-least-once foreachBatch becomes
+    * exactly-once in the committed bytes without dynamic-partition
+    * machinery. Plane identity is validated against the manifest
+    * fingerprint up front: maintaining an index with the WRONG planes
+    * would corrupt every future probe. Appended files are bucket-sorted
+    * but overlap older files' spans, so layout health decays with churn —
+    * schedule [[graft.sources.Layout.maintainCompaction]] (the gate
+    * measures decay from the manifest alone) and
+    * [[graft.operators.AnnSearch.rebuildClusteredAuto]] (when growth
+    * outruns the plane dial) as the companion maintenance jobs.
+    */
+  def startClusteredAnnIndexMaintenance(
+      vectors: DataFrame,       // streaming (id, embedding)
+      planes: Seq[Seq[Double]],
+      outPath: String,
+      checkpoint: String,
+      queryName: String = "ann_clustered_maintenance"): StreamingQuery = {
+    val expected = graft.operators.AnnSearch.planesHash(planes)
+    vectors.writeStream
+      .queryName(queryName)
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val m = graft.sources.LayoutManifest
+          .current(batch.sparkSession, outPath)
+          .getOrElse(throw new IllegalStateException(
+            s"no committed clustered layout at $outPath — clusteredWrite first"))
+        m.props.get("planes_hash").foreach(want => require(want == expected,
+          s"plane mismatch: layout at $outPath was written with hash $want, " +
+            s"maintenance stream carries $expected"))
+        graft.sources.Layout.appendCommitted(
+          graft.operators.AnnSearch.index(batch, col("embedding"), planes)
+            .sortWithinPartitions("bucket"),
+          outPath, batchId = Some(batchId))
+        ()
+      }
+      .start()
+  }
+
   /** Streaming IVF index maintenance — the centroid-partitioned twin of
     * [[startAnnIndexMaintenance]]: arriving vectors are assigned to their
     * nearest centroid (the [[graft.functions.NearestCentroidExpr]] codegen

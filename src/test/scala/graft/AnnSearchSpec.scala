@@ -283,4 +283,149 @@ class AnnSearchSpec extends SparkSpec {
     info(s"scanned $scanned of $total")
     assert(scanned < total)
   }
+
+  test("clusteredWrite commits index identity; searchClusteredAt resolves it; wrong planes fail loudly") {
+    import graft.sources.LayoutManifest
+    val embs = spark.read.parquet(s"$dir/embeddings.parquet")
+    val q = VectorStore.fromEmbeddingsTable(spark, dir).getVector("0").toSeq
+    val planes = AnnSearch.hyperplanes(dim = 64)
+    val tmp = java.nio.file.Files.createTempDirectory("graft_ann_mfst").toString
+    AnnSearch.clusteredWrite(embs, col("embedding"), planes, tmp, numFiles = 8)
+    val m = LayoutManifest.current(spark, tmp).get
+    assert(m.props("planes_n") == "6")
+    assert(m.props("planes_hash") == AnnSearch.planesHash(planes))
+    assert(m.files.size == 8 && m.totalRows == embs.count())
+    // the manifest-resolved search equals the zone-map-scan one
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getString(0), BigDecimal(r.getDouble(1))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP))).toSeq
+    val got = rows(AnnSearch.searchClusteredAt(spark, tmp,
+      col("vec_id").cast("string"), col("embedding"), q, planes,
+      k = 10, probeRadius = 2))
+    val want = rows(AnnSearch.searchClustered(spark,
+      graft.sources.Layout.zoneMap(spark, tmp, Seq("bucket")),
+      col("vec_id").cast("string"), col("embedding"), q, planes,
+      k = 10, probeRadius = 2))
+    assert(got == want)
+    // ADVICE r7: a delete with DIFFERENT planes (count or seed) must fail
+    // loudly — silently pruning the wrong files would let tombstones survive
+    val tomb = embs.filter(col("vec_id") === 3L).select(col("vec_id"), col("embedding"))
+    val wrongCount = AnnSearch.hyperplanes(dim = 64, numPlanes = 8)
+    val eCount = intercept[IllegalArgumentException] {
+      AnnSearch.deleteVectors(spark, tmp, "vec_id", tomb, wrongCount)
+    }
+    assert(eCount.getMessage.contains("plane mismatch"))
+    val wrongSeed = AnnSearch.hyperplanes(dim = 64, numPlanes = 6, seed = 99L)
+    intercept[IllegalArgumentException] {
+      AnnSearch.searchClusteredAt(spark, tmp, col("vec_id").cast("string"),
+        col("embedding"), q, wrongSeed, k = 10, probeRadius = 2)
+    }
+    // the write-time planes pass, and the manifest version advances
+    val (_, _, deleted) = AnnSearch.deleteVectors(spark, tmp, "vec_id", tomb, planes)
+    assert(deleted == 1L)
+    assert(LayoutManifest.current(spark, tmp).get.version > m.version)
+    assert(LayoutManifest.readData(spark, tmp)
+      .filter(col("vec_id") === 3L).count() == 0)
+  }
+
+  test("searchClusteredBatch: probe union is computed column-side and tolerates DOUBLE query vectors") {
+    val embs = spark.read.parquet(s"$dir/embeddings.parquet")
+    val planes = AnnSearch.hyperplanes(dim = 64, numPlanes = 10)
+    val tmp = java.nio.file.Files.createTempDirectory("graft_ann_cbd").toString
+    AnnSearch.clusteredWrite(embs, col("embedding"), planes, tmp, numFiles = 32)
+    val man = AnnSearch.loadManifest(spark, tmp)
+    val qsF = embs.filter(col("vec_id") < 3)
+      .select(col("vec_id").as("query_id"), col("embedding").as("query_vec"))
+    // ADVICE r7: an array<double> batch crashed the old driver-side
+    // getSeq[Float]; the column-side union must accept any numeric array
+    val qsD = qsF.select(col("query_id"),
+      col("query_vec").cast("array<double>").as("query_vec"))
+    def rows(df: org.apache.spark.sql.DataFrame) = df
+      .select(col("query_id"), col("rank"), col("id"),
+        round(col("score"), 6).as("score"))
+      .orderBy("query_id", "rank").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getString(2), r.getDouble(3))).toSeq
+    val gotD = rows(AnnSearch.searchClusteredBatch(spark, man,
+      col("vec_id").cast("string"), col("embedding"), qsD, planes,
+      k = 5, probeRadius = 1))
+    val gotF = rows(AnnSearch.searchClusteredBatch(spark, man,
+      col("vec_id").cast("string"), col("embedding"), qsF, planes,
+      k = 5, probeRadius = 1))
+    assert(gotD == gotF && gotF.nonEmpty)
+  }
+
+  test("rebuild-and-cutover: 10x growth under clustered maintenance, re-dial restores occupancy, search parity holds") {
+    import graft.sources.LayoutManifest
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val sp = spark
+    import sp.implicits._
+    implicit val sqlCtx = sp.sqlContext
+    val embs = sp.read.parquet(s"$dir/embeddings.parquet")
+      .select(col("vec_id"), col("embedding"))
+    val n0 = embs.count()
+    val q = VectorStore.fromEmbeddingsTable(spark, dir).getVector("0").toSeq
+    // initial write at the dial for n0
+    val target = 32L
+    val planes0 = AnnSearch.hyperplanesFor(64, n0, target)
+    val tmp = java.nio.file.Files.createTempDirectory("graft_ann_rebuild").toString
+    AnnSearch.clusteredWrite(embs, col("embedding"), planes0, tmp, numFiles = 8)
+
+    // grow the corpus 10x under streaming maintenance (manifest-committed
+    // appends; same vectors re-keyed — the distribution a live feed has)
+    val in = MemoryStream[(Long, Seq[Float])]
+    val mq = graft.streaming.Streaming.startClusteredAnnIndexMaintenance(
+      in.toDF().toDF("vec_id", "embedding"), planes0, tmp,
+      java.nio.file.Files.createTempDirectory("graft_ann_rb_ck").toString)
+    try {
+      val base = embs.collect().map(r => (r.getLong(0), r.getSeq[Float](1)))
+      (1 to 9).foreach { rep =>
+        in.addData(base.map { case (id, v) => (id + rep * 1000000L, v) }.toSeq)
+        mq.processAllAvailable()
+      }
+    } finally mq.stop()
+    val grown = LayoutManifest.current(sp, tmp).get
+    assert(grown.totalRows == 10 * n0, s"growth landed: ${grown.totalRows}")
+
+    // the stale dial's occupancy has fattened ~10x
+    def maxOccupancy(): Long = LayoutManifest.readData(sp, tmp)
+      .groupBy("bucket").count().agg(max("count")).head().getLong(0)
+    val occStale = maxOccupancy()
+
+    // rebuild-and-cutover: dial recomputed from the LIVE manifest count
+    val planes1 = AnnSearch.rebuildClusteredAuto(sp, tmp, "embedding",
+      dim = 64, targetOccupancy = target, rowsPerFile = n0)
+    assert(planes1.length == AnnSearch.planesFor(10 * n0, target))
+    assert(planes1.length > planes0.length, "the dial must grow with the corpus")
+    // same seeded stream: the new planes EXTEND the old (buckets split, not reshuffled)
+    assert(planes1.take(planes0.length) == planes0)
+    val m1 = LayoutManifest.current(sp, tmp).get
+    assert(m1.props("planes_n") == planes1.length.toString)
+    assert(m1.props("planes_hash") == AnnSearch.planesHash(planes1))
+    assert(m1.totalRows == 10 * n0, "cutover loses nothing")
+
+    // occupancy restored: the split spreads the 10x corpus back down
+    val occRebuilt = maxOccupancy()
+    assert(occRebuilt * 2 <= occStale,
+      s"rebuild must cut occupancy: stale=$occStale rebuilt=$occRebuilt")
+
+    // search parity: the rebuilt layout's probe search equals the same
+    // search over a fresh in-memory index at the new dial — and the old
+    // planes are now rejected
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getString(0), BigDecimal(r.getDouble(1))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP))).toSeq
+    val got = rows(AnnSearch.searchClusteredAt(sp, tmp,
+      col("vec_id").cast("string"), col("embedding"), q, planes1,
+      k = 10, probeRadius = 2))
+    val want = rows(AnnSearch.search(
+      AnnSearch.index(LayoutManifest.readData(sp, tmp).drop("bucket"),
+        col("embedding"), planes1),
+      col("vec_id").cast("string"), col("embedding"), q, planes1,
+      k = 10, probeRadius = 2))
+    assert(got == want && got.size == 10)
+    intercept[IllegalArgumentException] {
+      AnnSearch.searchClusteredAt(sp, tmp, col("vec_id").cast("string"),
+        col("embedding"), q, planes0, k = 10, probeRadius = 2)
+    }
+  }
 }

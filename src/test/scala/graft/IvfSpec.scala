@@ -106,6 +106,43 @@ class IvfSpec extends SparkSpec {
       s"probe read must skip files: read $readFiles of ${man.count()}")
   }
 
+  test("rebuild-and-cutover: retrained quantizer swaps in one commit; stale centroids fail loudly") {
+    import graft.sources.LayoutManifest
+    val tmp = java.nio.file.Files.createTempDirectory("graft_ivf_rebuild").toString
+    // initial write with a deliberately coarse quantizer (c=4)
+    val cents4 = IvfSearch.centroidsFromIds(embs, col("vec_id"), col("embedding"), c = 4)
+    IvfSearch.clusteredWrite(embs, col("embedding"), cents4, tmp, numFiles = 8)
+    val m0 = LayoutManifest.current(spark, tmp).get
+    assert(m0.props("ivf_c") == "4")
+    assert(m0.props("centroids_hash") == IvfSearch.centroidsHash(cents4))
+    // rebuild at c=16 with Lloyd refinement — the quantizer-drift cutover
+    val cents16 = IvfSearch.rebuildClustered(spark, tmp, "vec_id", "embedding",
+      c = 16, trainIters = 2, numFiles = 8)
+    assert(cents16.length == 16)
+    val m1 = LayoutManifest.current(spark, tmp).get
+    assert(m1.version > m0.version && m1.props("ivf_c") == "16")
+    assert(m1.totalRows == embs.count(), "cutover loses nothing")
+    // parity: the rebuilt layout's probe search equals the same search over
+    // a fresh in-memory index at the retrained quantizer
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getString(0), BigDecimal(r.getDouble(1))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP))).toSeq
+    val got = rows(IvfSearch.searchClusteredAt(spark, tmp,
+      col("vec_id").cast("string"), col("embedding"), query, cents16,
+      k = 10, nprobe = 4))
+    val want = rows(IvfSearch.search(
+      IvfSearch.index(embs, col("embedding"), cents16),
+      col("vec_id").cast("string"), col("embedding"), query, cents16,
+      k = 10, nprobe = 4))
+    assert(got == want && got.size == 10)
+    // probing with the RETIRED quantizer reads the wrong lists — rejected
+    val e = intercept[IllegalArgumentException] {
+      IvfSearch.searchClusteredAt(spark, tmp, col("vec_id").cast("string"),
+        col("embedding"), query, cents4, k = 10, nprobe = 4)
+    }
+    assert(e.getMessage.contains("centroid mismatch"))
+  }
+
   test("lloydStep: counts cover the corpus and a cluster mean is the member mean") {
     val step = IvfSearch.lloydStep(embs, col("vec_id"), col("embedding"), c = 8)
       .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getSeq[Double](2))).toMap

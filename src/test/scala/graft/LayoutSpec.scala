@@ -170,6 +170,183 @@ class LayoutSpec extends SparkSpec {
     }
   }
 
+  test("manifest commit protocol: versioned atomic commits, props round-trip, gc reclaims orphans only") {
+    import graft.sources.LayoutManifest
+    val dir = java.nio.file.Files.createTempDirectory("graft_manifest").toString
+    val sp = spark
+    sp.range(100).select(col("id").as("k"))
+      .repartitionByRange(4, col("k")).sortWithinPartitions("k")
+      .write.mode("overwrite").parquet(dir)
+    assert(LayoutManifest.current(sp, dir).isEmpty)
+    val v0 = Layout.commitLayout(sp, dir, Seq("k"), Map("index" -> "test", "planes_n" -> "6"))
+    val m0 = LayoutManifest.current(sp, dir).get
+    assert(m0.version == v0)
+    assert(m0.props == Map("index" -> "test", "planes_n" -> "6"))
+    assert(m0.files.size == 4 && m0.totalRows == 100)
+    // per-file spans round-trip through the TSV and are disjoint (clustered)
+    val spans = m0.files.map(_.stats("k")).sortBy(_._1)
+    spans.sliding(2).foreach {
+      case Seq(a, b) => assert(a._2 < b._1, s"spans overlap: $a $b")
+      case _ =>
+    }
+    assert(spans.head._1 == 0L && spans.last._2 == 99L)
+    // statsDf is the zone-map shape prunedRead consumes
+    val sdf = LayoutManifest.statsDf(sp, dir, m0, Seq("k"))
+    assert(sdf.columns.toSeq == Seq("file", "k_min", "k_max"))
+    assert(Layout.prunedRead(sp, sdf, "k", 10L, 20L).count() == 25 ||
+      Layout.prunedRead(sp, sdf, "k", 10L, 20L)
+        .filter(col("k").between(10, 20)).count() == 11)
+    // a second commit takes the next version; readers take the max
+    val v1 = LayoutManifest.commit(sp, dir, m0.copy(version = m0.version + 1,
+      props = m0.props + ("planes_n" -> "8")))
+    assert(v1 > v0)
+    assert(LayoutManifest.current(sp, dir).get.props("planes_n") == "8")
+    // gc: an unreferenced data file is an orphan; referenced ones survive
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(dir), sp.sparkContext.hadoopConfiguration)
+    val orphan = new org.apache.hadoop.fs.Path(dir, "orphan_part.parquet")
+    val out = fs.create(orphan); out.write(1); out.close()
+    val (dataGone, manifestsGone) = LayoutManifest.gc(sp, dir, keepManifests = 1)
+    assert(dataGone == 1 && !fs.exists(orphan))
+    assert(manifestsGone == 1) // v0 pruned, v1 kept
+    assert(LayoutManifest.readData(sp, dir).count() == 100)
+  }
+
+  test("kill-injection: a crash at EVERY rewrite phase loses no surviving row and duplicates none") {
+    import graft.sources.LayoutManifest
+    import testImplicits._
+    val sp = spark
+    val docs = graft.sources.Testdata.table(sp, "/root/testdata/sf0.001", "documents")
+    val dir = java.nio.file.Files.createTempDirectory("graft_kill").toString
+    docs.repartitionByRange(8, col("doc_id")).sortWithinPartitions("doc_id")
+      .write.mode("overwrite").parquet(dir)
+    Layout.commitLayout(sp, dir, Seq("doc_id"))
+    val n = docs.count()
+    val tomb = (50L until 60L).toDF("doc_id")
+    def affectedOf(m: LayoutManifest.Manifest): Array[String] =
+      LayoutManifest.statsDf(sp, dir, m, Seq("doc_id"))
+        .filter(col("doc_id_min") <= 59L && col("doc_id_max") >= 50L)
+        .select("file").collect().map(_.getString(0))
+
+    // ---- crash AFTER phase 1 (new files renamed in, manifest NOT committed)
+    val snap0 = LayoutManifest.current(sp, dir).get
+    Layout.rewriteWithout(sp, dir, snap0, affectedOf(snap0), "doc_id", tomb,
+      crashPoint = 1)
+    // the manifest reader sees the OLD COMPLETE table: nothing deleted, nothing lost
+    assert(LayoutManifest.readData(sp, dir).count() == n)
+    assert(LayoutManifest.readData(sp, dir)
+      .filter(col("doc_id").between(50, 59)).count() == 10)
+    // recovery = gc: the uncommitted rewrite's files are orphans
+    val (orphans, _) = LayoutManifest.gc(sp, dir)
+    assert(orphans >= 1, "phase-1 crash must leave reclaimable orphans")
+    assert(spark.read.parquet(dir).count() == n) // directory agrees after gc
+
+    // ---- crash AFTER phase 2 (manifest committed, superseded files not GC'd)
+    val snap1 = LayoutManifest.current(sp, dir).get
+    val (_, rewritten, deleted) = Layout.rewriteWithout(sp, dir, snap1,
+      affectedOf(snap1), "doc_id", tomb, crashPoint = 2)
+    assert(rewritten >= 1 && deleted == 10L)
+    // the manifest reader sees the NEW complete table: survivors only, no dupes
+    val after = LayoutManifest.readData(sp, dir)
+    assert(after.count() == n - 10)
+    assert(after.filter(col("doc_id").between(50, 59)).count() == 0)
+    assert(after.select("doc_id").distinct().count() == n - 10)
+    // a DIRECTORY read in this window sees duplicates (old affected files
+    // still present) — which is why the manifest is the read contract
+    assert(spark.read.parquet(dir).count() > n - 10)
+    // recovery = gc, after which directory and manifest agree exactly
+    LayoutManifest.gc(sp, dir)
+    assert(spark.read.parquet(dir).count() == n - 10)
+    val got = spark.read.parquet(dir).select("doc_id")
+      .orderBy("doc_id").collect().map(_.getLong(0)).toSeq
+    val want = docs.filter(!col("doc_id").between(50, 59))
+      .select("doc_id").orderBy("doc_id").collect().map(_.getLong(0)).toSeq
+    assert(got == want)
+  }
+
+  test("kill-injection: replaceLayout (rebuild/compaction cutover) is all-or-nothing") {
+    import graft.sources.LayoutManifest
+    val sp = spark
+    val dir = java.nio.file.Files.createTempDirectory("graft_kill_rb").toString
+    sp.range(1000).select(col("id").as("k"), (col("id") * 7 % 13).as("v"))
+      .repartition(6) // scattered
+      .write.mode("overwrite").parquet(dir)
+    Layout.commitLayout(sp, dir, Seq("k"))
+    val rebuilt = LayoutManifest.readData(sp, dir)
+      .repartitionByRange(3, col("k")).sortWithinPartitions("k")
+    // crash after phase 1: old manifest still current, reader sees old data
+    Layout.replaceLayout(sp, dir, rebuilt, Seq("k"), Map("gen" -> "2"), crashPoint = 1)
+    assert(LayoutManifest.current(sp, dir).get.props.get("gen").isEmpty)
+    assert(LayoutManifest.readData(sp, dir).count() == 1000)
+    LayoutManifest.gc(sp, dir) // reclaim the uncommitted files
+    assert(spark.read.parquet(dir).count() == 1000)
+    // crash after phase 2: new manifest current, exactly the new file set
+    Layout.replaceLayout(sp, dir, rebuilt, Seq("k"), Map("gen" -> "2"), crashPoint = 2)
+    val m = LayoutManifest.current(sp, dir).get
+    assert(m.props("gen") == "2" && m.files.size == 3)
+    assert(LayoutManifest.readData(sp, dir).count() == 1000)
+    assert(LayoutManifest.readData(sp, dir).select("k").distinct().count() == 1000)
+    LayoutManifest.gc(sp, dir)
+    assert(spark.read.parquet(dir).count() == 1000)
+  }
+
+  test("appendCommitted: crash-safe append, exactly-once under batch replay") {
+    import graft.sources.LayoutManifest
+    val sp = spark
+    val dir = java.nio.file.Files.createTempDirectory("graft_append").toString
+    sp.range(100).select(col("id").as("k"))
+      .coalesce(1).write.mode("overwrite").parquet(dir)
+    Layout.commitLayout(sp, dir, Seq("k"))
+    val batch = sp.range(100, 150).select(col("id").as("k"))
+    assert(Layout.appendCommitted(batch, dir, batchId = Some(7L)) == 50L)
+    assert(LayoutManifest.readData(sp, dir).count() == 150)
+    // a replay of the same batch id is skipped — no duplicates
+    assert(Layout.appendCommitted(batch, dir, batchId = Some(7L)) == 0L)
+    assert(LayoutManifest.readData(sp, dir).count() == 150)
+    // a later batch lands; stats cover the appended range
+    assert(Layout.appendCommitted(
+      sp.range(150, 160).select(col("id").as("k")), dir, batchId = Some(8L)) == 10L)
+    val m = LayoutManifest.current(sp, dir).get
+    assert(m.totalRows == 160 && m.props("last_batch_id") == "8")
+    assert(m.files.flatMap(_.stats.get("k")).map(_._2).max == 159L)
+  }
+
+  test("maintainCompaction: the recompaction gate triggers on decayed clustering and restores pruning") {
+    import graft.sources.LayoutManifest
+    val sp = spark
+    val dir = java.nio.file.Files.createTempDirectory("graft_autocompact").toString
+    // a freshly clustered layout: the gate must NOT fire
+    sp.range(10000).select(col("id").as("k"), (col("id") % 97).as("v"))
+      .repartitionByRange(8, col("k")).sortWithinPartitions("k")
+      .write.mode("overwrite").parquet(dir)
+    Layout.commitLayout(sp, dir, Seq("k"))
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(dir), sp.sparkContext.hadoopConfiguration)
+    val bytes = fs.getContentSummary(new org.apache.hadoop.fs.Path(dir)).getLength
+    val d0 = Layout.maintainCompaction(sp, dir, "k", targetBytes = bytes / 4)
+    assert(!d0.compacted && d0.overlapPairs == 0L)
+    // churn: streaming-style appends draw keys from the WHOLE distribution,
+    // so every appended file spans ~the full range — the decay regime
+    (0 until 6).foreach { i =>
+      Layout.appendCommitted(
+        sp.range(1000).select(((col("id") * 7919 + i) % 10000).as("k"),
+          (col("id") % 97).as("v")).coalesce(1),
+        dir, batchId = Some(i.toLong))
+    }
+    val expectedSum = LayoutManifest.readData(sp, dir)
+      .agg(sum("k")).head().getLong(0)
+    val d1 = Layout.maintainCompaction(sp, dir, "k", targetBytes = bytes / 4)
+    assert(d1.compacted, s"gate must fire after churn: $d1")
+    assert(d1.overlapFrac > 0.25 || d1.spanFracAvg > 0.5)
+    // post-compaction: content intact, clustering (and the gate) restored
+    val after = LayoutManifest.readData(sp, dir)
+    assert(after.count() == 16000)
+    assert(after.agg(sum("k")).head().getLong(0) == expectedSum)
+    val d2 = Layout.maintainCompaction(sp, dir, "k", targetBytes = bytes / 4)
+    assert(!d2.compacted, s"freshly compacted layout must not re-fire: $d2")
+    assert(d2.overlapPairs == 0L && d2.spanFracAvg < 0.5)
+  }
+
   test("manifestStats: clustered layout reads tight disjoint spans; a scattered one reads full-range overlap") {
     import graft.sources.Layout
     val sp = spark
