@@ -304,15 +304,17 @@ object SparkEntry {
   /** The ANN oracle replicates the sign-LSH bucket math in SQL — plane
     * literals and probe masks are generated from the same Scala constants
     * the Spark plan uses, so the check is exact regardless of LSH recall.
+    * Parameterized by plane count so the rebuild query (which re-dials the
+    * planes) derives its oracle from the SAME generator.
     */
-  private val annOracle: String = {
-    val planes = AnnSearch.hyperplanes(dim = 64)
+  private def annOracleFor(numPlanes: Int, radius: Int): String = {
+    val planes = AnnSearch.hyperplanes(dim = 64, numPlanes = numPlanes)
     def bucketExpr(vecSql: String): String =
       planes.zipWithIndex.map { case (p, i) =>
         val lst = p.mkString("[", ",", "]")
         s"(CASE WHEN list_dot_product($vecSql, $lst) >= 0 THEN ${1 << i} ELSE 0 END)"
       }.mkString("(", " + ", ")")
-    val masks = AnnSearch.xorMasks(planes.length, 2).mkString("[", ",", "]")
+    val masks = AnnSearch.xorMasks(planes.length, radius).mkString("[", ",", "]")
     s"""WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qe FROM embeddings WHERE vec_id = 0),
        |qb AS (SELECT ${bucketExpr("qe")} AS b FROM q),
        |probes AS (SELECT xor(qb.b, m) AS pb FROM qb, unnest($masks) AS t(m)),
@@ -325,6 +327,34 @@ object SparkEntry {
        |  ORDER BY score DESC, id ASC LIMIT 10
        |) ORDER BY score DESC, id ASC""".stripMargin
   }
+
+  private val annOracle: String = annOracleFor(6, 2)
+
+  /** Per-dim drift oracle (unnest + per-pos avg on both halves) — shared by
+    * q_embed_drift and its precomputed-reference twin q_embed_drift_ref
+    * (identical rows by construction).
+    */
+  private val embedDriftOracle: String =
+    """WITH r AS (
+      |  SELECT generate_subscripts(embedding, 1) - 1 AS pos,
+      |    CAST(unnest(embedding) AS DOUBLE) AS v
+      |  FROM embeddings WHERE vec_id % 2 = 0
+      |),
+      |c AS (
+      |  SELECT generate_subscripts(embedding, 1) - 1 AS pos,
+      |    CAST(unnest(embedding) AS DOUBLE) AS v
+      |  FROM embeddings WHERE vec_id % 2 = 1
+      |),
+      |rs AS (SELECT pos, avg(v) AS mr, avg(v*v) AS mr2,
+      |         CAST(count(*) AS BIGINT) AS n_ref FROM r GROUP BY pos),
+      |cs AS (SELECT pos, avg(v) AS mc,
+      |         CAST(count(*) AS BIGINT) AS n_cur FROM c GROUP BY pos)
+      |SELECT CAST(rs.pos AS INT) AS pos, n_ref, n_cur,
+      |  round(mr, 6) AS mean_ref, round(mc, 6) AS mean_cur,
+      |  CASE WHEN sqrt(greatest(mr2 - mr*mr, 0)) > 0
+      |       THEN round((mc - mr) / sqrt(greatest(mr2 - mr*mr, 0)), 6)
+      |  END AS shift_z
+      |FROM rs JOIN cs ON rs.pos = cs.pos ORDER BY pos""".stripMargin
 
   /** IVF probe oracle — shared by q_ann_ivf and its persisted-layout
     * twin q_ann_ivf_clustered (identical results by construction).
@@ -1522,6 +1552,17 @@ object SparkEntry {
         embs.filter(pmod(col("vec_id"), lit(2)) === 1),
         col("embedding"))
     }),
+    // The monitor form of the drift check: the reference reduced ONCE to
+    // its d-row per-dim stats (referenceStats), every batch then pays one
+    // moments pass + a d-row broadcast join — identical rows to
+    // q_embed_drift by construction, which the shared oracle pins
+    "q_embed_drift_ref" -> ((s, dir) => {
+      val embs = graft.sources.Testdata.table(s, dir, "embeddings")
+      val stats = graft.operators.EmbedQc.referenceStats(
+        embs.filter(pmod(col("vec_id"), lit(2)) === 0), col("embedding"))
+      graft.operators.EmbedQc.embeddingDriftFromStats(stats,
+        embs.filter(pmod(col("vec_id"), lit(2)) === 1), col("embedding"))
+    }),
     // Embedding statistics: corpus Gram matrix Σ v·vᵀ in ONE aggregation
     // pass (d² buffer, map-side combine) — the covariance/PCA/whitening
     // input without the posexplode self-join's n·d² row blowup
@@ -1802,6 +1843,23 @@ object SparkEntry {
       s.read.parquet(tmp).select(col("vec_id"), col("bucket"))
         .orderBy("vec_id")
     }),
+    // Rebuild-and-cutover on the clustered LSH index: the corpus outgrew a
+    // deliberately-coarse 4-plane dial; the rebuild re-buckets the LIVE
+    // rows at 8 planes and swaps in ONE manifest commit (readers see old or
+    // new, never a mix; the old planes are rejected by fingerprint after
+    // the cutover). Probe search then runs at the new dial.
+    "q_ann_rebuild" -> ((s, dir) => {
+      val planes0 = AnnSearch.hyperplanes(dim = 64, numPlanes = 4)
+      val planes1 = AnnSearch.hyperplanes(dim = 64, numPlanes = 8)
+      val tmp = System.getProperty("java.io.tmpdir") + "/graft_ann_rebuild_q"
+      AnnSearch.clusteredWrite(s.read.parquet(s"$dir/embeddings.parquet"),
+        col("embedding"), planes0, tmp, numFiles = 8)
+      AnnSearch.rebuildClustered(s, tmp, "embedding", planes1, numFiles = 8)
+      AnnSearch.searchClusteredAt(s, tmp, col("vec_id").cast("string"),
+          col("embedding"), queryVec(s, dir), planes1, k = 10, probeRadius = 2)
+        .withColumn("score", round(col("score"), 6))
+        .orderBy(desc("score"), asc("id"))
+    }),
     // ANN, IVF variant: centroid-partitioned inverted lists (deterministic
     // centroids = lowest-id corpus vectors so the oracle can replicate the
     // assignment; production swaps in IvfSearch.train k-means — identical
@@ -1828,6 +1886,24 @@ object SparkEntry {
       val manifest = Layout.zoneMap(s, tmp, Seq("list_id"))
       IvfSearch.searchClustered(s, manifest, col("vec_id").cast("string"),
           col("embedding"), queryVec(s, dir), cents, k = 10, nprobe = 4)
+        .withColumn("score", round(col("score"), 6))
+        .orderBy(desc("score"), asc("id"))
+    }),
+    // IVF quantizer rebuild-and-cutover: the layout was written with a
+    // too-coarse c=8 quantizer; the rebuild re-derives c=16 centroids from
+    // the LIVE rows (deterministic id seeds so the oracle replicates the
+    // assignment; production passes trainIters>0 for Lloyd refinement —
+    // identical machinery) and swaps in one manifest commit. The retired
+    // centroids are rejected by fingerprint afterwards.
+    "q_ann_ivf_rebuild" -> ((s, dir) => {
+      val embs = s.read.parquet(s"$dir/embeddings.parquet")
+      val cents8 = IvfSearch.centroidsFromIds(embs, col("vec_id"), col("embedding"), c = 8)
+      val tmp = System.getProperty("java.io.tmpdir") + "/graft_ivf_rebuild_q"
+      IvfSearch.clusteredWrite(embs, col("embedding"), cents8, tmp, numFiles = 8)
+      val cents16 = IvfSearch.rebuildClustered(s, tmp, "vec_id", "embedding",
+        c = 16, trainIters = 0, numFiles = 8)
+      IvfSearch.searchClusteredAt(s, tmp, col("vec_id").cast("string"),
+          col("embedding"), queryVec(s, dir), cents16, k = 10, nprobe = 4)
         .withColumn("score", round(col("score"), 6))
         .orderBy(desc("score"), asc("id"))
     }),
@@ -2422,6 +2498,31 @@ object SparkEntry {
       Layout.compact(s, tmpIn, tmpOut, targetBytes = math.max(1L, total / 4),
         clusterCol = Some("doc_id"))
       s.read.parquet(tmpOut)
+        .select(col("doc_id"), col("lang"), col("source"), col("n_chars"),
+          md5(col("text")).as("text_md5"))
+        .orderBy("doc_id")
+    }),
+    // The WIRED recompaction gate: a hash-scattered committed layout reads
+    // ~full-range overlapping spans from its manifest (no scan), the
+    // maintainCompaction threshold fires, and the in-place clustered
+    // rewrite cuts over in one manifest commit. Readback goes through the
+    // manifest-resolved read — content must equal the source exactly.
+    "q_layout_autocompact" -> ((s, dir) => {
+      import graft.sources.Layout
+      val docs = graft.sources.Testdata.table(s, dir, "documents")
+      val tmp = System.getProperty("java.io.tmpdir") + "/graft_autocompact_q"
+      docs.repartition(16).write.mode("overwrite").parquet(tmp)
+      Layout.commitLayout(s, tmp, Seq("doc_id"))
+      val fs = org.apache.hadoop.fs.FileSystem.get(
+        new java.net.URI(tmp), s.sparkContext.hadoopConfiguration)
+      val total = fs.listStatus(new org.apache.hadoop.fs.Path(tmp))
+        .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
+        .map(_.getLen).sum
+      val d = Layout.maintainCompaction(s, tmp, "doc_id",
+        targetBytes = math.max(1L, total / 4))
+      require(d.compacted && d.filesAfter < 16,
+        s"the gate must fire on a scattered layout and shrink it: $d")
+      graft.sources.LayoutManifest.readData(s, tmp)
         .select(col("doc_id"), col("lang"), col("source"), col("n_chars"),
           md5(col("text")).as("text_md5"))
         .orderBy("doc_id")
@@ -4171,6 +4272,8 @@ object SparkEntry {
     "q_ann_topk" -> annOracle,
     "q_ann_topk_clustered" -> annOracle,
     "q_ann_forget" -> annForgetOracle,
+    // rebuild cutover: same generator as annOracle at the POST-rebuild dial
+    "q_ann_rebuild" -> annOracleFor(8, 2),
     // IVF oracle: replicate nearest-centroid assignment (argmin |c|²−2·v·c,
     // ties to smaller cid — |v|² is row-constant so this is argmin L2²),
     // probe the 4 nearest lists, exact cosine inside.
@@ -4207,6 +4310,8 @@ object SparkEntry {
         |FROM ae ORDER BY id""".stripMargin,
     "q_ann_ivf" -> ivfOracle,
     "q_ann_ivf_clustered" -> ivfOracle,
+    // quantizer rebuild: post-cutover c=16 id-seed assignment = ivfOracle
+    "q_ann_ivf_rebuild" -> ivfOracle,
     // IVF-PQ: centroids = vec_id < 8; residual codebooks = residuals of
     // vec_ids 8..23 (code = vec_id - 8); nprobe 3; ADC = per-subspace LUT
     // terms + the per-list |q - c_l|^2 constant (NOT rank-invariant across
@@ -4728,27 +4833,9 @@ object SparkEntry {
     // Centroid oracle: per-(label, position) mean over the unnested
     // embeddings; double sums differ only in the last ulps across engines
     // and the 6-dp rounding absorbs that
-    "q_embed_drift" ->
-      """WITH r AS (
-        |  SELECT generate_subscripts(embedding, 1) - 1 AS pos,
-        |    CAST(unnest(embedding) AS DOUBLE) AS v
-        |  FROM embeddings WHERE vec_id % 2 = 0
-        |),
-        |c AS (
-        |  SELECT generate_subscripts(embedding, 1) - 1 AS pos,
-        |    CAST(unnest(embedding) AS DOUBLE) AS v
-        |  FROM embeddings WHERE vec_id % 2 = 1
-        |),
-        |rs AS (SELECT pos, avg(v) AS mr, avg(v*v) AS mr2,
-        |         CAST(count(*) AS BIGINT) AS n_ref FROM r GROUP BY pos),
-        |cs AS (SELECT pos, avg(v) AS mc,
-        |         CAST(count(*) AS BIGINT) AS n_cur FROM c GROUP BY pos)
-        |SELECT CAST(rs.pos AS INT) AS pos, n_ref, n_cur,
-        |  round(mr, 6) AS mean_ref, round(mc, 6) AS mean_cur,
-        |  CASE WHEN sqrt(greatest(mr2 - mr*mr, 0)) > 0
-        |       THEN round((mc - mr) / sqrt(greatest(mr2 - mr*mr, 0)), 6)
-        |  END AS shift_z
-        |FROM rs JOIN cs ON rs.pos = cs.pos ORDER BY pos""".stripMargin,
+    "q_embed_drift" -> embedDriftOracle,
+    // the precomputed-reference form must produce IDENTICAL rows
+    "q_embed_drift_ref" -> embedDriftOracle,
     "q_embed_label_centroid" ->
       """WITH e AS (
         |  SELECT label, CAST(unnest(embedding) AS DOUBLE) AS v,
@@ -5456,6 +5543,11 @@ object SparkEntry {
         |ORDER BY d.doc_id""".stripMargin,
     // Compaction is content-preserving iff it reproduces the original
     "q_layout_compact" ->
+      """SELECT doc_id, lang, source, n_chars, md5(text) AS text_md5
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    // The auto-compaction gate's rewrite is content-preserving too — the
+    // manifest-resolved readback must reproduce the source exactly
+    "q_layout_autocompact" ->
       """SELECT doc_id, lang, source, n_chars, md5(text) AS text_md5
         |FROM documents ORDER BY doc_id""".stripMargin,
     "q_join_intervals" ->

@@ -164,4 +164,64 @@ object VectorAggs {
       org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Double]]()
     udaf(GramAggD).apply(v)
   }
+
+  final case class MomentsBuf(sums: Array[Double], sqs: Array[Double], n: Long)
+  final case class MomentsOut(mean: Seq[Double], m2: Seq[Double], n: Long)
+
+  /** First two per-dimension moments (mean and E[x²]) of an ARRAY<DOUBLE>
+    * column in ONE pass — the second-moment lane [[VectorMeanAgg]] lacked:
+    * the shuffle carries a single (sum-vector, sumsq-vector, count) buffer
+    * per group instead of the posexplode alternative's n·d scan-stage rows
+    * (the per-dim stats half of
+    * [[graft.operators.EmbedQc.embeddingDrift]], previously a
+    * posexplode + groupBy(pos)). Variance follows as m2 − mean².
+    */
+  object VectorMomentsAgg extends Aggregator[Seq[Double], MomentsBuf, MomentsOut] {
+    override def zero: MomentsBuf =
+      MomentsBuf(Array.emptyDoubleArray, Array.emptyDoubleArray, 0L)
+
+    override def reduce(b: MomentsBuf, v: Seq[Double]): MomentsBuf = {
+      if (v == null) b
+      else {
+        val d = v.length
+        val (sums, sqs) =
+          if (b.n == 0L) (new Array[Double](d), new Array[Double](d))
+          else (b.sums, b.sqs)
+        require(sums.length == d,
+          s"vector length mismatch: ${sums.length} vs $d")
+        var i = 0
+        while (i < d) {
+          val x = v(i); sums(i) += x; sqs(i) += x * x; i += 1
+        }
+        MomentsBuf(sums, sqs, b.n + 1)
+      }
+    }
+
+    override def merge(a: MomentsBuf, b: MomentsBuf): MomentsBuf =
+      if (a.n == 0L) b
+      else if (b.n == 0L) a
+      else {
+        require(a.sums.length == b.sums.length)
+        val sums = a.sums.clone(); val sqs = a.sqs.clone()
+        var i = 0
+        while (i < sums.length) { sums(i) += b.sums(i); sqs(i) += b.sqs(i); i += 1 }
+        MomentsBuf(sums, sqs, a.n + b.n)
+      }
+
+    override def finish(r: MomentsBuf): MomentsOut =
+      if (r.n == 0L) MomentsOut(Nil, Nil, 0L)
+      else MomentsOut(r.sums.map(_ / r.n).toSeq, r.sqs.map(_ / r.n).toSeq, r.n)
+
+    override def bufferEncoder: Encoder[MomentsBuf] = Encoders.product[MomentsBuf]
+    override def outputEncoder: Encoder[MomentsOut] = Encoders.product[MomentsOut]
+  }
+
+  /** Column form of [[VectorMomentsAgg]]: a struct (mean ARRAY<DOUBLE>,
+    * m2 ARRAY<DOUBLE>, n LONG).
+    */
+  def vectorMoments(v: Column): Column = {
+    implicit val enc: Encoder[Seq[Double]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Double]]()
+    udaf(VectorMomentsAgg).apply(v)
+  }
 }

@@ -346,23 +346,48 @@ object EmbedQc {
     * Returns d rows: `(pos, n_ref, n_cur, mean_ref, mean_cur, shift_z)`;
     * `shift_z` is NULL where the reference dimension is constant (σ = 0).
     *
-    * Scale shape: one aggregation pass per side — the posexplode runs in
-    * the scan stage and the per-dim partial combine reduces each task to d
-    * rows before the exchange, so the shuffle carries tasks × d rows, not
-    * n·d; the two d-row stat tables then broadcast-join on `pos`.
+    * Scale shape: one aggregation pass per side through the
+    * [[graft.functions.VectorAggs.vectorMoments]] one-buffer aggregator —
+    * each task folds its rows into a single (sum, sumsq, count) d-vector
+    * buffer, so the scan stage never materializes n·d exploded rows (the
+    * previous posexplode form did; the per-dim combine bounded the
+    * EXCHANGE at tasks × d rows but paid n·d row-construction CPU in the
+    * scan). The one-row moments structs then unzip to d rows each and
+    * broadcast-join on `pos`.
     */
   def embeddingDrift(reference: DataFrame, current: DataFrame,
+      vec: Column): DataFrame =
+    embeddingDriftFromStats(referenceStats(reference, vec), current, vec)
+
+  /** Per-dim reference stats `(pos, m_ref, m2_ref, n_ref)` — the frozen
+    * d-row table [[embeddingDriftFromStats]] compares against. Compute ONCE
+    * per reference batch (and persist/collect it): a monitor that recomputes
+    * reference stats every micro-batch pays a full reference pass per batch
+    * for numbers that never change
+    * ([[graft.streaming.Streaming.startEmbeddingDriftMonitor]] reduces the
+    * reference at start-up through this).
+    */
+  def referenceStats(reference: DataFrame, vec: Column): DataFrame =
+    momentStats(reference, vec, "ref")
+
+  private def momentStats(df: DataFrame, vec: Column, prefix: String): DataFrame =
+    df.agg(graft.functions.VectorAggs.vectorMoments(
+        vec.cast("array<double>")).as("mo"))
+      .select(col("mo.n").as(s"n_$prefix"),
+        posexplode(arrays_zip(col("mo.mean").as("m"), col("mo.m2").as("m2"))))
+      .select(col("pos"), col("col.m").as(s"m_$prefix"),
+        col("col.m2").as(s"m2_$prefix"), col(s"n_$prefix"))
+
+  /** [[embeddingDrift]] against PRECOMPUTED reference stats (the
+    * [[referenceStats]] shape) — the production monitor form: the per-batch
+    * cost is one moments pass over the batch plus a d-row broadcast join;
+    * the reference is never re-read.
+    */
+  def embeddingDriftFromStats(refStats: DataFrame, current: DataFrame,
       vec: Column): DataFrame = {
-    def stats(df: DataFrame, prefix: String): DataFrame =
-      df.select(posexplode(vec.cast("array<double>")).as(Seq("pos", "v")))
-        .groupBy("pos")
-        .agg(avg(col("v")).as(s"m_$prefix"),
-          avg(col("v") * col("v")).as(s"m2_$prefix"),
-          count(lit(1)).as(s"n_$prefix"))
-    val r = stats(reference, "ref")
-    val c = stats(current, "cur")
+    val c = momentStats(current, vec, "cur")
     val sigma = sqrt(greatest(col("m2_ref") - col("m_ref") * col("m_ref"), lit(0.0)))
-    r.join(broadcast(c), Seq("pos"))
+    refStats.join(broadcast(c), Seq("pos"))
       .select(col("pos"), col("n_ref"), col("n_cur"),
         round(col("m_ref"), 6).as("mean_ref"),
         round(col("m_cur"), 6).as("mean_cur"),

@@ -54,9 +54,76 @@ object Multimodal {
           .otherwise(lit("video")).as("kind"),
         octet_length(col("text").cast("binary")).as("n_bytes")).as("media_meta"))
 
-  /** STUB decoder — deterministic fake standing in for a real codec.
+  /** One decoded media record — what a real codec emits per payload. */
+  final case class Decoded(width: Int, height: Int, channels: Int,
+      brightness: Double)
+
+  /** The codec narrow waist — the decoder twin of
+    * [[graft.functions.InferenceSession]]: everything Spark-side
+    * (partitioning, batch iteration, lifecycle, schema) is real and
+    * tested; what executes the decode is whatever implements this. A
+    * JNI/FFM codec closes native handles in `close()`.
+    */
+  trait MediaDecoder extends AutoCloseable {
+    def decode(kind: String, bytes: Array[Byte]): Decoded
+    override def close(): Unit = ()
+  }
+
+  /** Factory shipped to executors; `newDecoder()` runs ONCE PER PARTITION
+    * so expensive codec construction (native lib load, context setup)
+    * amortizes over the partition's rows — the decoder itself is never
+    * serialized. The SPI seam the r7 docstring promised as a code edit
+    * ("swaps decodeStub's body"): a production codec now drops in without
+    * touching operator code.
+    */
+  trait MediaDecoderProvider extends Serializable {
+    def newDecoder(): MediaDecoder
+  }
+
+  /** Deterministic default for zero-egress builds — the codec analog of
+    * [[graft.functions.StubInferenceProvider]]: wraps [[decodeStub]] so the
+    * full decode path (batching, per-partition lifecycle, typed schema)
+    * runs for real and stays oracle-replicable.
+    */
+  final case class StubDecoderProvider() extends MediaDecoderProvider {
+    override def newDecoder(): MediaDecoder = new MediaDecoder {
+      override def decode(kind: String, bytes: Array[Byte]): Decoded = {
+        val (w, h, c, b) = decodeStub(bytes)
+        Decoded(w, h, c, b)
+      }
+    }
+  }
+
+  /** Runtime-bound codec — the decoder twin of
+    * [[graft.functions.OnnxSessionProvider]]: compiled WITHOUT the codec
+    * dependency (zero-egress build), bound reflectively when the named
+    * class (a no-arg-constructible [[MediaDecoder]]) is on the executor
+    * classpath. Constructing the provider on a build without the runtime
+    * throws a clear error instead of NoClassDefFoundError mid-job.
+    */
+  final case class ReflectiveDecoderProvider(className: String)
+      extends MediaDecoderProvider {
+    require(ReflectiveDecoderProvider.available(className),
+      s"media decoder class $className is not on the classpath — this is a " +
+        "zero-egress build; ship the codec jar with the cluster to enable " +
+        "real decode")
+    override def newDecoder(): MediaDecoder =
+      Class.forName(className).getDeclaredConstructor()
+        .newInstance().asInstanceOf[MediaDecoder]
+  }
+
+  object ReflectiveDecoderProvider {
+    /** True when the named decoder class is loadable in this JVM. */
+    def available(className: String): Boolean =
+      try { Class.forName(className); true }
+      catch { case _: Throwable => false }
+  }
+
+  /** STUB decoder kernel — deterministic fake standing in for a real codec.
     * Derives plausible "decoded" dimensions from the byte length and a mean
     * "luminance" from the actual bytes (so the byte-access path is real).
+    * [[metaFeatures]]' column-algebra twin replicates the length-derived
+    * fields, which is what keeps the stub oracle-checkable.
     */
   def decodeStub(bytes: Array[Byte]): (Int, Int, Int, Double) = {
     val n = bytes.length
@@ -69,22 +136,29 @@ object Multimodal {
     (width, height, 3, brightness)
   }
 
-  /** Distributed decode: mapPartitions over explicit micro-batches of
-    * `batchSize` records — the shape under which a native decoder would be
-    * called once per batch. Returns the typed feature schema.
+  /** Distributed decode through the [[MediaDecoderProvider]] SPI:
+    * mapPartitions constructs ONE decoder per partition (closed at task end
+    * even on failure), feeds it explicit `batchSize` micro-batches, and
+    * returns the typed feature schema. Swap [[StubDecoderProvider]] for a
+    * [[ReflectiveDecoderProvider]] and nothing else changes.
     */
-  def decodeFeatures(media: DataFrame, batchSize: Int = 64): DataFrame = {
+  def decodeFeatures(media: DataFrame, batchSize: Int = 64,
+      provider: MediaDecoderProvider = StubDecoderProvider()): DataFrame = {
     val sp = media.sparkSession
     import sp.implicits._
     media
       .select(col("doc_id"), col("media_meta.kind").as("kind"), col("content"))
       .as[(Long, String, Array[Byte])]
       .mapPartitions { rows =>
+        val dec = provider.newDecoder()
+        Option(org.apache.spark.TaskContext.get()).foreach(
+          _.addTaskCompletionListener[Unit](_ => dec.close()))
         rows.grouped(batchSize).flatMap { batch =>
-          // a real codec would init once here and decode the whole batch
+          // a real codec amortizes per-batch setup here
           batch.iterator.map { case (id, kind, bytes) =>
-            val (w, h, c, b) = decodeStub(bytes)
-            MediaFeatures(id, kind, bytes.length, w, h, c, b)
+            val d = dec.decode(kind, bytes)
+            MediaFeatures(id, kind, bytes.length, d.width, d.height,
+              d.channels, d.brightness)
           }
         }
       }

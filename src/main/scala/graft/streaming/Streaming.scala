@@ -810,12 +810,13 @@ object Streaming {
     * [[graft.operators.EmbedQc.embeddingDrift]], and the d drift rows
     * persist batch-stamped. An embedding-model swap mid-ingest shows up as
     * mass |shift_z| in the next batch's rows, BEFORE the drifted vectors
-    * contaminate an index or training mix. Reference stats recompute per
-    * batch from the static frame — at production scale pass a PRE-REDUCED
-    * d-row reference (the operator only needs its per-dim stats), so the
-    * per-batch cost is one pass over the batch plus a d-row broadcast.
-    * Batch-stamped dynamic-partition overwrite keeps at-least-once
-    * foreachBatch idempotent in the persisted bytes.
+    * contaminate an index or training mix. The reference is reduced to its
+    * d-row per-dim stats ONCE at start-up
+    * ([[graft.operators.EmbedQc.referenceStats]], collected local — d rows)
+    * and every micro-batch joins against that frozen table: the per-batch
+    * cost is one moments pass over the batch plus a d-row broadcast, with
+    * the reference never re-read. Batch-stamped dynamic-partition overwrite
+    * keeps at-least-once foreachBatch idempotent in the persisted bytes.
     */
   def startEmbeddingDriftMonitor(
       vectors: DataFrame,       // streaming; must contain the vec column
@@ -823,12 +824,19 @@ object Streaming {
       reference: DataFrame,     // static frame carrying the same vec column
       outPath: String,
       checkpoint: String,
-      queryName: String = "embedding_drift_monitor"): StreamingQuery =
+      queryName: String = "embedding_drift_monitor"): StreamingQuery = {
+    val spark = reference.sparkSession
+    val statsDf = graft.operators.EmbedQc.referenceStats(reference, vec)
+    // materialize the d stat rows at start-up; rebuild as a LOCAL frame so
+    // no per-batch plan reaches back into the reference scan
+    val frozen = spark.createDataFrame(
+      spark.sparkContext.parallelize(statsDf.collect().toIndexedSeq, 1),
+      statsDf.schema)
     vectors.writeStream
       .queryName(queryName)
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        graft.operators.EmbedQc.embeddingDrift(reference, batch, vec)
+        graft.operators.EmbedQc.embeddingDriftFromStats(frozen, batch, vec)
           .withColumn("batch_id", lit(batchId))
           .write.mode("overwrite")
           .option("partitionOverwriteMode", "dynamic")
@@ -837,6 +845,7 @@ object Streaming {
         ()
       }
       .start()
+  }
 
   /** Score the maintained volume state for anomalies: sum-merge the
     * per-batch bucket counts (the true totals, however batches straddled

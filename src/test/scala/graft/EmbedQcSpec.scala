@@ -169,4 +169,39 @@ class EmbedQcSpec extends SparkSpec {
       .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble))
     assert(drift(1).isEmpty && drift(2).isEmpty)
   }
+
+  test("embeddingDrift: one-buffer moments equal the posexplode twin; precomputed reference stats give identical rows") {
+    import org.apache.spark.sql.DataFrame
+    val embs = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val ref = embs.filter(col("vec_id") % 2 === 0)
+    val cur = embs.filter(col("vec_id") % 2 === 1)
+    // the r7 implementation, verbatim: posexplode + groupBy(pos) — the
+    // scan-stage n·d row blow-up the aggregator replaces; results must agree
+    def oldStats(df: DataFrame, prefix: String): DataFrame =
+      df.select(posexplode(col("embedding").cast("array<double>")).as(Seq("pos", "v")))
+        .groupBy("pos")
+        .agg(avg(col("v")).as(s"m_$prefix"),
+          avg(col("v") * col("v")).as(s"m2_$prefix"),
+          count(lit(1)).as(s"n_$prefix"))
+    val sigma = sqrt(greatest(col("m2_ref") - col("m_ref") * col("m_ref"), lit(0.0)))
+    val old = oldStats(ref, "ref").join(broadcast(oldStats(cur, "cur")), Seq("pos"))
+      .select(col("pos"), col("n_ref"), col("n_cur"),
+        round(col("m_ref"), 6).as("mean_ref"),
+        round(col("m_cur"), 6).as("mean_cur"),
+        when(sigma > 0, round((col("m_cur") - col("m_ref")) / sigma, 6)).as("shift_z"))
+      .orderBy("pos").collect().toSeq
+    val now = EmbedQc.embeddingDrift(ref, cur, col("embedding")).collect().toSeq
+    assert(now.size == 64 && now == old)
+    // the monitor form: reference reduced once, joined per batch — identical
+    val stats = EmbedQc.referenceStats(ref, col("embedding"))
+    val viaStats = EmbedQc.embeddingDriftFromStats(stats, cur, col("embedding"))
+      .collect().toSeq
+    assert(viaStats == now)
+    // and the plan over the vectors carries NO posexplode-generate of the
+    // embedding scan (the moments fold in the aggregation buffer)
+    val plan = EmbedQc.embeddingDrift(ref, cur, col("embedding"))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("posexplode(cast(embedding"),
+      s"drift must not explode n·d rows in the scan:\n$plan")
+  }
 }

@@ -44,6 +44,34 @@ class MultimodalSpec extends SparkSpec {
     assert(r.head.size == 7)
   }
 
+  test("decoder SPI: provider-driven decode equals the stub; reflective selection works; absent runtime gates loudly") {
+    val m = Multimodal.mediaTable(docs((0L to 9L).map(i => i -> s"payload $i ${"y" * i.toInt}"): _*))
+    // explicit stub provider ≡ default (the oracle surface is unchanged)
+    val viaSpi = Multimodal.decodeFeatures(m,
+        provider = Multimodal.StubDecoderProvider())
+      .orderBy("doc_id").collect().map(_.toSeq).toSeq
+    val default = Multimodal.decodeFeatures(m)
+      .orderBy("doc_id").collect().map(_.toSeq).toSeq
+    assert(viaSpi == default && viaSpi.size == 10)
+    // reflective provider: a real codec class drops in WITHOUT touching
+    // operator code — every row decodes through it
+    val refl = Multimodal.ReflectiveDecoderProvider("graft.FixedTestDecoder")
+    val fixed = Multimodal.decodeFeatures(m, provider = refl)
+      .orderBy("doc_id").collect()
+    assert(fixed.forall(r =>
+      r.getAs[Int]("width") == 1 && r.getAs[Int]("height") == 2 &&
+        r.getAs[Int]("channels") == 3 &&
+        r.getAs[Double]("brightness") == r.getAs[Int]("n_bytes").toDouble))
+    // a build without the codec jar fails at PROVIDER CONSTRUCTION with a
+    // clear message, not NoClassDefFoundError mid-job
+    val e = intercept[IllegalArgumentException] {
+      Multimodal.ReflectiveDecoderProvider("com.example.MissingCodec")
+    }
+    assert(e.getMessage.contains("not on the classpath"))
+    assert(!Multimodal.ReflectiveDecoderProvider.available("com.example.MissingCodec"))
+    assert(Multimodal.ReflectiveDecoderProvider.available("graft.FixedTestDecoder"))
+  }
+
   test("sampleFrames: frame count, tail frame length, content md5 stability") {
     val m = Multimodal.mediaTable(docs(1L -> ("a" * 25), 2L -> "bb"))
     val f = Multimodal.sampleFrames(m, frameBytes = 10, maxFrames = 5)
@@ -115,4 +143,12 @@ class MultimodalSpec extends SparkSpec {
     } yield (a, b)).toSet
     assert(pairs == brute && pairs.contains((1L, 2L)))
   }
+}
+
+/** No-arg-constructible decoder for the reflective-SPI selection test —
+  * stands in for a JNI/FFM codec class shipped with a cluster.
+  */
+class FixedTestDecoder extends graft.operators.Multimodal.MediaDecoder {
+  override def decode(kind: String, bytes: Array[Byte]): graft.operators.Multimodal.Decoded =
+    graft.operators.Multimodal.Decoded(1, 2, 3, bytes.length.toDouble)
 }
