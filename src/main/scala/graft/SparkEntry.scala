@@ -1817,13 +1817,13 @@ object SparkEntry {
     // bucket would be 2^b directories). Same planes/radius/scoring as
     // q_ann_topk, so it shares that oracle.
     "q_ann_topk_clustered" -> ((s, dir) => {
-      import graft.sources.Layout
       val planes = AnnSearch.hyperplanes(dim = 64)
       val tmp = System.getProperty("java.io.tmpdir") + "/graft_ann_clustered"
       AnnSearch.clusteredWrite(s.read.parquet(s"$dir/embeddings.parquet"),
         col("embedding"), planes, tmp, numFiles = 8)
-      val manifest = Layout.zoneMap(s, tmp, Seq("bucket"))
-      AnnSearch.searchClustered(s, manifest, col("vec_id").cast("string"),
+      // file spans + plane identity resolve from the COMMITTED manifest —
+      // the probe read schedules no stats scan at all
+      AnnSearch.searchClusteredAt(s, tmp, col("vec_id").cast("string"),
           col("embedding"), queryVec(s, dir), planes, k = 10, probeRadius = 2)
         .withColumn("score", round(col("score"), 6))
         .orderBy(desc("score"), asc("id"))
@@ -1878,13 +1878,12 @@ object SparkEntry {
     // partition twin of q_ann_topk_clustered. Same dials as q_ann_ivf, so
     // it shares that oracle.
     "q_ann_ivf_clustered" -> ((s, dir) => {
-      import graft.sources.Layout
       val embs = s.read.parquet(s"$dir/embeddings.parquet")
       val cents = IvfSearch.centroidsFromIds(embs, col("vec_id"), col("embedding"), c = 16)
       val tmp = System.getProperty("java.io.tmpdir") + "/graft_ivf_clustered"
       IvfSearch.clusteredWrite(embs, col("embedding"), cents, tmp, numFiles = 8)
-      val manifest = Layout.zoneMap(s, tmp, Seq("list_id"))
-      IvfSearch.searchClustered(s, manifest, col("vec_id").cast("string"),
+      // list spans + quantizer identity resolve from the committed manifest
+      IvfSearch.searchClusteredAt(s, tmp, col("vec_id").cast("string"),
           col("embedding"), queryVec(s, dir), cents, k = 10, nprobe = 4)
         .withColumn("score", round(col("score"), 6))
         .orderBy(desc("score"), asc("id"))
@@ -2306,12 +2305,13 @@ object SparkEntry {
     // the probe-join + GroupTopK ranking runs on the pruned read. Same
     // dials and output as q_knn_batch_ann, so it shares that oracle.
     "q_knn_batch_ann_clustered" -> ((s, dir) => {
-      import graft.sources.Layout
       val embs = s.read.parquet(s"$dir/embeddings.parquet")
       val planes = AnnSearch.hyperplanes(dim = 64)
       val tmp = System.getProperty("java.io.tmpdir") + "/graft_ann_clustered_b"
       AnnSearch.clusteredWrite(embs, col("embedding"), planes, tmp, numFiles = 8)
-      val manifest = Layout.zoneMap(s, tmp, Seq("bucket"))
+      // stats from the committed manifest (no scan); the probe-bucket union
+      // is computed column-side — only bucket ints reach the driver
+      val manifest = AnnSearch.loadManifest(s, tmp)
       val qs = embs.filter(col("vec_id") < 3)
         .select(col("vec_id").as("query_id"), col("embedding").as("query_vec"))
       AnnSearch.searchClusteredBatch(s, manifest, col("vec_id").cast("string"),

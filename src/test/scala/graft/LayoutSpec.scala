@@ -347,6 +347,40 @@ class LayoutSpec extends SparkSpec {
     assert(d2.overlapPairs == 0L && d2.spanFracAvg < 0.5)
   }
 
+  test("prune guards: empty manifest throws a clear error; NULL spans are kept, never pruned") {
+    import org.apache.spark.sql.types._
+    val sp = spark
+    val schema = StructType(Seq(
+      StructField("file", StringType, nullable = false),
+      StructField("k_min", LongType, nullable = true),
+      StructField("k_max", LongType, nullable = true)))
+    val empty = sp.createDataFrame(
+      sp.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+    val e1 = intercept[IllegalArgumentException] {
+      Layout.prunedRead(sp, empty, "k", 0L, 10L)
+    }
+    assert(e1.getMessage.contains("EMPTY manifest"))
+    val e2 = intercept[IllegalArgumentException] {
+      Layout.prunedReadIn(sp, empty, "k", Seq(1L))
+    }
+    assert(e2.getMessage.contains("EMPTY manifest"))
+    // a file with NULL bounds (stats unknown) must be KEPT by both prunes
+    // and treated as affected by the delete prune — no false negatives
+    val dir = java.nio.file.Files.createTempDirectory("graft_nullspan").toString
+    sp.range(10).select(col("id").as("k"))
+      .coalesce(1).write.mode("overwrite").parquet(dir)
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(dir), sp.sparkContext.hadoopConfiguration)
+    val file = fs.listStatus(new org.apache.hadoop.fs.Path(dir))
+      .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
+      .head.getPath.toString
+    val nullSpan = sp.createDataFrame(
+      sp.sparkContext.parallelize(Seq(
+        org.apache.spark.sql.Row(file, null, null)), 1), schema)
+    assert(Layout.prunedRead(sp, nullSpan, "k", 100L, 200L).count() == 10)
+    assert(Layout.prunedReadIn(sp, nullSpan, "k", Seq(999L)).count() == 10)
+  }
+
   test("manifestStats: clustered layout reads tight disjoint spans; a scattered one reads full-range overlap") {
     import graft.sources.Layout
     val sp = spark
