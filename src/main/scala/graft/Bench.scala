@@ -69,7 +69,14 @@ object Bench {
       .foreach(n => SparkEntry.queries.get(n).foreach { fn =>
         try { fn(spark, sfDir).count(); () } catch { case _: Throwable => () }
       })
-    val names = SparkEntry.queries.keys.toSeq.sorted
+    // SPARK_GRAFT_BENCH_ONLY=q_a,q_b scopes the run (drift-attribution /
+    // regression-bisection tool); the default remains the full suite.
+    val names = sys.env.get("SPARK_GRAFT_BENCH_ONLY") match {
+      case Some(list) =>
+        val want = list.split(",").map(_.trim).filter(_.nonEmpty).toSet
+        SparkEntry.queries.keys.toSeq.filter(want).sorted
+      case None => SparkEntry.queries.keys.toSeq.sorted
+    }
     // rep loops OUTSIDE the query loop: a load spike then dents one rep of
     // many queries (medianed away) instead of all reps of one query.
     // Rep 0 is UNTIMED: each query's first execution pays its own codegen/

@@ -712,7 +712,9 @@ object ScaleSmoke {
       "ann probe read (radius-2 multiprobe, zone-map pruned)",
       "CONTRAST ann search, full in-memory index scan",
       "ann batch probe read (8 queries, union-pruned, GroupTopK)",
-      "ann targeted forget (5 vectors, bucket-membership prune)")
+      "ann targeted forget (5 vectors, bucket-membership prune)",
+      "ann rebuild-and-cutover (re-dial to occupancy 16, one manifest swap)",
+      "ann recompaction gate decision (manifest-only, no-op path)")
     if (only.forall(o => annNames.exists(_.contains(o)))) {
     val annPlanes = graft.operators.AnnSearch.hyperplanesFor(
       dim = 64, n = embBase * mult, targetOccupancy = 64)
@@ -756,6 +758,26 @@ object ScaleSmoke {
       val (_, _, d) = graft.operators.AnnSearch.deleteVectors(spark, annDir,
         "vec_id", tomb, annPlanes, knownManifest = Some(annManifest))
       d
+    }
+    // rebuild-and-cutover: re-bucket the LIVE rows at a denser dial and
+    // swap in one manifest commit — cost class is one clustered write
+    // (read + range exchange + write + stats pass), which is the point:
+    // the cutover itself adds one manifest rename, nothing corpus-scale.
+    // Runs after the forget (it rebuilds whatever survived).
+    time("ann rebuild-and-cutover (re-dial to occupancy 16, one manifest swap)") {
+      graft.operators.AnnSearch.rebuildClusteredAuto(spark, annDir,
+        "embedding", dim = 64, targetOccupancy = 16,
+        rowsPerFile = math.max(1L, embBase * mult / nFiles)).length.toLong
+    }
+    // the wired maintenance gate on the freshly-rebuilt layout: the
+    // decision reads the COMMITTED manifest's spans only — this row must
+    // stay FLAT in corpus size (manifest rows ∝ files, never rows) and
+    // correctly decide no-op on tight clustering
+    time("ann recompaction gate decision (manifest-only, no-op path)") {
+      val d = graft.sources.Layout.maintainCompaction(spark, annDir,
+        "bucket", targetBytes = 128L << 20)
+      require(!d.compacted, s"fresh rebuild must read tight: $d")
+      d.nFiles
     }
     } // end ann layout gate
 
