@@ -2527,6 +2527,30 @@ object SparkEntry {
           md5(col("text")).as("text_md5"))
         .orderBy("doc_id")
     }),
+    // Committed appends: a base layout plus two appended batches — batch 1
+    // deliberately REPLAYED (at-least-once delivery) and skipped by the
+    // manifest's batch high-water mark, so the manifest-resolved readback
+    // holds exactly one copy of every row. The crash-safe ingest shape the
+    // streaming clustered-ANN maintenance runs per micro-batch.
+    "q_layout_append" -> ((s, dir) => {
+      import graft.sources.{Layout, LayoutManifest}
+      val docs = graft.sources.Testdata.table(s, dir, "documents")
+      val tmp = System.getProperty("java.io.tmpdir") + "/graft_append_q"
+      docs.filter(col("doc_id") % 3 === 0)
+        .repartitionByRange(4, col("doc_id")).sortWithinPartitions("doc_id")
+        .write.mode("overwrite").parquet(tmp)
+      Layout.commitLayout(s, tmp, Seq("doc_id"))
+      Layout.appendCommitted(docs.filter(col("doc_id") % 3 === 1), tmp,
+        batchId = Some(1L))
+      Layout.appendCommitted(docs.filter(col("doc_id") % 3 === 1), tmp,
+        batchId = Some(1L)) // replay: must be skipped, not duplicated
+      Layout.appendCommitted(docs.filter(col("doc_id") % 3 === 2), tmp,
+        batchId = Some(2L))
+      LayoutManifest.readData(s, tmp)
+        .select(col("doc_id"), col("lang"), col("source"), col("n_chars"),
+          md5(col("text")).as("text_md5"))
+        .orderBy("doc_id")
+    }),
     // interval OVERLAP join: per-user event intervals [ts, ts+(id%7+1) min],
     // dual-binned (key, bin) equi-join, pairs deduped to the overlap-start
     // bin — the two-sided generalization of the banded range join
@@ -5548,6 +5572,11 @@ object SparkEntry {
     // The auto-compaction gate's rewrite is content-preserving too — the
     // manifest-resolved readback must reproduce the source exactly
     "q_layout_autocompact" ->
+      """SELECT doc_id, lang, source, n_chars, md5(text) AS text_md5
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    // Committed appends with one replayed batch: exactly-once in the
+    // manifest-resolved bytes — the readback is one copy of every row
+    "q_layout_append" ->
       """SELECT doc_id, lang, source, n_chars, md5(text) AS text_md5
         |FROM documents ORDER BY doc_id""".stripMargin,
     "q_join_intervals" ->

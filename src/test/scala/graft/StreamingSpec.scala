@@ -405,6 +405,68 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("manifest-committed clustered ANN maintenance: exactly-once appends; probe search equals the batch twin; wrong planes kill the stream") {
+    val sp = spark
+    import sp.implicits._
+    implicit val sqlCtx = sp.sqlContext
+    import graft.operators.AnnSearch
+    import graft.sources.LayoutManifest
+    val embs = sp.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select(col("vec_id"), col("embedding"))
+    val n = embs.count()
+    val planes = AnnSearch.hyperplanes(dim = 64)
+    val dir = tmpDir("graft_clustered_maint")
+    // seed: the first quarter of the corpus, committed
+    AnnSearch.clusteredWrite(embs.filter(col("vec_id") < n / 4),
+      col("embedding"), planes, dir, numFiles = 4)
+    val in = MemoryStream[(Long, Seq[Float])]
+    val q = Streaming.startClusteredAnnIndexMaintenance(
+      in.toDF().toDF("vec_id", "embedding"), planes, dir, tmpDir("graft_cm_ck"))
+    try {
+      val rest = embs.filter(col("vec_id") >= n / 4)
+        .collect().map(r => (r.getLong(0), r.getSeq[Float](1)))
+      val (h1, h2) = rest.splitAt(rest.length / 2)
+      in.addData(h1.toSeq); q.processAllAvailable()
+      in.addData(h2.toSeq); q.processAllAvailable()
+    } finally q.stop()
+    // every vector exactly once in the committed bytes
+    val live = LayoutManifest.readData(sp, dir)
+    assert(live.count() == n)
+    assert(live.select("vec_id").distinct().count() == n)
+    assert(LayoutManifest.current(sp, dir).get.props("last_batch_id") == "1")
+    // the maintained layout answers probe searches exactly like a fresh
+    // full index at the same dials
+    val qv = graft.sources.VectorStore
+      .fromEmbeddingsTable(sp, "/root/testdata/sf0.001").getVector("0").toSeq
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getString(0), BigDecimal(r.getDouble(1))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP))).toSeq
+    val got = rows(AnnSearch.searchClusteredAt(sp, dir,
+      col("vec_id").cast("string"), col("embedding"), qv, planes,
+      k = 10, probeRadius = 2))
+    val want = rows(AnnSearch.search(
+      AnnSearch.index(embs, col("embedding"), planes),
+      col("vec_id").cast("string"), col("embedding"), qv, planes,
+      k = 10, probeRadius = 2))
+    assert(got == want && got.size == 10)
+    // a maintenance stream carrying DIFFERENT planes must fail its first
+    // batch loudly (fingerprint check) instead of corrupting probes
+    val badIn = MemoryStream[(Long, Seq[Float])]
+    val wrong = AnnSearch.hyperplanes(dim = 64, seed = 123L)
+    val badQ = Streaming.startClusteredAnnIndexMaintenance(
+      badIn.toDF().toDF("vec_id", "embedding"), wrong, dir, tmpDir("graft_cm_bad"))
+    try {
+      badIn.addData((999999L, Seq.fill(64)(0.1f)))
+      val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+        badQ.processAllAvailable()
+      }
+      assert(e.getMessage.contains("plane mismatch") ||
+        Option(e.getCause).exists(_.getMessage.contains("plane mismatch")))
+    } finally badQ.stop()
+    // nothing from the failed stream landed
+    assert(LayoutManifest.readData(sp, dir).count() == n)
+  }
+
   test("streaming embedding-drift monitor: per-batch rows equal the batch twin; a shifted batch reads its planted z") {
     val sp = spark
     import sp.implicits._
