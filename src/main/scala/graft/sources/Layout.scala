@@ -323,7 +323,13 @@ object Layout {
     *     files − affected) + new files, in ONE atomic rename. This is the
     *     swap: a reader resolves either version, each a complete table.
     *  3. delete the superseded `affected` files and prune old manifests —
-    *     space reclamation only, correctness never depends on it.
+    *     space reclamation only, correctness never depends on it. The
+    *     deletion is EAGER (not deferred to gc's retention horizon) by
+    *     design: this is the GDPR path, and physical erasure must not wait
+    *     on snapshot retention — prior manifest versions referencing the
+    *     affected files become unreadable, which is the point of a forget.
+    *     A [[LayoutManifest.CommitConflictException]] (concurrent writer)
+    *     propagates: re-derive from the new current and re-run.
     * `crashPoint` is the kill-injection hook for the LayoutSpec crash
     * tests: 1 aborts after phase 1, 2 after phase 2 (rowsDeleted is -1 on
     * a phase-1 abort — the count is not yet known).
@@ -424,31 +430,40 @@ object Layout {
     * write-vs-operate validation. Returns the committed version.
     */
   def commitLayout(spark: SparkSession, path: String, statCols: Seq[String],
-      props: Map[String, String] = Map.empty): Long =
+      props: Map[String, String] = Map.empty): Long = {
+    val next = LayoutManifest.current(spark, path).map(_.version + 1).getOrElse(0L)
     LayoutManifest.commit(spark, path,
-      LayoutManifest.bootstrap(spark, path, statCols, props))
+      LayoutManifest.bootstrap(spark, path, statCols, props).copy(version = next))
+  }
 
   /** Append a batch to a manifest-committed layout: write the batch to a
     * temp dir, rename its files in under fresh names, commit manifest v+1 =
     * old files + new entries. Crash-safe like every manifest commit (an
-    * uncommitted append's files are invisible orphans), and EXACTLY-ONCE
-    * under at-least-once retries when `batchId` is passed: the manifest
-    * records the high-water batch id and a replayed batch is skipped — the
+    * uncommitted append's files are invisible orphans), EXACTLY-ONCE under
+    * at-least-once retries when `batchId` is passed (the manifest records
+    * the high-water batch id and a replayed batch is skipped — the
     * manifest-native form of the (bucket, batch_id) dynamic-partition
-    * overwrite idempotence the streaming maintenance tier uses. Returns the
-    * appended row count (0 on a replay skip).
+    * overwrite idempotence the streaming maintenance tier uses), and SAFE
+    * UNDER CONCURRENT APPENDERS: a commit conflict means another writer
+    * advanced the manifest, so this re-reads the new current, re-derives
+    * (old files + ITS OWN new entries — the data files are already renamed
+    * in and stay valid), and retries; a concurrent retry of the SAME batch
+    * resolves to exactly one winner, the loser's files becoming
+    * gc-reclaimable orphans. Returns the appended row count (0 on a replay
+    * skip).
     */
   def appendCommitted(df: DataFrame, path: String,
       batchId: Option[Long] = None): Long = {
     import org.apache.hadoop.fs.Path
     val spark = df.sparkSession
-    val snapshot = LayoutManifest.current(spark, path).getOrElse(
-      throw new IllegalStateException(
-        s"appendCommitted needs a committed layout at $path — run commitLayout first"))
-    batchId.foreach { b =>
-      val seen = snapshot.props.get("last_batch_id").map(_.toLong)
-      if (seen.exists(_ >= b)) return 0L
-    }
+    def snapshotNow(): LayoutManifest.Manifest =
+      LayoutManifest.current(spark, path).getOrElse(
+        throw new IllegalStateException(
+          s"appendCommitted needs a committed layout at $path — run commitLayout first"))
+    def alreadySeen(s: LayoutManifest.Manifest): Boolean =
+      batchId.exists(b => s.props.get("last_batch_id").exists(_.toLong >= b))
+    var snapshot = snapshotNow()
+    if (alreadySeen(snapshot)) return 0L
     val fs = org.apache.hadoop.fs.FileSystem.get(
       new java.net.URI(path), spark.sparkContext.hadoopConfiguration)
     val tag = s"ap${java.util.UUID.randomUUID().toString.take(8)}"
@@ -464,13 +479,27 @@ object Layout {
     fs.delete(new Path(tmp), true)
     val newEntries = LayoutManifest.entriesFor(spark,
       newNames.map(n => LayoutManifest.dataPath(path, n)), snapshot.statCols)
-    val props = batchId match {
-      case Some(b) => snapshot.props + ("last_batch_id" -> b.toString)
-      case None    => snapshot.props
+    var attempts = 0
+    while (true) {
+      val props = batchId match {
+        case Some(b) => snapshot.props + ("last_batch_id" -> b.toString)
+        case None    => snapshot.props
+      }
+      try {
+        LayoutManifest.commit(spark, path, LayoutManifest.Manifest(
+          snapshot.version + 1, props, snapshot.files ++ newEntries))
+        return newEntries.map(_.rows).sum
+      } catch {
+        case _: LayoutManifest.CommitConflictException =>
+          attempts += 1
+          require(attempts < 32, s"append commit contention at $path")
+          snapshot = snapshotNow()
+          // a concurrent retry of THIS batch won while we raced: skip —
+          // our renamed-in files are orphans the next gc reclaims
+          if (alreadySeen(snapshot)) return 0L
+      }
     }
-    LayoutManifest.commit(spark, path, LayoutManifest.Manifest(
-      snapshot.version + 1, props, snapshot.files ++ newEntries))
-    newEntries.map(_.rows).sum
+    0L // unreachable
   }
 
   /** Replace a layout's ENTIRE file set in place with `newData` — the
@@ -484,9 +513,12 @@ object Layout {
     * streaming high-water `last_batch_id`), (3) GC the superseded files. The cutover is the single manifest rename: a reader
     * resolves the old index or the new one, never a mix — which is what
     * lets a rebuild retrain dials/centroids against live data without a
-    * second path and a caller-side symlink dance. `crashPoint` as in the
-    * targeted rewrite (kill-injection testing). Returns
-    * (filesBefore, filesAfter).
+    * second path and a caller-side symlink dance. Superseded files are
+    * deleted eagerly (an in-place rebuild/compaction's contract is
+    * immediate cutover — snapshot time travel is the APPEND history's
+    * feature, [[LayoutManifest.readDataAt]]); a commit conflict propagates
+    * for the caller to re-run. `crashPoint` as in the targeted rewrite
+    * (kill-injection testing). Returns (filesBefore, filesAfter).
     */
   private[graft] def replaceLayout(spark: SparkSession, path: String,
       newData: DataFrame, statCols: Seq[String], props: Map[String, String],

@@ -143,38 +143,59 @@ object LayoutManifest {
     sb.toString
   }
 
-  /** Atomically commit `m` as the next manifest version: write a temp file,
-    * fsync-close it, rename to `manifest-<version>.tsv`. The version in `m`
-    * is advisory — on a name collision (a concurrent committer won) the
-    * rename fails and this retries at successively higher versions, so the
-    * committed content is never a mix. Returns the committed version.
+  /** A concurrent committer won the version this commit targeted. The
+    * caller must RE-READ the current manifest, re-derive its change, and
+    * retry — silently re-targeting a higher version would publish content
+    * derived from a stale snapshot and DROP the winner's files (silent data
+    * loss, strictly worse than failing). [[graft.sources.Layout
+    * .appendCommitted]] implements exactly that retry loop; rewrite/replace
+    * operations surface the conflict to their caller.
+    */
+  final class CommitConflictException(path: String, version: Long)
+    extends RuntimeException(
+      s"manifest version $version at $path was committed concurrently — " +
+        "re-read the current manifest and retry the operation " +
+        "(optimistic concurrency; do not re-target a higher version with " +
+        "stale content)")
+
+  /** Atomically commit `m` AT EXACTLY `m.version`: write a temp file,
+    * close it, rename to `manifest-<version>.tsv`. Optimistic concurrency —
+    * the versioned name is the compare-and-swap: if the target exists (a
+    * concurrent committer won), this throws [[CommitConflictException]] and
+    * the CALLER re-reads + re-derives; the committed chain is therefore a
+    * linear history where every version's content was derived from its
+    * predecessor. Returns the committed version. (On object stores without
+    * atomic rename the same protocol runs against a CAS endpoint.)
     */
   def commit(spark: SparkSession, path: String, m: Manifest): Long = {
     val f = fs(spark, path)
     val dir = manifestDir(path)
     f.mkdirs(dir)
+    val target = new Path(dir, s"manifest-${m.version}.tsv")
     val tmp = new Path(dir, s".tmp-${java.util.UUID.randomUUID().toString.take(12)}")
-    var version = m.version
     val out = f.create(tmp, true)
-    try out.write(serialize(m.copy(version = version)).getBytes("UTF-8"))
+    try out.write(serialize(m).getBytes("UTF-8"))
     finally out.close()
-    var committed = false
-    var tries = 0
-    while (!committed) {
-      val target = new Path(dir, s"manifest-$version.tsv")
-      if (!f.exists(target) && f.rename(tmp, target)) committed = true
-      else {
-        tries += 1
-        require(tries < 64, s"manifest commit contention at $path")
-        version += 1
-        // content embeds the version header: rewrite the temp under the new one
-        val o2 = f.create(tmp, true)
-        try o2.write(serialize(m.copy(version = version)).getBytes("UTF-8"))
-        finally o2.close()
-      }
+    // The exists+rename pair is the CAS. HDFS rename fails (does not
+    // replace) when the target exists, so the pair is atomic cross-JVM
+    // there; POSIX rename REPLACES, so same-JVM committers (local mode,
+    // multiple streaming queries in one driver — the shapes the specs
+    // race) are additionally serialized by a per-path JVM lock. Object
+    // stores swap this for a real CAS endpoint; the protocol is unchanged.
+    val won = commitLock(path).synchronized {
+      !f.exists(target) && f.rename(tmp, target)
     }
-    version
+    if (!won) {
+      f.delete(tmp, false)
+      throw new CommitConflictException(path, m.version)
+    }
+    m.version
   }
+
+  private val commitLocks =
+    new java.util.concurrent.ConcurrentHashMap[String, Object]()
+  private def commitLock(path: String): Object =
+    commitLocks.computeIfAbsent(path, _ => new Object)
 
   /** Build a manifest's file entries from the directory's CURRENT parquet
     * content — the bootstrap for layouts written before the manifest
@@ -262,39 +283,67 @@ object LayoutManifest {
       case None => spark.read.parquet(path)
     }
 
-  /** Garbage collection: delete data files NOT referenced by the current
-    * manifest (orphans from a crashed rewrite, or superseded files from a
-    * committed one) and manifests older than the newest `keepManifests`.
-    * Pure space hygiene — a reader resolving the current manifest is
-    * correct whether or not gc has run. MUST NOT run concurrently with a
-    * writer (an uncommitted rewrite's fresh files look like orphans) — the
+  /** A SPECIFIC committed version, if still retained. */
+  def at(spark: SparkSession, path: String, version: Long): Option[Manifest] = {
+    val f = fs(spark, path)
+    val p = new Path(manifestDir(path), s"manifest-$version.tsv")
+    if (f.exists(p)) Some(read(f, p, version)) else None
+  }
+
+  /** Snapshot (time-travel) read: the table exactly as committed at
+    * `version` — the reproducible-training-set primitive (pin the manifest
+    * version in the experiment record and every rerun reads identical
+    * bytes, whatever deletes/compactions/rebuilds happened since). Valid
+    * for versions [[gc]] retains: gc keeps the newest `keepManifests`
+    * versions AND every data file any retained version references, so the
+    * retention dial is exactly the time-travel horizon (Iceberg/Delta's
+    * expire-snapshots semantics). Throws if the version was expired.
+    */
+  def readDataAt(spark: SparkSession, path: String, version: Long): DataFrame =
+    at(spark, path, version) match {
+      case Some(m) if m.files.nonEmpty =>
+        spark.read.parquet(m.files.map(e => dataPath(path, e.name)): _*)
+      case Some(_) =>
+        throw new IllegalStateException(
+          s"manifest v$version at $path lists no files")
+      case None => throw new IllegalStateException(
+        s"manifest v$version at $path does not exist (never committed, or " +
+          "expired by gc — raise keepManifests to widen the time-travel horizon)")
+    }
+
+  /** Garbage collection with a time-travel retention horizon: keep the
+    * newest `keepManifests` versions and EVERY data file any retained
+    * version references (so [[readDataAt]] of a retained version stays
+    * valid — expire-snapshots semantics); delete everything else — orphans
+    * from crashed rewrites and files only expired versions reference. Pure
+    * space hygiene: a reader resolving a retained manifest is correct
+    * whether or not gc has run. MUST NOT run concurrently with a writer
+    * (an uncommitted rewrite's fresh files look like orphans) — the
     * single-maintainer contract every table format's expire-snapshots has;
     * production adds a grace period on file age. Returns
-    * (orphan data files deleted, old manifests deleted); a no-op when no
-    * manifest exists.
+    * (orphan data files deleted, expired manifests deleted); a no-op when
+    * no manifest exists.
     */
   def gc(spark: SparkSession, path: String, keepManifests: Int = 2): (Int, Int) = {
     val f = fs(spark, path)
-    current(spark, path) match {
-      case None => (0, 0)
-      case Some(m) =>
-        val live = m.fileNames
-        val dataDeleted = f.listStatus(new Path(path)).toSeq
-          .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet") &&
-            !live.contains(s.getPath.getName))
-          .map { s => f.delete(s.getPath, false); s }
-          .size
-        val dir = manifestDir(path)
-        val versions = f.listStatus(dir).toSeq.filter(_.isFile)
-          .flatMap(s => versionOf(s.getPath.getName).map(_ -> s.getPath))
-          .sortBy(-_._1)
-        val stale = versions.drop(math.max(1, keepManifests))
-        stale.foreach { case (_, p) => f.delete(p, false) }
-        // abandoned commit temps are also orphans
-        f.listStatus(dir).toSeq
-          .filter(s => s.isFile && s.getPath.getName.startsWith(".tmp-"))
-          .foreach(s => f.delete(s.getPath, false))
-        (dataDeleted, stale.size)
-    }
+    val dir = manifestDir(path)
+    if (!f.exists(dir)) return (0, 0)
+    val versions = f.listStatus(dir).toSeq.filter(_.isFile)
+      .flatMap(s => versionOf(s.getPath.getName).map(_ -> s.getPath))
+      .sortBy(-_._1)
+    if (versions.isEmpty) return (0, 0)
+    val (retained, stale) = versions.splitAt(math.max(1, keepManifests))
+    val live = retained.flatMap { case (v, p) => read(f, p, v).fileNames }.toSet
+    val dataDeleted = f.listStatus(new Path(path)).toSeq
+      .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet") &&
+        !live.contains(s.getPath.getName))
+      .map { s => f.delete(s.getPath, false); s }
+      .size
+    stale.foreach { case (_, p) => f.delete(p, false) }
+    // abandoned commit temps are also orphans
+    f.listStatus(dir).toSeq
+      .filter(s => s.isFile && s.getPath.getName.startsWith(".tmp-"))
+      .foreach(s => f.delete(s.getPath, false))
+    (dataDeleted, stale.size)
   }
 }

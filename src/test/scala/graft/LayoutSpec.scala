@@ -254,8 +254,10 @@ class LayoutSpec extends SparkSpec {
     // a DIRECTORY read in this window sees duplicates (old affected files
     // still present) — which is why the manifest is the read contract
     assert(spark.read.parquet(dir).count() > n - 10)
-    // recovery = gc, after which directory and manifest agree exactly
-    LayoutManifest.gc(sp, dir)
+    // recovery = gc at horizon 1 (recover-to-latest: the superseded files
+    // would otherwise be RETAINED for the previous snapshot — the
+    // time-travel union semantics), after which directory == manifest
+    LayoutManifest.gc(sp, dir, keepManifests = 1)
     assert(spark.read.parquet(dir).count() == n - 10)
     val got = spark.read.parquet(dir).select("doc_id")
       .orderBy("doc_id").collect().map(_.getLong(0)).toSeq
@@ -278,7 +280,7 @@ class LayoutSpec extends SparkSpec {
     Layout.replaceLayout(sp, dir, rebuilt, Seq("k"), Map("gen" -> "2"), crashPoint = 1)
     assert(LayoutManifest.current(sp, dir).get.props.get("gen").isEmpty)
     assert(LayoutManifest.readData(sp, dir).count() == 1000)
-    LayoutManifest.gc(sp, dir) // reclaim the uncommitted files
+    LayoutManifest.gc(sp, dir) // uncommitted files are orphans at ANY horizon
     assert(spark.read.parquet(dir).count() == 1000)
     // crash after phase 2: new manifest current, exactly the new file set
     Layout.replaceLayout(sp, dir, rebuilt, Seq("k"), Map("gen" -> "2"), crashPoint = 2)
@@ -286,7 +288,7 @@ class LayoutSpec extends SparkSpec {
     assert(m.props("gen") == "2" && m.files.size == 3)
     assert(LayoutManifest.readData(sp, dir).count() == 1000)
     assert(LayoutManifest.readData(sp, dir).select("k").distinct().count() == 1000)
-    LayoutManifest.gc(sp, dir)
+    LayoutManifest.gc(sp, dir, keepManifests = 1) // recover-to-latest horizon
     assert(spark.read.parquet(dir).count() == 1000)
   }
 
@@ -345,6 +347,87 @@ class LayoutSpec extends SparkSpec {
     val d2 = Layout.maintainCompaction(sp, dir, "k", targetBytes = bytes / 4)
     assert(!d2.compacted, s"freshly compacted layout must not re-fire: $d2")
     assert(d2.overlapPairs == 0L && d2.spanFracAvg < 0.5)
+  }
+
+  test("snapshot time travel: retained versions read their exact bytes; gc's retention dial is the horizon") {
+    import graft.sources.{Layout, LayoutManifest}
+    val sp = spark
+    val dir = java.nio.file.Files.createTempDirectory("graft_timetravel").toString
+    sp.range(100).select(col("id").as("k"))
+      .coalesce(1).write.mode("overwrite").parquet(dir)
+    val v0 = Layout.commitLayout(sp, dir, Seq("k"))
+    Layout.appendCommitted(sp.range(100, 150).select(col("id").as("k")), dir,
+      batchId = Some(0L))
+    val v1 = LayoutManifest.current(sp, dir).get.version
+    Layout.appendCommitted(sp.range(150, 180).select(col("id").as("k")), dir,
+      batchId = Some(1L))
+    // every retained version reads exactly what was committed at it
+    assert(LayoutManifest.readDataAt(sp, dir, v0).count() == 100)
+    assert(LayoutManifest.readDataAt(sp, dir, v1).count() == 150)
+    assert(LayoutManifest.readData(sp, dir).count() == 180)
+    // gc keeping 3 versions reclaims nothing the snapshots need
+    LayoutManifest.gc(sp, dir, keepManifests = 3)
+    assert(LayoutManifest.readDataAt(sp, dir, v0).count() == 100)
+    // shrinking the horizon to 1 expires v0/v1; the CURRENT read is intact
+    // (the appended history shares files, so only manifests expire here —
+    // the retention union semantics are what kept them safe before)
+    val (_, expired) = LayoutManifest.gc(sp, dir, keepManifests = 1)
+    assert(expired == 2)
+    val e = intercept[IllegalStateException] {
+      LayoutManifest.readDataAt(sp, dir, v0)
+    }
+    assert(e.getMessage.contains("expired") || e.getMessage.contains("does not exist"))
+    assert(LayoutManifest.readData(sp, dir).count() == 180)
+    // a REWRITE history does not retain: compactInPlace supersedes every
+    // file eagerly (immediate-cutover contract), so the pre-compaction
+    // snapshot's manifest may remain briefly but its files are gone
+    val vPre = LayoutManifest.current(sp, dir).get.version
+    Layout.compactInPlace(sp, dir, targetBytes = Long.MaxValue, clusterCol = Some("k"))
+    assert(LayoutManifest.readData(sp, dir).count() == 180)
+    assert(LayoutManifest.at(sp, dir, vPre).isEmpty ||
+      intercept[Exception] {
+        LayoutManifest.readDataAt(sp, dir, vPre).count()
+      } != null)
+  }
+
+  test("concurrent appenders: optimistic commits serialize to a linear history with every batch exactly once") {
+    import graft.sources.{Layout, LayoutManifest}
+    val sp = spark
+    val dir = java.nio.file.Files.createTempDirectory("graft_concurrent").toString
+    sp.range(100).select(col("id").as("k"))
+      .coalesce(1).write.mode("overwrite").parquet(dir)
+    Layout.commitLayout(sp, dir, Seq("k"))
+    // 4 appenders race distinct key ranges (no batchId: all must land)
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.ExecutionContext.Implicits.global
+    import scala.concurrent.duration._
+    val appended = Await.result(Future.sequence((0 until 4).map { i =>
+      Future(Layout.appendCommitted(
+        sp.range(100 + i * 50, 150 + i * 50).select(col("id").as("k"))
+          .coalesce(1), dir))
+    }), 120.seconds)
+    assert(appended.forall(_ == 50L), s"every appender lands: $appended")
+    val live = LayoutManifest.readData(sp, dir)
+    assert(live.count() == 300)
+    assert(live.select("k").distinct().count() == 300)
+    // linear history: versions 0..4 all committed, each derived from its
+    // predecessor (file counts strictly grow)
+    val m = LayoutManifest.current(sp, dir).get
+    assert(m.version == 4)
+    assert((0L to 4L).forall(v => LayoutManifest.at(sp, dir, v).isDefined))
+    assert((0L to 4L).map(v => LayoutManifest.at(sp, dir, v).get.files.size)
+      .sliding(2).forall { case Seq(a, b) => a < b; case _ => true })
+    // the SAME batch raced by two appenders resolves to exactly one winner
+    val dup = Await.result(Future.sequence((0 until 2).map { _ =>
+      Future(Layout.appendCommitted(
+        sp.range(300, 320).select(col("id").as("k")).coalesce(1), dir,
+        batchId = Some(99L)))
+    }), 120.seconds)
+    assert(dup.sorted == Seq(0L, 20L), s"exactly one same-batch winner: $dup")
+    LayoutManifest.gc(sp, dir, keepManifests = 1) // reclaim the loser's orphans
+    val after = LayoutManifest.readData(sp, dir)
+    assert(after.count() == 320)
+    assert(spark.read.parquet(dir).count() == 320) // directory agrees post-gc
   }
 
   test("prune guards: empty manifest throws a clear error; NULL spans are kept, never pruned") {
