@@ -2551,6 +2551,51 @@ object SparkEntry {
           md5(col("text")).as("text_md5"))
         .orderBy("doc_id")
     }),
+    // Snapshot time travel: pin the manifest version of the EVEN-docs
+    // commit, append the odd docs, then read the pinned version — the
+    // reproducible-training-set primitive (a rerun reads identical bytes
+    // whatever landed since; gc's keepManifests is the horizon). Output is
+    // the v0 snapshot, which must equal the even half exactly even though
+    // the CURRENT table holds everything.
+    "q_layout_snapshot" -> ((s, dir) => {
+      import graft.sources.{Layout, LayoutManifest}
+      val docs = graft.sources.Testdata.table(s, dir, "documents")
+      val tmp = System.getProperty("java.io.tmpdir") + "/graft_snapshot_q"
+      docs.filter(col("doc_id") % 2 === 0)
+        .repartitionByRange(4, col("doc_id")).sortWithinPartitions("doc_id")
+        .write.mode("overwrite").parquet(tmp)
+      val v0 = Layout.commitLayout(s, tmp, Seq("doc_id"))
+      Layout.appendCommitted(docs.filter(col("doc_id") % 2 === 1), tmp,
+        batchId = Some(1L))
+      require(LayoutManifest.readData(s, tmp).count() >
+        LayoutManifest.readDataAt(s, tmp, v0).count(),
+        "the current table must have grown past the pinned snapshot")
+      LayoutManifest.readDataAt(s, tmp, v0)
+        .select(col("doc_id"), col("lang"), col("source"), col("n_chars"),
+          md5(col("text")).as("text_md5"))
+        .orderBy("doc_id")
+    }),
+    // Version diff at manifest cost: what changed between the pinned even
+    // snapshot and the current table — the diff reads ONLY the files the
+    // versions do not share (here: exactly the appended odd files; the
+    // shared even files are provably identical and never read), so a
+    // snapshot audit costs the CHANGE, not the table.
+    "q_layout_version_diff" -> ((s, dir) => {
+      import graft.sources.{Layout, LayoutManifest}
+      val docs = graft.sources.Testdata.table(s, dir, "documents")
+      val tmp = System.getProperty("java.io.tmpdir") + "/graft_vdiff_q"
+      docs.filter(col("doc_id") % 2 === 0)
+        .repartitionByRange(4, col("doc_id")).sortWithinPartitions("doc_id")
+        .write.mode("overwrite").parquet(tmp)
+      val v0 = Layout.commitLayout(s, tmp, Seq("doc_id"))
+      Layout.appendCommitted(docs.filter(col("doc_id") % 2 === 1), tmp,
+        batchId = Some(1L))
+      val v1 = LayoutManifest.current(s, tmp).get.version
+      LayoutManifest.diffVersions(s, tmp, v0, v1, "doc_id")
+        .select(col("change"), col("doc_id"), col("lang"), col("source"),
+          md5(col("text")).as("text_md5"))
+        .orderBy("doc_id")
+    }),
     // interval OVERLAP join: per-user event intervals [ts, ts+(id%7+1) min],
     // dual-binned (key, bin) equi-join, pairs deduped to the overlap-start
     // bin — the two-sided generalization of the banded range join
@@ -5579,6 +5624,14 @@ object SparkEntry {
     "q_layout_append" ->
       """SELECT doc_id, lang, source, n_chars, md5(text) AS text_md5
         |FROM documents ORDER BY doc_id""".stripMargin,
+    // Snapshot read of the pinned pre-append version = the even half only
+    "q_layout_snapshot" ->
+      """SELECT doc_id, lang, source, n_chars, md5(text) AS text_md5
+        |FROM documents WHERE doc_id % 2 = 0 ORDER BY doc_id""".stripMargin,
+    // Version diff of the append-only history = exactly the odd half, added
+    "q_layout_version_diff" ->
+      """SELECT 'added' AS change, doc_id, lang, source, md5(text) AS text_md5
+        |FROM documents WHERE doc_id % 2 = 1 ORDER BY doc_id""".stripMargin,
     "q_join_intervals" ->
       """WITH iv AS (
         |  SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS s,

@@ -311,6 +311,48 @@ object LayoutManifest {
           "expired by gc — raise keepManifests to widen the time-travel horizon)")
     }
 
+  /** Row-level diff between two RETAINED versions, reading ONLY the files
+    * the versions do not share — the snapshot-audit operator ("what changed
+    * between the training set I shipped and today's?") at manifest cost:
+    * rows in shared files are identical by construction (files are
+    * immutable once committed) and are never read, so an append-only
+    * history diffs by reading exactly the appended files, and a targeted
+    * delete by reading the rewritten handful. Rows that merely MOVED files
+    * (rewrite survivors) appear on both exclusive sides and cancel in the
+    * `idCol` anti-joins. Returns `(change, <row columns>)` with change ∈
+    * {'added', 'removed'}; a row whose CONTENT changed under a stable id
+    * surfaces as removed+added when content participates in `idCol`
+    * (callers diff on a content hash column for that reading).
+    */
+  def diffVersions(spark: SparkSession, path: String, vOld: Long, vNew: Long,
+      idCol: String): DataFrame = {
+    import org.apache.spark.sql.functions.{broadcast => _, _}
+    val a = at(spark, path, vOld).getOrElse(throw new IllegalStateException(
+      s"manifest v$vOld at $path does not exist (expired or never committed)"))
+    val b = at(spark, path, vNew).getOrElse(throw new IllegalStateException(
+      s"manifest v$vNew at $path does not exist (expired or never committed)"))
+    val onlyOld = a.fileNames.diff(b.fileNames).toSeq.sorted
+    val onlyNew = b.fileNames.diff(a.fileNames).toSeq.sorted
+    def readOr(names: Seq[String], schemaFrom: Seq[String]): DataFrame =
+      if (names.nonEmpty)
+        spark.read.parquet(names.map(dataPath(path, _)): _*)
+      else {
+        val any = schemaFrom.headOption.getOrElse(throw new IllegalStateException(
+          s"diffVersions at $path: both versions list no files"))
+        val schema = spark.read.parquet(dataPath(path, any)).schema
+        spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+      }
+    val all = (onlyOld ++ onlyNew) ++ b.fileNames.toSeq
+    val oldRows = readOr(onlyOld, all)
+    val newRows = readOr(onlyNew, all)
+    newRows.join(oldRows.select(idCol), Seq(idCol), "left_anti")
+      .select(lit("added").as("change") +: newRows.columns.map(col): _*)
+      .unionByName(
+        oldRows.join(newRows.select(idCol), Seq(idCol), "left_anti")
+          .select(lit("removed").as("change") +: oldRows.columns.map(col): _*))
+  }
+
   /** Garbage collection with a time-travel retention horizon: keep the
     * newest `keepManifests` versions and EVERY data file any retained
     * version references (so [[readDataAt]] of a retained version stays

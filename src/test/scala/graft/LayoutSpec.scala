@@ -390,6 +390,51 @@ class LayoutSpec extends SparkSpec {
       } != null)
   }
 
+  test("diffVersions: reads only unshared files; appends diff as added, dropped files as removed, moved rows cancel") {
+    import graft.sources.{Layout, LayoutManifest}
+    val sp = spark
+    val dir = java.nio.file.Files.createTempDirectory("graft_vdiff").toString
+    sp.range(100).select(col("id").as("k"))
+      .coalesce(1).write.mode("overwrite").parquet(dir)
+    val v0 = Layout.commitLayout(sp, dir, Seq("k"))
+    Layout.appendCommitted(sp.range(100, 160).select(col("id").as("k"))
+      .coalesce(1), dir, batchId = Some(0L))
+    val v1 = LayoutManifest.current(sp, dir).get.version
+    // append-only: diff = exactly the appended rows, all 'added'
+    val d01 = LayoutManifest.diffVersions(sp, dir, v0, v1, "k")
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    assert(d01.length == 60 && d01.forall(_._1 == "added"))
+    assert(d01.map(_._2).sorted.toSeq == (100L until 160L))
+    // a hand-committed v2 drops the base file and adds a replacement that
+    // KEEPS rows 0-49 (moved) and loses 50-99 — the retention-friendly
+    // rewrite shape: moved rows must cancel, lost rows read 'removed'
+    val m1 = LayoutManifest.current(sp, dir).get
+    val fsys = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(dir), sp.sparkContext.hadoopConfiguration)
+    val tmp2 = s"$dir/.half"
+    sp.range(50).select(col("id").as("k")).coalesce(1).write.parquet(tmp2)
+    val halfName = fsys.listStatus(new org.apache.hadoop.fs.Path(tmp2))
+      .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet")).head.getPath
+    fsys.rename(halfName, new org.apache.hadoop.fs.Path(dir, "half_0.parquet"))
+    fsys.delete(new org.apache.hadoop.fs.Path(tmp2), true)
+    val baseFile = LayoutManifest.at(sp, dir, v0).get.files.head.name
+    val halfEntries = LayoutManifest.entriesFor(sp,
+      Seq(LayoutManifest.dataPath(dir, "half_0.parquet")), Seq("k"))
+    LayoutManifest.commit(sp, dir, LayoutManifest.Manifest(
+      m1.version + 1, m1.props,
+      m1.files.filterNot(_.name == baseFile) ++ halfEntries))
+    val v2 = m1.version + 1
+    val d12 = LayoutManifest.diffVersions(sp, dir, v1, v2, "k")
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    assert(d12.count(_._1 == "added") == 0, "moved rows must cancel")
+    assert(d12.filter(_._1 == "removed").map(_._2).sorted.toSeq == (50L until 100L))
+    // expired versions refuse loudly
+    LayoutManifest.gc(sp, dir, keepManifests = 1)
+    intercept[IllegalStateException] {
+      LayoutManifest.diffVersions(sp, dir, v0, v2, "k")
+    }
+  }
+
   test("concurrent appenders: optimistic commits serialize to a linear history with every batch exactly once") {
     import graft.sources.{Layout, LayoutManifest}
     val sp = spark
