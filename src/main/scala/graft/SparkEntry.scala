@@ -2470,6 +2470,12 @@ object SparkEntry {
       Curation.chunkTokens(docs, col("doc_id"), col("text"), size = 64, stride = 48)
         .repartitionByRange(8, col("id")).sortWithinPartitions("id", "chunk_idx")
         .write.mode("overwrite").parquet(chunkDir)
+      // the production cascade commits manifests at write time: each delete
+      // then snapshots file spans from the manifest (no stats scan) and the
+      // rewrite swaps in crash-safe (q_layout_delete keeps the legacy
+      // bootstrap path covered)
+      Layout.commitLayout(s, docDir, Seq("doc_id"))
+      Layout.commitLayout(s, chunkDir, Seq("id"))
       val tomb = (30L until 40L).toDF("doc_id")
       Layout.deleteRows(s, docDir, "doc_id", tomb)
       Layout.deleteRows(s, chunkDir, "id", tomb)

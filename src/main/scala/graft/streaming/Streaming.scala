@@ -385,6 +385,44 @@ object Streaming {
     spark.read.parquet(path).drop("batch_id")
       .withColumn("list_id", col("list_id").cast("long"))
 
+  /** IVF twin of [[startClusteredAnnIndexMaintenance]]: arriving vectors
+    * are assigned to their nearest FROZEN centroid and appended to the
+    * manifest-committed list-clustered layout
+    * ([[graft.operators.IvfSearch.clusteredWrite]]) — exactly-once under
+    * micro-batch replay via the manifest's batch high-water mark, centroid
+    * identity fingerprint-validated per batch (maintaining an index with
+    * retrained-but-not-rebuilt centroids would corrupt every probe).
+    * Quantizer drift remains a REBUILD decision
+    * ([[graft.operators.IvfSearch.rebuildClustered]] — retrain + one-commit
+    * cutover), never a streaming mutation.
+    */
+  def startClusteredIvfIndexMaintenance(
+      vectors: DataFrame,       // streaming (id, embedding)
+      centroids: Seq[graft.operators.IvfSearch.Centroid],
+      outPath: String,
+      checkpoint: String,
+      queryName: String = "ivf_clustered_maintenance"): StreamingQuery = {
+    val expected = graft.operators.IvfSearch.centroidsHash(centroids)
+    vectors.writeStream
+      .queryName(queryName)
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val m = graft.sources.LayoutManifest
+          .current(batch.sparkSession, outPath)
+          .getOrElse(throw new IllegalStateException(
+            s"no committed clustered layout at $outPath — clusteredWrite first"))
+        m.props.get("centroids_hash").foreach(want => require(want == expected,
+          s"centroid mismatch: layout at $outPath was written with hash " +
+            s"$want, maintenance stream carries $expected"))
+        graft.sources.Layout.appendCommitted(
+          graft.operators.IvfSearch.index(batch, col("embedding"), centroids)
+            .sortWithinPartitions("list_id"),
+          outPath, batchId = Some(batchId))
+        ()
+      }
+      .start()
+  }
+
   /** Streaming IVF-PQ index maintenance: per batch, coarse-assign AND
     * residual-encode arriving vectors against frozen centroids + codebooks
     * ([[graft.operators.IvfPq.index]]) — the full billion-scale ingest

@@ -467,6 +467,62 @@ class StreamingSpec extends SparkSpec {
     assert(LayoutManifest.readData(sp, dir).count() == n)
   }
 
+  test("manifest-committed clustered IVF maintenance: exactly-once appends; probe search equals the batch twin") {
+    val sp = spark
+    import sp.implicits._
+    implicit val sqlCtx = sp.sqlContext
+    import graft.operators.IvfSearch
+    import graft.sources.LayoutManifest
+    val embs = sp.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select(col("vec_id"), col("embedding"))
+    val n = embs.count()
+    val cents = IvfSearch.centroidsFromIds(embs, col("vec_id"), col("embedding"), c = 8)
+    val dir = tmpDir("graft_ivf_cl_maint")
+    IvfSearch.clusteredWrite(embs.filter(col("vec_id") < n / 4),
+      col("embedding"), cents, dir, numFiles = 4)
+    val in = MemoryStream[(Long, Seq[Float])]
+    val q = Streaming.startClusteredIvfIndexMaintenance(
+      in.toDF().toDF("vec_id", "embedding"), cents, dir, tmpDir("graft_icm_ck"))
+    try {
+      val rest = embs.filter(col("vec_id") >= n / 4)
+        .collect().map(r => (r.getLong(0), r.getSeq[Float](1)))
+      val (h1, h2) = rest.splitAt(rest.length / 2)
+      in.addData(h1.toSeq); q.processAllAvailable()
+      in.addData(h2.toSeq); q.processAllAvailable()
+    } finally q.stop()
+    val live = LayoutManifest.readData(sp, dir)
+    assert(live.count() == n)
+    assert(live.select("vec_id").distinct().count() == n)
+    // probe search over the maintained layout equals a fresh full index
+    val qv = graft.sources.VectorStore
+      .fromEmbeddingsTable(sp, "/root/testdata/sf0.001").getVector("0").toSeq
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getString(0), BigDecimal(r.getDouble(1))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP))).toSeq
+    val got = rows(IvfSearch.searchClusteredAt(sp, dir,
+      col("vec_id").cast("string"), col("embedding"), qv, cents,
+      k = 10, nprobe = 4))
+    val want = rows(IvfSearch.search(
+      IvfSearch.index(embs, col("embedding"), cents),
+      col("vec_id").cast("string"), col("embedding"), qv, cents,
+      k = 10, nprobe = 4))
+    assert(got == want && got.size == 10)
+    // retrained-but-not-rebuilt centroids are rejected at the first batch
+    val cents16 = IvfSearch.centroidsFromIds(embs, col("vec_id"), col("embedding"), c = 16)
+    val badIn = MemoryStream[(Long, Seq[Float])]
+    val badQ = Streaming.startClusteredIvfIndexMaintenance(
+      badIn.toDF().toDF("vec_id", "embedding"), cents16, dir, tmpDir("graft_icm_bad"))
+    try {
+      badIn.addData((999999L, Seq.fill(64)(0.1f)))
+      val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+        badQ.processAllAvailable()
+      }
+      assert(e.getMessage.contains("centroid mismatch") ||
+        Option(e.getCause).exists(_.getMessage.contains("centroid mismatch")))
+    } finally badQ.stop()
+    assert(LayoutManifest.readData(sp, dir).count() == n)
+  }
+
   test("streaming embedding-drift monitor: per-batch rows equal the batch twin; a shifted batch reads its planted z") {
     val sp = spark
     import sp.implicits._
