@@ -69,7 +69,7 @@ object Plans {
       "q_knn_batch_ann_clustered", "q_ann_ivf_clustered", "q_embed_drift",
       "q_ann_rebuild", "q_ann_ivf_rebuild", "q_layout_autocompact",
       "q_embed_drift_ref", "q_layout_append", "q_layout_snapshot",
-      "q_layout_version_diff")
+      "q_layout_version_diff", "q_ann_forget_by_id")
     show.foreach { name =>
       println(s"\n## $name\n")
       println("```")

@@ -390,16 +390,22 @@ object SparkEntry {
   /** Survivors of the clustered-index forget, with their bucket column
     * intact — replicates [[graft.operators.AnnSearch.bucketCol]] in SQL
     * (same plane literals as annOracle) over the non-tombstoned rows.
+    * Parameterized by the tombstone set: the embedding-carrying forget
+    * (q_ann_forget) and the bare-id bloom forget (q_ann_forget_by_id) use
+    * different ids but the same survivor contract.
     */
-  private val annForgetOracle: String = {
+  private def annForgetOracleFor(ids: Seq[Long]): String = {
     val planes = AnnSearch.hyperplanes(dim = 64)
     val bucketExpr = planes.zipWithIndex.map { case (p, i) =>
       val lst = p.mkString("[", ",", "]")
       s"(CASE WHEN list_dot_product(CAST(embedding AS DOUBLE[]), $lst) >= 0 THEN ${1 << i} ELSE 0 END)"
     }.mkString("(", " + ", ")")
     s"""SELECT vec_id, $bucketExpr AS bucket FROM embeddings
-       |WHERE vec_id NOT IN (3, 7, 11, 19, 42) ORDER BY vec_id""".stripMargin
+       |WHERE vec_id NOT IN (${ids.mkString(", ")}) ORDER BY vec_id""".stripMargin
   }
+
+  private val annForgetOracle: String =
+    annForgetOracleFor(Seq(3L, 7L, 11L, 19L, 42L))
 
   /** The annOracle with the metadata predicate composed in — the filtered
     * ANN twin (same planes, same radius-2 probe set, label = 3 on the
@@ -1841,6 +1847,25 @@ object SparkEntry {
         .select(col("vec_id"), col("embedding"))
       AnnSearch.deleteVectors(s, tmp, "vec_id", tomb, planes)
       s.read.parquet(tmp).select(col("vec_id"), col("bucket"))
+        .orderBy("vec_id")
+    }),
+    // GDPR forget by BARE IDS (no embeddings in the request): the per-file
+    // bloom sidecar over vec_id names the candidate files by membership —
+    // a span prune is useless here (ids scatter across the bucket-clustered
+    // files, every span is near-total) and the embedding-keyed prune of
+    // q_ann_forget is unavailable without the vectors. Sidecar built once
+    // at index time, maintained incrementally across the delete's commit.
+    "q_ann_forget_by_id" -> ((s, dir) => {
+      import s.implicits._
+      val planes = AnnSearch.hyperplanes(dim = 64)
+      val tmp = System.getProperty("java.io.tmpdir") + "/graft_ann_forget_id"
+      val embs = s.read.parquet(s"$dir/embeddings.parquet")
+      AnnSearch.clusteredWrite(embs, col("embedding"), planes, tmp, numFiles = 8)
+      graft.sources.Layout.writeBloomSidecar(s, tmp, "vec_id")
+      AnnSearch.deleteVectorsById(s, tmp, "vec_id",
+        Seq(5L, 13L, 21L, 33L, 44L).toDF("vec_id"))
+      graft.sources.LayoutManifest.readData(s, tmp)
+        .select(col("vec_id"), col("bucket"))
         .orderBy("vec_id")
     }),
     // Rebuild-and-cutover on the clustered LSH index: the corpus outgrew a
@@ -4347,6 +4372,8 @@ object SparkEntry {
     "q_ann_topk" -> annOracle,
     "q_ann_topk_clustered" -> annOracle,
     "q_ann_forget" -> annForgetOracle,
+    // bare-id bloom forget: same survivor contract, different tombstones
+    "q_ann_forget_by_id" -> annForgetOracleFor(Seq(5L, 13L, 21L, 33L, 44L)),
     // rebuild cutover: same generator as annOracle at the POST-rebuild dial
     "q_ann_rebuild" -> annOracleFor(8, 2),
     // IVF oracle: replicate nearest-centroid assignment (argmin |c|²−2·v·c,

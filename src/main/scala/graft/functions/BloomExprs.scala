@@ -67,6 +67,50 @@ object Bloom {
     }
     true
   }
+
+  /** splitmix64 finalizer: turns a structured 64-bit value (sequential ids,
+    * timestamps) into the uniform fingerprint the probe schedule assumes.
+    * Defined ONCE with a Column twin ([[mix64Col]]) so the distributed
+    * build and a driver-side probe compute identical bits.
+    */
+  def mix64(x: Long): Long = {
+    var z = x + 0x9E3779B97F4A7C15L
+    z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+    z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+    z ^ (z >>> 31)
+  }
+
+  /** Column twin of [[mix64]] via [[Mix64Expr]] — a native codegen node,
+    * NOT Column arithmetic: the finalizer's multiplications wrap mod 2^64
+    * by design, which ANSI-mode (Spark 4 default) long multiply rejects as
+    * overflow; Java long arithmetic inside the expression wraps natively
+    * and identically to the driver-side [[mix64]].
+    */
+  def mix64Col(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    org.apache.spark.sql.graft.Bridge.column(
+      Mix64Expr(org.apache.spark.sql.graft.Bridge.expression(c.cast("long"))))
+}
+
+/** splitmix64 finalizer as one codegen node (see [[Bloom.mix64Col]]). */
+case class Mix64Expr(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = LongType
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case LongType => TypeCheckResult.TypeCheckSuccess
+    case other =>
+      TypeCheckResult.TypeCheckFailure(s"graft_mix64 requires BIGINT, got $other")
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    Bloom.mix64(input.asInstanceOf[Long])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, v => s"graft.functions.Bloom.mix64($v)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+
+  override def prettyName: String = "graft_mix64"
 }
 
 /** `fp IN bloom` as one codegen node over the filter's word array (a task

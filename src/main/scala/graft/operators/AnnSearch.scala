@@ -376,6 +376,25 @@ object AnnSearch {
     searchBatch(pruned, id, vec, queries, planes, k, probeRadius)
   }
 
+  /** GDPR forget by BARE IDS — no embeddings required: [[deleteVectors]]
+    * prunes by the tombstones' buckets (a function of their vectors), but a
+    * real deletion request often arrives as ids alone, and on a
+    * bucket-clustered layout the id spans per file are near-total so a span
+    * prune would rewrite everything. A per-file bloom sidecar over the id
+    * column ([[graft.sources.Layout.writeBloomSidecar]] — one aggregation
+    * pass at index-build time, KB per file) names the candidate files by
+    * MEMBERSHIP instead: the rewrite touches the files that actually hold
+    * the ids plus an fpp-bounded handful of false positives, and the
+    * sidecar is maintained incrementally across the delete's manifest
+    * commit. Returns (filesTotal, filesRewritten, rowsDeleted).
+    */
+  def deleteVectorsById(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String,
+      idColName: String,
+      tombstoneIds: DataFrame): (Int, Int, Long) =
+    graft.sources.Layout.deleteRowsBloom(spark, path, idColName, tombstoneIds)
+
   /** Rebuild-and-cutover for a [[clusteredWrite]] layout: re-bucket the
     * LIVE rows with `newPlanes`, re-cluster, and swap via ONE manifest
     * commit ([[graft.sources.Layout.replaceLayout]]) — readers resolve the

@@ -580,6 +580,150 @@ object Layout {
     replaceLayout(spark, path, packed, statCols, snapshot.props)
   }
 
+  /** Per-file BLOOM sidecar over `col` — the point-lookup skip index zone
+    * maps cannot be: on a layout clustered by a DIFFERENT column (the
+    * bucket-clustered ANN index), every file's span of a scattered column
+    * like the row id is near-total, so a span prune keeps everything; a
+    * per-file bloom answers "can this id be in this file" regardless of
+    * clustering. This is what lets a GDPR forget arrive as BARE IDS
+    * ([[deleteRowsBloom]]) — previously the ANN forget needed the
+    * tombstones' embeddings to name their buckets.
+    *
+    * Storage: one parquet sidecar per manifest version at
+    * `_graft/bloom-<version>-<col>.parquet` with rows (file, k, words) —
+    * the Iceberg-Puffin shape: KB-scale per file (uniform dims from the
+    * manifest's max per-file row count at `fpp`), loaded only when a
+    * membership prune asks. Build cost: ONE column-pruned aggregation pass
+    * (map-side-combined OR-merge; items never shuffle). False positives
+    * cost an extra file rewrite/read, never correctness; no false
+    * negatives by construction. Values are [[graft.functions.Bloom.mix64]]
+    * fingerprints, so structured ids probe uniformly.
+    */
+  def writeBloomSidecar(spark: SparkSession, path: String, colName: String,
+      fpp: Double = 0.01): (Int, Int) = {
+    val m = LayoutManifest.current(spark, path).getOrElse(
+      throw new IllegalStateException(
+        s"bloom sidecar needs a committed layout at $path — run commitLayout first"))
+    val maxRows = math.max(1L, m.files.map(_.rows).max)
+    val (numWords, k) = graft.functions.Bloom.dims(maxRows, fpp)
+    val bits = bloomsFor(spark,
+      m.files.map(e => LayoutManifest.dataPath(path, e.name)), colName,
+      numWords, k)
+    writeSidecarRows(spark, path, m.version, colName, k, bits)
+    (numWords, k)
+  }
+
+  /** The per-file bloom build pass shared by [[writeBloomSidecar]] and the
+    * incremental sidecar maintenance in [[deleteRowsBloom]]: one
+    * aggregation over `paths`, returning (bare file name → words).
+    */
+  private def bloomsFor(spark: SparkSession, paths: Seq[String],
+      colName: String, numWords: Int, k: Int): Seq[(String, Array[Long])] = {
+    if (paths.isEmpty) return Seq.empty
+    implicit val enc: org.apache.spark.sql.Encoder[Long] =
+      org.apache.spark.sql.Encoders.scalaLong
+    val agg = org.apache.spark.sql.functions.udaf(
+      new graft.functions.BloomBitsAgg(numWords, k))
+    spark.read.parquet(paths: _*)
+      .select(col("_metadata.file_path").as("__file"),
+        graft.functions.Bloom.mix64Col(col(colName)).as("__fp"))
+      .groupBy("__file")
+      .agg(agg(col("__fp")).as("words"))
+      .collect().toSeq
+      .map(r => (new org.apache.hadoop.fs.Path(
+        new java.net.URI(r.getString(0)).getPath).getName,
+        r.getSeq[Long](1).toArray))
+  }
+
+  private def sidecarPath(path: String, version: Long, colName: String): String =
+    s"$path/${LayoutManifest.SubDir}/bloom-$version-$colName.parquet"
+
+  private def writeSidecarRows(spark: SparkSession, path: String,
+      version: Long, colName: String, k: Int,
+      bits: Seq[(String, Array[Long])]): Unit = {
+    val rows = bits.map { case (name, words) =>
+      org.apache.spark.sql.Row(name, k, words.toSeq)
+    }
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("file",
+        org.apache.spark.sql.types.StringType, nullable = false),
+      org.apache.spark.sql.types.StructField("k",
+        org.apache.spark.sql.types.IntegerType, nullable = false),
+      org.apache.spark.sql.types.StructField("words",
+        org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.LongType), nullable = false)))
+    spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), schema)
+      .coalesce(1).write.mode("overwrite")
+      .parquet(sidecarPath(path, version, colName))
+  }
+
+  private def readSidecar(spark: SparkSession, path: String, version: Long,
+      colName: String): Option[Seq[(String, Int, Array[Long])]] = {
+    val p = sidecarPath(path, version, colName)
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(path), spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(new org.apache.hadoop.fs.Path(p))) None
+    else Some(spark.read.parquet(p).collect().toSeq
+      .map(r => (r.getString(0), r.getInt(1), r.getSeq[Long](2).toArray)))
+  }
+
+  /** Files that MIGHT contain at least one of `values` in `colName`, per
+    * the current version's bloom sidecar — driver-side over the collected
+    * sidecar rows, no scan; no false negatives.
+    */
+  def bloomPrunedFiles(spark: SparkSession, path: String, colName: String,
+      values: Seq[Long]): Array[String] = {
+    val m = LayoutManifest.current(spark, path).getOrElse(
+      throw new IllegalStateException(s"no committed manifest at $path"))
+    val side = readSidecar(spark, path, m.version, colName).getOrElse(
+      throw new IllegalStateException(
+        s"no bloom sidecar for v${m.version}/$colName at $path — run " +
+          "writeBloomSidecar after the last commit"))
+    val fps = values.map(graft.functions.Bloom.mix64)
+    side.collect {
+      case (name, k, words)
+        if fps.exists(graft.functions.Bloom.mightContain(words, _, k)) =>
+        LayoutManifest.dataPath(path, name)
+    }.toArray
+  }
+
+  /** Targeted deletion by BARE IDS on a layout where id spans cannot prune
+    * (clustered by another column): bloom-sidecar membership names the
+    * candidate files (≈ |hit files| + fpp·F), only those are rewritten, and
+    * the sidecar is maintained INCREMENTALLY for the new version — one
+    * bloom pass over just the rewritten files, untouched files' rows carry
+    * over. Returns (filesTotal, filesRewritten, rowsDeleted).
+    */
+  def deleteRowsBloom(spark: SparkSession, path: String, idCol: String,
+      tombstones: DataFrame): (Int, Int, Long) = {
+    val snapshot = LayoutManifest.current(spark, path).getOrElse(
+      throw new IllegalStateException(s"no committed manifest at $path"))
+    val tsCol = tombstones.columns.head
+    val ids = tombstones.select(tombstones(tsCol).cast("long"))
+      .distinct().collect().map(_.getLong(0)).toSeq
+    val affected = bloomPrunedFiles(spark, path, idCol, ids)
+    val result = rewriteWithout(spark, path, snapshot, affected, idCol, tombstones)
+    if (affected.nonEmpty) {
+      // maintain the sidecar at the NEW version: re-bloom only the
+      // rewritten files; every untouched file keeps its existing row
+      val m2 = LayoutManifest.current(spark, path).get
+      val old = readSidecar(spark, path, snapshot.version, idCol).get
+      val affectedNames = affected.map(f => new org.apache.hadoop.fs.Path(
+        new java.net.URI(f).getPath).getName).toSet
+    val kept = old.filter { case (n, _, _) =>
+        !affectedNames(n) && m2.fileNames.contains(n) }
+      val newNames = m2.fileNames.diff(kept.map(_._1).toSet)
+      val k = old.headOption.map(_._2).getOrElse(1)
+      val numWords = old.headOption.map(_._3.length).getOrElse(1)
+      val fresh = bloomsFor(spark,
+        newNames.toSeq.sorted.map(LayoutManifest.dataPath(path, _)), idCol,
+        numWords, k)
+      writeSidecarRows(spark, path, m2.version, idCol, k,
+        kept.map(t => (t._1, t._3)) ++ fresh)
+    }
+    result
+  }
+
   /** One [[maintainCompaction]] decision: the stats it read, the thresholds
     * it applied, and what it did. `overlapFrac` is overlap_pairs / C(F,2)
     * (0 when F < 2).

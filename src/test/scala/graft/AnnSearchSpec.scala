@@ -354,6 +354,51 @@ class AnnSearchSpec extends SparkSpec {
     assert(gotD == gotF && gotF.nonEmpty)
   }
 
+  test("forget by bare ids: bloom sidecar bounds the rewrite where span prunes cannot; sidecar maintained across the commit") {
+    import graft.sources.{Layout, LayoutManifest}
+    val sp = spark
+    import sp.implicits._
+    val embs = sp.read.parquet(s"$dir/embeddings.parquet")
+    val planes = AnnSearch.hyperplanes(dim = 64, numPlanes = 10)
+    val tmp = java.nio.file.Files.createTempDirectory("graft_forget_id").toString
+    AnnSearch.clusteredWrite(embs, col("embedding"), planes, tmp, numFiles = 32)
+    Layout.writeBloomSidecar(sp, tmp, "vec_id")
+    // mix64 column/driver twin agreement (the probe contract)
+    val fps = embs.limit(20)
+      .select(col("vec_id"), graft.functions.Bloom.mix64Col(col("vec_id")))
+      .collect()
+    fps.foreach(r => assert(r.getLong(1) == graft.functions.Bloom.mix64(r.getLong(0))))
+    // on this bucket-clustered layout the id spans are near-total: a span
+    // prune would mark essentially every file affected — the bloom prune
+    // must name only the true holders plus fpp noise
+    val spanAffected = {
+      val m = Layout.zoneMap(sp, tmp, Seq("vec_id"))
+      m.filter(col("vec_id_min") <= 44L && col("vec_id_max") >= 5L).count()
+    }
+    val tombIds = Seq(5L, 13L, 21L, 33L, 44L)
+    val bloomAffected = Layout.bloomPrunedFiles(sp, tmp, "vec_id", tombIds).length
+    assert(spanAffected >= 24, s"span prune must be useless here: $spanAffected of 32")
+    assert(bloomAffected <= 10, s"bloom prune must be tight: $bloomAffected of 32")
+    // the delete itself: bounded rewrite, exact survivors, no false negatives
+    val (total, rewritten, deleted) =
+      AnnSearch.deleteVectorsById(sp, tmp, "vec_id", tombIds.toDF("vec_id"))
+    assert(total == 32 && deleted == 5L && rewritten == bloomAffected)
+    val live = LayoutManifest.readData(sp, tmp)
+    assert(live.filter(col("vec_id").isin(tombIds: _*)).count() == 0)
+    assert(live.count() == embs.count() - 5)
+    // the sidecar was maintained for the NEW version: a second bare-id
+    // delete works without a rebuild, and probing a deleted id misses
+    val (_, rw2, d2) =
+      AnnSearch.deleteVectorsById(sp, tmp, "vec_id", Seq(60L).toDF("vec_id"))
+    assert(d2 == 1L && rw2 >= 1)
+    assert(LayoutManifest.readData(sp, tmp).count() == embs.count() - 6)
+    // deleting an absent id is a metadata-or-fpp-only touch, never data loss
+    val before = LayoutManifest.readData(sp, tmp).count()
+    val (_, _, d3) = AnnSearch.deleteVectorsById(sp, tmp, "vec_id",
+      Seq(99999999L).toDF("vec_id"))
+    assert(d3 == 0L && LayoutManifest.readData(sp, tmp).count() == before)
+  }
+
   test("rebuild-and-cutover: 10x growth under clustered maintenance, re-dial restores occupancy, search parity holds") {
     import graft.sources.LayoutManifest
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
