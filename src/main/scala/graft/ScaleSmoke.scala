@@ -713,6 +713,8 @@ object ScaleSmoke {
       "CONTRAST ann search, full in-memory index scan",
       "ann batch probe read (8 queries, union-pruned, GroupTopK)",
       "ann targeted forget (5 vectors, bucket-membership prune)",
+      "ann bloom sidecar build (one agg pass over ids)",
+      "ann targeted forget by bare ids (bloom-membership prune)",
       "ann rebuild-and-cutover (re-dial to occupancy 16, one manifest swap)",
       "ann recompaction gate decision (manifest-only, no-op path)")
     if (only.forall(o => annNames.exists(_.contains(o)))) {
@@ -759,11 +761,26 @@ object ScaleSmoke {
         "vec_id", tomb, annPlanes, knownManifest = Some(annManifest))
       d
     }
+    // the bare-id forget path: sidecar build is the one-linear-pass
+    // index-build cost (paid once, maintained incrementally after); the
+    // forget itself must stay FLAT like the embedding-keyed row above —
+    // bloom membership bounds the rewrite by tombstone count, not corpus
+    time("ann bloom sidecar build (one agg pass over ids)") {
+      val (w, _) = graft.sources.Layout.writeBloomSidecar(spark, annDir, "vec_id")
+      w.toLong
+    }
+    time("ann targeted forget by bare ids (bloom-membership prune)") {
+      val tomb = emb0.filter(col("vec_id") >= 5 && col("vec_id") < 10)
+        .select((col("vec_id") * mult).as("vec_id"))
+      val (_, _, d) = graft.operators.AnnSearch.deleteVectorsById(
+        spark, annDir, "vec_id", tomb)
+      d
+    }
     // rebuild-and-cutover: re-bucket the LIVE rows at a denser dial and
     // swap in one manifest commit — cost class is one clustered write
     // (read + range exchange + write + stats pass), which is the point:
     // the cutover itself adds one manifest rename, nothing corpus-scale.
-    // Runs after the forget (it rebuilds whatever survived).
+    // Runs after the forgets (it rebuilds whatever survived).
     time("ann rebuild-and-cutover (re-dial to occupancy 16, one manifest swap)") {
       graft.operators.AnnSearch.rebuildClusteredAuto(spark, annDir,
         "embedding", dim = 64, targetOccupancy = 16,
