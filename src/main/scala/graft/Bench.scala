@@ -50,8 +50,23 @@ object Bench {
       s""""cpu_quota_cores":$cpuQuota,"available_processors":$procs}"""
   }
 
+  /** (steal, total) jiffies from /proc/stat's aggregate cpu line — the
+    * round-8 forensics showed `load_avg` box stamps cannot see hypervisor
+    * steal (a same-commit pair read 20% apart under an invisible steal
+    * window); the delta across the run makes the artifact self-documenting.
+    */
+  private def cpuJiffies(): Option[(Long, Long)] =
+    try {
+      val src = scala.io.Source.fromFile("/proc/stat")
+      try src.getLines().find(_.startsWith("cpu ")).map { l =>
+        val f = l.trim.split("\\s+").drop(1).map(_.toLong)
+        (if (f.length > 7) f(7) else 0L, f.sum)
+      } finally src.close()
+    } catch { case _: Throwable => None }
+
   def main(args: Array[String]): Unit = {
     val boxStart = boxConditions()
+    val jiffiesStart = cpuJiffies()
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
       math.max(4, Runtime.getRuntime.availableProcessors()).toString)
@@ -129,12 +144,17 @@ object Bench {
       .mkString("{", ",", "}")
     val detailPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_DETAIL", "BENCH_DETAIL.json")
     val boxEnd = boxConditions()
-    val detail = s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir","ok":${okNames.size},"failed":${failed.size},"failed_queries":$failedArr,"n_reps":$Reps,"queries":$qs,"reps":$reps,"load_sensitive":$loadSensitiveJson,"box_start":$boxStart,"box_end":$boxEnd}"""
+    // hypervisor-steal fraction across the whole run (-1 when unreadable):
+    // the one environment number load_avg cannot show (round-8 lesson)
+    val stealPct = (for {
+      (s0, t0) <- jiffiesStart; (s1, t1) <- cpuJiffies(); if t1 > t0
+    } yield 100.0 * (s1 - s0) / (t1 - t0)).getOrElse(-1.0)
+    val detail = s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir","ok":${okNames.size},"failed":${failed.size},"failed_queries":$failedArr,"n_reps":$Reps,"queries":$qs,"reps":$reps,"load_sensitive":$loadSensitiveJson,"steal_pct":$stealPct,"box_start":$boxStart,"box_end":$boxEnd}"""
     java.nio.file.Files.write(java.nio.file.Paths.get(detailPath),
       detail.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     // Compact summary (~300 chars) as the FINAL stdout line — must fit any
     // tail window. The driver parses this; humans read the detail file.
-    println(s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir","ok":${okNames.size},"failed":${failed.size},"detail":"$detailPath","box_start":$boxStart,"box_end":$boxEnd}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir","ok":${okNames.size},"failed":${failed.size},"detail":"$detailPath","steal_pct":$stealPct,"box_start":$boxStart,"box_end":$boxEnd}""")
     spark.stop()
   }
 }

@@ -1,7 +1,7 @@
 package graft.functions
 
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
-import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.expressions.Aggregator
 import org.apache.spark.sql.types._
@@ -66,6 +66,22 @@ object Bloom {
       i += 1
     }
     true
+  }
+
+  /** `∃ fp ∈ fps: mightContain(words, fp, k)` — the per-ROW filter probe
+    * kernel: a sidecar row carries its file's word array, the (small)
+    * tombstone fingerprint set rides along as a task reference object, and
+    * the whole membership test runs where the sidecar rows live
+    * ([[BloomAnyMightContainExpr]]) instead of collecting MB-scale word
+    * arrays to the driver.
+    */
+  def anyMightContain(words: Array[Long], fps: Array[Long], k: Int): Boolean = {
+    var i = 0
+    while (i < fps.length) {
+      if (mightContain(words, fps(i), k)) return true
+      i += 1
+    }
+    false
   }
 
   /** splitmix64 finalizer: turns a structured 64-bit value (sequential ids,
@@ -145,6 +161,45 @@ case class BloomMightContainExpr(child: Expression, words: Array[Long], numHashe
     copy(child = newChild)
 
   override def prettyName: String = "graft_bloom_might_contain"
+}
+
+/** `any(fp IN bloom for fp in fps)` where the BLOOM is the per-row value
+  * (ARRAY<BIGINT> words + INT k from a sidecar row) and `fps` is a small
+  * fixed fingerprint set shipped once per task as a reference object — the
+  * mirror image of [[BloomMightContainExpr]], built for the sidecar probe:
+  * filters file rows distributed, so only matching file NAMES ever reach
+  * the driver. False ⇒ no fp can be in the file; true ⇒ rewrite verifies.
+  */
+case class BloomAnyMightContainExpr(wordsExpr: Expression, kExpr: Expression,
+    fps: Array[Long]) extends BinaryExpression {
+
+  override def left: Expression = wordsExpr
+  override def right: Expression = kExpr
+  override def dataType: DataType = BooleanType
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (wordsExpr.dataType, kExpr.dataType) match {
+      case (ArrayType(LongType, _), IntegerType) => TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"bloom_any_might_contain requires (ARRAY<BIGINT>, INT), got $other")
+    }
+
+  override def nullSafeEval(words: Any, k: Any): Any =
+    Bloom.anyMightContain(
+      words.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData].toLongArray(),
+      fps, k.asInstanceOf[Int])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("bloomFps", fps, "long[]")
+    defineCodeGen(ctx, ev, (w, k) =>
+      s"graft.functions.Bloom.anyMightContain($w.toLongArray(), $ref, $k)")
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(wordsExpr = newLeft, kExpr = newRight)
+
+  override def prettyName: String = "graft_bloom_any_might_contain"
 }
 
 /** Distributed Bloom build: fold fingerprints into the word array per

@@ -112,13 +112,23 @@ object Layout {
     * means one partial row per (task x file) crosses the exchange.
     */
   def zoneMap(spark: SparkSession, path: String, statCols: Seq[String]): DataFrame = {
-    val df = spark.read.parquet(path)
-    df.select(col("_metadata.file_path").as("file") +: statCols.map(col): _*)
-      .groupBy("file")
-      .agg(min(col(statCols.head)).as(s"${statCols.head}_min"),
-           max(col(statCols.head)).as(s"${statCols.head}_max") +:
-           statCols.tail.flatMap(c =>
-             Seq(min(col(c)).as(s"${c}_min"), max(col(c)).as(s"${c}_max"))): _*)
+    // Footer fast path (round-9): identical spans straight from parquet
+    // metadata when every stat column is a plain int — no scan job. The
+    // scan aggregation remains the exact fallback for partitioned layouts
+    // and non-integer columns (see LayoutManifest.entriesFor).
+    LayoutManifest.footerEntries(spark, Seq(path), statCols) match {
+      case Some(entries) if entries.forall(e => statCols.forall(e.stats.contains)) =>
+        LayoutManifest.statsDf(spark, path, LayoutManifest.Manifest(
+          -1L, Map.empty, entries), statCols)
+      case _ =>
+        val df = spark.read.parquet(path)
+        df.select(col("_metadata.file_path").as("file") +: statCols.map(col): _*)
+          .groupBy("file")
+          .agg(min(col(statCols.head)).as(s"${statCols.head}_min"),
+               max(col(statCols.head)).as(s"${statCols.head}_max") +:
+               statCols.tail.flatMap(c =>
+                 Seq(min(col(c)).as(s"${c}_min"), max(col(c)).as(s"${c}_max"))): _*)
+    }
   }
 
   /** Planning-time file pruning: keep only files whose [min, max] span
@@ -221,11 +231,27 @@ object Layout {
     val g = manifest.agg(min(lo).as("glo"), max(hi).as("ghi"),
       count(lit(1)).as("n_files"))
     val spans = manifest.select(col("file"), lo.as("lo"), hi.as("hi"))
-    val overlaps = spans.alias("a")
-      .join(spans.alias("b"),
-        col("a.file") < col("b.file") &&
-          col("a.lo") <= col("b.hi") && col("b.lo") <= col("a.hi"))
-      .agg(count(lit(1)).as("overlap_pairs"))
+    // Overlap-pair COUNT via an endpoint sweep instead of the former
+    // O(F²) theta self-join (BNLJ): sort the 2F interval endpoints (starts
+    // before ends at equal coordinate — spans are closed, touching counts),
+    // and at every start event add the number of currently-open intervals
+    // (= starts so far − ends so far, both over STRICTLY PRECEDING events).
+    // Each unordered overlapping pair is counted exactly once, at the
+    // later interval's start. O(F log F) — manifest-scale even at the
+    // 100k-file extrapolation where the join form was ~5·10⁹ pair tests.
+    // NULL spans never joined under the old form (NULL comparisons are
+    // false); the sweep drops them identically.
+    val ev = spans.filter(col("lo").isNotNull && col("hi").isNotNull)
+      .select(col("lo").as("x"), lit(0).as("t"))
+      .unionAll(spans.filter(col("lo").isNotNull && col("hi").isNotNull)
+        .select(col("hi").as("x"), lit(1).as("t")))
+    val w = org.apache.spark.sql.expressions.Window.orderBy(col("x"), col("t"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    val overlaps = ev
+      .withColumn("open",
+        coalesce(sum(when(col("t") === 0, 1L).otherwise(-1L)).over(w), lit(0L)))
+      .filter(col("t") === 0)
+      .agg(coalesce(sum(col("open")), lit(0L)).as("overlap_pairs"))
     spans.crossJoin(broadcast(g))
       .select(col("n_files"),
         when(col("ghi") > col("glo"),
@@ -346,8 +372,11 @@ object Layout {
     val affectedNames = affected
       .map(f => new Path(new java.net.URI(f).getPath).getName).toSet
 
+    // the manifest already carries exact per-file row counts — summing the
+    // affected entries replaces what used to be a full COUNT read of the
+    // affected files (one whole scan job per delete, round-9 optimization)
+    val nBefore = snapshot.files.filter(e => affectedNames(e.name)).map(_.rows).sum
     val before = spark.read.parquet(affected.toIndexedSeq: _*)
-    val nBefore = before.count()
     val kept = before.join(
       broadcast(tombstones.select(tombstones(tsCol).cast("long").as(idCol)).distinct()),
       Seq(idCol), "left_anti")
@@ -604,87 +633,92 @@ object Layout {
     val m = LayoutManifest.current(spark, path).getOrElse(
       throw new IllegalStateException(
         s"bloom sidecar needs a committed layout at $path — run commitLayout first"))
-    val maxRows = math.max(1L, m.files.map(_.rows).max)
-    val (numWords, k) = graft.functions.Bloom.dims(maxRows, fpp)
-    val bits = bloomsFor(spark,
-      m.files.map(e => LayoutManifest.dataPath(path, e.name)), colName,
-      numWords, k)
-    writeSidecarRows(spark, path, m.version, colName, k, bits)
-    (numWords, k)
+    writeSidecarDf(spark, path, m.version, colName,
+      bloomsDf(spark, path, m.files, colName, fpp), m.files.size)
+    graft.functions.Bloom.dims(math.max(1L, m.files.map(_.rows).max), fpp)
   }
 
-  /** The per-file bloom build pass shared by [[writeBloomSidecar]] and the
-    * incremental sidecar maintenance in [[deleteRowsBloom]]: one
-    * aggregation over `paths`, returning (bare file name → words).
+  /** The per-file bloom build shared by [[writeBloomSidecar]] and the
+    * incremental maintenance in [[deleteRowsBloom]] — fully DISTRIBUTED
+    * (round-9: the former implementation collected one words-array row per
+    * file to the driver and wrote the sidecar via `parallelize(rows, 1)`,
+    * ~120 GB of driver traffic at the 100k-file/100 TB target): the
+    * `groupBy(file)` bloom aggregation flows STRAIGHT into the sidecar
+    * parquet write; no word array ever crosses to the driver.
+    *
+    * Files are banded by power-of-two row count and each band sized at its
+    * own `Bloom.dims(bandMaxRows, fpp)` — one aggregation branch per band
+    * unioned into one job — so a small file no longer pays the largest
+    * file's filter width (the former uniform-max sizing). The sidecar rows
+    * carry `k` per file, so heterogeneous dims probe correctly.
     */
-  private def bloomsFor(spark: SparkSession, paths: Seq[String],
-      colName: String, numWords: Int, k: Int): Seq[(String, Array[Long])] = {
-    if (paths.isEmpty) return Seq.empty
+  private def bloomsDf(spark: SparkSession, path: String,
+      entries: Seq[LayoutManifest.FileEntry], colName: String,
+      fpp: Double): DataFrame = {
+    require(entries.nonEmpty, s"bloom sidecar build over zero files at $path")
     implicit val enc: org.apache.spark.sql.Encoder[Long] =
       org.apache.spark.sql.Encoders.scalaLong
-    val agg = org.apache.spark.sql.functions.udaf(
-      new graft.functions.BloomBitsAgg(numWords, k))
-    spark.read.parquet(paths: _*)
-      .select(col("_metadata.file_path").as("__file"),
-        graft.functions.Bloom.mix64Col(col(colName)).as("__fp"))
-      .groupBy("__file")
-      .agg(agg(col("__fp")).as("words"))
-      .collect().toSeq
-      .map(r => (new org.apache.hadoop.fs.Path(
-        new java.net.URI(r.getString(0)).getPath).getName,
-        r.getSeq[Long](1).toArray))
+    val bands = entries.groupBy(e =>
+      java.lang.Long.highestOneBit(math.max(1L, e.rows))).toSeq.sortBy(_._1)
+    bands.map { case (_, es) =>
+      val (numWords, k) = graft.functions.Bloom.dims(
+        math.max(1L, es.map(_.rows).max), fpp)
+      val agg = org.apache.spark.sql.functions.udaf(
+        new graft.functions.BloomBitsAgg(numWords, k))
+      spark.read.parquet(es.map(e => LayoutManifest.dataPath(path, e.name)): _*)
+        .select(col("_metadata.file_path").as("__file"),
+          graft.functions.Bloom.mix64Col(col(colName)).as("__fp"))
+        .groupBy("__file")
+        .agg(agg(col("__fp")).as("words"))
+        .select(substring_index(col("__file"), "/", -1).as("file"),
+          lit(k).as("k"), col("words"))
+    }.reduce(_ unionAll _)
   }
 
   private def sidecarPath(path: String, version: Long, colName: String): String =
     s"$path/${LayoutManifest.SubDir}/bloom-$version-$colName.parquet"
 
-  private def writeSidecarRows(spark: SparkSession, path: String,
-      version: Long, colName: String, k: Int,
-      bits: Seq[(String, Array[Long])]): Unit = {
-    val rows = bits.map { case (name, words) =>
-      org.apache.spark.sql.Row(name, k, words.toSeq)
-    }
-    val schema = org.apache.spark.sql.types.StructType(Seq(
-      org.apache.spark.sql.types.StructField("file",
-        org.apache.spark.sql.types.StringType, nullable = false),
-      org.apache.spark.sql.types.StructField("k",
-        org.apache.spark.sql.types.IntegerType, nullable = false),
-      org.apache.spark.sql.types.StructField("words",
-        org.apache.spark.sql.types.ArrayType(
-          org.apache.spark.sql.types.LongType), nullable = false)))
-    spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), schema)
-      .coalesce(1).write.mode("overwrite")
-      .parquet(sidecarPath(path, version, colName))
-  }
+  /** One distributed write of the sidecar rows — coalesced toward ~2k file
+    * rows per output part so the sidecar stays a handful of files without
+    * funnelling all words through one task at 100k-file scale.
+    */
+  private def writeSidecarDf(spark: SparkSession, path: String, version: Long,
+      colName: String, rows: DataFrame, nFiles: Int): Unit =
+    rows.coalesce(math.max(1, (nFiles + 2047) / 2048))
+      .write.mode("overwrite").parquet(sidecarPath(path, version, colName))
 
-  private def readSidecar(spark: SparkSession, path: String, version: Long,
-      colName: String): Option[Seq[(String, Int, Array[Long])]] = {
+  private def readSidecarDf(spark: SparkSession, path: String, version: Long,
+      colName: String): Option[DataFrame] = {
     val p = sidecarPath(path, version, colName)
     val fs = org.apache.hadoop.fs.FileSystem.get(
       new java.net.URI(path), spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(new org.apache.hadoop.fs.Path(p))) None
-    else Some(spark.read.parquet(p).collect().toSeq
-      .map(r => (r.getString(0), r.getInt(1), r.getSeq[Long](2).toArray)))
+    else Some(spark.read.parquet(p))
   }
 
   /** Files that MIGHT contain at least one of `values` in `colName`, per
-    * the current version's bloom sidecar — driver-side over the collected
-    * sidecar rows, no scan; no false negatives.
+    * the current version's bloom sidecar — no false negatives. The
+    * membership test runs DISTRIBUTED over the sidecar rows (the tombstone
+    * fingerprints ship as a task reference object into the codegen'd
+    * [[graft.functions.BloomAnyMightContainExpr]]); only the matching file
+    * NAMES come back — bounded like every other prune in this file, where
+    * the former implementation collected every word array to the driver.
     */
   def bloomPrunedFiles(spark: SparkSession, path: String, colName: String,
       values: Seq[Long]): Array[String] = {
     val m = LayoutManifest.current(spark, path).getOrElse(
       throw new IllegalStateException(s"no committed manifest at $path"))
-    val side = readSidecar(spark, path, m.version, colName).getOrElse(
+    val side = readSidecarDf(spark, path, m.version, colName).getOrElse(
       throw new IllegalStateException(
         s"no bloom sidecar for v${m.version}/$colName at $path — run " +
           "writeBloomSidecar after the last commit"))
-    val fps = values.map(graft.functions.Bloom.mix64)
-    side.collect {
-      case (name, k, words)
-        if fps.exists(graft.functions.Bloom.mightContain(words, _, k)) =>
-        LayoutManifest.dataPath(path, name)
-    }.toArray
+    val fps = values.distinct.map(graft.functions.Bloom.mix64).toArray
+    val hit = org.apache.spark.sql.graft.Bridge.column(
+      graft.functions.BloomAnyMightContainExpr(
+        org.apache.spark.sql.graft.Bridge.expression(col("words")),
+        org.apache.spark.sql.graft.Bridge.expression(col("k")), fps))
+    side.filter(hit).select("file").collect()
+      .map(r => LayoutManifest.dataPath(path, r.getString(0)))
   }
 
   /** Targeted deletion by BARE IDS on a layout where id spans cannot prune
@@ -705,21 +739,26 @@ object Layout {
     val result = rewriteWithout(spark, path, snapshot, affected, idCol, tombstones)
     if (affected.nonEmpty) {
       // maintain the sidecar at the NEW version: re-bloom only the
-      // rewritten files; every untouched file keeps its existing row
+      // rewritten files; every untouched file's row carries over WITHOUT
+      // its words ever visiting the driver (round-9: only file NAMES are
+      // compared driver-side — manifest-scale — and the kept rows flow
+      // parquet→parquet while the fresh files' blooms come from one
+      // banded aggregation, each file sized to its own row count)
       val m2 = LayoutManifest.current(spark, path).get
-      val old = readSidecar(spark, path, snapshot.version, idCol).get
+      val old = readSidecarDf(spark, path, snapshot.version, idCol).get
       val affectedNames = affected.map(f => new org.apache.hadoop.fs.Path(
         new java.net.URI(f).getPath).getName).toSet
-    val kept = old.filter { case (n, _, _) =>
-        !affectedNames(n) && m2.fileNames.contains(n) }
-      val newNames = m2.fileNames.diff(kept.map(_._1).toSet)
-      val k = old.headOption.map(_._2).getOrElse(1)
-      val numWords = old.headOption.map(_._3.length).getOrElse(1)
-      val fresh = bloomsFor(spark,
-        newNames.toSeq.sorted.map(LayoutManifest.dataPath(path, _)), idCol,
-        numWords, k)
-      writeSidecarRows(spark, path, m2.version, idCol, k,
-        kept.map(t => (t._1, t._3)) ++ fresh)
+      // the sidecar at snapshot.version covers exactly snapshot.fileNames
+      // (bloomPrunedFiles already threw if versions diverged), so the
+      // kept/dropped split is manifest arithmetic — no job to list it
+      val keptNames = snapshot.fileNames.intersect(m2.fileNames) -- affectedNames
+      val dropNames = (snapshot.fileNames -- keptNames).toSeq.sorted // small
+      val newEntries = m2.files.filterNot(e => keptNames(e.name))
+      val kept = old.filter(!col("file").isin(dropNames: _*))
+      val merged =
+        if (newEntries.isEmpty) kept
+        else kept.unionByName(bloomsDf(spark, path, newEntries, idCol, fpp = 0.01))
+      writeSidecarDf(spark, path, m2.version, idCol, merged, m2.files.size)
     }
     result
   }

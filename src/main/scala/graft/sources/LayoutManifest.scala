@@ -4,6 +4,8 @@ import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
+import scala.jdk.CollectionConverters._
+
 /** Versioned manifest commit protocol for the layout tier — the crash-safe
   * replacement for delete-then-rename swaps.
   *
@@ -211,29 +213,154 @@ object LayoutManifest {
   /** File entries (name, rows, stats) for the parquet files under `paths` —
     * the stats pass shared by [[bootstrap]] and the rewrite commit (which
     * runs it over just the NEW files).
+    *
+    * Fast path (round-9 optimization): parquet FOOTERS already carry exact
+    * row counts and per-chunk min/max for plain integer columns, so when
+    * every requested stat column is an unannotated INT32/INT64 with
+    * statistics present in every chunk, the entries come from a
+    * metadata-only footer read — no scan job is scheduled at all. This is
+    * the Iceberg move (manifests from writer metadata): at 100 TB it turns
+    * every commit's stats pass from a full-table read into file-count
+    * work. Any deviation — partitioned directory layout, non-integer or
+    * logically-annotated types (timestamps!), a chunk without statistics —
+    * falls back to the exact scan aggregation, so the produced spans are
+    * identical either way (footer int stats are exact, never truncated).
     */
   def entriesFor(spark: SparkSession, paths: Seq[String],
       statCols: Seq[String]): Seq[FileEntry] = {
     if (paths.isEmpty) return Seq.empty
-    val df = spark.read.parquet(paths: _*)
-    val present = statCols.filter(df.columns.contains)
-    val aggs = count(lit(1)).as("__rows") +:
-      present.flatMap(c => Seq(
-        min(col(c)).cast("long").as(s"${c}__min"),
-        max(col(c)).cast("long").as(s"${c}__max")))
-    df.select(col("_metadata.file_path").as("__file") +: present.map(col): _*)
-      .groupBy("__file")
-      .agg(aggs.head, aggs.tail: _*)
-      .collect().toSeq
-      .map { r =>
-        val name = new Path(new java.net.URI(r.getString(0)).getPath).getName
-        val stats = present.flatMap { c =>
-          val iLo = r.fieldIndex(s"${c}__min"); val iHi = r.fieldIndex(s"${c}__max")
-          if (r.isNullAt(iLo) || r.isNullAt(iHi)) None
-          else Some(c -> (r.getLong(iLo), r.getLong(iHi)))
-        }.toMap
-        FileEntry(name, r.getAs[Long]("__rows"), stats)
-      }.sortBy(_.name)
+    footerEntries(spark, paths, statCols).getOrElse {
+      val df = spark.read.parquet(paths: _*)
+      val present = statCols.filter(df.columns.contains)
+      val aggs = count(lit(1)).as("__rows") +:
+        present.flatMap(c => Seq(
+          min(col(c)).cast("long").as(s"${c}__min"),
+          max(col(c)).cast("long").as(s"${c}__max")))
+      df.select(col("_metadata.file_path").as("__file") +: present.map(col): _*)
+        .groupBy("__file")
+        .agg(aggs.head, aggs.tail: _*)
+        .collect().toSeq
+        .map { r =>
+          val name = new Path(new java.net.URI(r.getString(0)).getPath).getName
+          val stats = present.flatMap { c =>
+            val iLo = r.fieldIndex(s"${c}__min"); val iHi = r.fieldIndex(s"${c}__max")
+            if (r.isNullAt(iLo) || r.isNullAt(iHi)) None
+            else Some(c -> (r.getLong(iLo), r.getLong(iHi)))
+          }.toMap
+          FileEntry(name, r.getAs[Long]("__rows"), stats)
+        }.sortBy(_.name)
+    }
+  }
+
+  /** The concrete .parquet files under `paths` when every path is a flat
+    * file or flat directory — None when any directory nests subdirectories
+    * (hive-partitioned layout: partition-value columns live in dir names,
+    * not footers, so the scan path must handle it).
+    */
+  private def flatParquetFiles(f: FileSystem, paths: Seq[String]): Option[Seq[Path]] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[Path]
+    paths.foreach { p =>
+      val st = try f.getFileStatus(new Path(p)) catch {
+        case _: java.io.FileNotFoundException => return None
+      }
+      if (st.isFile) out += st.getPath
+      else {
+        val children = f.listStatus(st.getPath)
+        if (children.exists(c => c.isDirectory && !c.getPath.getName.startsWith("_")
+            && !c.getPath.getName.startsWith("."))) return None
+        out ++= children.filter(c => c.isFile &&
+          c.getPath.getName.endsWith(".parquet")).map(_.getPath)
+      }
+    }
+    Some(out.toSeq)
+  }
+
+  /** Footer-only [[entriesFor]] — Some(entries) when the fast path is
+    * valid for every file and every requested column, None to fall back.
+    */
+  private[sources] def footerEntries(spark: SparkSession, paths: Seq[String],
+      statCols: Seq[String]): Option[Seq[FileEntry]] = {
+    val f = fs(spark, paths.head)
+    val files = flatParquetFiles(f, paths).getOrElse(return None)
+    if (files.isEmpty) return None
+    val conf = spark.sparkContext.hadoopConfiguration
+    // footer reads are metadata-scale (KBs per file) but latency-bound;
+    // a driver-side pool covers the 100k-file case in seconds — the same
+    // cost class as the file listing the planner already does
+    val entries = new java.util.concurrent.ConcurrentHashMap[String, FileEntry]()
+    val failed = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(
+      math.min(32, math.max(1, files.size)))
+    try {
+      val tasks = files.map { p =>
+        pool.submit(new Runnable {
+          override def run(): Unit = {
+            if (failed.get()) return
+            footerEntry(conf, p, statCols) match {
+              case Some(e) => entries.put(e.name, e)
+              case None    => failed.set(true)
+            }
+          }
+        })
+      }
+      tasks.foreach(_.get())
+    } finally pool.shutdown()
+    if (failed.get()) None
+    else Some(entries.values.asScala.toSeq
+      .filter(_.rows > 0) // the scan path groups by file: 0-row files vanish
+      .sortBy(_.name))
+  }
+
+  private def footerEntry(conf: org.apache.hadoop.conf.Configuration,
+      p: Path, statCols: Seq[String]): Option[FileEntry] = {
+    import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName
+    val reader = org.apache.parquet.hadoop.ParquetFileReader.open(
+      org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(p, conf))
+    try {
+      val footer = reader.getFooter
+      val schema = footer.getFileMetaData.getSchema
+      val blocks = footer.getBlocks.asScala.toSeq
+      val rows = blocks.map(_.getRowCount).sum
+      val stats = scala.collection.mutable.Map.empty[String, (Long, Long)]
+      statCols.distinct.foreach { c =>
+        if (schema.containsField(c)) {
+          val t = schema.getType(Seq(c): _*)
+          if (!t.isPrimitive) return None
+          val pt = t.asPrimitiveType()
+          val ok = (pt.getPrimitiveTypeName == PrimitiveTypeName.INT32 ||
+            pt.getPrimitiveTypeName == PrimitiveTypeName.INT64) &&
+            (pt.getLogicalTypeAnnotation == null || (pt.getLogicalTypeAnnotation match {
+              case i: org.apache.parquet.schema.LogicalTypeAnnotation.IntLogicalTypeAnnotation =>
+                i.isSigned // unsigned ints reinterpret; timestamps/decimals never qualify
+              case _ => false
+            }))
+          if (!ok) return None
+          var lo = Long.MaxValue; var hi = Long.MinValue; var any = false
+          blocks.foreach { b =>
+            val cc = b.getColumns.asScala.find(_.getPath.toDotString == c)
+              .getOrElse(return None)
+            val st = cc.getStatistics
+            if (st == null || !st.isNumNullsSet) return None
+            if (st.hasNonNullValue) {
+              val (l, h) = st.genericGetMin match {
+                case i: java.lang.Integer =>
+                  (i.longValue(), st.genericGetMax.asInstanceOf[java.lang.Integer].longValue())
+                case l: java.lang.Long =>
+                  (l.longValue(), st.genericGetMax.asInstanceOf[java.lang.Long].longValue())
+                case _ => return None
+              }
+              if (l < lo) lo = l
+              if (h > hi) hi = h
+              any = true
+            } else if (st.getNumNulls != b.getRowCount) return None // stats unreliable
+          }
+          if (any) stats(c) = (lo, hi)
+          // all-null column: scan path yields NULL min/max -> no stats entry
+        }
+        // column absent from the (flat) schema: scan path skips it too
+      }
+      Some(FileEntry(p.getName, rows, stats.toMap))
+    } finally reader.close()
   }
 
   /** Absolute path of a manifest-listed data file. */

@@ -541,4 +541,141 @@ class LayoutSpec extends SparkSpec {
     val (nf3, avg3, max3, _) = stats(flat)
     assert(nf3 == 2 && avg3 == 0.0 && max3 == 0.0)
   }
+
+  test("manifestStats sweep: overlap count equals the pairwise join form on scattered/clustered/mixed/null manifests") {
+    // the O(F log F) endpoint sweep replaced the O(F²) theta self-join
+    // (round-9); this pins count equality against a brute-force pair count
+    // on adversarial span sets: duplicates, touching endpoints, containment
+    // nesting, point spans, NULL spans
+    val sp = spark
+    val cases: Seq[Seq[(Any, Any)]] = Seq(
+      // clustered: disjoint
+      Seq((0L, 9L), (10L, 19L), (20L, 29L), (30L, 39L)),
+      // scattered: all overlap
+      Seq((0L, 100L), (1L, 99L), (2L, 98L), (3L, 97L)),
+      // mixed: touching endpoints count (closed spans), nesting, duplicates
+      Seq((0L, 10L), (10L, 20L), (21L, 30L), (5L, 7L), (5L, 7L), (7L, 7L),
+        (25L, 40L), (41L, 41L)),
+      // null spans never pair
+      Seq((0L, 5L), (null, null), (3L, 8L), (null, null)),
+      // single file / empty-range
+      Seq((4L, 4L)))
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("file",
+        org.apache.spark.sql.types.StringType, nullable = false),
+      org.apache.spark.sql.types.StructField("k_min",
+        org.apache.spark.sql.types.LongType, nullable = true),
+      org.apache.spark.sql.types.StructField("k_max",
+        org.apache.spark.sql.types.LongType, nullable = true)))
+    cases.zipWithIndex.foreach { case (spans, ci) =>
+      val rows = spans.zipWithIndex.map { case ((lo, hi), i) =>
+        org.apache.spark.sql.Row(f"f$i%03d", lo, hi)
+      }
+      val m = sp.createDataFrame(sp.sparkContext.parallelize(rows, 1), schema)
+      val got = Layout.manifestStats(m, "k").head().getLong(3)
+      val defined = spans.zipWithIndex.collect {
+        case ((lo: Long, hi: Long), i) => (i, lo, hi)
+      }
+      val want = (for {
+        (i, alo, ahi) <- defined; (j, blo, bhi) <- defined
+        if i < j && alo <= bhi && blo <= ahi
+      } yield 1).size.toLong
+      assert(got == want, s"case $ci: sweep=$got join=$want spans=$spans")
+    }
+    // randomized cross-check: 200 spans, brute force vs sweep
+    val rnd = new scala.util.Random(42)
+    val rspans = Seq.fill(200) {
+      val lo = rnd.nextInt(1000).toLong; (lo, lo + rnd.nextInt(200).toLong)
+    }
+    val rrows = rspans.zipWithIndex.map { case ((lo, hi), i) =>
+      org.apache.spark.sql.Row(f"f$i%03d", lo, hi) }
+    val rm = sp.createDataFrame(sp.sparkContext.parallelize(rrows, 1), schema)
+    val rgot = Layout.manifestStats(rm, "k").head().getLong(3)
+    val rwant = (for {
+      ((alo, ahi), i) <- rspans.zipWithIndex; ((blo, bhi), j) <- rspans.zipWithIndex
+      if i < j && alo <= bhi && blo <= ahi
+    } yield 1).size.toLong
+    assert(rgot == rwant, s"random: sweep=$rgot brute=$rwant")
+  }
+
+  test("footer-based manifest entries: rows and int spans equal the scan aggregation; non-int columns fall back correctly") {
+    import graft.sources.LayoutManifest
+    val sp = spark
+    val docs = graft.sources.Testdata.table(sp, "/root/testdata/sf0.001", "documents")
+    val dir = tmp("footer_entries")
+    docs.repartitionByRange(4, col("doc_id")).sortWithinPartitions("doc_id")
+      .write.mode("overwrite").parquet(dir)
+    // footer fast path (doc_id and n_chars are plain ints) vs a direct agg
+    val entries = LayoutManifest.entriesFor(sp, Seq(dir), Seq("doc_id", "n_chars"))
+    val want = sp.read.parquet(dir)
+      .select(col("_metadata.file_path").as("f"), col("doc_id"), col("n_chars"))
+      .groupBy("f")
+      .agg(count(lit(1)).as("rows"),
+        min("doc_id").as("dlo"), max("doc_id").as("dhi"),
+        min("n_chars").cast("long").as("clo"), max("n_chars").cast("long").as("chi"))
+      .collect().map { r =>
+        val name = new org.apache.hadoop.fs.Path(
+          new java.net.URI(r.getString(0)).getPath).getName
+        name -> ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))
+      }.toMap
+    assert(entries.size == want.size && entries.nonEmpty)
+    entries.foreach { e =>
+      val (rows, dlo, dhi, clo, chi) = want(e.name)
+      assert(e.rows == rows, s"${e.name}: rows")
+      assert(e.stats("doc_id") == ((dlo, dhi)), s"${e.name}: doc_id span")
+      assert(e.stats("n_chars") == ((clo, chi)), s"${e.name}: n_chars span")
+    }
+    // events.ts is a physical INT64 timestamp: the annotation must force
+    // the fallback so the span stays the SCAN semantics (epoch math), not
+    // raw nanos
+    val edir = tmp("footer_ts")
+    graft.sources.Testdata.events(sp, "/root/testdata/sf0.001")
+      .limit(1000).coalesce(1).write.mode("overwrite").parquet(edir)
+    val e3 = LayoutManifest.entriesFor(sp, Seq(edir), Seq("ts"))
+    val w3 = sp.read.parquet(edir)
+      .agg(min(col("ts")).cast("long"), max(col("ts")).cast("long")).head()
+    assert(e3.size == 1 && e3.head.stats("ts") == ((w3.getLong(0), w3.getLong(1))))
+  }
+
+  test("bloom sidecar: banded dims size small files below large ones; distributed probe has no false negatives") {
+    import graft.sources.{Layout, LayoutManifest}
+    val sp = spark
+    import testImplicits._
+    val dir = tmp("sidecar_bands")
+    // two deliberate size bands: one file of ~20k rows, four of ~100
+    val big = sp.range(0, 20000).select(col("id").as("vec_id"))
+    val small = sp.range(20000, 20400).select(col("id").as("vec_id"))
+    big.coalesce(1).write.mode("overwrite").parquet(dir)
+    small.repartitionByRange(4, col("vec_id")).write.mode("append").parquet(dir)
+    Layout.commitLayout(sp, dir, Seq("vec_id"))
+    Layout.writeBloomSidecar(sp, dir, "vec_id")
+    val m = LayoutManifest.current(sp, dir).get
+    val side = sp.read.parquet(
+      s"$dir/${LayoutManifest.SubDir}/bloom-${m.version}-vec_id.parquet")
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getSeq[Long](2).length))
+    assert(side.length == 5)
+    val lens = side.map(_._3).distinct
+    assert(lens.length >= 2, s"banded dims expected, got uniform $lens")
+    assert(side.map(_._3).max > side.map(_._3).min * 8,
+      "the 20k-row file's filter must be far wider than the 100-row files'")
+    // no false negatives across bands: every present id's file is named
+    Seq(5L, 19999L, 20001L, 20399L).foreach { id =>
+      val files = Layout.bloomPrunedFiles(sp, dir, "vec_id", Seq(id))
+      val holder = sp.read.parquet(files: _*)
+      assert(holder.filter(col("vec_id") === id).count() == 1, s"id=$id missed")
+    }
+    // expression kernel ≡ scala kernel on the sidecar rows
+    val fullSide = sp.read.parquet(
+      s"$dir/${LayoutManifest.SubDir}/bloom-${m.version}-vec_id.parquet")
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getSeq[Long](2).toArray))
+    val probeFps = Seq(5L, 424242L).map(graft.functions.Bloom.mix64).toArray
+    val gotNames = Layout.bloomPrunedFiles(sp, dir, "vec_id", Seq(5L, 424242L))
+      .map(f => new org.apache.hadoop.fs.Path(new java.net.URI(f).getPath).getName)
+      .toSet
+    val wantNames = fullSide.collect {
+      case (n, k, words)
+        if graft.functions.Bloom.anyMightContain(words, probeFps, k) => n
+    }.toSet
+    assert(gotNames == wantNames)
+  }
 }
