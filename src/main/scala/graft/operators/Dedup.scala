@@ -1180,21 +1180,100 @@ object Dedup {
       maxIters: Int = 50): DataFrame =
     connectedComponentsAutoRouted(ids, pairs, probeRounds, maxIters)._2
 
+  /** Edge cap for the driver union-find route: 4M (long, long) edges is
+    * ~64 MB collected — the broadcast-hash-relation cost class, and the
+    * same bounded-driver-sync family as the capped merge tables elsewhere
+    * in this file. Near-dup EDGE lists are the candidate-pair OUTPUT of a
+    * screen, orders of magnitude smaller than the corpus, so at 100 TB
+    * most real dedup graphs still take this route; past the cap the
+    * distributed propagation/stars pair is unchanged.
+    */
+  val DriverEdgeCap = 4000000L
+
   /** [[connectedComponentsAuto]] with the chosen route exposed for tests
-    * ("propagation" | "stars"). The propagation result is fully materialized
-    * by its own convergence actions, so a successful probe IS the answer —
-    * nothing is recomputed on the common path.
+    * ("driver" | "propagation" | "stars").
+    *
+    * Round-9 routing: the edge list is persisted and COUNTED first (one
+    * job that also pays the pair computation exactly once). At or below
+    * `driverEdgeCap` the component labels come from a driver union-find —
+    * exact on ANY graph shape, zero iterative rounds, and the label table
+    * re-attaches to the corpus as a BROADCAST join (no shuffle at all,
+    * where each propagation round was a join + groupBy + action). Above
+    * the cap, the bounded propagation probe runs and escalates to star
+    * rewriting exactly as before; its result is fully materialized by its
+    * own convergence actions, so a successful probe IS the answer.
     */
   def connectedComponentsAutoRouted(
       ids: DataFrame,
       pairs: DataFrame,
       probeRounds: Int = 8,
-      maxIters: Int = 50): (String, DataFrame) =
-    try ("propagation", connectedComponents(ids, pairs, maxIters = probeRounds))
-    catch {
-      case e: IllegalArgumentException if e.getMessage.contains("did not converge") =>
-        ("stars", connectedComponentsStars(ids, pairs, maxIters))
+      maxIters: Int = 50,
+      driverEdgeCap: Long = DriverEdgeCap): (String, DataFrame) = {
+    val p = pairs.select(col("id_a").cast("long").as("id_a"),
+      col("id_b").cast("long").as("id_b")).persist()
+    val nEdges = p.count()
+    if (nEdges <= driverEdgeCap) {
+      try ("driver", connectedComponentsDriver(ids, p))
+      finally p.unpersist()
+    } else {
+      try {
+        val out =
+          try ("propagation", connectedComponents(ids, p, maxIters = probeRounds))
+          catch {
+            case e: IllegalArgumentException if e.getMessage.contains("did not converge") =>
+              ("stars", connectedComponentsStars(ids, p, maxIters))
+          }
+        out
+      } finally p.unpersist() // labels are checkpointed; p is out of the lineage
     }
+  }
+
+  /** Driver union-find (path halving) over a bounded, already-materialized
+    * edge list: every node labeled with the min id of its component —
+    * bit-identical to the distributed fixpoint on any graph shape. The
+    * label table returns as a broadcast-joined local frame.
+    */
+  private def connectedComponentsDriver(ids: DataFrame, p: DataFrame): DataFrame = {
+    val parent = new java.util.HashMap[Long, Long]()
+    def find(x0: Long): Long = {
+      var x = x0
+      var px = parent.get(x)
+      while (px != x) {
+        val ppx = parent.get(px)
+        parent.put(x, ppx) // path halving
+        x = ppx
+        px = parent.get(x)
+      }
+      x
+    }
+    p.collect().foreach { r =>
+      val a = r.getLong(0); val b = r.getLong(1)
+      parent.putIfAbsent(a, a); parent.putIfAbsent(b, b)
+      val ra = find(a); val rb = find(b)
+      if (ra != rb) { if (ra < rb) parent.put(rb, ra) else parent.put(ra, rb) }
+    }
+    // min label per root, then one row per edge-incident node
+    val minOf = new java.util.HashMap[Long, Long]()
+    parent.keySet().forEach { n =>
+      val r = find(n)
+      val cur = minOf.getOrDefault(r, Long.MaxValue)
+      if (n < cur) minOf.put(r, n)
+    }
+    val spark = ids.sparkSession
+    val rows = new scala.collection.mutable.ArrayBuffer[org.apache.spark.sql.Row](parent.size())
+    parent.keySet().forEach(n => rows += org.apache.spark.sql.Row(n, minOf.get(find(n))))
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("id",
+        org.apache.spark.sql.types.LongType, nullable = false),
+      org.apache.spark.sql.types.StructField("comp",
+        org.apache.spark.sql.types.LongType, nullable = false)))
+    val labels = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows.toSeq, 1), schema)
+    ids.select(col("id"))
+      .join(broadcast(labels), Seq("id"), "left")
+      .select(col("id"), coalesce(col("comp"), col("id")).as("cluster_id"))
+      .withColumn("keep", col("id") === col("cluster_id"))
+  }
 
   /** Connected components via alternating LARGE-STAR / SMALL-STAR edge
     * rewriting (Kiveris et al., "Connected Components in MapReduce and

@@ -278,23 +278,34 @@ class DedupSpec extends SparkSpec {
     assert(got.count(_.getBoolean(2)) == 1)
   }
 
-  test("CC front door: shallow graph stays on propagation, deep chain escalates to stars") {
+  test("CC front door: small edge lists take the driver union-find; past the cap propagation probes, deep chains escalate to stars") {
     import testImplicits._
     def asMap(df: org.apache.spark.sql.DataFrame) = df.collect()
       .map(r => r.getLong(0) -> (r.getLong(1), r.getBoolean(2))).toMap
-    // shallow mixed clusters (diameter ≤ 2): the bounded propagation probe
-    // converges and IS the answer
+    // shallow mixed clusters (diameter ≤ 2), edge count under the cap: the
+    // driver union-find route answers with zero iterative rounds and must
+    // equal the distributed propagation fixpoint exactly
     val ids = (1L to 9L).toDF("id")
     val pairs = Seq((1L, 2L), (2L, 3L), (5L, 6L), (6L, 7L), (7L, 5L)).toDF("id_a", "id_b")
-    val (routeShallow, gotShallow) = Dedup.connectedComponentsAutoRouted(ids, pairs)
+    val (routeSmall, gotSmall) = Dedup.connectedComponentsAutoRouted(ids, pairs)
+    assert(routeSmall == "driver")
+    assert(asMap(gotSmall) == asMap(Dedup.connectedComponents(ids, pairs)))
+    // forcing the cap to zero restores the distributed routing: shallow
+    // graphs stay on the bounded propagation probe
+    val (routeShallow, gotShallow) =
+      Dedup.connectedComponentsAutoRouted(ids, pairs, driverEdgeCap = -1L)
     assert(routeShallow == "propagation")
-    assert(asMap(gotShallow) == asMap(Dedup.connectedComponents(ids, pairs)))
-    // 64-node chain (diameter 63): probe budget exhausts, stars take over,
-    // answer still exact
+    assert(asMap(gotShallow) == asMap(gotSmall))
+    // 64-node chain (diameter 63): the driver route handles ANY shape; the
+    // capped distributed route exhausts its probe budget and escalates
     val n = 64L
     val chainIds = (1L to n).toDF("id")
     val chain = (1L until n).map(i => (i, i + 1)).toDF("id_a", "id_b")
-    val (routeDeep, gotDeep) = Dedup.connectedComponentsAutoRouted(chainIds, chain, probeRounds = 4)
+    val (routeChain, gotChain) = Dedup.connectedComponentsAutoRouted(chainIds, chain)
+    assert(routeChain == "driver")
+    assert(gotChain.collect().forall(_.getLong(1) == 1L))
+    val (routeDeep, gotDeep) = Dedup.connectedComponentsAutoRouted(
+      chainIds, chain, probeRounds = 4, driverEdgeCap = -1L)
     assert(routeDeep == "stars")
     val deep = gotDeep.collect()
     assert(deep.forall(_.getLong(1) == 1L))
