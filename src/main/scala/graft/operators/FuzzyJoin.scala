@@ -75,17 +75,36 @@ object FuzzyJoin {
       .withColumn("__v", explode(deletionVariants(col("r_str"), maxDist)))
   }
 
-  /** [[edJoin]] against a prebuilt [[variantTable]]. */
+  /** [[edJoin]] against a prebuilt [[variantTable]].
+    *
+    * Round-9 plan shape: the equi-join runs on `xxhash64(__v)` instead of
+    * the variant STRING — an 8-byte key where the variant averages ~20
+    * bytes, so the candidate exchange shuffles less than half the bytes
+    * and the sort comparators are long compares. A 64-bit hash collision
+    * can only ADD candidates, and every candidate is verified by the exact
+    * `levenshtein` — while any TRUE match already shares a real variant by
+    * the FastSS completeness property — so the result set is unchanged.
+    * The length screen and the levenshtein verify both run BEFORE the
+    * (l_id, r_id) dedup exchange: only true matches are shuffled, where
+    * the former plan shuffled every candidate occurrence and verified
+    * after. `dist` is a pure function of the pair, so it is identical
+    * across a pair's candidate copies and survives the dedup unchanged.
+    */
   def edJoinProbe(
       left: DataFrame, lId: Column, lStr: Column,
       rightVariants: DataFrame, maxDist: Int): DataFrame = {
     val lv = left.select(lId.as("l_id"), lStr.as("l_str"))
-      .withColumn("__v", explode(deletionVariants(col("l_str"), maxDist)))
-    lv.join(rightVariants, "__v")
-      .select("l_id", "l_str", "r_id", "r_str")
-      .dropDuplicates("l_id", "r_id")
+      .withColumn("__h",
+        explode(transform(deletionVariants(col("l_str"), maxDist), v => xxhash64(v))))
+      .select("l_id", "l_str", "__h")
+    val rv = rightVariants.select(col("r_id"), col("r_str"),
+      xxhash64(col("__v")).as("__h"))
+    lv.join(rv, "__h")
+      .filter(abs(length(col("l_str")) - length(col("r_str"))) <= maxDist)
       .withColumn("dist", levenshtein(col("l_str"), col("r_str")))
       .filter(col("dist") <= maxDist)
+      .dropDuplicates("l_id", "r_id")
+      .select("l_id", "l_str", "r_id", "r_str", "dist")
   }
 
   /** Self-join form: all unordered pairs at edit distance ≤ `maxDist`
