@@ -527,7 +527,8 @@ object Search {
     * Output: `(rank, id, rel, mmr)`, one row per selection, rank 1..k.
     */
   def mmrRerank(cands: DataFrame, id: Column, rel: Column, vec: Column,
-      k: Int, lambda: Double = 0.75): DataFrame = {
+      k: Int, lambda: Double = 0.75,
+      driverShortlistCap: Int = 10000): DataFrame = {
     require(k >= 1 && lambda > 0 && lambda <= 1)
     val spark = cands.sparkSession
     val c = cands.select(id.cast("string").as("id"), rel.as("rel"), vec.as("v"))
@@ -544,6 +545,73 @@ object Search {
       import spark.implicits._
       return Vector.empty[(Int, String, Double, Double)]
         .toDF("rank", "id", "rel", "mmr")
+    }
+    // Round-9 route: the shortlist is retrieval-bounded by contract (tens
+    // to thousands of rows), so below a driver-safe cap the whole greedy
+    // loop runs on the driver over ONE collect — k+1 sequential Spark jobs
+    // become one. Arithmetic replicates the kernels bit-for-bit (same
+    // left-to-right double dot, same Math.max NaN propagation, same
+    // UTF-8-byte id tie-break), so the selection is identical; duplicate
+    // candidate ids (already undefined-order distributedly) fall through
+    // to the distributed loop untouched.
+    if (nCands <= driverShortlistCap) {
+      val rows = c.collect()
+      val ids = rows.map(_.getString(0))
+      if (ids.distinct.length == ids.length) {
+        val rels = rows.map(_.getDouble(1))
+        val vs = rows.map(_.getSeq[Any](2).map {
+          case f: java.lang.Float => f.toDouble
+          case d: java.lang.Double => d.doubleValue
+          case n: java.lang.Number => n.doubleValue
+        }.toArray)
+        val nrms = rows.map(_.getDouble(3))
+        def dot(a: Array[Double], b: Array[Double]): Double = {
+          val n = math.min(a.length, b.length)
+          var s = 0.0; var i = 0
+          while (i < n) { s += a(i) * b(i); i += 1 }
+          s
+        }
+        // Spark's string asc = unsigned UTF-8 byte order
+        def idLt(a: String, b: String): Boolean = {
+          val x = a.getBytes("UTF-8"); val y = b.getBytes("UTF-8")
+          val n = math.min(x.length, y.length)
+          var i = 0
+          while (i < n) {
+            val c1 = x(i) & 0xff; val c2 = y(i) & 0xff
+            if (c1 != c2) return c1 < c2
+            i += 1
+          }
+          x.length < y.length
+        }
+        val n = ids.length
+        val taken = new Array[Boolean](n)
+        var best = 0
+        for (i <- 1 until n)
+          if (java.lang.Double.compare(rels(i), rels(best)) > 0 ||
+            (rels(i) == rels(best) && idLt(ids(i), ids(best)))) best = i
+        var picksD = Vector((1, ids(best), rels(best), lambda * rels(best)))
+        taken(best) = true
+        val maxsim = Array.tabulate(n)(i =>
+          if (i == best) Double.NaN
+          else dot(vs(i), vs(best)) / (nrms(i) * nrms(best)))
+        for (r <- 2 to math.min(k, n)) {
+          var sel = -1; var selMmr = 0.0
+          for (i <- 0 until n) if (!taken(i)) {
+            val m = lambda * rels(i) - (1.0 - lambda) * maxsim(i)
+            if (sel < 0 || java.lang.Double.compare(m, selMmr) > 0 ||
+              (m == selMmr && idLt(ids(i), ids(sel)))) { sel = i; selMmr = m }
+          }
+          picksD :+= ((r, ids(sel), rels(sel), selMmr))
+          taken(sel) = true
+          for (i <- 0 until n) if (!taken(i))
+            maxsim(i) = math.max(maxsim(i),
+              dot(vs(i), vs(sel)) / (nrms(i) * nrms(sel)))
+        }
+        import spark.implicits._
+        return picksD.toDF("rank", "id", "rel", "mmr")
+          .select(col("rank"), col("id"), round(col("rel"), 6).as("rel"),
+            round(col("mmr"), 6).as("mmr"))
+      }
     }
     val first = c.orderBy(col("rel").desc, col("id").asc)
       .select(col("id"), col("rel")).head()

@@ -502,6 +502,26 @@ class SearchSpec extends SparkSpec {
     assert(all.length == 4 && all.map(_.getString(1)).distinct.length == 4)
   }
 
+  test("mmrRerank: the driver shortlist route equals the distributed greedy loop row for row") {
+    import testImplicits._
+    // a wider shortlist with clustered directions and rel ties so the
+    // tie-breaks and maxsim updates are all exercised
+    val rnd = new scala.util.Random(11)
+    val cands = (1 to 40).map { i =>
+      val base = i % 5
+      val v = Array.tabulate(8)(j =>
+        (if (j == base) 1.0f else 0.0f) + rnd.nextFloat() * 0.1f)
+      (i.toString, math.rint((0.5 + (i % 7) * 0.07) * 100) / 100, v)
+    }.toDF("id", "rel", "v")
+    def rows(df: org.apache.spark.sql.DataFrame) = df.orderBy("rank").collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getDouble(2), r.getDouble(3))).toSeq
+    val driver = rows(Search.mmrRerank(cands, col("id"), col("rel"), col("v"),
+      k = 12, lambda = 0.75))
+    val distributed = rows(Search.mmrRerank(cands, col("id"), col("rel"), col("v"),
+      k = 12, lambda = 0.75, driverShortlistCap = 0))
+    assert(driver == distributed)
+  }
+
   test("confusion: exact matrix counts and truth-row shares") {
     import testImplicits._
     val df = Seq(("a", "a"), ("a", "a"), ("a", "b"), ("b", "b"), ("c", "a"))
