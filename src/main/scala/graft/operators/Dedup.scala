@@ -703,8 +703,13 @@ object Dedup {
       .select(col("id"), size(col("sh")).cast("long").as("sz"),
         explode(array_distinct(shingleFps(col("sh")))).as("fp"))
     // df rides on the index so screen-time stop-shingle capping is a
-    // filter, not an aggregation (build-time shuffle on fp, once)
-    posts.join(posts.groupBy("fp").agg(count(lit(1)).as("df")), Seq("fp"))
+    // filter, not an aggregation. Round-9: df comes from a count window
+    // over the SAME fp exchange instead of a groupBy joined back — the
+    // join form shingled the corpus twice (the two exchange subtrees are
+    // not canonically identical, so exchange reuse could not collapse
+    // them); the window form is one scan + one shuffle.
+    posts.withColumn("df",
+      count(lit(1)).over(Window.partitionBy("fp")))
   }
 
   /** EXACT containment screen of a new batch against a corpus postings

@@ -519,8 +519,12 @@ object TextAnalysis {
     val edges = pairs.select(col("x").as("src"), col("y").as("dst"))
       .unionAll(pairs.select(col("y").as("src"), col("x").as("dst")))
       .groupBy("src", "dst").agg(count(lit(1)).cast("double").as("w"))
+    // out-weight via a sum window over the src exchange instead of a
+    // groupBy joined back to edges — one exchange fewer per build; w is
+    // an integer-valued double, so the window's fold order cannot drift
     val ew = edges
-      .join(edges.groupBy("src").agg(sum(col("w")).as("ow")), Seq("src"))
+      .withColumn("ow", sum(col("w")).over(
+        org.apache.spark.sql.expressions.Window.partitionBy("src")))
       .cut(eager = false)
     val nodes = ew.select(col("src").as("tok")).distinct().cut(eager = false)
     var score = nodes.select(col("tok"), lit(1.0).as("sc"))
