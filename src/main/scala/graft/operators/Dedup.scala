@@ -777,11 +777,17 @@ object Dedup {
       bands: Int = 8): DataFrame = {
     require(numHashes % bands == 0, "numHashes must divide into bands")
     val rows = numHashes / bands
+    // three consumers follow (the banded self-join — whose two sides DO
+    // collapse via exchange reuse — plus the id_a and id_b verify joins,
+    // which do not): without the lazy cut the corpus is shingled three
+    // times and minhashed once more (round-9; the ccnet-buckets lesson
+    // applied here)
     val sh = spread(docs.select(id.as("id"), text.as("txt")))
       .select(col("id"), shingles(col("txt"), n).as("sh"))
       .withColumn("fps", shingleFps(col("sh")))
       .withColumn("sig", minhashSig(col("fps"), numHashes))
       .drop("fps")
+      .cut(eager = false)
     // band signature = the `rows`-slot slice; joined as (band index, slice)
     val banded = sh.select(
       col("id"),
