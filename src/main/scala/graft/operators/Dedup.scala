@@ -1085,8 +1085,12 @@ object Dedup {
       planes: Seq[Seq[Double]],
       probeRadius: Int = 2): DataFrame = {
     import graft.functions.{VectorFunctions => VF}
+    // four consumers (probe explode, bucket join side, both verify sides):
+    // the per-row plane projection would otherwise run up to four times
+    // (round-9, the minhashLshPairs lesson)
     val t = embs.select(id.as("id"), vec.as("v"))
       .withColumn("bucket", AnnSearch.bucketCol(col("v"), planes))
+      .cut(eager = false)
     val masks = AnnSearch.xorMasks(planes.length, probeRadius)
     val probed = t.select(col("id"),
       explode(array(masks.map(m => col("bucket").bitwiseXOR(lit(m))): _*)).as("probe"))
