@@ -119,14 +119,20 @@ object Dedup {
         .filter(col("jaccard") >= tau)
         .select(col("id_a"), col("id_b"), col("jaccard"))
     } else {
-      // canonical rarest-first order per doc (ties broken on the shingle)
-      val dfCounts = pruned.groupBy("s").agg(count(lit(1)).as("df"))
-      val ordered = pruned.join(dfCounts, Seq("s"))
+      // canonical rarest-first order per doc (ties broken on the shingle).
+      // Round-9 plan shape: df comes from a count window over the same
+      // shingle exchange (the groupBy-joined-back form shingled the corpus
+      // twice), and the ordered table is checkpointed once — it feeds the
+      // prefix self-join plus both verify sides, which are not canonically
+      // identical and would re-run the per-doc sort each
+      val ordered = pruned
+        .withColumn("df", count(lit(1)).over(Window.partitionBy("s")))
         .groupBy("id", "sz")
         .agg(sort_array(collect_list(struct(col("df"), col("s")))).as("osh"))
         .withColumn("plen", (col("sz") - ceil(col("sz") * tau) + 1).cast("int"))
         .withColumn("sh", transform(col("osh"), x => x.getField("s")))
         .drop("osh")
+        .cut(eager = false)
       val prefixes = ordered.select(col("id"),
         explode(slice(col("sh"), lit(1), col("plen"))).as("s"))
       val cand = prefixes.as("x").join(prefixes.as("y"),
@@ -344,12 +350,15 @@ object Dedup {
     val hashMask = org.apache.spark.sql.graft.Bridge.column(
       graft.functions.HashMaskExpr(
         org.apache.spark.sql.graft.Bridge.expression(col("sh")), bits))
+    // three consumers (grid phase + both verify sides), same cut rationale
+    // as the Jaccard twin (round-9)
     val t = docs.select(id.as("id"), shingles(text, n).as("sh"))
       .withColumn("sz", size(col("sh")))
       .filter(col("sz") >= math.max(1, minShingles))
       .withColumn("ms", hashMask)
       .select(col("id"), col("sh"), col("sz"),
         col("ms.mask").as("mask"), (col("sz") - col("ms.set_bits")).as("coll"))
+      .cut(eager = false)
     val interBits = org.apache.spark.sql.graft.Bridge.column(
       graft.functions.PopcountAndExpr(
         org.apache.spark.sql.graft.Bridge.expression(col("a.mask")),
@@ -467,12 +476,15 @@ object Dedup {
     val hashMask = org.apache.spark.sql.graft.Bridge.column(
       graft.functions.HashMaskExpr(
         org.apache.spark.sql.graft.Bridge.expression(col("sh")), bits))
+    // three consumers (the grid phase plus both verify sides): cut so the
+    // shingle + hash-mask projection runs once (round-9)
     val t = docs.select(id.as("id"), shingles(text, n).as("sh"))
       .withColumn("sz", size(col("sh")))
       .filter(col("sz") > 0)
       .withColumn("ms", hashMask)
       .select(col("id"), col("sh"), col("sz"),
         col("ms.mask").as("mask"), (col("sz") - col("ms.set_bits")).as("coll"))
+      .cut(eager = false)
     val interBits = org.apache.spark.sql.graft.Bridge.column(
       graft.functions.PopcountAndExpr(
         org.apache.spark.sql.graft.Bridge.expression(col("a.mask")),
@@ -1022,6 +1034,11 @@ object Dedup {
     */
   private[operators] def gridSelfJoin(t: DataFrame, cond: Column, blocks: Int = 32): DataFrame = {
     require(blocks >= 1)
+    // NOTE the two grid sides (exploded probe rows vs block rows) are not
+    // canonically identical, so the caller's input lineage runs twice —
+    // callers with an expensive projection (dense tf pivot, hash masks)
+    // cut BEFORE passing it in; an unconditional cut here measured slower
+    // on the already-cut callers (double checkpoint)
     val withBlk = t.withColumn("_blk", pmod(hash(col("id")), lit(blocks)))
     val left = withBlk
       .withColumn("_pb", explode(array((0 until blocks).map(lit(_)): _*)))
@@ -1466,6 +1483,9 @@ object Dedup {
       .select(col("id"),
         array(v.map(tm => coalesce(element_at(col("m"), lit(tm)), lit(0L))): _*).as("v"))
       .withColumn("nrm", sqrt(VF.normSq(col("v"))))
+      // both grid sides re-derive their input: cut so the tokenize +
+      // tf map pivot runs once (round-9; measured 3.15 -> 2.53 s at sf0.1)
+      .cut(eager = false)
     def dot = VF.dot(col("a.v"), col("b.v"))
     def cos = dot / (col("a.nrm") * col("b.nrm"))
     gridSelfJoin(t, cos >= tau, blocks)
