@@ -1287,8 +1287,11 @@ object SparkEntry {
     // sketch → broadcast single-row threshold, no value sort anywhere
     "q_curate_quality_filter_sketch" -> ((s, dir) => {
       val docs = graft.sources.Testdata.table(s, dir, "documents")
+      // three consumers (the sketch's bin pass + the gate + its broadcast):
+      // cut so the quality-score pass runs once (round-9)
       val scored = docs.select(col("doc_id"),
         round(TextAnalysis.qualityScore(col("text")), 6).as("quality"))
+        .cut(eager = false)
       val threshold = Sketches.histogramQuantiles(scored, col("quality"),
         Seq(0.25), bins = 256, lo = 0.0, hi = 1.0)
         .select(col("est").as("q25"))
@@ -1301,8 +1304,11 @@ object SparkEntry {
     // quantile (single-row broadcast) gates the per-doc quality score
     "q_curate_quality_filter" -> ((s, dir) => {
       val docs = graft.sources.Testdata.table(s, dir, "documents")
+      // two consumers (threshold percentile + the gate): cut so the
+      // quality-score pass runs once (round-9)
       val scored = docs.select(col("doc_id"),
         round(TextAnalysis.qualityScore(col("text")), 6).as("quality"))
+        .cut(eager = false)
       val threshold = scored.agg(
         expr("percentile(quality, 0.25)").as("q25"))
       scored.crossJoin(broadcast(threshold))

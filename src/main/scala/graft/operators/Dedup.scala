@@ -902,6 +902,11 @@ object Dedup {
     val grams = org.apache.spark.sql.graft.Bridge.column(
       graft.functions.WordNgramsExpr(
         org.apache.spark.sql.graft.Bridge.expression(toks), k))
+    // two consumers (the df≥minDocs fingerprint set and the position join)
+    // deliberately NOT cut: the (id, pos, fp) stream is corpus-gram-sized,
+    // and checkpointing it measured SLOWER than recomputing the fingerprint
+    // kernel (round-9 A/B: 2.07 → 2.45 s at sf0.1) — cuts pay off for
+    // expensive-per-row or aggregated tables, not raw gram streams
     val g = spread(docs.select(id.as("id"), text.as("txt")))
       .select(col("id"), posexplode(grams))
       .select(col("id"), col("pos"), fingerprint(col("col")).as("fp"))

@@ -207,8 +207,13 @@ object Profile {
     // put ~half the deviations exactly on .5e-6 ties, where round()
     // implementations legitimately disagree. One double division at the
     // very end.
+    // two consumers (the median pass and the deviation join): cut so the
+    // caller's scoring expression (often a full quality-score pass over
+    // the text) runs once — the narrow (g, id, v6) table is the cheap
+    // thing to materialize (round-9)
     val rows = df.select(grp.as("g"), id.as("id"),
       round(round(value, 6) * 1e6).cast("long").as("v6"))
+      .cut(eager = false)
     val med = rows.groupBy("g")
       .agg((expr("percentile(v6, 0.5)") * 2).cast("long").as("m2"))
     val dev = rows.join(med, "g")
