@@ -143,6 +143,16 @@ object Bench {
       .map { case (n, (m, mn)) => s""""$n":{"median":$m,"min":$mn}""" }
       .mkString("{", ",", "}")
     val detailPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_DETAIL", "BENCH_DETAIL.json")
+    // Round-10 (verdict #2): a 32c+8c scaling pair used to CLOBBER the same
+    // default detail file, losing the main run's per-query evidence (round-9
+    // PERF had per_query: {} for exactly this reason). The detail is now
+    // ALSO written to a cpu-count-suffixed sibling, so both runs of a
+    // scaling pair leave their per-query artifacts on disk; the plain path
+    // stays the summary line's "detail" pointer for driver back-compat.
+    val detailPathByCpus =
+      if (detailPath.endsWith(".json"))
+        detailPath.stripSuffix(".json") + s"_c$cpus.json"
+      else s"${detailPath}_c$cpus"
     val boxEnd = boxConditions()
     // hypervisor-steal fraction across the whole run (-1 when unreadable):
     // the one environment number load_avg cannot show (round-8 lesson)
@@ -151,6 +161,8 @@ object Bench {
     } yield 100.0 * (s1 - s0) / (t1 - t0)).getOrElse(-1.0)
     val detail = s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir","ok":${okNames.size},"failed":${failed.size},"failed_queries":$failedArr,"n_reps":$Reps,"queries":$qs,"reps":$reps,"load_sensitive":$loadSensitiveJson,"steal_pct":$stealPct,"box_start":$boxStart,"box_end":$boxEnd}"""
     java.nio.file.Files.write(java.nio.file.Paths.get(detailPath),
+      detail.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    java.nio.file.Files.write(java.nio.file.Paths.get(detailPathByCpus),
       detail.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     // Compact summary (~300 chars) as the FINAL stdout line — must fit any
     // tail window. The driver parses this; humans read the detail file.

@@ -902,19 +902,25 @@ object Dedup {
     val grams = org.apache.spark.sql.graft.Bridge.column(
       graft.functions.WordNgramsExpr(
         org.apache.spark.sql.graft.Bridge.expression(toks), k))
-    // two consumers (the df≥minDocs fingerprint set and the position join)
-    // deliberately NOT cut: the (id, pos, fp) stream is corpus-gram-sized,
-    // and checkpointing it measured SLOWER than recomputing the fingerprint
-    // kernel (round-9 A/B: 2.07 → 2.45 s at sf0.1) — cuts pay off for
-    // expensive-per-row or aggregated tables, not raw gram streams
+    // ONE tokenize pass (round-10; the former shape ran two — the
+    // df≥minDocs fingerprint aggregation and the position join-back each
+    // re-derived the gram stream, and checkpointing the raw stream measured
+    // SLOWER than recomputing it in round 9): pre-aggregate the stream to
+    // one row per (fp, doc) carrying the doc's position list, then the
+    // distinct-doc count per fingerprint is a count window over that SAME
+    // exchange — no distinct pass, no join-back. Skew note: a corpus-hot
+    // boilerplate gram's window partition holds one row per CONTAINING DOC
+    // (positions ride as arrays), the same per-key row set the old SMJ
+    // join-back sorted on one task — buffering exposure is unchanged, the
+    // second tokenize pass and its full-stream exchange are gone.
     val g = spread(docs.select(id.as("id"), text.as("txt")))
       .select(col("id"), posexplode(grams))
       .select(col("id"), col("pos"), fingerprint(col("col")).as("fp"))
-    val dupFps = g.groupBy("fp")
-      .agg(count_distinct(col("id")).as("nd"))
+    val perDoc = g.groupBy("fp", "id").agg(collect_list(col("pos")).as("ps"))
+    val dup = perDoc
+      .withColumn("nd", count(lit(1)).over(Window.partitionBy("fp")))
       .filter(col("nd") >= minDocs)
-      .select("fp")
-    val dup = g.join(dupFps, Seq("fp")).select("id", "pos", "fp")
+      .select(col("id"), explode(col("ps")).as("pos"))
     val w = Window.partitionBy("id").orderBy("pos")
     val runs = dup.withColumn("grp", col("pos") - row_number().over(w))
       .groupBy("id", "grp")

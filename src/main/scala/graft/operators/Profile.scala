@@ -146,9 +146,14 @@ object Profile {
       // LONG cast produces the identical decimal while skipping the
       // double→decimal cast's per-row BigDecimal.valueOf(toString) — the
       // measured hot spot of this one-pass profile (the string format was
-      // ~1/3 of the aggregate's CPU). Values past long range (|x| ≳ 2·10⁹)
+      // ~1/3 of the aggregate's CPU). Threshold is 2^53 (round-10, advisor
+      // fix): below it every whole double is exactly one integer, so the
+      // long cast and the shortest-round-trip string cast provably agree
+      // digit for digit; ABOVE 2^53 consecutive doubles skip integers and
+      // the two casts can differ in low-order digits (the old 4e18 bound
+      // rested on a wrong invariant there). Larger magnitudes (|x| ≳ 9.5e7)
       // keep the original string-based cast, so the operator stays generic.
-      val x2hDec = when(abs(x2h) <= lit(4.0e18),
+      val x2hDec = when(abs(x2h) <= lit(9007199254740992.0),
         x2h.cast("long").cast("decimal(38,0)"))
         .otherwise(x2h.cast("decimal(38,0)"))
       Seq(col(c),

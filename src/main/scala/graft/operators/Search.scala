@@ -434,11 +434,47 @@ object Search {
   /** Shared propagation epilogue: symmetrize the directed edge list, then
     * `rounds` synchronous clamped-seed plurality votes over it. Input `t`
     * must carry (id, lbl_true, seed).
+    *
+    * Round-10 cost routing (the round-9 connected-components union-find
+    * lesson applied here, per the round-9 verdict): the vote graph is the
+    * edge-list OUTPUT of a k-NN build — ≤ 2·n·k rows, orders of magnitude
+    * smaller than the corpus — so at or below [[Dedup.DriverEdgeCap]]
+    * edges the whole synchronous fixpoint runs on the driver over one
+    * collect (exact integer plurality votes, same count-desc/label-asc
+    * tie-break, Spark's own collected label values) and the result
+    * re-attaches as a BROADCAST join — zero per-round shuffles where each
+    * round was a join + groupBy + GroupTopK + join. Label types whose asc
+    * order the driver replicates exactly (integral + UTF-8 strings) route;
+    * anything else, and anything past the cap, takes the distributed loop
+    * unchanged.
     */
-  private def propagate(t: DataFrame, dir: DataFrame, rounds: Int): DataFrame = {
-    val edges = dir
+  private def propagate(t: DataFrame, dir: DataFrame, rounds: Int): DataFrame =
+    propagateRouted(t, dir, rounds)._2
+
+  /** [[propagate]] with the chosen route exposed for tests
+    * ("driver" | "distributed").
+    */
+  private[graft] def propagateRouted(t: DataFrame, dir: DataFrame,
+      rounds: Int,
+      driverEdgeCap: Long = Dedup.DriverEdgeCap): (String, DataFrame) = {
+    val sym = dir
       .unionByName(dir.select(col("dst").as("src"), col("src").as("dst")))
-      .distinct().cut(eager = false)
+      .distinct()
+    import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType, StringType}
+    val lblDriverComparable = t.schema("lbl_true").dataType match {
+      case IntegerType | LongType | ShortType | ByteType | StringType => true
+      case _ => false
+    }
+    if (lblDriverComparable) {
+      val p = sym.persist()
+      val nEdges = p.count()
+      if (nEdges <= driverEdgeCap) {
+        try return ("driver", propagateDriver(t, p, rounds))
+        finally p.unpersist()
+      }
+      p.unpersist() // past the cap: rebuild lazily for the checkpointed loop
+    }
+    val edges = sym.cut(eager = false)
     var state = t.select(col("id"),
       when(col("seed"), col("lbl_true")).as("lbl"),
       col("seed"), col("lbl_true"))
@@ -456,10 +492,118 @@ object Search {
           col("seed"), col("lbl_true"))
         .cut(eager = false)
     }
-    state.select(col("id"), col("seed").cast("int").as("seed"),
+    ("distributed", state.select(col("id"), col("seed").cast("int").as("seed"),
         col("lbl").as("label_pred"),
         when(col("lbl").isNotNull,
           (col("lbl") === col("lbl_true")).cast("int")).as("correct"))
+      .orderBy("id"))
+  }
+
+  /** Spark's string asc = unsigned UTF-8 byte order (shared by the MMR
+    * driver loop and the propagation driver route).
+    */
+  private[operators] def utf8Lt(a: String, b: String): Boolean = {
+    val x = a.getBytes("UTF-8"); val y = b.getBytes("UTF-8")
+    val n = math.min(x.length, y.length)
+    var i = 0
+    while (i < n) {
+      val c1 = x(i) & 0xff; val c2 = y(i) & 0xff
+      if (c1 != c2) return c1 < c2
+      i += 1
+    }
+    x.length < y.length
+  }
+
+  /** Driver fixpoint over a bounded, already-materialized edge list:
+    * `rounds` synchronous clamped-seed plurality votes, bit-identical to
+    * the distributed loop — votes are integer counts, the winner is
+    * (count desc, label asc) with asc replicated per label type, and every
+    * round recomputes each non-seed node from its neighbors' PREVIOUS
+    * labels exactly as the distributed left join does (a non-seed with no
+    * labeled neighbor this round goes back to null). Only edge-incident
+    * nodes ever receive votes, so the driver walks just those; everything
+    * else is seed-clamped or null by construction and stays distributed in
+    * the final broadcast re-attach.
+    */
+  private def propagateDriver(t: DataFrame, edges: DataFrame,
+      rounds: Int): DataFrame = {
+    val spark = t.sparkSession
+    val eRows = edges.collect()
+    def lblLt(a: Any, b: Any): Boolean = (a, b) match {
+      case (x: java.lang.Integer, y: java.lang.Integer) => x.intValue < y.intValue
+      case (x: java.lang.Long, y: java.lang.Long)       => x.longValue < y.longValue
+      case (x: java.lang.Short, y: java.lang.Short)     => x.shortValue < y.shortValue
+      case (x: java.lang.Byte, y: java.lang.Byte)       => x.byteValue < y.byteValue
+      case (x: String, y: String)                       => utf8Lt(x, y)
+      case _ => throw new IllegalStateException(s"unroutable label type: $a")
+    }
+    // adjacency over edge-incident nodes (ids are Spark's collected values;
+    // equality/hash are the JVM's, matching the equi-join semantics for the
+    // integral/string types this route admits)
+    val adj = new java.util.HashMap[Any, java.util.ArrayList[Any]]()
+    eRows.foreach { r =>
+      adj.computeIfAbsent(r.get(0), _ => new java.util.ArrayList[Any]()).add(r.get(1))
+    }
+    // seed labels of the edge-incident nodes only (semi-join against the
+    // bounded node set — never a corpus collect; seeds outside the graph
+    // can never influence a vote because votes flow along edges)
+    val nodeSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("id", t.schema("id").dataType)))
+    val nodeRows = adj.keySet().asInstanceOf[java.util.Set[Any]]
+      .toArray.map(v => org.apache.spark.sql.Row(v)).toSeq
+    val nodesDf = spark.createDataFrame(
+      spark.sparkContext.parallelize(nodeRows, 1), nodeSchema)
+    val sub = t.select(col("id"),
+        when(col("seed"), col("lbl_true")).as("lbl"), col("seed"))
+      .join(broadcast(nodesDf), Seq("id"), "left_semi")
+      .collect()
+    val labels = new java.util.HashMap[Any, Any]()
+    val seeds = new java.util.HashSet[Any]()
+    sub.foreach { r =>
+      if (!r.isNullAt(1)) labels.put(r.get(0), r.get(1))
+      // null seed behaves as false, matching when(seed, ...)'s null semantics
+      if (!r.isNullAt(2) && r.getBoolean(2)) seeds.add(r.get(0))
+    }
+    val nodes = adj.keySet().asInstanceOf[java.util.Set[Any]].toArray
+    for (_ <- 1 to rounds) {
+      val next = new java.util.HashMap[Any, Any]()
+      nodes.foreach { u =>
+        if (seeds.contains(u)) {
+          val l = labels.get(u); if (l != null) next.put(u, l)
+        } else {
+          val counts = new java.util.HashMap[Any, Long]()
+          adj.get(u).forEach { v =>
+            val l = labels.get(v)
+            if (l != null) counts.merge(l, 1L, _ + _)
+          }
+          var win: Any = null; var winCnt = -1L
+          counts.forEach { (l, c) =>
+            if (c > winCnt || (c == winCnt && lblLt(l, win))) { win = l; winCnt = c }
+          }
+          if (win != null) next.put(u, win)
+        }
+      }
+      labels.clear(); labels.putAll(next)
+    }
+    // computed labels for NON-SEED nodes re-attach as a broadcast join;
+    // seeds stay clamped via lbl_true and never consult the join
+    val lblSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("id", t.schema("id").dataType),
+      org.apache.spark.sql.types.StructField("win", t.schema("lbl_true").dataType)))
+    val lblRows = nodes.toSeq.collect {
+      case u if !seeds.contains(u) && labels.get(u) != null =>
+        org.apache.spark.sql.Row(u, labels.get(u))
+    }
+    val winsDf = spark.createDataFrame(
+      spark.sparkContext.parallelize(lblRows, 1), lblSchema)
+    t.select(col("id"), col("seed"), col("lbl_true"))
+      .join(broadcast(winsDf), Seq("id"), "left")
+      .withColumn("label_pred",
+        when(col("seed"), col("lbl_true")).otherwise(col("win")))
+      .select(col("id"), col("seed").cast("int").as("seed"),
+        col("label_pred"),
+        when(col("label_pred").isNotNull,
+          (col("label_pred") === col("lbl_true")).cast("int")).as("correct"))
       .orderBy("id")
   }
 
@@ -557,7 +701,11 @@ object Search {
     if (nCands <= driverShortlistCap) {
       val rows = c.collect()
       val ids = rows.map(_.getString(0))
-      if (ids.distinct.length == ids.length) {
+      // null vectors/norms fall through to the distributed loop (like the
+      // duplicate-id check): the distributed kernels tolerate a null v
+      // (null sim — the row just never wins), where getSeq below would NPE
+      val anyNull = rows.exists(r => r.isNullAt(2) || r.isNullAt(3))
+      if (!anyNull && ids.distinct.length == ids.length) {
         val rels = rows.map(_.getDouble(1))
         val vs = rows.map(_.getSeq[Any](2).map {
           case f: java.lang.Float => f.toDouble
@@ -588,7 +736,8 @@ object Search {
         var best = 0
         for (i <- 1 until n)
           if (java.lang.Double.compare(rels(i), rels(best)) > 0 ||
-            (rels(i) == rels(best) && idLt(ids(i), ids(best)))) best = i
+            (java.lang.Double.compare(rels(i), rels(best)) == 0 &&
+              idLt(ids(i), ids(best)))) best = i
         var picksD = Vector((1, ids(best), rels(best), lambda * rels(best)))
         taken(best) = true
         val maxsim = Array.tabulate(n)(i =>
@@ -598,8 +747,13 @@ object Search {
           var sel = -1; var selMmr = 0.0
           for (i <- 0 until n) if (!taken(i)) {
             val m = lambda * rels(i) - (1.0 - lambda) * maxsim(i)
+            // Double.compare for the tie too: m == selMmr is false for a
+            // NaN pair, which let the first-seen NaN candidate win where
+            // the distributed orderBy treats NaNs as equal and tie-breaks
+            // on id asc
             if (sel < 0 || java.lang.Double.compare(m, selMmr) > 0 ||
-              (m == selMmr && idLt(ids(i), ids(sel)))) { sel = i; selMmr = m }
+              (java.lang.Double.compare(m, selMmr) == 0 &&
+                idLt(ids(i), ids(sel)))) { sel = i; selMmr = m }
           }
           picksD :+= ((r, ids(sel), rels(sel), selMmr))
           taken(sel) = true

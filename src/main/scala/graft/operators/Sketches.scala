@@ -449,14 +449,24 @@ object Sketches {
       bins: Int = 256): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
-    val ext = df.agg(min(value).as("lo"), max(value).as("hi")).cut(eager = false)
+    // ONE corpus pass (round-10; the former shape paid a separate min/max
+    // corpus pass BEFORE the bin pass): aggregate to distinct (value,
+    // count) first — the extent and the bin counts both derive from that
+    // table. Bin assignment is a pure function of the value given (lo, hi),
+    // so binning each distinct value once and summing its count is
+    // bit-identical to per-row binning; min/max over distinct values equal
+    // min/max over all rows; a null-value group bins to null either way.
+    val vals = df.select(value.as("__v")).groupBy("__v")
+      .agg(count(lit(1)).as("__c")).cut(eager = false)
+    val ext = vals.agg(min(col("__v")).as("lo"), max(col("__v")).as("hi"))
+      .cut(eager = false)
     val binCol = when(col("hi") === col("lo"), lit(0))
       .otherwise(least(greatest(
-          floor((value - col("lo")) / (col("hi") - col("lo")) * lit(bins.toDouble)),
+          floor((col("__v") - col("lo")) / (col("hi") - col("lo")) * lit(bins.toDouble)),
           lit(0.0)),
         lit((bins - 1).toDouble)).cast("int"))
-    val counts = df.crossJoin(broadcast(ext))
-      .select(binCol.as("bin")).groupBy("bin").agg(count(lit(1)).as("cnt"))
+    val counts = vals.crossJoin(broadcast(ext))
+      .groupBy(binCol.as("bin")).agg(sum(col("__c")).as("cnt"))
       .cut(eager = false)
     val cum = counts.withColumn("cum",
       sum(col("cnt")).over(Window.orderBy("bin")

@@ -190,8 +190,13 @@ object TextAnalysis {
     */
   def unigramNll(docs: DataFrame, id: Column, text: Column): DataFrame = {
     val toks = docs.select(id.as("id"), explode(wsTokens(text)).as("t"))
-    val lm = toks.groupBy("t").agg(count(lit(1)).as("c"))
-    val totalDf = toks.agg(count(lit(1)).as("n_total"))
+    // the LM table is vocabulary-sized — cut it, and derive the grand total
+    // AS Σc over that sketch instead of a second corpus token count (the
+    // old totalDf re-tokenized the whole corpus to count rows the LM pass
+    // had already counted; round-10, one corpus tokenize pass removed).
+    // Exact: count and sum are the same integers.
+    val lm = toks.groupBy("t").agg(count(lit(1)).as("c")).cut(eager = false)
+    val totalDf = lm.agg(sum(col("c")).as("n_total"))
     val scored = toks.join(lm, Seq("t"))
       .crossJoin(broadcast(totalDf))
       .select(col("id"),

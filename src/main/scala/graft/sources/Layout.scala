@@ -729,7 +729,7 @@ object Layout {
     * over. Returns (filesTotal, filesRewritten, rowsDeleted).
     */
   def deleteRowsBloom(spark: SparkSession, path: String, idCol: String,
-      tombstones: DataFrame): (Int, Int, Long) = {
+      tombstones: DataFrame, fpp: Double = 0.01): (Int, Int, Long) = {
     val snapshot = LayoutManifest.current(spark, path).getOrElse(
       throw new IllegalStateException(s"no committed manifest at $path"))
     val tsCol = tombstones.columns.head
@@ -755,9 +755,12 @@ object Layout {
       val dropNames = (snapshot.fileNames -- keptNames).toSeq.sorted // small
       val newEntries = m2.files.filterNot(e => keptNames(e.name))
       val kept = old.filter(!col("file").isin(dropNames: _*))
+      // rebuilt files' blooms use the caller's fpp (round-10, advisor fix:
+      // the hardcoded 0.01 silently degraded a sidecar originally written
+      // at a tighter fpp on every incremental maintenance pass)
       val merged =
         if (newEntries.isEmpty) kept
-        else kept.unionByName(bloomsDf(spark, path, newEntries, idCol, fpp = 0.01))
+        else kept.unionByName(bloomsDf(spark, path, newEntries, idCol, fpp))
       writeSidecarDf(spark, path, m2.version, idCol, merged, m2.files.size)
     }
     result

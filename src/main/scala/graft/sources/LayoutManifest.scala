@@ -296,9 +296,16 @@ object LayoutManifest {
         pool.submit(new Runnable {
           override def run(): Unit = {
             if (failed.get()) return
-            footerEntry(conf, p, statCols) match {
-              case Some(e) => entries.put(e.name, e)
-              case None    => failed.set(true)
+            // any footer-read failure (corrupt footer, unexpected stats
+            // encoding, IO error) means "fast path unavailable", not "fail
+            // the commit": an exception here used to propagate out of
+            // tasks.foreach(_.get()) and abort bootstrap/commit/zoneMap
+            // where the exact scan fallback handles the file fine
+            val e = try footerEntry(conf, p, statCols)
+                    catch { case _: Throwable => None }
+            e match {
+              case Some(fe) => entries.put(fe.name, fe)
+              case None     => failed.set(true)
             }
           }
         })

@@ -535,4 +535,39 @@ class SearchSpec extends SparkSpec {
     assert(got(("c", "a")) == ((1L, 1.0)))
     assert(got.size == 4)
   }
+
+  test("propagate routing: driver fixpoint ≡ distributed loop, int and string labels") {
+    import testImplicits._
+    // 40 nodes, ~25% seeds, a hand-wired directed edge list including an
+    // isolate (node 39 gets no edges → label stays null unless seeded) and
+    // vote ties (several nodes with equal-count neighbor labels, so the
+    // count-desc/label-asc tie-break is exercised on both routes)
+    val dirEdges = (0L until 39L).flatMap { i =>
+      (1 to 3).map(d => (i, (i + d * 7) % 39))
+    }.filter { case (a, b) => a != b }
+    // int labels
+    val intRows = (0L until 40L).map(i => (i, (i % 3).toInt, i % 4 == 0))
+    val tInt = intRows.toDF("id", "lbl_true", "seed")
+      .select(col("id"), col("lbl_true"), col("seed"))
+    val dirDf = dirEdges.toDF("src", "dst")
+    val drvInt = Search.propagateRouted(tInt, dirDf, rounds = 2)
+    val dstInt = Search.propagateRouted(tInt, dirDf, rounds = 2, driverEdgeCap = 0L)
+    assert(drvInt._1 == "driver" && dstInt._1 == "distributed")
+    assert(drvInt._2.collect().map(_.toSeq).toSeq ==
+      dstInt._2.collect().map(_.toSeq).toSeq)
+    // string labels (UTF-8 asc tie-break path), plus a null-label seed
+    val strRows = (0L until 40L).map(i =>
+      (i, if (i == 4) null else s"c${i % 3}", i % 4 == 0))
+    val tStr = strRows.toDF("id", "lbl_true", "seed")
+    val drvStr = Search.propagateRouted(tStr, dirDf, rounds = 3)
+    val dstStr = Search.propagateRouted(tStr, dirDf, rounds = 3, driverEdgeCap = 0L)
+    assert(drvStr._1 == "driver" && dstStr._1 == "distributed")
+    assert(drvStr._2.collect().map(_.toSeq).toSeq ==
+      dstStr._2.collect().map(_.toSeq).toSeq)
+    // non-comparable label type (double) must not take the driver route
+    val dblRows = (0L until 10L).map(i => (i, (i % 3).toDouble, i % 4 == 0))
+    val tDbl = dblRows.toDF("id", "lbl_true", "seed")
+    val smallDir = Seq((0L, 1L), (1L, 2L), (2L, 3L)).toDF("src", "dst")
+    assert(Search.propagateRouted(tDbl, smallDir, rounds = 1)._1 == "distributed")
+  }
 }
